@@ -1,0 +1,60 @@
+"""Test-table catalog: load the driver-generated parquet tables and register
+them as temp views so both the DataFrame API and ``spark.sql`` can reach them.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table.  A plain ``spark.read.parquet`` keeps the scan lazy so
+    Catalyst pushes filters and prunes columns into the parquet reader.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as long ns
+    (``spark.sql.legacy.parquet.nanosAsLong``); convert to a microsecond
+    timestamp here (``div 1000`` truncation — same as DuckDB/pandas ns->µs).
+
+    The confs below are also set by ``session.get_spark``, but the driver
+    calls ``entry``/``queries`` with its *own* SparkSession — set the
+    runtime-settable ones defensively so results don't depend on who built
+    the session (UTC keeps collected datetimes oracle-comparable).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (``spark.sql`` parity with the
+    DuckDB oracle's pre-registered views)."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

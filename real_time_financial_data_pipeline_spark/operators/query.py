@@ -1,0 +1,128 @@
+"""Declared-but-unimplemented query surface of the reference, implemented.
+
+The reference declares ``QueryRequest`` with query_type in {'timeseries',
+'correlation', 'moving_average'} (schema.py:73-76) but ships no ``/query``
+route (SURVEY.md §2.9).  These are first-class operators here.
+
+Also implements the sort/limit operators (SURVEY.md §2.6): latest-top-1 (O1),
+preview limit (O3).
+
+Scale notes:
+- ``timeseries`` is filter + sort; the equality/range predicates push into
+  the parquet scan (partition pruning when the lake is date-partitioned).
+- ``moving_average`` is one window per series — shuffle on the series key
+  only, then a per-partition sort; no global sort.
+- ``correlation`` aligns two series by time bucket with a single
+  shuffle-on-bucket aggregate, then one ``corr``; avoids a row-level
+  self-join entirely.
+- ``latest_per_key`` is max_by per key (single partial-agg shuffle) rather
+  than a window + filter, which would sort every partition.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def timeseries(
+    df: DataFrame,
+    key_col: str,
+    key: str,
+    time_col: str,
+    start: str | dt.datetime | None = None,
+    end: str | dt.datetime | None = None,
+) -> DataFrame:
+    """query_type='timeseries' (schema.py:74): one series, time-bounded,
+    time-ordered."""
+    out = df.filter(F.col(key_col) == key)
+    if start is not None:
+        out = out.filter(F.col(time_col) >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        out = out.filter(F.col(time_col) < F.lit(end).cast("timestamp"))
+    return out.orderBy(time_col)
+
+
+def moving_average(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    partition_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "moving_avg",
+) -> DataFrame:
+    """query_type='moving_average' (schema.py:75): trailing n-row mean per
+    series.  ``order_cols`` must be a deterministic total order within each
+    partition (include a unique tiebreak column)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(n - 1), 0)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def correlation(
+    df: DataFrame,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    time_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """query_type='correlation' (schema.py:75): Pearson correlation of two
+    series aligned on a time bucket.
+
+    Alignment is a conditional-aggregate pivot — one shuffle on the bucket —
+    not a self-join: ``groupBy(bucket).agg(avg(value) filtered per key)``
+    then ``corr(a, b)``.
+    """
+    bucketed = (
+        df.filter(F.col(key_col).isin(key_a, key_b))
+        .groupBy(F.date_trunc(bucket, F.col(time_col)).alias("bucket"))
+        .agg(
+            F.avg(F.when(F.col(key_col) == key_a, F.col(value_col))).alias("a"),
+            F.avg(F.when(F.col(key_col) == key_b, F.col(value_col))).alias("b"),
+        )
+    )
+    return bucketed.agg(F.corr("a", "b").alias("correlation"))
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], time_col: str) -> DataFrame:
+    """O1 generalized — latest full row per key.
+
+    Implemented as ``max_by(struct(*), time)`` per key: a single hash
+    aggregate with partial combine, strictly cheaper at scale than
+    row_number-over-window + filter (no per-partition sort).  Requires the
+    time column to be unique per key (true for test data); ties would need a
+    composite ordering.
+    """
+    others = [c for c in df.columns if c not in key_cols]
+    packed = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*others), F.col(time_col)).alias("_row")
+    )
+    return packed.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def latest_per_key_window(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """O1 via row_number — the window formulation, kept for composite
+    orderings where max_by's single ordering column isn't enough."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def preview(df: DataFrame, n: int = 100, order_cols: list[str] | None = None) -> DataFrame:
+    """O3 — bounded preview (UI cap 100 rows, index.html:945).  An explicit
+    order makes the result deterministic; Spark turns orderBy+limit into a
+    TakeOrderedAndProject (top-k per partition, no full sort)."""
+    out = df.orderBy(*order_cols) if order_cols else df
+    return out.limit(n)

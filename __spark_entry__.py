@@ -31,6 +31,13 @@ from real_time_financial_data_pipeline_spark.operators.query import (
     preview,
     timeseries,
 )
+from real_time_financial_data_pipeline_spark.plans.relational import (
+    order_priority_counts,
+    pricing_summary,
+    revenue_by_nation,
+    segment_stats,
+    top_customers,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -101,6 +108,39 @@ def _mid_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        10,
+    )
+
+
+def _segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_stats(load_table(spark, sf_dir, "customer"))
+
+
+def _order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_events": _clean_events,
@@ -110,6 +150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_user": _latest_per_user,
         "preview_events": _preview_events,
         "mid_value_daily": _mid_value_daily,
+        "pricing_summary": _pricing_summary,
+        "revenue_by_nation": _revenue_by_nation,
+        "top_customers": _top_customers,
+        "segment_stats": _segment_stats,
+        "order_priority_counts": _order_priority,
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -183,6 +228,67 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
     }
+    sqls.update(
+        {
+            "pricing_summary": """
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(sum(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_qty,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_base_price,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4))
+                                * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4))
+                                * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                                * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+                       round(avg(l_quantity), 6) AS avg_qty,
+                       round(avg(l_extendedprice), 6) AS avg_price,
+                       round(avg(l_discount), 6) AS avg_disc,
+                       count(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1998-09-01'
+                GROUP BY 1, 2
+            """,
+            "revenue_by_nation": """
+                SELECT r_name AS region_name, n_name AS nation_name,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4))
+                                * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+                       count(*) AS n_lineitems
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+                GROUP BY 1, 2
+            """,
+            "top_customers": """
+                SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment,
+                       CAST(rev_dec AS DOUBLE) AS revenue
+                FROM (
+                    SELECT o_custkey,
+                           round(sum(CAST(l_extendedprice AS DECIMAL(14,4))
+                               * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS rev_dec
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1
+                ) JOIN customer ON o_custkey = c_custkey
+                ORDER BY revenue DESC, custkey ASC
+                LIMIT 10
+            """,
+            "segment_stats": """
+                SELECT c_mktsegment AS mktsegment,
+                       count(*) AS n_customers,
+                       CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_acctbal
+                FROM customer GROUP BY 1
+            """,
+            "order_priority_counts": """
+                SELECT o_orderpriority AS orderpriority, count(*) AS order_count
+                FROM orders o
+                WHERE EXISTS (
+                    SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+                )
+                GROUP BY 1
+            """,
+        }
+    )
     for unit, name in [("day", "daily"), ("week", "weekly"), ("month", "monthly"),
                        ("quarter", "quarterly"), ("year", "yearly")]:
         sqls[f"ohlcv_{name}"] = _OHLCV_SQL.format(unit=unit)

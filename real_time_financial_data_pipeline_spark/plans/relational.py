@@ -1,0 +1,141 @@
+"""Relational analytic plans over the TPC-H-ish star schema.
+
+The reference has zero joins (SURVEY.md §2.7) but declares cross-dataset
+analysis (`correlation`, schema.py:75).  These plans supply the join and
+multi-dimensional aggregate capability, written the way they should run on a
+1000-executor cluster:
+
+- dimension tables (region/nation/customer/supplier/part) get explicit
+  ``broadcast()`` hints — at 100 TB the fact tables shuffle for nothing if
+  the planner mis-sizes a dim; the hint pins the hash-join side;
+- money sums are computed in DECIMAL, not double: decimal partial aggregates
+  are exact, so results are deterministic regardless of partitioning (and
+  match any ANSI oracle bit-for-bit after the final cast);
+- aggregations are single hash-aggregates with map-side combine — grouping
+  keys are low-cardinality, so shuffle volume is O(groups · partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# Exact money arithmetic: cast inputs to DECIMAL(18,4) before summing, cast
+# the exact result back to double at the edge.
+def _dec(c: str | Column) -> Column:
+    return F.col(c).cast("decimal(14,4)") if isinstance(c, str) else c.cast("decimal(14,4)")
+
+
+def _frac(c: str) -> Column:
+    # rates in [0,1] (discount/tax): the narrowest cast keeps the decimal
+    # product chain within 38 digits, so sums stay exact in any engine
+    return F.col(c).cast("decimal(6,4)")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
+
+    One wide scan -> filter (pushed to parquet) -> hash aggregate.
+    """
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(6,4)") + _frac("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # round to scale 2 in the DECIMAL domain before the double cast:
+            # a scale-12 decimal -> double conversion can differ by 1 ulp
+            # across engines; at scale 2 the conversion is exact
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star join: fact lineitem ⋈ orders, then broadcast-joined dims up to
+    region; revenue per (region, nation).
+
+    lineitem⋈orders is the only shuffle join (both large, co-keyed on
+    orderkey); customer/nation/region are broadcast so the fact side never
+    re-shuffles on their keys.
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def top_customers(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k customers by revenue: shuffle join on orderkey, aggregate on
+    custkey, broadcast-join the customer dim onto the tiny aggregate, then
+    TakeOrderedAndProject (no global sort — top-k per partition).
+
+    Revenue is decimal-exact, so the ranking (and therefore the top-k SET)
+    is deterministic; custkey breaks any exact ties.
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    per_cust = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(revenue), 2).alias("rev_dec"))
+    )
+    return (
+        per_cust.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(k)
+    )
+
+
+def segment_stats(customer: DataFrame) -> DataFrame:
+    """Market-segment profile: count + exact-decimal average balance."""
+    return customer.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # exact decimal sum -> double, THEN one IEEE division (decimal
+        # division scale rules differ across engines; double division doesn't)
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped after order
+    date, counted per priority — a semi-join (no row multiplication) then a
+    tiny aggregate."""
+    commits = lineitem.select("l_orderkey", "l_shipdate")
+    qualified = orders.join(
+        commits,
+        (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return qualified.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

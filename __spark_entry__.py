@@ -31,6 +31,24 @@ from real_time_financial_data_pipeline_spark.operators.query import (
     preview,
     timeseries,
 )
+from real_time_financial_data_pipeline_spark.operators.dedup import (
+    exact_dedup_keep_min,
+    jaccard,
+    minhash_dedup_pairs,
+    simhash,
+)
+from real_time_financial_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from real_time_financial_data_pipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    ngrams,
+    quality_score,
+    token_stats,
+    tokens,
+)
 from real_time_financial_data_pipeline_spark.plans.relational import (
     order_priority_counts,
     pricing_summary,
@@ -141,6 +159,61 @@ def _order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM-data-pipeline operators (documents / embeddings tables) ----------
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents")).select("doc_id", "quality_score")
+
+
+def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keep_min(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard over adjacent doc-id pairs — the verify kernel
+    of the near-dup pipeline, made oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ngrams(tokens(F.col("text")), 3).alias("grams")
+    )
+    a = docs.withColumnsRenamed({"doc_id": "id_a", "grams": "grams_a"})
+    b = docs.withColumnsRenamed({"doc_id": "id_b", "grams": "grams_b"})
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6).alias("jaccard"))
+    )
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_events": _clean_events,
@@ -155,6 +228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
+        "token_stats": _token_stats,
+        "quality_score": _quality_score,
+        "dedup_exact_docs": _dedup_exact_docs,
+        "ngram_jaccard_adjacent": _ngram_jaccard_adjacent,
+        "ann_cosine_topk": _ann_cosine_topk,
+        # rows-only (no SQL-expressible oracle): hash-based / heuristic ops
+        "ann_lsh_topk": _ann_lsh_topk,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_docs": _simhash_docs,
+        "lang_id_docs": _lang_id_docs,
+        "fingerprint_docs": _fingerprint_docs,
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -286,6 +370,86 @@ def oracle_sql() -> dict[str, str]:
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
                 )
                 GROUP BY 1
+            """,
+            "token_stats": """
+                SELECT doc_id,
+                       len(text) AS n_chars_text,
+                       len(toks) AS n_tokens,
+                       round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+                       round(CAST(len(list_filter(toks, x -> list_contains(
+                               ['the','a','and','of','to','in','is','on','for','as'], x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+                FROM (
+                    SELECT doc_id, text,
+                           list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                    FROM documents
+                )
+            """,
+            "quality_score": """
+                SELECT doc_id,
+                       round((CASE WHEN n BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                           + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN stop_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 6) AS quality_score
+                FROM (
+                    SELECT doc_id, len(toks) AS n,
+                           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_len,
+                           CAST(len(list_filter(toks, x -> list_contains(
+                               ['the','a','and','of','to','in','is','on','for','as'], x))) AS DOUBLE) / len(toks) AS stop_ratio
+                    FROM (
+                        SELECT doc_id,
+                               list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                        FROM documents
+                    )
+                )
+            """,
+            "dedup_exact_docs": """
+                SELECT text,
+                       min(doc_id) AS doc_id,
+                       count(*) AS n_copies,
+                       arg_min(lang, doc_id) AS lang,
+                       arg_min(source, doc_id) AS source,
+                       arg_min(n_chars, doc_id) AS n_chars
+                FROM documents GROUP BY text
+            """,
+            "ngram_jaccard_adjacent": """
+                WITH grams AS (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                FOR i IN range(1, len(toks) - 1)]
+                           ELSE [] END AS g
+                    FROM (
+                        SELECT doc_id,
+                               list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                        FROM documents
+                    )
+                )
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                             THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(a.g, b.g)))
+                             ELSE 0.0 END, 6) AS jaccard
+                FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+            """,
+            "ann_cosine_topk": """
+                WITH c AS (
+                    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings
+                ),
+                q AS (
+                    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5
+                ),
+                scored AS (
+                    SELECT query_id, neighbor_id,
+                           round(list_dot_product(v, qv)
+                                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+                    FROM c, q WHERE neighbor_id != query_id
+                )
+                SELECT query_id, neighbor_id, score, rank FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
             """,
         }
     )

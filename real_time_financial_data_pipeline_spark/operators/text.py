@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation uses Spark higher-order array functions
+(transform/filter/aggregate) — JVM-side, whole-stage-codegen'd, no Python in
+the loop — so a 100 TB documents table streams through narrow projections
+with zero shuffles.
+
+Operators: tokenization, token/quality stats, stopword ratio, n-gram
+extraction, language-ID heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small fixed stopword list (quality scoring; not linguistic completeness).
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "as"]
+
+
+def tokens(text: Column, lowercase: bool = True) -> Column:
+    """Non-empty whitespace tokens as an array column."""
+    base = F.lower(text) if lowercase else text
+    return F.filter(F.split(base, " "), lambda x: x != F.lit(""))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: token count, character count, average
+    token length, stopword ratio — the quality-scoring primitives."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    # long casts: DuckDB/ANSI length functions yield BIGINT — keep schemas
+    # aligned.  try_divide: empty docs (0 tokens) -> null, never an ANSI abort.
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.try_divide(total_len.cast("double"), n_tokens), 6).alias("avg_token_len"),
+        F.round(F.try_divide(n_stop.cast("double"), n_tokens), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    mean-token-length band.  Heuristic weights in the spirit of C4/Gopher
+    text-quality filters; every term is a codegen'd expression."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    avg_len = F.try_divide(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double"), n_tokens
+    )
+    stop_ratio = F.try_divide(F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double"), n_tokens)
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.0, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams via index transform — e.g. n=3 trigram strings.
+    ``transform(sequence(0, size-n), i -> concat_ws(' ', t[i..i+n-1]))``.
+    Empty array when the document has fewer than n tokens."""
+
+    def make(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)])
+
+    return F.when(F.size(toks) >= n, F.transform(F.sequence(F.lit(0), F.size(toks) - n), make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-gram shingles (dedup/lang-id primitive)."""
+    return F.when(
+        F.length(text) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: F.substr(text, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Tiny per-language character/stopword profiles for the heuristic lang-id.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """N-gram/stopword-marker language-ID heuristic.
+
+    Scores each candidate language by marker-token hits and takes the best
+    (ties broken by language code order, so fully deterministic).  English
+    wins on empty evidence.  This is a heuristic — tested for determinism
+    and plumbing, not linguistic accuracy.
+    """
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda x: x.isin(*markers))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, markers in sorted(_LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores)
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("en")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """64-bit content fingerprint (xxhash64 of the normalized token stream) —
+    the reference's filename-identity idea upgraded to content identity.
+    Collision-safe enough for dedup candidate generation at 1e11 docs
+    (~3e-4 expected collisions per 1e8 distinct under 64-bit hashing)."""
+    normalized = F.concat_ws(" ", tokens(F.col(text_col)))
+    return df.withColumn(out_col, F.xxhash64(normalized))

@@ -42,12 +42,11 @@ from real_time_financial_data_pipeline_spark.operators.similarity import (
     lsh_topk,
 )
 from real_time_financial_data_pipeline_spark.operators.text import (
+    doc_grams,
     fingerprint,
     lang_id,
-    ngrams,
     quality_score,
     token_stats,
-    tokens,
 )
 from real_time_financial_data_pipeline_spark.plans.relational import (
     order_priority_counts,
@@ -55,6 +54,11 @@ from real_time_financial_data_pipeline_spark.plans.relational import (
     revenue_by_nation,
     segment_stats,
     top_customers,
+)
+from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+    run_stream_to_memory,
+    session_stats,
+    tumbling_ohlc,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -177,9 +181,7 @@ def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard over adjacent doc-id pairs — the verify kernel
     of the near-dup pipeline, made oracle-checkable."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", ngrams(tokens(F.col("text")), 3).alias("grams")
-    )
+    docs = doc_grams(load_table(spark, sf_dir, "documents"), "text", "doc_id", 3)
     a = docs.withColumnsRenamed({"doc_id": "id_a", "grams": "grams_a"})
     b = docs.withColumnsRenamed({"doc_id": "id_b", "grams": "grams_b"})
     return (
@@ -214,6 +216,51 @@ def _fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+# --- streaming (Structured Streaming over the same events data) -----------
+
+_STREAM_SEQ = [0]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (the Kafka stand-in): same
+    rows, same ns->µs conversion as the batch catalog."""
+    load_table(spark, sf_dir, "events")  # pins confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        # the file source wants a directory: stream the sf dir, one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))) if dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+    ).get("ts") == "bigint" else raw
+
+
+def _stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ohlcv_daily: watermarked 1-day tumbling windows,
+    drained with availableNow into a memory sink (complete mode = batch
+    parity on a static backlog).  Oracle: the batch date_trunc('day') SQL —
+    epoch-aligned '1 day' windows are identical buckets."""
+    _STREAM_SEQ[0] += 1
+    name = f"stream_daily_{_STREAM_SEQ[0]}"
+    agg = tumbling_ohlc(_events_stream(spark, sf_dir))
+    run_stream_to_memory(agg, name, "complete")
+    return spark.table(name)
+
+
+def _stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — stateful streaming operator
+    with no batch-SQL equivalent bucketing; oracle built from a DuckDB
+    gaps-and-islands window query over the same rows."""
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sessions_{_STREAM_SEQ[0]}"
+    agg = session_stats(_events_stream(spark, sf_dir))
+    run_stream_to_memory(agg, name, "complete")
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_events": _clean_events,
@@ -239,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _simhash_docs,
         "lang_id_docs": _lang_id_docs,
         "fingerprint_docs": _fingerprint_docs,
+        "stream_tumbling_daily": _stream_tumbling_daily,
+        "stream_session_stats": _stream_session_stats,
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -453,6 +502,28 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["stream_tumbling_daily"] = _OHLCV_SQL.format(unit="day")
+    sqls["stream_session_stats"] = """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """
     for unit, name in [("day", "daily"), ("week", "weekly"), ("month", "monthly"),
                        ("quarter", "quarterly"), ("year", "yearly")]:
         sqls[f"ohlcv_{name}"] = _OHLCV_SQL.format(unit=unit)

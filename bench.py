@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full plan execution, no
+driver collect).  Streaming queries execute inside their callable (availableNow
+drain) — their cost is the stream run itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_financial_data_pipeline_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+# Headline set: the reference-parity analytical core + joins + LLM-pipeline
+# ops + streaming — the queries whose 100 TB behavior matters most.
+HEADLINE = [
+    "ohlcv_daily",
+    "ohlcv_monthly",
+    "clean_events",
+    "moving_average_7",
+    "correlation_click_purchase",
+    "latest_per_user",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_counts",
+    "token_stats",
+    "quality_score",
+    "dedup_exact_docs",
+    "minhash_pairs",
+    "ann_cosine_topk",
+    "stream_tumbling_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rtfdp-bench")
+
+    qs = entrymod.queries()
+    # warm-up: session/codegen/readers, not measured
+    qs["preview_events"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

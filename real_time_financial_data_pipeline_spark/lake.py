@@ -1,0 +1,142 @@
+"""Medallion data lake — the reference's ``DataLakeStorage`` (storage.py) and
+parquet helpers (helpers.py), redesigned for a distributed table layout.
+
+Reference model: one parquet FILE per dataset, named
+``{source}_{data_type}_{YYYYMMDD}.parquet``, under ``data/bronze|silver|gold``
+(helpers.py:23-28, storage.py:17-27); the filesystem is the catalog
+(helpers.py:66-81).
+
+Spark-native redesign (SURVEY.md §1.5): a dataset is a parquet DIRECTORY
+(table) per layer, partitioned by ``ingest_date`` (and optionally a series
+key), so that:
+
+- appends are new files in a partition, not whole-file rewrites;
+- partition pruning serves the reference's date-token filtering
+  (storage.py:144-170) from file metadata instead of filename parsing;
+- ``spark.read.parquet`` on the table dir scales to any file count.
+
+The filename codec is kept at the path-naming layer for API parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYERS = ("bronze", "silver", "gold")
+
+
+def dataset_name(source: str, data_type: str, date: dt.date | None = None) -> str:
+    """Filename codec — reference ``generate_dataset_filename``
+    (helpers.py:23-28): ``{source}_{data_type}_{YYYYMMDD}``."""
+    date = date or dt.date.today()
+    return f"{source}_{data_type}_{date.strftime('%Y%m%d')}"
+
+
+def parse_dataset_name(name: str) -> dict[str, str]:
+    """Inverse codec (helpers.py:96-98, transformers.py:196-198)."""
+    parts = name.split("_")
+    if len(parts) >= 3:
+        return {"source": parts[0], "data_type": "_".join(parts[1:-1]), "date": parts[-1]}
+    return {"source": parts[0] if parts else "", "data_type": "", "date": ""}
+
+
+class DataLake:
+    """Layered parquet lake with a directory-per-table layout."""
+
+    def __init__(self, spark: SparkSession, root: str = "data") -> None:
+        self.spark = spark
+        self.root = root
+        for layer in LAYERS:
+            os.makedirs(os.path.join(root, layer), exist_ok=True)
+
+    def _path(self, layer: str, name: str) -> str:
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+        return os.path.join(self.root, layer, name)
+
+    # -- K1: save (storage.py:120-142) ------------------------------------
+    def save(
+        self,
+        df: DataFrame,
+        name: str,
+        layer: str = "bronze",
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write a dataset table.  Default append + ``ingest_date`` partition
+        column so repeated micro-ingests accumulate without rewrites and
+        date filters prune at the file level."""
+        path = self._path(layer, name)
+        out = df
+        if "ingest_date" not in df.columns:
+            out = df.withColumn("ingest_date", F.current_date())
+        partition_by = partition_by or ["ingest_date"]
+        out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+        return path
+
+    # -- S8: read (storage.py:86-118) --------------------------------------
+    def read(self, name: str, layer: str = "bronze") -> DataFrame:
+        return self.spark.read.parquet(self._path(layer, name))
+
+    # -- C1: list datasets (helpers.py:66-81, storage.py:29-49) ------------
+    def list_datasets(self, layer: str | None = None) -> dict[str, list[str]]:
+        layers = [layer] if layer else list(LAYERS)
+        out: dict[str, list[str]] = {}
+        for lay in layers:
+            base = os.path.join(self.root, lay)
+            out[lay] = sorted(
+                d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))
+            ) if os.path.isdir(base) else []
+        return out
+
+    # -- C2: dataset info (helpers.py:84-177, storage.py:51-83) ------------
+    def dataset_info(self, name: str, layer: str = "bronze") -> dict:
+        """Metadata introspection: schema from footer, count, date range,
+        capped distinct symbols — single metadata-cheap Spark job each
+        (count(*) and min/max come from parquet footers via pushdown)."""
+        df = self.read(name, layer)
+        fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        date_col = next((c for c in ("timestamp", "ts", "date", "datetime") if c in fields), None)
+        sym_col = next((c for c in ("symbol", "ticker", "stock", "name") if c in fields), None)
+        info: dict = {
+            "name": name,
+            "layer": layer,
+            "schema": fields,
+            "record_count": df.count(),
+            **parse_dataset_name(name),
+        }
+        if date_col:
+            rng = df.agg(F.min(date_col).alias("lo"), F.max(date_col).alias("hi")).first()
+            info["first_date"], info["last_date"] = rng["lo"], rng["hi"]
+        if sym_col:
+            # cap at 50 + sentinel, like helpers.py:152-153
+            syms = [r[0] for r in df.select(sym_col).distinct().orderBy(sym_col).limit(51).collect()]
+            info["symbols"] = syms[:50] + (["..."] if len(syms) > 50 else [])
+        return info
+
+    # -- O1: latest dataset for (data_type, source) (storage.py:144-170) ---
+    def latest_dataset(self, data_type: str, source: str, layer: str = "bronze") -> str | None:
+        """Name-codec filtering + date-token sort, as the reference does —
+        driver-side over the table listing (the listing is small; the DATA
+        never moves)."""
+        names = [
+            n
+            for n in self.list_datasets(layer)[layer]
+            if source in n and data_type in n
+        ]
+        if not names:
+            return None
+        return max(names, key=lambda n: n.rsplit("_", 1)[-1])
+
+    # -- K4: delete (storage.py:172-196) ------------------------------------
+    def delete(self, name: str, layer: str) -> bool:
+        path = self._path(layer, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            return True
+        return False

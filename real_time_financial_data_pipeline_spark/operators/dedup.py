@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from real_time_financial_data_pipeline_spark.operators.query import latest_per_key
-from real_time_financial_data_pipeline_spark.operators.text import ngrams, tokens
+from real_time_financial_data_pipeline_spark.operators.text import doc_grams
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -64,27 +64,47 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    grams_df: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document.
-
-    k independent hash families via murmur3 with distinct seed literals;
-    minhash_i = min over shingles of hash(shingle, seed_i).  Entirely
-    JVM-side: transform + array_min, no shuffle, no UDF.
-    """
-    shingles = ngrams(tokens(F.col(text_col)), shingle_n)
-    # Documents shorter than one shingle fall back to whole-text identity.
-    shingles = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.col(text_col)))
-
-    def hash_family(seed: int):
-        # IMPORTANT: the lambda must take exactly ONE parameter — F.transform
-        # passes the array index to a second parameter, which would shadow
-        # the seed and collapse all k hash families into one.
-        return lambda s: F.hash(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, hash_family(i))) for i in range(num_hashes)]
+    """MinHash signature per document: minhash_i = min over shingles of
+    h_i(shingle), with h_i derived from one xxhash64 by affine transforms.
+    Entirely JVM-side and codegen'd (explode + hash aggregate); the only
+    shuffle is the O(docs · k) partial-aggregated groupBy."""
+    # Performance shape.  Higher-order array functions are interpreted in
+    # Spark (never whole-stage-codegen'd), and interpreted eval re-computes
+    # any subtree a lambda references per element — a naive
+    # k × array_min(transform(ngrams(tokens(text)), hash_i)) cost ~200 s for
+    # 5k docs.  The fast, scale-correct shape:
+    # 1. stage tokenization behind an exchange (doc_grams);
+    # 2. EXPLODE shingles to rows — everything downstream is back inside
+    #    whole-stage codegen;
+    # 3. hash each shingle once (xxhash64), derive the k families by affine
+    #    transforms h_i = a_i·h + b_i (universal hashing);
+    # 4. ONE hash aggregate computing all k mins — partial (map-side)
+    #    combine makes shuffle volume O(docs · k), independent of shingles.
+    if grams_df is None:
+        grams_df = doc_grams(df, text_col, id_col, shingle_n, "grams")
+    # Documents shorter than one shingle get a UNIQUE placeholder shingle:
+    # they keep a signature (explode never drops them) but can never LSH-
+    # collide with another doc — sub-shingle docs are exact-dedup territory.
+    shingles = F.when(F.size("grams") > 0, F.col("grams")).otherwise(
+        F.array(F.concat(F.lit("__short__"), F.col(id_col).cast("string")))
     )
-    return df.select(id_col, sig.alias("minhash"))
+    exploded = grams_df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    hashed = exploded.select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    rng_a = [2 * i + 1 for i in range(num_hashes)]  # odd multipliers
+    rng_b = [0x9E3779B97F4A7C15 * (i + 1) % (2**63) for i in range(num_hashes)]
+    aggs = [
+        F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(zip(rng_a, rng_b))
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash")
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -138,12 +158,24 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
-    exact Jaccard verify -> pairs above threshold."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    exact Jaccard verify -> pairs above threshold.
 
-    docs = df.select(F.col(id_col), ngrams(tokens(F.col(text_col)), shingle_n).alias("grams"))
+    The signature/shingle intermediates are persisted and materialized
+    EAGERLY before the joins.  This is not an optimization nicety: the
+    signature expression tree (k × array_min(transform(hash(ngram...)))) is
+    large, and the self-join + two verify joins would replicate it —
+    Catalyst optimization time explodes combinatorially (observed: 300+ s of
+    pure planning at 5k docs).  Materializing collapses each subtree to an
+    InMemoryRelation.  At warehouse scale these intermediates are exactly
+    what you'd persist to storage between stages.
+    """
+    rows_per_band = num_hashes // bands
+    # one shared, persisted gram table feeds BOTH signatures and verify
+    docs = doc_grams(df, text_col, id_col, shingle_n, "grams").persist()
+    docs.count()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, grams_df=docs).persist()
+    sigs.count()  # force: joins below must plan against the cached relation
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     verified = (
         cands.join(docs.withColumnsRenamed({id_col: "id_a", "grams": "grams_a"}), "id_a")
         .join(docs.withColumnsRenamed({id_col: "id_b", "grams": "grams_b"}), "id_b")

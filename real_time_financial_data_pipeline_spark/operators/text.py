@@ -116,6 +116,25 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     )
 
 
+def doc_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "grams",
+) -> DataFrame:
+    """(id, token-n-gram array) with the tokenization staged BEHIND an
+    exchange.  Interpreted higher-order eval re-computes any subtree a
+    lambda references per element, so building grams directly over
+    ``tokens(text)`` is quadratic-ish in tokens; the exchange materializes
+    the token array first (and spreads CPU across cores for small files)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).repartition(
+        max(parallelism, df.rdd.getNumPartitions())
+    )
+    return staged.select(F.col(id_col), ngrams(F.col("_toks"), n).alias(out_col))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized token stream) —
     the reference's filename-identity idea upgraded to content identity.

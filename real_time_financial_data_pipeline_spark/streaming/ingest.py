@@ -1,0 +1,63 @@
+"""Streaming ingestion — T1 (async background ingestion) as a
+StreamingQuery.
+
+Reference flow: REST request -> BackgroundTasks -> HTTP fetch -> normalize ->
+parquet append to bronze (routes.py:29-42, alphavantage.py:247-277).
+Spark-native flow: ``readStream`` (file dir / rate / Kafka-compatible) ->
+parse/normalize -> ``foreachBatch`` append to the bronze lake table.
+
+``foreachBatch`` + checkpointing gives at-least-once appends with exactly-
+once state recovery; idempotent micro-batch writes (partition overwrite per
+batch id) would upgrade to exactly-once if the sink needs it.
+
+Rate governance (the reference's request_delay / batch_delay, T2) maps to
+``trigger(processingTime=...)`` and source options like
+``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-drop source — the test/dev stand-in for a Kafka topic.  Each
+    dropped file is a micro-batch (rate governed by maxFilesPerTrigger)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def ingest_to_bronze(
+    stream: DataFrame,
+    bronze_path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """T1 — append the (optionally normalized) stream to a bronze table via
+    foreachBatch.  ``availableNow`` drains the backlog then stops — the
+    batch-parity mode used by tests and backfills."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        out.write.mode("append").parquet(bronze_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -37,6 +37,11 @@ from real_time_financial_data_pipeline_spark.operators.dedup import (
     minhash_dedup_pairs,
     simhash,
 )
+from real_time_financial_data_pipeline_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+    media_stats,
+)
 from real_time_financial_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     lsh_topk,
@@ -216,6 +221,21 @@ def _fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary(load_table(spark, sf_dir, "documents"))
+    out = media_stats(media)
+    return out.withColumn("avg_bytes", F.round("avg_bytes", 6))
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary(load_table(spark, sf_dir, "documents"))
+    out = extract_features(media)
+    return out.select(
+        "media_id", "byte_len", F.round("feat_mean", 6).alias("feat_mean"),
+        F.round("feat_std", 6).alias("feat_std"),
+    )
+
+
 # --- streaming (Structured Streaming over the same events data) -----------
 
 _STREAM_SEQ = [0]
@@ -288,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_session_stats": _stream_session_stats,
+        "multimodal_stats": _multimodal_stats,
+        "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -502,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["multimodal_stats"] = """
+        SELECT 'image' AS kind,
+               count(*) AS n_media,
+               sum(octet_length(encode(text))) AS total_bytes,
+               round(avg(octet_length(encode(text))), 6) AS avg_bytes
+        FROM documents
+    """
     sqls["stream_tumbling_daily"] = _OHLCV_SQL.format(unit="day")
     sqls["stream_session_stats"] = """
         WITH marked AS (

@@ -1,0 +1,133 @@
+"""Dedup ladder and similarity search semantics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keep_min,
+    hamming64,
+    jaccard,
+    key_dedup_latest,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+)
+from real_time_financial_data_pipeline_spark.operators.similarity import cosine_topk, lsh_topk
+from real_time_financial_data_pipeline_spark.operators.text import doc_grams
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [
+        (1, base),
+        (2, base + " indeed"),  # near-dup of 1
+        (3, base),  # exact dup of 1
+        (4, "completely different text with other words in every position here"),
+        (5, "short doc"),  # below shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_full_and_keyed(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "a")], "id long, v string")
+    assert exact_dedup(df).count() == 2
+    assert exact_dedup(df, ["v"]).count() == 1
+
+
+def test_exact_dedup_keep_min_survivor(near_dups):
+    out = {r.text: r for r in exact_dedup_keep_min(near_dups, "text", "doc_id").collect()}
+    base = [r for r in out.values() if r.n_copies == 2]
+    assert len(base) == 1 and base[0].doc_id == 1  # min id survives
+
+
+def test_key_dedup_latest(spark):
+    rows = [(1, "2024-01-01 00:00:00", "old"), (1, "2024-01-02 00:00:00", "new")]
+    df = spark.createDataFrame(rows, "k long, ts string, v string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = key_dedup_latest(df, ["k"], "ts").collect()
+    assert len(out) == 1 and out[0].v == "new"
+
+
+def test_minhash_signature_agreement_tracks_jaccard(near_dups):
+    sigs = {r.doc_id: r.minhash for r in minhash_signatures(near_dups).collect()}
+    assert sigs[1] == sigs[3]  # exact dup -> identical signature
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert agree_near >= 10  # ~jaccard(≈0.9) * 16
+    assert agree_far <= 3
+    assert len(sigs[5]) == 16  # short doc still gets a signature
+
+
+def test_minhash_dedup_pipeline_finds_planted_pairs(near_dups):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_dedup_pairs(near_dups, threshold=0.5, bands=8).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # near dup
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_lsh_candidates_superset_of_exact_dups(near_dups):
+    sigs = minhash_signatures(near_dups).persist()
+    sigs.count()
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).collect()}
+    assert (1, 3) in cands
+
+
+def test_jaccard_column(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    assert abs(df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j - 0.5) < 1e-9
+    empty = spark.createDataFrame([([], [])], "x array<string>, y array<string>")
+    assert empty.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0].j == 0.0
+
+
+def test_simhash_similarity_preserving(near_dups, spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(near_dups).collect()}
+    assert sigs[1] == sigs[3]
+    ham = near_dups.alias("a")
+    d_near = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    d_far = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert d_near < 12 < d_far
+    # hamming64 column matches python computation
+    df = spark.createDataFrame([(sigs[1], sigs[2])], "a long, b long")
+    assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == d_near
+
+
+def test_cosine_topk_matches_numpy(embeddings, spark):
+    out = cosine_topk(embeddings, embeddings.filter(F.col("vec_id") < 2), k=5)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.score) for r in out.collect()}
+
+    rows = embeddings.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for q in (0, 1):
+        qv = vecs[q]
+        scores = sorted(
+            (
+                (round(float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), -i)
+                for i, v in vecs.items()
+                if i != q
+            ),
+            reverse=True,
+        )
+        for rank in range(1, 6):
+            exp_score, neg_id = scores[rank - 1]
+            nid, score = got[(q, rank)]
+            assert nid == -neg_id and abs(score - exp_score) < 2e-6
+
+
+def test_lsh_topk_results_are_true_neighbors_of_shared_bucket(embeddings):
+    exact = cosine_topk(embeddings, embeddings.filter(F.col("vec_id") < 3), k=50)
+    approx = lsh_topk(embeddings, embeddings.filter(F.col("vec_id") < 3), k=50)
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:  # approx scores must agree with exact where both rank
+            assert abs(exact_scores[key] - r.score) < 2e-6

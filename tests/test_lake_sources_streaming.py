@@ -1,0 +1,170 @@
+"""Lake, pipeline orchestrator, source connectors, sinks, streaming."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.functions import (
+    sanitize_floats,
+    timestamps_to_iso,
+    to_csv_string,
+    to_json_records,
+)
+from real_time_financial_data_pipeline_spark.lake import DataLake, dataset_name, parse_dataset_name
+from real_time_financial_data_pipeline_spark.pipeline import transform_pipeline
+from real_time_financial_data_pipeline_spark.sources.connectors import (
+    parse_alphavantage_daily,
+    parse_alphavantage_economic,
+    parse_alphavantage_forex,
+    parse_yahoo_chart,
+    parse_yahoo_crypto,
+)
+from real_time_financial_data_pipeline_spark.sources.csv_source import (
+    load_economic_csv,
+    load_stock_csv,
+)
+
+AV_PAYLOAD = {
+    "Time Series (Daily)": {
+        "2024-01-02": {"1. open": "10", "2. high": "12", "3. low": "9", "4. close": "11", "5. volume": "100"},
+        "2024-01-03": {"1. open": "11", "2. high": "13", "3. low": "10", "4. close": "12", "5. volume": "150"},
+    }
+}
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return DataLake(spark, str(tmp_path / "lake"))
+
+
+def test_dataset_name_codec_roundtrip():
+    import datetime as dt
+
+    name = dataset_name("yahoo", "stock", dt.date(2024, 5, 9))
+    assert name == "yahoo_stock_20240509"
+    assert parse_dataset_name(name) == {"source": "yahoo", "data_type": "stock", "date": "20240509"}
+
+
+def test_lake_save_read_info_latest_delete(spark, lake):
+    df = parse_alphavantage_daily(spark, AV_PAYLOAD, "AAPL")
+    import datetime as dt
+
+    old = dataset_name("alphavantage", "stock", dt.date(2024, 1, 1))
+    new = dataset_name("alphavantage", "stock", dt.date(2024, 6, 1))
+    lake.save(df, old, "bronze")
+    lake.save(df, new, "bronze")
+    assert lake.read(new, "bronze").count() == 2
+    info = lake.dataset_info(new, "bronze")
+    assert info["record_count"] == 2 and info["symbols"] == ["AAPL"]
+    assert str(info["first_date"]).startswith("2024-01-02")
+    assert lake.latest_dataset("stock", "alphavantage") == new
+    assert lake.delete(old, "bronze") and not lake.delete(old, "bronze")
+
+
+def test_transform_pipeline_end_to_end(spark, lake):
+    df = parse_alphavantage_daily(spark, AV_PAYLOAD, "AAPL")
+    name = dataset_name("alphavantage", "stock")
+    lake.save(df, name, "bronze")
+    res = transform_pipeline(lake, name, "bronze", "gold", "aggregate", {"time_period": "M"})
+    assert res["status"] == "success" and res["records_count"] == 1
+    gold = lake.read(res["dataset"], "gold").collect()[0]
+    assert gold.open == 10.0 and gold.close == 12.0 and gold.volume == 250
+
+
+def test_transform_pipeline_requires_data_type_for_normalize(spark, lake):
+    df = parse_alphavantage_daily(spark, AV_PAYLOAD, "AAPL")
+    name = dataset_name("alphavantage", "stock")
+    lake.save(df, name, "bronze")
+    with pytest.raises(ValueError):
+        transform_pipeline(lake, name, "bronze", "silver", "normalize")
+
+
+def test_connector_parsers(spark):
+    fx = parse_alphavantage_forex(
+        spark,
+        {"Time Series FX (Daily)": {"2024-01-02": {"1. open": "1.1", "2. high": "1.2", "3. low": "1.0", "4. close": "1.15"}}},
+        "EUR",
+        "USD",
+    ).collect()[0]
+    assert fx.rate == 1.15 and fx.from_currency == "EUR"
+
+    eco = parse_alphavantage_economic(
+        spark, {"data": [{"date": "2024-01-01", "value": "3.2"}, {"date": "2024-04-01", "value": "."}]}, "GDP"
+    ).collect()
+    assert eco[0].value == 3.2 and eco[1].value is None  # '.' coerced to null
+    assert "date" not in {c for c in ("date",) if c in []}  # raw date column dropped
+
+    y = {"chart": {"result": [{"timestamp": [1704153600], "indicators": {"quote": [{"open": [1.0], "high": [2.0], "low": [0.5], "close": [1.5], "volume": [7]}]}}]}}
+    s = parse_yahoo_chart(spark, y, "TSLA").collect()[0]
+    assert s.symbol == "TSLA" and s.volume == 7
+    c = parse_yahoo_crypto(spark, y, "BTC").collect()[0]
+    assert c.base_symbol == "BTC" and c.price == 1.5 and c.data_type == "crypto"
+
+
+def test_csv_auto_detection(spark, tmp_path):
+    p = tmp_path / "ibm_daily.csv"
+    p.write_text("Date,Opening,Highest,Lowest,Adjusted_Close,Vol\n2024-01-02,1,2,0.5,1.5,10\n")
+    df = load_stock_csv(spark, str(p))
+    r = df.collect()[0]
+    assert r.symbol == "IBM" and r.close == 1.5 and r.open == 1.0 and r.source == "csv_import"
+
+    p2 = tmp_path / "cpi.csv"
+    p2.write_text("period,amount\n2024-01-01,3.1\n")
+    eco = load_economic_csv(spark, str(p2), "CPI", date_col="period")
+    assert eco.collect()[0].value == 3.1
+
+    p3 = tmp_path / "nodates.csv"
+    p3.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError):
+        load_economic_csv(spark, str(p3), "X")
+
+
+def test_sinks_sanitize_iso_json_csv(spark):
+    df = spark.createDataFrame(
+        [(1, float("inf"), "2024-01-02 03:04:05")], "id long, v double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert sanitize_floats(df).collect()[0].v is None
+    assert timestamps_to_iso(df).collect()[0].ts == "2024-01-02T03:04:05.000000Z"
+    assert to_json_records(df) == ['{"id":1,"v":null,"ts":"2024-01-02T03:04:05.000000Z"}']
+    assert to_csv_string(df).splitlines()[1].startswith("1,,2024-01-02T03:04:05")
+
+
+def test_streaming_ingest_and_tumbling_batch_parity(spark, events, tmp_path):
+    from real_time_financial_data_pipeline_spark.operators.aggregate import ohlcv
+    from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+        run_stream_to_memory,
+        tumbling_ohlc,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.ingest import file_stream, ingest_to_bronze
+
+    src = tmp_path / "src"
+    events.limit(300).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    # ingest: stream -> bronze append
+    bronze = str(tmp_path / "bronze")
+    q = ingest_to_bronze(
+        file_stream(spark, str(src), schema, max_files_per_trigger=2),
+        bronze,
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(bronze).count() == 300
+
+    # windowed agg: streaming result == batch result on the same input
+    stream = file_stream(spark, str(src), schema)
+    run_stream_to_memory(tumbling_ohlc(stream), "t_parity", "complete")
+    got = {
+        (r.event_type, r.period): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in spark.table("t_parity").collect()
+    }
+    batch = spark.read.parquet(str(src))
+    exp = {
+        (r.event_type, r.period): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlcv(batch, "D", "ts", "value", ["event_type"]).collect()
+    }
+    assert got == exp and len(got) > 0

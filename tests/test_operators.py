@@ -1,0 +1,127 @@
+"""Core operator semantics: clean / normalize / aggregate / query surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.aggregate import aggregate_data, ohlcv
+from real_time_financial_data_pipeline_spark.operators.clean import clean_data
+from real_time_financial_data_pipeline_spark.operators.normalize import normalize_data
+from real_time_financial_data_pipeline_spark.operators.query import (
+    correlation,
+    latest_per_key,
+    moving_average,
+    preview,
+    timeseries,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        ("A", "2024-01-01 10:00:00", "10.5", "100"),
+        ("A", "2024-01-01 10:00:00", "10.5", "100"),  # exact dup
+        ("A", "2024-01-02 10:00:00", "not_a_number", "200"),
+        ("B", "2024-01-01 10:00:00", "7.25", None),  # null volume
+        ("B", "2024-01-03 10:00:00", "8.0", "50"),
+    ]
+    return spark.createDataFrame(rows, "symbol string, timestamp string, close string, volume string")
+
+
+def test_clean_drops_nulls_dups_and_coerces(dirty):
+    out = clean_data(dirty)
+    rows = {(r.symbol, str(r.timestamp), r.close) for r in out.collect()}
+    # dup removed, null-volume row removed; bad numeric kept but coerced to null
+    assert len(rows) == 3
+    bad = [r for r in out.collect() if r.close is None]
+    assert len(bad) == 1  # 'not_a_number' -> null, row retained (dropna ran before coercion)
+    types = dict(out.dtypes)
+    assert types["timestamp"] == "timestamp" and types["close"] == "double" and types["volume"] == "bigint"
+
+
+def test_normalize_forex_mid_rate(spark):
+    fx = spark.createDataFrame([(1.0, 2.0)], "open double, close double")
+    out = normalize_data(fx, "forex").collect()[0]
+    assert out.mid_rate == 1.5 and out.data_type == "forex"
+
+
+def test_normalize_missing_columns_warns_not_raises(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    assert normalize_data(df, "stock").columns == ["x", "data_type"]
+
+
+def test_aggregate_named_agg_map_and_period_start_labels(spark):
+    rows = [
+        ("2024-03-05 01:00:00", 10.0, 5),
+        ("2024-03-20 01:00:00", 30.0, 7),
+        ("2024-04-02 01:00:00", 20.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "timestamp string, close double, volume long").withColumn(
+        "timestamp", F.col("timestamp").cast("timestamp")
+    )
+    out = {r.period: r for r in aggregate_data(df, "M", {"close": "last", "volume": "sum"}).collect()}
+    mar = out[dt.datetime(2024, 3, 1)]  # period-START label
+    assert mar.close == 30.0 and mar.volume == 12
+    assert out[dt.datetime(2024, 4, 1)].close == 20.0
+
+
+def test_aggregate_rejects_unknown_period_and_function(spark):
+    df = spark.createDataFrame([("2024-01-01", 1.0)], "timestamp string, close double")
+    with pytest.raises(ValueError):
+        aggregate_data(df, "X")
+    with pytest.raises(ValueError):
+        aggregate_data(df, "M", {"close": "median"})
+
+
+def test_ohlcv_first_last_by_time_not_position(spark):
+    # rows deliberately out of time order: positional first/last would differ
+    rows = [("2024-01-01 12:00:00", 5.0), ("2024-01-01 01:00:00", 1.0), ("2024-01-01 23:00:00", 9.0)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    r = ohlcv(df.withColumn("k", F.lit("x")), "D", "ts", "value", ["k"]).collect()[0]
+    assert r.open == 1.0 and r.close == 9.0 and r.high == 9.0 and r.low == 1.0 and r.n_events == 3
+
+
+def test_moving_average_window(spark):
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(5)], "id long, k string, v double"
+    )
+    out = {r.id: r.ma for r in moving_average(df, "v", 3, ["k"], ["id"], "ma").collect()}
+    assert out[0] == 0.0 and out[2] == 1.0 and out[4] == 3.0  # trailing 3-row means
+
+
+def test_correlation_perfect_series(spark):
+    rows = []
+    for h in range(10):
+        ts = f"2024-01-01 {h:02d}:30:00"
+        rows.append(("x", ts, float(h)))
+        rows.append(("y", ts, 2.0 * h + 1))  # perfectly correlated
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = correlation(df, "k", "x", "y", "ts", "v", "hour").collect()[0]
+    assert abs(r.correlation - 1.0) < 1e-9
+
+
+def test_latest_per_key_matches_window_formulation(events):
+    a = latest_per_key(events, ["user_id"], "ts")
+    from real_time_financial_data_pipeline_spark.operators.query import latest_per_key_window
+
+    b = latest_per_key_window(events, ["user_id"], ["ts"])
+    sa = {(r.user_id, r.event_id) for r in a.collect()}
+    sb = {(r.user_id, r.event_id) for r in b.collect()}
+    assert sa == sb and len(sa) > 0
+
+
+def test_timeseries_bounds_and_order(events):
+    out = timeseries(events, "event_type", "purchase", "ts", "2024-01-05", "2024-01-10").collect()
+    assert all(r.event_type == "purchase" for r in out)
+    ts = [r.ts for r in out]
+    assert ts == sorted(ts)
+    assert all(dt.datetime(2024, 1, 5) <= t < dt.datetime(2024, 1, 10) for t in ts)
+
+
+def test_preview_bounded(events):
+    assert len(preview(events, 7, ["event_id"]).collect()) == 7

@@ -1,0 +1,111 @@
+"""Text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+    fake_image_features,
+    frame_sample_plan,
+    media_stats,
+)
+from real_time_financial_data_pipeline_spark.operators.text import (
+    char_ngrams,
+    doc_grams,
+    fingerprint,
+    lang_id,
+    ngrams,
+    quality_score,
+    token_stats,
+    tokens,
+)
+
+
+def test_tokens_and_ngrams_edges(spark):
+    df = spark.createDataFrame([(1, "A  b c d")], "doc_id long, text string")
+    toks = df.select(tokens(F.col("text")).alias("t")).collect()[0].t
+    assert toks == ["a", "b", "c", "d"]  # lowercased, empty tokens dropped
+    g = df.select(ngrams(tokens(F.col("text")), 3).alias("g")).collect()[0].g
+    assert g == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert short.select(ngrams(tokens(F.col("text")), 3).alias("g")).collect()[0].g == []
+    cg = spark.createDataFrame([(1, "abcd")], "id long, text string").select(
+        char_ngrams(F.col("text"), 2).alias("g")
+    ).collect()[0].g
+    assert cg == ["ab", "bc", "cd"]
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r.n_tokens == 3 and r.n_chars_text == 11
+    assert abs(r.avg_token_len - 3.0) < 1e-9
+    assert abs(r.stopword_ratio - 1 / 3) < 1e-6
+
+
+def test_quality_score_bands(spark):
+    rows = [(1, "the quick brown fox jumps high today"), (2, "x"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.quality_score for r in quality_score(df).collect()}
+    assert out[1] == 1.0  # length ok + stopword + avg len ok
+    assert out[2] <= 0.3 and out[3] <= 0.3
+
+
+def test_lang_id_markers_and_determinism(spark):
+    rows = [(1, "der hund und die katze"), (2, "le chat et les chiens"), (3, "zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out[1] == "de" and out[2] == "fr" and out[3] == "en"
+    out2 = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out == out2
+
+
+def test_fingerprint_normalized_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello world!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert out[1] == out[2]  # case/whitespace-normalized identity
+    assert out[1] != out[3]
+
+
+def test_doc_grams_matches_inline_ngrams(documents):
+    staged = {r.doc_id: r.grams for r in doc_grams(documents, n=3).collect()}
+    inline = {
+        r.doc_id: r.g
+        for r in documents.select("doc_id", ngrams(tokens(F.col("text")), 3).alias("g")).collect()
+    }
+    assert staged == inline
+
+
+def test_multimodal_plumbing(documents):
+    media = attach_binary(documents)
+    stats = media_stats(media).collect()[0]
+    assert stats.kind == "image" and stats.n_media == documents.count()
+
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == documents.count()
+    one = rows[0]
+    blob_df = media.filter(F.col("media_id") == one.media_id).collect()[0]
+    exp_mean, exp_std = fake_image_features(bytes(blob_df.bytes))
+    assert abs(one.feat_mean - exp_mean) < 1e-9 and one.byte_len == len(bytes(blob_df.bytes))
+
+
+def test_decode_image_is_a_stub_without_codec():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")
+    assert decode_image(b"x", codec=lambda b: len(b)) == 1
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", 2.5), (2, "image", None)], "media_id long, kind string, duration_s double"
+    )
+    plan = frame_sample_plan(media, 1.0).collect()
+    assert [r.frame_ts for r in plan] == [0.0, 1.0, 2.0]  # only the video, sampled

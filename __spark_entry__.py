@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_financial_data_pipeline_spark.catalog import load_table
-from real_time_financial_data_pipeline_spark.operators.aggregate import ohlcv
+from real_time_financial_data_pipeline_spark.functions import sanitize_floats, timestamps_to_iso
+from real_time_financial_data_pipeline_spark.operators.aggregate import aggregate_data, ohlcv
 from real_time_financial_data_pipeline_spark.operators.clean import clean_data
 from real_time_financial_data_pipeline_spark.operators.normalize import derive_mid
 from real_time_financial_data_pipeline_spark.operators.query import (
@@ -168,6 +169,45 @@ def _order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/A2-A4 — dataset-info introspection as one aggregate: count, date
+    range, distinct series count (helpers.py:84-177)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.min("ts").alias("first_date"),
+        F.max("ts").alias("last_date"),
+        F.countDistinct("event_type").alias("n_series"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _agg_map_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 generic named-agg map (caller-supplied agg_columns,
+    transformers.py:101,179-180): mean/count per day per event_type."""
+    ev = load_table(spark, sf_dir, "events").withColumnsRenamed({"ts": "timestamp"})
+    out = aggregate_data(
+        ev,
+        "D",
+        {"value": "mean", "event_id": "count"},
+        group_cols=["event_type"],
+    )
+    return out.select(
+        "period",
+        "event_type",
+        F.round("value", 6).alias("avg_value"),
+        F.col("event_id").alias("n_rows"),
+    )
+
+
+def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 serving shape — P8 ISO-Z timestamp format + P9 float sanitize on a
+    bounded preview (routes.py:190-215)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = timestamps_to_iso(sanitize_floats(preview(ev, 100, ["event_id"])))
+    return out
+
+
 # --- LLM-data-pipeline operators (documents / embeddings tables) ----------
 
 
@@ -203,6 +243,23 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs above a cosine threshold within
+    a bounded id window (brute force here; the LSH-bucketed path is
+    ``similarity.lsh_topk`` for corpus scale)."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
+        "dataset_stats": _dataset_stats,
+        "agg_map_daily": _agg_map_daily,
+        "events_iso_preview": _events_iso_preview,
+        "dedup_embedding_pairs": _dedup_embedding_pairs,
         "token_stats": _token_stats,
         "quality_score": _quality_score,
         "dedup_exact_docs": _dedup_exact_docs,
@@ -524,6 +585,39 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["dataset_stats"] = """
+        SELECT count(*) AS record_count,
+               min(ts) AS first_date,
+               max(ts) AS last_date,
+               count(DISTINCT event_type) AS n_series,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+    """
+    sqls["agg_map_daily"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+               event_type,
+               round(avg(value), 6) AS avg_value,
+               count(event_id) AS n_rows
+        FROM events GROUP BY 1, 2
+    """
+    sqls["events_iso_preview"] = """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts,
+               user_id, event_type, value, props
+        FROM events ORDER BY event_id LIMIT 100
+    """
+    sqls["dedup_embedding_pairs"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 200
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """
     sqls["multimodal_stats"] = """
         SELECT 'image' AS kind,
                count(*) AS n_media,

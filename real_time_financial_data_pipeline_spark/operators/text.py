@@ -24,18 +24,36 @@ def tokens(text: Column, lowercase: bool = True) -> Column:
     return F.filter(F.split(base, " "), lambda x: x != F.lit(""))
 
 
+def _staged_tokens(df: DataFrame, text_col: str, extra_cols: list[Column]) -> DataFrame:
+    """(extra_cols..., _toks) with tokenization staged behind an exchange.
+
+    Every multi-metric text operator references the token array several
+    times; interpreted higher-order eval re-computes a referenced subtree
+    per use, so materializing the array once behind a repartition (which
+    CollapseProject cannot cross) keeps the work linear — and parallelizes
+    small single-file inputs across cores.  Same trick as ``doc_grams``.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(*extra_cols, tokens(F.col(text_col)).alias("_toks")).repartition(
+        max(parallelism, df.rdd.getNumPartitions())
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics: token count, character count, average
     token length, stopword ratio — the quality-scoring primitives."""
-    toks = tokens(F.col(text_col))
+    staged = _staged_tokens(
+        df, text_col, [F.col("doc_id"), F.length(text_col).cast("long").alias("n_chars_text")]
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     # long casts: DuckDB/ANSI length functions yield BIGINT — keep schemas
     # aligned.  try_divide: empty docs (0 tokens) -> null, never an ANSI abort.
-    return df.select(
+    return staged.select(
         "doc_id",
-        F.length(text_col).cast("long").alias("n_chars_text"),
+        "n_chars_text",
         n_tokens.cast("long").alias("n_tokens"),
         F.round(F.try_divide(total_len.cast("double"), n_tokens), 6).alias("avg_token_len"),
         F.round(F.try_divide(n_stop.cast("double"), n_tokens), 6).alias("stopword_ratio"),
@@ -46,7 +64,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length band + stopword presence +
     mean-token-length band.  Heuristic weights in the spirit of C4/Gopher
     text-quality filters; every term is a codegen'd expression."""
-    toks = tokens(F.col(text_col))
+    staged = _staged_tokens(df, text_col, [F.col(c) for c in df.columns])
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     avg_len = F.try_divide(
         F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double"), n_tokens
@@ -57,7 +76,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.0, F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return df.withColumn("quality_score", F.round(score, 6))
+    return staged.withColumn("quality_score", F.round(score, 6)).drop("_toks")
 
 
 def ngrams(toks: Column, n: int) -> Column:
@@ -101,7 +120,8 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     wins on empty evidence.  This is a heuristic — tested for determinism
     and plumbing, not linguistic accuracy.
     """
-    toks = tokens(F.col(text_col))
+    staged = _staged_tokens(df, text_col, [F.col(c) for c in df.columns])
+    toks = F.col("_toks")
     scores = [
         F.struct(
             F.size(F.filter(toks, lambda x: x.isin(*markers))).alias("hits"),
@@ -110,10 +130,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
         for code, markers in sorted(_LANG_MARKERS.items(), reverse=True)
     ]
     best = F.greatest(*scores)
-    return df.withColumn(
+    return staged.withColumn(
         out_col,
         F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("en")),
-    )
+    ).drop("_toks")
 
 
 def doc_grams(
@@ -128,10 +148,7 @@ def doc_grams(
     lambda references per element, so building grams directly over
     ``tokens(text)`` is quadratic-ish in tokens; the exchange materializes
     the token array first (and spreads CPU across cores for small files)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).repartition(
-        max(parallelism, df.rdd.getNumPartitions())
-    )
+    staged = _staged_tokens(df, text_col, [F.col(id_col)])
     return staged.select(F.col(id_col), ngrams(F.col("_toks"), n).alias(out_col))
 
 

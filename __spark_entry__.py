@@ -29,8 +29,10 @@ from real_time_financial_data_pipeline_spark.operators.query import (
     correlation,
     latest_per_key,
     moving_average,
+    pivot_series,
     preview,
     timeseries,
+    with_lag,
 )
 from real_time_financial_data_pipeline_spark.operators.dedup import (
     exact_dedup_keep_min,
@@ -55,15 +57,18 @@ from real_time_financial_data_pipeline_spark.operators.text import (
     token_stats,
 )
 from real_time_financial_data_pipeline_spark.plans.relational import (
+    lapsed_customers,
     order_priority_counts,
     pricing_summary,
     revenue_by_nation,
+    revenue_rollup,
     segment_stats,
     top_customers,
 )
 from real_time_financial_data_pipeline_spark.streaming.aggregates import (
     run_stream_to_memory,
     session_stats,
+    sliding_counts,
     tumbling_ohlc,
 )
 
@@ -208,6 +213,38 @@ def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _events_with_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = with_lag(ev, "value", ["event_type"], ["ts", "event_id"])
+    return out.withColumn("delta", F.round("delta", 6))
+
+
+def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pivot_series(
+        ev,
+        F.date_trunc("day", F.col("ts")),
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        "value",
+        "day",
+    )
+
+
+def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lapsed_customers(load_table(spark, sf_dir, "orders"), 1996, 1997)
+
+
 # --- LLM-data-pipeline operators (documents / embeddings tables) ----------
 
 
@@ -338,6 +375,17 @@ def _stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m event counts as a stream (complete mode, availableNow).
+    Epoch-aligned sliding windows: each event belongs to exactly 4 windows,
+    which the DuckDB oracle reproduces with time_bucket - k·15min."""
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sliding_{_STREAM_SEQ[0]}"
+    agg = sliding_counts(_events_stream(spark, sf_dir))
+    run_stream_to_memory(agg, name, "complete")
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_events": _clean_events,
@@ -352,6 +400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
+        "events_with_lag": _events_with_lag,
+        "events_pivot_daily": _events_pivot_daily,
+        "revenue_rollup": _revenue_rollup,
+        "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
         "agg_map_daily": _agg_map_daily,
         "events_iso_preview": _events_iso_preview,
@@ -369,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_session_stats": _stream_session_stats,
+        "stream_sliding_counts": _stream_sliding_counts,
         "multimodal_stats": _multimodal_stats,
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
     }
@@ -585,6 +638,38 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["events_with_lag"] = """
+        SELECT event_id, event_type, ts, value,
+               lag(value) OVER w AS prev_value,
+               round(value - lag(value) OVER w, 6) AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+    sqls["events_pivot_daily"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+               round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+               round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+               round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+               round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+        FROM events GROUP BY 1
+    """
+    sqls["revenue_rollup"] = """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(region_name, nation_name)
+    """
+    sqls["lapsed_customers"] = """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """
     sqls["dataset_stats"] = """
         SELECT count(*) AS record_count,
                min(ts) AS first_date,
@@ -626,6 +711,20 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     sqls["stream_tumbling_daily"] = _OHLCV_SQL.format(unit="day")
+    sqls["stream_sliding_counts"] = """
+        SELECT event_type,
+               win_start,
+               win_start + INTERVAL 1 HOUR AS win_end,
+               count(*) AS n_events
+        FROM (
+            SELECT event_type,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - to_minutes(15 * k.k) AS win_start
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        )
+        GROUP BY 1, 2
+    """
     sqls["stream_session_stats"] = """
         WITH marked AS (
             SELECT user_id, ts, value,

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,6 +117,40 @@ def latest_per_key_window(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def with_lag(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list[str],
+    lag_col: str = "prev_value",
+    delta_col: str = "delta",
+) -> DataFrame:
+    """Per-series lag + delta — the tick-to-tick change primitive
+    (lag/lead window family).  One shuffle on the series key."""
+    w = Window.partitionBy(*partition_cols).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(value_col).over(w)
+    return df.withColumn(lag_col, prev).withColumn(delta_col, F.col(value_col) - prev)
+
+
+def pivot_series(
+    df: DataFrame,
+    row_key: Column,
+    pivot_col: str,
+    pivot_values: list[str],
+    value_col: str,
+    row_key_name: str = "bucket",
+) -> DataFrame:
+    """Wide alignment of series: one row per bucket, one column per series
+    (the reference's correlation-alignment shape generalized).  With pivot
+    values supplied explicitly Spark skips the extra distinct-values job —
+    at 100 TB that first pass is a full scan worth skipping."""
+    return (
+        df.groupBy(row_key.alias(row_key_name))
+        .pivot(pivot_col, pivot_values)
+        .agg(F.round(F.avg(value_col), 6))
     )
 
 

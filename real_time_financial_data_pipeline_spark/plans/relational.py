@@ -126,6 +126,42 @@ def segment_stats(customer: DataFrame) -> DataFrame:
     )
 
 
+def revenue_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Grouping-set totals: revenue at (region, nation), (region) and grand-
+    total levels in ONE pass — ``rollup`` expands to grouping sets inside a
+    single hash aggregate, so the fact table is scanned once, not three
+    times."""
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+def lapsed_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
+    """Set difference: customers who ordered in year_a but not year_b
+    (EXCEPT DISTINCT).  Spark plans this as a left-anti hash join on the
+    distinct key sets — no full sort."""
+    def keys(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    # subtract == EXCEPT DISTINCT: any presence in year_b removes the key
+    # (exceptAll would only subtract multiplicities)
+    return keys(year_a).subtract(keys(year_b))
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one lineitem shipped after order
     date, counted per priority — a semi-join (no row multiplication) then a

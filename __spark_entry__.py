@@ -375,6 +375,34 @@ def _stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    stats; after draining the backlog the FINAL state per key must equal
+    the batch aggregate — which is exactly the oracle SQL."""
+    from real_time_financial_data_pipeline_spark.streaming.stateful import running_stats
+
+    _STREAM_SEQ[0] += 1
+    name = f"stream_running_{_STREAM_SEQ[0]}"
+    q = (
+        running_stats(_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15m event counts as a stream (complete mode, availableNow).
     Epoch-aligned sliding windows: each event belongs to exactly 4 windows,
@@ -422,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_session_stats": _stream_session_stats,
         "stream_sliding_counts": _stream_sliding_counts,
+        "stream_running_stats": _stream_running_stats,
         "multimodal_stats": _multimodal_stats,
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
     }
@@ -709,6 +738,15 @@ def oracle_sql() -> dict[str, str]:
                sum(octet_length(encode(text))) AS total_bytes,
                round(avg(octet_length(encode(text))), 6) AS avg_bytes
         FROM documents
+    """
+    sqls["stream_running_stats"] = """
+        SELECT event_type AS key,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total,
+               round(sum(value) / count(*), 6) AS mean,
+               max(value) AS max_value,
+               max(ts) AS last_ts
+        FROM events GROUP BY 1
     """
     sqls["stream_tumbling_daily"] = _OHLCV_SQL.format(unit="day")
     sqls["stream_sliding_counts"] = """

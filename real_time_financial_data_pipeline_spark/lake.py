@@ -133,6 +133,35 @@ class DataLake:
             return None
         return max(names, key=lambda n: n.rsplit("_", 1)[-1])
 
+    # -- bucketed tables: co-located joins without a shuffle ---------------
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str,
+        n_buckets: int = 32,
+        layer: str = "silver",
+        sort_col: str | None = None,
+    ) -> str:
+        """Write a bucketed (and optionally sorted) table via the session
+        catalog.  Two tables bucketed on the same key with the same bucket
+        count join with ZERO exchange — at 100 TB, pre-bucketing the fact
+        tables on the join key once pays for every subsequent join.
+
+        Bucketing metadata lives in the Spark catalog (`saveAsTable`), so
+        readers must go through ``read_table`` (not raw parquet paths).
+        """
+        table = f"{layer}_{name}"
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+        if sort_col:
+            writer = writer.sortBy(sort_col)
+        writer.option("path", self._path(layer, name)).saveAsTable(table)
+        return table
+
+    def read_table(self, name: str, layer: str = "silver") -> DataFrame:
+        """Read a bucketed table through the catalog (keeps bucket info)."""
+        return self.spark.table(f"{layer}_{name}")
+
     # -- K4: delete (storage.py:172-196) ------------------------------------
     def delete(self, name: str, layer: str) -> bool:
         path = self._path(layer, name)

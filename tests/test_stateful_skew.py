@@ -1,0 +1,114 @@
+"""Custom stateful streaming + skew utilities."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from real_time_financial_data_pipeline_spark.plans.skew import salt_aggregate, salted_join
+from real_time_financial_data_pipeline_spark.streaming.stateful import running_stats
+
+
+def test_running_stats_state_accumulates_across_batches(spark, events, tmp_path):
+    """Two file drops -> two micro-batches; final state must equal the batch
+    aggregate over ALL rows (state survived between triggers)."""
+    src = tmp_path / "src"
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter(F.col("event_id") >= 500)
+    first.write.parquet(str(src / "d1"))
+    second.write.parquet(str(src / "d2"))
+    schema = spark.read.parquet(str(src / "d1")).schema
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    )
+    q = (
+        running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # memory sink in update mode appends one row per key per batch: the LAST
+    # row per key is the final state
+    final = {
+        r.key: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_events DESC) rn FROM running) WHERE rn = 1"
+        ).collect()
+    }
+    expected = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.max("value").alias("mx"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, e in expected.items():
+        f = final[k]
+        assert f.n_events == e.n and abs(f.total - e.total) < 1e-6 and f.max_value == e.mx
+        assert f.last_ts == e.last_ts
+
+
+def test_salt_aggregate_matches_plain_aggregate(events):
+    plain = {
+        (r.event_type,): (r.n, round(r.s, 6))
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, round(r.s, 6))
+        for r in salt_aggregate(
+            events,
+            ["event_type"],
+            partial_aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")],
+            final_aggs=[F.sum("n").alias("n"), F.sum("s").alias("s")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_join(spark, events):
+    dim = spark.createDataFrame(
+        [("click", "c"), ("error", "e"), ("purchase", "p"), ("signup", "s"), ("view", "v")],
+        "event_type string, code string",
+    )
+    plain = events.join(dim, "event_type").groupBy("code").count()
+    salted = salted_join(events, dim, "event_type").groupBy("code").count()
+    assert {(r.code, r["count"]) for r in plain.collect()} == {
+        (r.code, r["count"]) for r in salted.collect()
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with zero
+    Exchange operators in the physical plan."""
+    from real_time_financial_data_pipeline_spark.catalog import load_table
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "blake"))
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    od = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lake.save_bucketed(li, "lineitem_b", "l_orderkey", 8)
+    lake.save_bucketed(od, "orders_b", "o_orderkey", 8)
+
+    joined = lake.read_table("lineitem_b").join(
+        lake.read_table("orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,83 @@
+"""Physical-plan audit: assert the scale-critical plan properties of the
+headline queries and print a summary table.
+
+Checks, per query (where applicable):
+- filter pushdown reached the parquet scan (PushedFilters non-empty);
+- column pruning (ReadSchema narrower than the table);
+- dimension joins are BroadcastHashJoin (no accidental SMJ of a dim);
+- aggregates have a partial (map-side) phase;
+- no CartesianProduct anywhere (except the intentional broadcast
+  nested-loop in brute-force ANN).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from real_time_financial_data_pipeline_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CHECKS = {
+    "pricing_summary": dict(pushed=True, partial_agg=True, no_cartesian=True),
+    "revenue_by_nation": dict(broadcast_min=3, partial_agg=True, no_cartesian=True),
+    "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True),
+    "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
+    "timeseries_purchase": dict(pushed=True),
+    "latest_per_user": dict(partial_agg=True),
+    "order_priority_counts": dict(no_cartesian=True),
+    "dedup_exact_docs": dict(partial_agg=True),
+    "token_stats": dict(pruned_cols="text"),
+    "multimodal_stats": dict(partial_agg=True),
+}
+
+
+def audit(name: str, plan: str, spec: dict) -> list[str]:
+    problems = []
+    if spec.get("pushed") and not re.search(r"PushedFilters: \[[^\]]+\]", plan):
+        problems.append("no PushedFilters on scan")
+    if spec.get("partial_agg") and "partial_" not in plan and "HashAggregate" not in plan:
+        problems.append("no partial aggregate phase")
+    if (bmin := spec.get("broadcast_min")) and plan.count("BroadcastHashJoin") < bmin:
+        problems.append(f"expected >= {bmin} broadcast joins, saw {plan.count('BroadcastHashJoin')}")
+    if spec.get("topk") and "TakeOrderedAndProject" not in plan:
+        problems.append("top-k not planned as TakeOrderedAndProject")
+    if spec.get("no_cartesian") and "CartesianProduct" in plan:
+        problems.append("CartesianProduct in plan")
+    if (col := spec.get("pruned_cols")) is not None:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        if m and any(c not in col and c.split(":")[0] not in ("doc_id", col) for c in m.group(1).split(",")):
+            read_cols = [c.split(":")[0] for c in m.group(1).split(",")]
+            extra = [c for c in read_cols if c not in ("doc_id", col)]
+            if extra:
+                problems.append(f"scan reads unneeded columns: {extra}")
+    return problems
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    failures = 0
+    for name, spec in CHECKS.items():
+        plan = plan_of(qs[name](spark, sf_dir))
+        problems = audit(name, plan, spec)
+        status = "OK " if not problems else "BAD"
+        print(f"{status} {name}: {'; '.join(problems) if problems else 'all plan properties hold'}")
+        failures += bool(problems)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,7 +193,13 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     numpy-vectorized per Arrow batch (bit unpack -> ±1 votes -> repack), so
     the Python cost is per-batch, not per-row.  Token hashing uses a
     deterministic FNV-1a so results are reproducible across workers.
+
+    Single-file inputs are repartitioned so the Python workers run on all
+    cores (same small-file consideration as doc_grams).
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:

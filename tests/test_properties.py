@@ -1,0 +1,96 @@
+"""Property-based semantics tests (hypothesis).
+
+Each property pins an algebraic invariant of an operator — the kind of
+guarantee that must survive any repartitioning or scale-up.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_settings = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 999),  # id
+        st.sampled_from(["a", "b", "c"]),  # key
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),  # value
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_salted_aggregate_equals_plain_for_any_input(spark, rows):
+    from real_time_financial_data_pipeline_spark.plans.skew import salt_aggregate
+
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    plain = {
+        r.k: (r.n, r.s) for r in df.groupBy("k").agg(F.count("*").alias("n"), F.round(F.sum("v"), 3).alias("s")).collect()
+    }
+    salted = {
+        r.k: (r.n, r.s)
+        for r in salt_aggregate(
+            df, ["k"], [F.count("*").alias("n"), F.sum("v").alias("s")],
+            [F.sum("n").alias("n"), F.round(F.sum("s"), 3).alias("s")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_clean_is_idempotent(spark, rows):
+    from real_time_financial_data_pipeline_spark.operators.clean import clean_data
+
+    df = spark.createDataFrame(rows, "id long, k string, value double")
+    once = clean_data(df)
+    twice = clean_data(once)
+    assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_ohlcv_invariants(spark, rows):
+    """low <= open,close <= high; n_events sums to row count; open/close are
+    actual values of the group."""
+    from real_time_financial_data_pipeline_spark.operators.aggregate import ohlcv
+
+    df = spark.createDataFrame(rows, "id long, k string, v double").withColumn(
+        "ts", F.timestamp_seconds(F.col("id") + 1)
+    )
+    out = ohlcv(df, "D", "ts", "v", ["k"]).collect()
+    assert sum(r.n_events for r in out) == len(rows)
+    values = {(r[1], r[2]) for r in rows}
+    for r in out:
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+        assert (r.k, r.open) in values and (r.k, r.close) in values
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+@_settings
+def test_fingerprint_equals_iff_normalized_tokens_equal(spark, texts):
+    from real_time_financial_data_pipeline_spark.operators.text import fingerprint
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    norm = {i: " ".join(t.lower().split()) for i, t in rows}
+    for i in fps:
+        for j in fps:
+            assert (fps[i] == fps[j]) == (norm[i] == norm[j])

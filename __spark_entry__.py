@@ -34,6 +34,7 @@ from real_time_financial_data_pipeline_spark.operators.query import (
     timeseries,
     with_lag,
 )
+from real_time_financial_data_pipeline_spark.operators.asof import asof_join, gap_fill
 from real_time_financial_data_pipeline_spark.operators.dedup import (
     exact_dedup_keep_min,
     jaccard,
@@ -211,6 +212,27 @@ def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = timestamps_to_iso(sanitize_floats(preview(ev, 100, ["event_id"])))
     return out
+
+
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's most recent
+    prior-or-simultaneous click (trade -> prevailing quote shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(purchases, clicks, ["user_id"], "ts", ["value"])
+
+
+def _gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample/densify: daily averages with ~1/3 of days removed, calendar
+    re-generated per series, values forward-filled."""
+    ev = load_table(spark, sf_dir, "events").filter(F.dayofmonth("ts") % 3 != 0)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("period")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    return gap_fill(daily, "event_type", "period", ["avg_value"])
 
 
 def _events_with_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
+        "asof_purchase_click": _asof_purchase_click,
+        "gap_fill_daily": _gap_fill_daily,
         "events_with_lag": _events_with_lag,
         "events_pivot_daily": _events_pivot_daily,
         "revenue_rollup": _revenue_rollup,
@@ -667,6 +691,37 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["asof_purchase_click"] = """
+        WITH purchases AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT l.user_id, l.ts, l.event_id, l.value,
+               r.ts AS asof_ts, r.value AS value_asof
+        FROM purchases l
+        ASOF LEFT JOIN clicks r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    sqls["gap_fill_daily"] = """
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE day(ts) % 3 <> 0
+            GROUP BY 1, 2
+        ),
+        b AS (SELECT event_type, min(period) AS mn, max(period) AS mx FROM d GROUP BY 1),
+        cal AS (
+            SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS period
+            FROM b
+        )
+        SELECT c.event_type, c.period,
+               last_value(d.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY c.event_type ORDER BY c.period
+                   ROWS UNBOUNDED PRECEDING) AS avg_value_ff
+        FROM cal c LEFT JOIN d ON c.event_type = d.event_type AND c.period = d.period
+    """
     sqls["events_with_lag"] = """
         SELECT event_id, event_type, ts, value,
                lag(value) OVER w AS prev_value,

@@ -1,0 +1,121 @@
+"""As-of join and time-series resampling — the classic financial operators
+Spark lacks as builtins, expressed as compositions of existing DataFrame ops
+(no UDF, no range-join explosion).
+
+``asof_join``: for every left row, the latest right row with
+``right.ts <= left.ts`` per key (trade -> prevailing quote).  Implemented
+with the union + forward-fill pattern:
+
+    union(tag right rows 0, left rows 1)
+      -> window per key ordered by (ts, tag)
+      -> last(right value, ignoreNulls) over unbounded-preceding frame
+      -> keep left rows
+
+One shuffle on the key, one per-partition sort — same cost as a window
+aggregate, independent of time-gap sizes.  A range-join formulation would
+explode on |left|×|right-within-range|; a per-key ``mapInPandas`` merge
+would leave the JVM.  Ties at equal ts resolve right-before-left
+(``ts >= ts`` inclusive semantics, matching ANSI ASOF JOIN).
+
+``gap_fill``: per-series calendar densification + forward-fill — generate
+the full day grid per key (sequence + explode), left-join the observed
+values, carry the last observation forward (``last ignoreNulls``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    right_ts_out: str = "asof_ts",
+) -> DataFrame:
+    """Left as-of join: append to each left row the most recent right-row
+    values (``right.ts <= left.ts``) within the same key.
+
+    Right timestamps must be unique per key for deterministic results
+    (true for the test data; add a tiebreak column otherwise).
+    """
+    left_cols = left.columns
+    tagged_right = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols if c not in key_cols and c != ts_col],
+    )
+    tagged_left = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in key_cols and c != ts_col],
+    )
+    unioned = tagged_right.unionByName(tagged_left)
+
+    # right rows sort before left rows at equal ts -> inclusive (<=) asof
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias(right_ts_out),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_ff_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = filled.filter(F.col("_tag") == 1).select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols if c not in key_cols and c != ts_col],
+        F.col(right_ts_out),
+        *[F.col(f"_ff_{c}").alias(f"{c}_asof") for c in right_value_cols],
+    )
+    return out
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    value_cols: list[str],
+    step: str = "1 day",
+) -> DataFrame:
+    """Densify a per-key calendar and forward-fill observations.
+
+    Missing periods appear with the last observed value (null before the
+    first observation).  The calendar is generated per key from its own
+    min/max — sequence + explode, no driver-side loop.
+    """
+    bounds = df.groupBy(key_col).agg(
+        F.min(period_col).alias("_mn"), F.max(period_col).alias("_mx")
+    )
+    calendar = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"INTERVAL {step}"))
+        ).alias(period_col),
+    )
+    joined = calendar.join(df, [key_col, period_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(period_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.select(
+        key_col,
+        period_col,
+        *[F.last(c, ignorenulls=True).over(w).alias(f"{c}_ff") for c in value_cols],
+    )
+    return out

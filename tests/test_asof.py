@@ -1,0 +1,52 @@
+"""As-of join and gap-fill semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from real_time_financial_data_pipeline_spark.operators.asof import asof_join, gap_fill
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1), ("k", "2024-01-01 12:00:00", 2), ("k", "2024-01-01 08:00:00", 3)],
+        "key string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 09:00:00", 100.0), ("k", "2024-01-01 11:00:00", 200.0)],
+        "key string, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r.event_id: (r.asof_ts, r.px_asof) for r in asof_join(left, right, ["key"], "ts", ["px"]).collect()}
+    assert out[1] == (_ts("2024-01-01 09:00:00"), 100.0)  # between quotes
+    assert out[2] == (_ts("2024-01-01 11:00:00"), 200.0)  # after both
+    assert out[3] == (None, None)  # before any quote
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    left = spark.createDataFrame([("k", "2024-01-01 09:00:00", 1)], "key string, ts string, event_id long").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([("k", "2024-01-01 09:00:00", 5.0)], "key string, ts string, px double").withColumn("ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, ["key"], "ts", ["px"]).collect()[0]
+    assert r.px_asof == 5.0  # ts >= ts is inclusive
+
+
+def test_asof_join_respects_keys(spark):
+    left = spark.createDataFrame([("a", "2024-01-01 10:00:00", 1)], "key string, ts string, event_id long").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([("b", "2024-01-01 09:00:00", 9.0)], "key string, ts string, px double").withColumn("ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, ["key"], "ts", ["px"]).collect()[0]
+    assert r.px_asof is None  # other key's quotes are invisible
+
+
+def test_gap_fill_densifies_and_forward_fills(spark):
+    df = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", 1.0), ("s", "2024-01-04 00:00:00", 4.0)],
+        "key string, period string, v double",
+    ).withColumn("period", F.col("period").cast("timestamp"))
+    out = {str(r.period)[:10]: r.v_ff for r in gap_fill(df, "key", "period", ["v"]).collect()}
+    assert out == {"2024-01-01": 1.0, "2024-01-02": 1.0, "2024-01-03": 1.0, "2024-01-04": 4.0}

@@ -36,6 +36,7 @@ from real_time_financial_data_pipeline_spark.operators.query import (
 )
 from real_time_financial_data_pipeline_spark.operators.asof import asof_join, gap_fill
 from real_time_financial_data_pipeline_spark.operators.dedup import (
+    apply_dedup,
     exact_dedup_keep_min,
     jaccard,
     minhash_dedup_pairs,
@@ -325,6 +326,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _dedup_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH pairs -> connected-component
+    resolution -> drop non-canonical docs.  Rows-only (the pair graph is
+    hash-derived); cluster semantics are pytest-verified on planted chains."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    return apply_dedup(docs, pairs).select("doc_id", "lang", "source", "n_chars")
+
+
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
@@ -468,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL-expressible oracle): hash-based / heuristic ops
         "ann_lsh_topk": _ann_lsh_topk,
         "minhash_pairs": _minhash_pairs,
+        "dedup_apply_docs": _dedup_apply_docs,
         "simhash_docs": _simhash_docs,
         "lang_id_docs": _lang_id_docs,
         "fingerprint_docs": _fingerprint_docs,

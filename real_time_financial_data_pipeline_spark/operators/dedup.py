@@ -186,6 +186,63 @@ def minhash_dedup_pairs(
     return verified
 
 
+def resolve_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup pairs -> (doc_id, canonical_id) via min-label propagation.
+
+    Connected components over the similarity graph: every node starts with
+    its own id as label; each round every node adopts the minimum label in
+    its neighborhood; converged when no label changes.  Near-dup clusters
+    are small (chains of a few docs), so this converges in a handful of
+    rounds; ``localCheckpoint`` truncates the lineage each round so the
+    plan doesn't grow with iterations.  Driver-side work is O(1) per round
+    (a count), never the data.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # bound: cluster diameter; near-dup chains are short
+        neighbor_min = (
+            edges.join(labels.withColumnsRenamed({"id": "dst", "label": "n_label"}), "dst")
+            .groupBy("src")
+            .agg(F.min("n_label").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("n_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop non-canonical members of every near-dup cluster (keep min id).
+
+    Anti-join against the resolved non-canonical set — the corpus streams
+    through one broadcast-able filter; only the (tiny) pair graph iterates.
+    """
+    clusters = resolve_dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash via Arrow-vectorized pandas_udf.
 

@@ -39,6 +39,19 @@ def file_stream(
     return reader.load(path)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup: drop re-deliveries of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``).  State is bounded
+    by the watermark — the at-scale answer to at-least-once sources
+    re-sending events."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def ingest_to_bronze(
     stream: DataFrame,
     bronze_path: str,

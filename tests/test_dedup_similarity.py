@@ -131,3 +131,43 @@ def test_lsh_topk_results_are_true_neighbors_of_shared_bucket(embeddings):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:  # approx scores must agree with exact where both rank
             assert abs(exact_scores[key] - r.score) < 2e-6
+
+
+def test_resolve_dup_clusters_chains_to_min(spark):
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        apply_dedup,
+        resolve_dup_clusters,
+    )
+
+    # chain 1~2, 2~3 plus isolated pair 10~11: clusters {1,2,3} and {10,11}
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    labels = {r.doc_id: r.canonical_id for r in resolve_dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 5, 10, 11]], "doc_id long, text string")
+    kept = {r.doc_id for r in apply_dedup(docs, pairs).collect()}
+    assert kept == {1, 5, 10}  # cluster canonicals + untouched doc
+
+
+def test_dedup_stream_drops_redeliveries(spark, events, tmp_path):
+    from real_time_financial_data_pipeline_spark.streaming.ingest import dedup_stream, file_stream
+
+    src = tmp_path / "dsrc"
+    sample = events.limit(200)
+    sample.write.parquet(str(src / "d1"))
+    sample.write.parquet(str(src / "d2"))  # full re-delivery of the same rows
+    schema = spark.read.parquet(str(src / "d1")).schema
+
+    stream = file_stream(spark, str(src / "*"), schema, max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink").count()
+    assert got == 200  # 400 delivered, duplicates dropped

@@ -197,8 +197,14 @@ def resolve_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     plan doesn't grow with iterations.  Driver-side work is O(1) per round
     (a count), never the data.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # the pair graph is orders of magnitude smaller than the corpus; pin a
+    # modest partition count so each propagation round isn't a
+    # default-width shuffle of a tiny dataset under untuned sessions
+    n_parts = max(4, pairs.sparkSession.sparkContext.defaultParallelism // 4)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .repartition(n_parts, "src")
     )
     labels = (
         edges.select(F.col("src").alias("id"))

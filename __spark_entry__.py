@@ -215,6 +215,28 @@ def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series quantiles (p50/p90/p99) — `percentile` with linear
+    interpolation, the same definition as ANSI percentile_cont."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per series (floor-binning)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.floor(F.col("value") / 25).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase annotated with the user's most recent
     prior-or-simultaneous click (trade -> prevailing quote shape)."""
@@ -460,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
+        "value_percentiles": _value_percentiles,
+        "value_histogram": _value_histogram,
         "asof_purchase_click": _asof_purchase_click,
         "gap_fill_daily": _gap_fill_daily,
         "events_with_lag": _events_with_lag,
@@ -702,6 +726,17 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["value_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY 1
+    """
+    sqls["value_histogram"] = """
+        SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """
     sqls["asof_purchase_click"] = """
         WITH purchases AS (
             SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'

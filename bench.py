@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_pairs",
     "ann_cosine_topk",
+    "asof_purchase_click",
+    "gap_fill_daily",
+    "value_percentiles",
+    "revenue_rollup",
     "stream_tumbling_daily",
 ]
 

@@ -171,3 +171,17 @@ def test_dedup_stream_drops_redeliveries(spark, events, tmp_path):
     q.awaitTermination(120)
     got = spark.table("dedup_sink").count()
     assert got == 200  # 400 delivered, duplicates dropped
+
+
+def test_resolve_dup_clusters_distributed_path_matches_driver_path(spark):
+    from real_time_financial_data_pipeline_spark.operators.dedup import resolve_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)], "id_a long, id_b long"
+    )
+    via_driver = {r.doc_id: r.canonical_id for r in resolve_dup_clusters(pairs).collect()}
+    via_spark = {
+        r.doc_id: r.canonical_id
+        for r in resolve_dup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver == via_spark == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

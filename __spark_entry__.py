@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_financial_data_pipeline_spark.catalog import load_table
+from real_time_financial_data_pipeline_spark.catalog import load_table, register_views
 from real_time_financial_data_pipeline_spark.functions import sanitize_floats, timestamps_to_iso
 from real_time_financial_data_pipeline_spark.operators.aggregate import aggregate_data, ohlcv
 from real_time_financial_data_pipeline_spark.operators.clean import clean_data
@@ -213,6 +213,25 @@ def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = timestamps_to_iso(sanitize_floats(preview(ev, 100, ["event_id"])))
     return out
+
+
+def _sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL face: temp views + spark.sql text — same ANSI SQL
+    runs on Spark and the oracle (modulo decimal-cast spellings).  Catalyst
+    plans it identically to the DataFrame formulation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS mktsegment,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """
+    )
 
 
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
+        "sql_revenue_by_segment": _sql_revenue_by_segment,
         "value_percentiles": _value_percentiles,
         "value_histogram": _value_histogram,
         "asof_purchase_click": _asof_purchase_click,
@@ -726,6 +746,16 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    sqls["sql_revenue_by_segment"] = """
+        SELECT c.c_mktsegment AS mktsegment,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,4))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """
     sqls["value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,

@@ -357,9 +357,12 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b", "cos")
+        # filter on the UNROUNDED cosine (the oracle does too); round only
+        # at the serving edge — else cos in [0.2999995, 0.3) rounds up into
+        # the Spark result but stays out of the oracle's.
+        .withColumn("_cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("_cos_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("_cos_raw", 6).alias("cos"))
     )
 
 
@@ -524,14 +527,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _minhash_pairs,
         "dedup_apply_docs": _dedup_apply_docs,
         "simhash_docs": _simhash_docs,
-        "lang_id_docs": _lang_id_docs,
         "fingerprint_docs": _fingerprint_docs,
+        # oracle-checked heuristics
+        "lang_id_docs": _lang_id_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_session_stats": _stream_session_stats,
         "stream_sliding_counts": _stream_sliding_counts,
         "stream_running_stats": _stream_running_stats,
         "multimodal_stats": _multimodal_stats,
-        "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
+        "multimodal_features": _multimodal_features,
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -866,9 +870,50 @@ def oracle_sql() -> dict[str, str]:
     sqls["multimodal_stats"] = """
         SELECT 'image' AS kind,
                count(*) AS n_media,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                round(avg(octet_length(encode(text))), 6) AS avg_bytes
         FROM documents
+    """
+    # bytes are UTF-8 of ASCII-only text (attach_binary fabric), so byte
+    # values == code points; mean is an exact-int sum / n on both sides, and
+    # std uses the same two-pass (mean-subtracted) formula numpy does.
+    sqls["multimodal_features"] = """
+        WITH b AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   list_transform(range(1, len(text) + 1), i -> unicode(text[i])) AS bytes
+            FROM documents
+        ),
+        m AS (
+            SELECT *, CAST(list_sum(bytes) AS DOUBLE) / n AS mean_b FROM b
+        )
+        SELECT doc_id AS media_id,
+               CAST(n AS BIGINT) AS byte_len,
+               round(mean_b, 6) AS feat_mean,
+               round(sqrt(list_sum(list_transform(bytes, x -> (CAST(x AS DOUBLE) - mean_b) ^ 2)) / n), 6) AS feat_std
+        FROM m
+    """
+    sqls["lang_id_docs"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+                   len(list_filter(toks, x -> list_contains(['der','die','und','nicht','das'], x))) AS h_de,
+                   len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+                   len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS h_es
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'en'
+                    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                    WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM h
     """
     sqls["stream_running_stats"] = """
         SELECT event_type AS key,

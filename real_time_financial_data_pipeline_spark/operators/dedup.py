@@ -191,6 +191,8 @@ def resolve_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     driver_threshold: int = 1_000_000,
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, canonical_id): connected components over
     the similarity graph, canonical = minimum id in the component.
@@ -224,7 +226,7 @@ def resolve_dup_clusters(
                 parent[hi] = lo
         labels = [(node, find(node)) for node in parent]
         return pairs.sparkSession.createDataFrame(
-            labels, "doc_id long, canonical_id long"
+            labels, f"{id_col} long, canonical_id long"
         )
     # the pair graph is orders of magnitude smaller than the corpus; pin a
     # modest partition count so each propagation round isn't a
@@ -241,7 +243,8 @@ def resolve_dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(20):  # bound: cluster diameter; near-dup chains are short
+    changed = -1
+    for _ in range(max_rounds):  # bound: cluster diameter; near-dup chains are short
         neighbor_min = (
             edges.join(labels.withColumnsRenamed({"id": "dst", "label": "n_label"}), "dst")
             .groupBy("src")
@@ -264,7 +267,14 @@ def resolve_dup_clusters(
         labels = updated
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+    if changed != 0:
+        # silent exit here would emit WRONG components (labels still moving);
+        # a diameter > max_rounds graph needs a bigger budget, not bad output
+        raise RuntimeError(
+            f"dup-cluster propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds"
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("canonical_id"))
 
 
 def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -273,8 +283,8 @@ def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Data
     Anti-join against the resolved non-canonical set — the corpus streams
     through one broadcast-able filter; only the (tiny) pair graph iterates.
     """
-    clusters = resolve_dup_clusters(pairs)
-    losers = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
+    clusters = resolve_dup_clusters(pairs, id_col=id_col)
+    losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
     return df.join(losers, id_col, "left_anti")
 
 

@@ -48,6 +48,9 @@ _STATE_SCHEMA = StructType(
         StructField("n", LongType(), True),
         StructField("total", DoubleType(), True),
         StructField("max_value", DoubleType(), True),
+        # epoch MICROS, not TimestampType: scalar longs round-trip the state
+        # store without tz/unit ambiguity
+        StructField("last_ts_us", LongType(), True),
     ]
 )
 
@@ -55,16 +58,17 @@ _STATE_SCHEMA = StructType(
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (n, total, max_value) = state.get if state.exists else (0, 0.0, float("-inf"))
-    last_ts = None
+    (n, total, max_value, last_us) = (
+        state.get if state.exists else (0, 0.0, float("-inf"), None)
+    )
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
         if len(pdf):
             max_value = max(max_value, float(pdf["value"].max()))
-            batch_last = pdf["ts"].max()
-            last_ts = batch_last if last_ts is None else max(last_ts, batch_last)
-    state.update((n, total, max_value))
+            batch_us = int(pdf["ts"].max().value // 1_000)  # pandas ns -> us
+            last_us = batch_us if last_us is None else max(last_us, batch_us)
+    state.update((n, total, max_value, last_us))
     yield pd.DataFrame(
         {
             "key": [key[0]],
@@ -72,7 +76,7 @@ def _update(
             "total": [round(total, 6)],
             "mean": [round(total / n, 6) if n else None],
             "max_value": [max_value if n else None],
-            "last_ts": [last_ts],
+            "last_ts": [pd.Timestamp(last_us * 1_000) if last_us is not None else None],
         }
     )
 

@@ -58,6 +58,83 @@ def test_running_stats_state_accumulates_across_batches(spark, events, tmp_path)
         assert f.last_ts == e.last_ts
 
 
+def test_running_stats_last_ts_survives_across_batches(spark, events, tmp_path):
+    """The LAST micro-batch contains only EARLIER timestamps than the first,
+    so the final emitted last_ts is correct only if it was carried in the
+    state store across micro-batches — not recomputed batch-locally.
+    maxFilesPerTrigger=1 + forced distinct mtimes pin the batch order."""
+    import os
+    import time
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    late = events.filter(F.col("ts") >= "2024-01-15")
+    early = events.filter(F.col("ts") < "2024-01-15")
+    assert late.count() > 0 and early.count() > 0
+    late.coalesce(1).write.parquet(str(src / "b1"))
+    early.coalesce(1).write.parquet(str(src / "b2"))
+    now = time.time()
+    for d, mtime in (("b1", now - 600), ("b2", now)):  # b1 strictly older
+        for f in (src / d).glob("*.parquet"):
+            os.utime(f, (mtime, mtime))
+    schema = spark.read.parquet(str(src / "b1")).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("run_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected_last = {
+        r.event_type: r.mx
+        for r in events.groupBy("event_type").agg(F.max("ts").alias("mx")).collect()
+    }
+    expected_n = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # final state per key = the emitted row with the highest running count
+    final = {
+        r.key: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_events DESC) rn"
+            " FROM run_state) WHERE rn = 1"
+        ).collect()
+    }
+    assert set(final) == set(expected_last)
+    for k, row in final.items():
+        assert row.n_events == expected_n[k], k  # both batches seen
+        assert row.last_ts == expected_last[k], k  # late batch's max, via state
+
+
+def test_resolve_dup_clusters_custom_id_col_and_convergence(spark):
+    """Distributed path honors id_col aliasing and raises instead of emitting
+    wrong components when the diameter exceeds the round budget."""
+    import pytest
+
+    from real_time_financial_data_pipeline_spark.operators.dedup import resolve_dup_clusters
+
+    # a 6-node chain: diameter 5
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    out = resolve_dup_clusters(chain, driver_threshold=0, id_col="item_id")
+    assert set(out.columns) == {"item_id", "canonical_id"}
+    assert {r.canonical_id for r in out.collect()} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        resolve_dup_clusters(chain, driver_threshold=0, max_rounds=1)
+
+
 def test_salt_aggregate_matches_plain_aggregate(events):
     plain = {
         (r.event_type,): (r.n, round(r.s, 6))

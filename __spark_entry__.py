@@ -350,7 +350,9 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above a cosine threshold within
     a bounded id window (brute force here; the LSH-bucketed path is
     ``similarity.lsh_topk`` for corpus scale)."""
-    from real_time_financial_data_pipeline_spark.operators.similarity import cosine
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        pairwise_cosine,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -360,7 +362,7 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filter on the UNROUNDED cosine (the oracle does too); round only
         # at the serving edge — else cos in [0.2999995, 0.3) rounds up into
         # the Spark result but stays out of the oracle's.
-        .withColumn("_cos_raw", cosine(F.col("va"), F.col("vb")))
+        .withColumn("_cos_raw", pairwise_cosine(F.col("va"), F.col("vb")))
         .filter(F.col("_cos_raw") >= 0.3)
         .select("id_a", "id_b", F.round("_cos_raw", 6).alias("cos"))
     )

@@ -2,30 +2,44 @@
 
 Two paths, same semantics:
 
-- ``cosine_topk`` — exact brute force.  The query set is broadcast; each
-  partition of the corpus computes scores with JVM higher-order functions
-  (zip_with product + left-fold sum — sequential, so results are bitwise
-  deterministic) and top-k is a per-query window.  Cost O(|corpus|·|queries|)
-  but embarrassingly parallel and shuffle-free until the final tiny top-k.
+- ``cosine_topk`` — exact brute force.  The query set is collected to a
+  numpy matrix and broadcast; each Arrow batch of the corpus is scored
+  with ONE ``float64`` matmul (``mapInPandas``), then top-k is a per-query
+  window.  Cost O(|corpus|·|queries|) but embarrassingly parallel and
+  shuffle-free until the final tiny top-k.  Per-row scores depend only on
+  that row and the broadcast matrix, so results are deterministic under
+  any partitioning.
 - ``lsh_topk`` — the 100 TB path: random-hyperplane signatures bucket the
   corpus (signature = sign pattern of h fixed random projections), queries
   probe only their own bucket (plus optional multi-probe neighbors), then
   exact cosine re-ranks inside buckets.  Recall trades off with bucket
   count; the random planes are seeded and reproducible.
+
+Scoring kernels are Arrow-batched numpy (``pandas_udf`` / ``mapInPandas``)
+— Spark higher-order functions (``aggregate``/``zip_with``) never enter
+whole-stage codegen and walk an interpreter per array element, which made
+the previous HOF dot product the dominant CPU sink at any corpus size.
+The interpreted fold versions are kept below (``dot``/``norm``/``cosine``)
+as a reference implementation for tiny inputs and cross-checking.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import DoubleType, LongType
+
+
+# --- interpreted reference kernels (HOF fold; NOT the hot path) -----------
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double — deterministic summation
-    order, bitwise reproducible across engines and partitionings."""
+    """Sequential-fold dot product in double — interpreted HOF, kept as a
+    cross-check reference only.  Use the Arrow kernels for real scoring."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,6 +55,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- Arrow-batched numpy kernels (the hot path) ---------------------------
+
+
+def _stack_f64(series: pd.Series) -> np.ndarray:
+    """Series of array<float> -> (n, d) float64 matrix.  Cast BEFORE any
+    product so the math is float64 end-to-end (matches the oracle's
+    CAST(embedding AS DOUBLE[]))."""
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def pairwise_cosine(a: Column, b: Column) -> Column:
+    """Row-wise cosine(a, b) as one vectorized numpy op per Arrow batch.
+
+    Each row's score depends only on its own two vectors, so the result is
+    bit-deterministic regardless of batch or partition boundaries.
+    """
+
+    @F.pandas_udf(DoubleType())
+    def _pairwise(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        if len(xa) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = _stack_f64(xa)
+        B = _stack_f64(xb)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return _pairwise(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,23 +93,51 @@ def cosine_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast queries × corpus, per-query window.
+    """Exact top-k by cosine: broadcast query matrix × corpus batches
+    (one numpy matmul per Arrow batch), per-query window top-k.
 
     Ranking sorts on (rounded score desc, corpus id asc) — fully
-    deterministic even through float ties.
+    deterministic even through float ties.  The query side is collected to
+    the driver and broadcast — same smallness contract as a broadcast-hash
+    join build side.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-    ).crossJoin(broadcast(q))
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_ddl = f"neighbor_id {id_type}, query_id {id_type}, _score_raw double"
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        empty = spark.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, score double, rank bigint"
+        )
+        return empty
+    q_ids = np.asarray([r[0] for r in q_rows])
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, Q, q_norm))
+
+    def _score(batches):
+        ids, Qm, qn = bq.value
+        m = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack_f64(pdf[vec_col])
+            cn = np.linalg.norm(C, axis=1)
+            S = (C @ Qm.T) / (cn[:, None] * qn[None, :])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "query_id": np.tile(ids, len(pdf)),
+                    "_score_raw": S.ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema=out_ddl)
     if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("vec"), F.col("query_vec")), 6).alias("score"),
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round("_score_raw", 6).alias("score")
     )
     from pyspark.sql import Window
 
@@ -83,15 +155,23 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH signature: one bit per plane, packed to long."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for plane in planes
-    ]
-    sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig + (b.cast("long") * F.lit(2**i).cast("long"))
-    return sig
+    """Random-hyperplane LSH signature: one bit per plane, packed to long.
+
+    All n_planes projections are one numpy matmul per Arrow batch (the HOF
+    version paid n_planes interpreted dots per row)."""
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64))
+
+    @F.pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        C = _stack_f64(vecs)
+        bits = (C @ P.T) >= 0.0
+        sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(sig.astype(np.int64))
+
+    return _sig(vec)
 
 
 def lsh_topk(
@@ -127,7 +207,7 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("vec"), F.col("query_vec")), 6).alias("score"),
+        F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 6).alias("score"),
     )
     from pyspark.sql import Window
 

@@ -1,17 +1,26 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "spread": {name: [min, max]},
+"runs": N, "sf": ...}.
+
+Hygiene: each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+reported per-query number is the MEDIAN; min/max per query go to "spread".
+The first execution of a query pays one-off costs (plan compilation,
+Python-worker fork for Arrow UDF stages) that a long-lived cluster
+amortizes, and single-shot wall times on a shared box drift 20-40% run to
+run — the median is the stable signal.  "value" is the sum of medians.
 
 Each query is materialized with the noop sink (full plan execution, no
-driver collect).  Streaming queries execute inside their callable (availableNow
-drain) — their cost is the stream run itself.
+driver collect).  Streaming queries execute inside their callable
+(availableNow drain) — their cost is the stream run itself.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,8 +30,9 @@ from real_time_financial_data_pipeline_spark.session import get_spark
 
 import __spark_entry__ as entrymod
 
-# Headline set: the reference-parity analytical core + joins + LLM-pipeline
-# ops + streaming — the queries whose 100 TB behavior matters most.
+# Headline set — FROZEN since round 1 (BASELINE.md "Operative baseline"):
+# the reference-parity analytical core + joins + LLM-pipeline ops +
+# streaming — the queries whose 100 TB behavior matters most.
 HEADLINE = [
     "ohlcv_daily",
     "ohlcv_monthly",
@@ -49,6 +59,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("rtfdp-bench")
 
@@ -57,11 +68,16 @@ def main() -> None:
     qs["preview_events"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -71,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

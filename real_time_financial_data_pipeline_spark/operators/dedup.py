@@ -291,10 +291,16 @@ def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Data
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash via Arrow-vectorized pandas_udf.
 
-    Bit-vote accumulation over token hashes has no Spark builtin; the UDF is
-    numpy-vectorized per Arrow batch (bit unpack -> ±1 votes -> repack), so
-    the Python cost is per-batch, not per-row.  Token hashing uses a
-    deterministic FNV-1a so results are reproducible across workers.
+    Bit-vote accumulation over token hashes has no Spark builtin; the UDF
+    is numpy-vectorized per Arrow batch.  Token hashing is FNV-1a 64
+    (deterministic, dependency-free) computed WITHOUT per-token Python
+    loops: all tokens in the batch are flattened into one byte array and
+    the FNV state advances one CHARACTER POSITION at a time across every
+    token simultaneously (masked gather + uint64 wraparound multiply), so
+    the Python-level loop count is max-token-length, not total characters.
+    Bit votes then aggregate per document with one scatter-add.  Output is
+    byte-identical to the per-row reference implementation (see
+    tests/test_dedup_similarity.py).
 
     Single-file inputs are repartitioned so the Python workers run on all
     cores (same small-file consideration as doc_grams).
@@ -307,27 +313,40 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     def _simhash(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        def h64(tok: str) -> int:
-            # FNV-1a 64-bit — deterministic, dependency-free
-            h = 0xCBF29CE484222325
-            for ch in tok.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h
+        n_docs = len(texts)
+        tok_lists = [
+            [w for w in (t or "").lower().split(" ") if w] for t in texts
+        ]
+        doc_lens = np.fromiter(
+            (len(tl) for tl in tok_lists), dtype=np.int64, count=n_docs
+        )
+        n_toks = int(doc_lens.sum())
+        if n_toks == 0:
+            return pd.Series(np.zeros(n_docs, dtype=np.int64))
 
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split(" ") if w]
-            if not toks:
-                out[i] = 0
-                continue
-            hashes = np.array([h64(w) for w in toks], dtype=np.uint64)
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+        toks = [w.encode("utf-8") for tl in tok_lists for w in tl]
+        tok_lens = np.fromiter((len(b) for b in toks), dtype=np.int64, count=n_toks)
+        flat = np.frombuffer(b"".join(toks), dtype=np.uint8).astype(np.uint64)
+        offs = np.zeros(n_toks, dtype=np.int64)
+        np.cumsum(tok_lens[:-1], out=offs[1:])
+
+        # FNV-1a over all tokens at once, one char position per step
+        h = np.full(n_toks, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(int(tok_lens.max())):
+            mask = tok_lens > j
+            h[mask] = (h[mask] ^ flat[offs[mask] + j]) * prime
+
+        # per-doc bit votes: majority of token bits sets the signature bit
+        bit_idx = np.arange(64, dtype=np.uint64)
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs), doc_lens)
+        votes = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(votes, doc_idx, bits)
+        pos = votes * 2 > doc_lens[:, None]  # == (votes*2 - n) > 0
+        weights = np.uint64(1) << bit_idx
+        sigs = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(sigs.view(np.int64))
 
     return df.withColumn(out_col, _simhash(F.col(text_col)))
 

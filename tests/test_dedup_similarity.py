@@ -185,3 +185,44 @@ def test_resolve_dup_clusters_distributed_path_matches_driver_path(spark):
         for r in resolve_dup_clusters(pairs, driver_threshold=0).collect()
     }
     assert via_driver == via_spark == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def _simhash_reference(text: str) -> int:
+    """Per-row reference SimHash (the pre-vectorization implementation) —
+    the vectorized kernel must stay byte-identical to this."""
+    def h64(tok: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    toks = [w for w in (text or "").lower().split(" ") if w]
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        h = h64(t)
+        for b in range(64):
+            votes[b] += (h >> b) & 1
+    sig = 0
+    for b in range(64):
+        if votes[b] * 2 > len(toks):
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_byte_identical_to_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "   ",
+        "one",
+        "MiXeD CaSe ToKeNs MiXeD",
+        "unicode héllo wörld über straße 日本語",
+        "a " * 200 + "tail",
+        "x" * 300,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_reference(t), f"doc {i}: {got[i]} != {_simhash_reference(t)}"

@@ -408,6 +408,57 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- partitioned-lake path (partition pruning in the measured path) -------
+
+
+def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once ``ingest_date``-partitioned copy of events via
+    ``DataLake.save`` (30 date partitions, multi-file): the Spark-native
+    redesign of the reference's per-date parquet files
+    (storage.py:17-27,144-170) — date filters prune at the FILE level
+    instead of parsing filename date tokens."""
+    import os
+
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "lake"
+    )
+    lake = DataLake(spark, root)
+    name = f"events_part_{sf_tag}"
+    path = os.path.join(root, "silver", name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ingest_date", F.to_date("ts")
+        )
+        lake.save(ev, name, layer="silver", mode="overwrite")
+    return path
+
+
+def _events_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type stats for one calendar week, read from the partitioned
+    lake table — the ``ingest_date`` range filter must show up as
+    ``PartitionFilters`` on the scan (asserted by tools/plan_audit.py), so
+    only 7 of 30 date partitions are read."""
+    ev = spark.read.parquet(_partitioned_events_path(spark, sf_dir))
+    return (
+        ev.filter(
+            F.col("ingest_date").between(
+                F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        )
+        .groupBy("event_type", "ingest_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        # date -> midnight timestamp at the serving edge: the comparison
+        # canonicalizes timestamps but not python date objects
+        .withColumn("ingest_date", F.col("ingest_date").cast("timestamp"))
+    )
+
+
 # --- streaming (Structured Streaming over the same events data) -----------
 
 _STREAM_SEQ = [0]
@@ -538,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_stats": _stream_running_stats,
         "multimodal_stats": _multimodal_stats,
         "multimodal_features": _multimodal_features,
+        "events_pruned_week": _events_pruned_week,
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -856,6 +908,15 @@ def oracle_sql() -> dict[str, str]:
                strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts,
                user_id, event_type, value, props
         FROM events ORDER BY event_id LIMIT 100
+    """
+    sqls["events_pruned_week"] = """
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ingest_date,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        GROUP BY 1, 2
     """
     sqls["dedup_embedding_pairs"] = """
         WITH v AS (

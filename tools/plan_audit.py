@@ -39,6 +39,7 @@ CHECKS = {
     "dedup_exact_docs": dict(partial_agg=True),
     "token_stats": dict(pruned_cols="text"),
     "multimodal_stats": dict(partial_agg=True),
+    "events_pruned_week": dict(part_filter="ingest_date", partial_agg=True, no_cartesian=True),
 }
 
 
@@ -52,6 +53,10 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
         problems.append(f"expected >= {bmin} broadcast joins, saw {plan.count('BroadcastHashJoin')}")
     if spec.get("topk") and "TakeOrderedAndProject" not in plan:
         problems.append("top-k not planned as TakeOrderedAndProject")
+    if (pcol := spec.get("part_filter")) and not re.search(
+        rf"PartitionFilters: \[[^\]]*{pcol}[^\]]*\]", plan
+    ):
+        problems.append(f"no PartitionFilters on {pcol} (partitioned scan not pruned)")
     if spec.get("no_cartesian") and "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
     if (col := spec.get("pruned_cols")) is not None:

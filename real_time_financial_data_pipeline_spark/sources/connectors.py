@@ -33,8 +33,12 @@ ECONOMIC_FUNCTIONS = {
     "INFLATION": "INFLATION",
     "UNEMPLOYMENT": "UNEMPLOYMENT",
     "RETAIL_SALES": "RETAIL_SALES",
-    "TREASURY_YIELD": "TREASURY_YIELD",
+    "CPI": "CPI",
 }
+
+# endpoint bases (alphavantage.py:11, yahoo_finance.py:20)
+ALPHAVANTAGE_BASE_URL = "https://www.alphavantage.co/query"
+YAHOO_CHART_BASE_URL = "https://query1.finance.yahoo.com/v8/finance/chart/"
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +227,130 @@ class Fetcher:
                 last_err = e
                 time.sleep(min(30.0, 2**attempt + random.uniform(1, 3)))
         raise RuntimeError(f"fetch failed after {self.max_retries} attempts: {last_err}")
+
+
+class AlphaVantageConnector:
+    """Endpoint composition for Alpha Vantage — builds the exact URL/params
+    the reference builds and delegates to ``Fetcher.get_json`` + the offline
+    parsers above.  Network stays optional: inject a stub fetcher to test
+    (or run offline); only ``get_json`` ever touches HTTP.
+    """
+
+    def __init__(self, spark: SparkSession, api_key: str, fetcher: Fetcher | None = None):
+        self.spark = spark
+        self.api_key = api_key
+        self.fetcher = fetcher or Fetcher()
+
+    # S1 (alphavantage.py:21-47): TIME_SERIES_DAILY params incl.
+    # outputsize compact|full and datatype json.
+    def fetch_stock_data(self, symbol: str, output_size: str = "full") -> DataFrame:
+        payload = self.fetcher.get_json(
+            ALPHAVANTAGE_BASE_URL,
+            {
+                "function": "TIME_SERIES_DAILY",
+                "symbol": symbol,
+                "outputsize": output_size,
+                "datatype": "json",
+                "apikey": self.api_key,
+            },
+        )
+        return parse_alphavantage_daily(self.spark, payload, symbol)
+
+    # S2 (alphavantage.py:93-112): FX_DAILY with from_symbol/to_symbol.
+    def fetch_forex_data(self, from_currency: str, to_currency: str) -> DataFrame:
+        payload = self.fetcher.get_json(
+            ALPHAVANTAGE_BASE_URL,
+            {
+                "function": "FX_DAILY",
+                "from_symbol": from_currency,
+                "to_symbol": to_currency,
+                "outputsize": "full",
+                "datatype": "json",
+                "apikey": self.api_key,
+            },
+        )
+        return parse_alphavantage_forex(self.spark, payload, from_currency, to_currency)
+
+    # S3 (alphavantage.py:168-199): friendly name -> function code, fixed
+    # quarterly interval.  The reference logs-and-returns-None on an unknown
+    # indicator; we fail loud instead.
+    def fetch_economic_indicator(self, indicator: str) -> DataFrame:
+        if indicator not in ECONOMIC_FUNCTIONS:
+            raise ValueError(
+                f"unknown economic indicator {indicator!r}; expected one of "
+                f"{sorted(ECONOMIC_FUNCTIONS)}"
+            )
+        payload = self.fetcher.get_json(
+            ALPHAVANTAGE_BASE_URL,
+            {
+                "function": ECONOMIC_FUNCTIONS[indicator],
+                "interval": "quarterly",
+                "datatype": "json",
+                "apikey": self.api_key,
+            },
+        )
+        return parse_alphavantage_economic(self.spark, payload, indicator)
+
+
+class YahooFinanceConnector:
+    """Endpoint composition for the Yahoo v8 chart API — URL is
+    ``{base}{symbol}`` with period1/period2/interval params and the 730-day
+    default lookback (yahoo_finance.py:89-118).  ``now_fn`` is injectable so
+    the default window is testable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fetcher: Fetcher | None = None,
+        now_fn: Callable[[], float] = time.time,
+    ):
+        self.spark = spark
+        # reference default request_delay is 2.0 s (yahoo_finance.py:19)
+        self.fetcher = fetcher or Fetcher(request_delay=2.0)
+        self.now_fn = now_fn
+
+    def _chart_payload(
+        self, symbol: str, period1: int | None, period2: int | None, interval: str
+    ) -> dict[str, Any]:
+        # default window: last 730 days (yahoo_finance.py:104-107)
+        if period1 is None:
+            period1 = int(self.now_fn() - 730 * 86400)
+        if period2 is None:
+            period2 = int(self.now_fn())
+        return self.fetcher.get_json(
+            f"{YAHOO_CHART_BASE_URL}{symbol}",
+            {
+                "period1": period1,
+                "period2": period2,
+                "interval": interval,
+                "includePrePost": "false",
+                "events": "div,split",
+            },
+        )
+
+    # S4 (yahoo_finance.py:89-155)
+    def fetch_stock_data(
+        self,
+        symbol: str,
+        period1: int | None = None,
+        period2: int | None = None,
+        interval: str = "1d",
+    ) -> DataFrame:
+        payload = self._chart_payload(symbol, period1, period2, interval)
+        return parse_yahoo_chart(self.spark, payload, symbol)
+
+    # S5 (yahoo_finance.py:157-189): same endpoint, -USD suffix if absent
+    def fetch_crypto_data(
+        self,
+        symbol: str,
+        period1: int | None = None,
+        period2: int | None = None,
+        interval: str = "1d",
+    ) -> DataFrame:
+        if "-USD" not in symbol and not symbol.endswith("USDT"):
+            symbol = f"{symbol}-USD"
+        payload = self._chart_payload(symbol, period1, period2, interval)
+        return parse_yahoo_crypto(self.spark, payload, symbol)
 
 
 def batch_fetch(

@@ -483,9 +483,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ohlcv_daily: watermarked 1-day tumbling windows,
-    drained with availableNow into a memory sink (complete mode = batch
-    parity on a static backlog).  Oracle: the batch date_trunc('day') SQL —
-    epoch-aligned '1 day' windows are identical buckets."""
+    drained with availableNow into a memory sink.  Complete mode here is a
+    VERIFICATION harness choice (every window emitted = batch parity on a
+    static backlog, so the oracle can compare all of history); the
+    production posture is append mode, where the watermark finalizes each
+    window once and EVICTS it from state — asserted by
+    tests/test_streaming_append_kafka.py (closed windows emitted, state
+    bounded to open windows, append == complete on closed windows).
+    Oracle: the batch date_trunc('day') SQL — epoch-aligned '1 day'
+    windows are identical buckets."""
     _STREAM_SEQ[0] += 1
     name = f"stream_daily_{_STREAM_SEQ[0]}"
     agg = tumbling_ohlc(_events_stream(spark, sf_dir))

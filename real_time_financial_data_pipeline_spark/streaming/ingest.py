@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -37,6 +38,45 @@ def file_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def decode_kafka_values(raw: DataFrame, value_schema: StructType | str) -> DataFrame:
+    """Kafka wire format -> typed rows: ``CAST(value AS STRING)`` ->
+    ``from_json`` -> star-expand.  Pure column transform, so it works on ANY
+    DataFrame with a binary ``value`` column — the Kafka source proper and
+    the file-source stand-in share it (and tests drive it without a
+    broker)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v")
+    ).select("v.*")
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: StructType | str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka topic as a stream behind the same interface as ``file_stream``:
+    returns typed entity rows ready for ``dedup_stream``/``ingest_to_bronze``.
+
+    ``maxOffsetsPerTrigger`` is the Kafka twin of ``maxFilesPerTrigger``
+    (rate governance, T2).  Requires the spark-sql-kafka connector on the
+    classpath and a reachable broker; the JSON decode is the shared
+    ``decode_kafka_values`` so everything downstream of the source is
+    testable offline.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return decode_kafka_values(reader.load(), value_schema)
 
 
 def dedup_stream(

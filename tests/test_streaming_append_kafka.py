@@ -1,0 +1,159 @@
+"""Append-mode watermark semantics + Kafka-source parity.
+
+The rest of the streaming suite verifies batch parity in COMPLETE mode
+(every window retained).  These tests cover the 100 TB/day posture:
+append mode only emits a window once the watermark passes its end and
+then EVICTS it from state — so state stays bounded by open windows, not
+by history.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.streaming.aggregates import tumbling_ohlc
+from real_time_financial_data_pipeline_spark.streaming.ingest import (
+    decode_kafka_values,
+    file_stream,
+    ingest_to_bronze,
+    kafka_stream,
+)
+
+EVENT_DDL = "event_id long, ts timestamp, event_type string, value double"
+
+
+def _day_rows(day: int, n: int = 4):
+    base = dt.datetime(2024, 1, day, 1, 0, 0)
+    return [
+        (day * 100 + i, base + dt.timedelta(hours=5 * i), "click", float(10 * day + i))
+        for i in range(n)
+    ]
+
+
+def _write_day_files(spark, src_dir: str, days: list[int]) -> None:
+    """One parquet FILE per day directly in src_dir (the streaming file
+    source does not recurse), strictly increasing mtimes so files are
+    processed in event-time order (one micro-batch each)."""
+    import shutil
+
+    for i, day in enumerate(days):
+        df = spark.createDataFrame(_day_rows(day), EVENT_DDL)
+        stage = os.path.join(src_dir, f"_stage_day{day}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(src_dir, f"day{day}.parquet")
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_append_mode_emits_closed_windows_and_bounds_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_day_files(spark, src, [1, 2, 3])
+
+    stream = file_stream(
+        spark, src, spark.createDataFrame([], EVENT_DDL).schema, max_files_per_trigger=1
+    )
+    agg = tumbling_ohlc(stream, watermark="10 minutes")
+    name = f"append_drain_{int(time.time() * 1000)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {r.period.day: r for r in spark.table(name).collect()}
+    # watermark (= max event time - 10 min) passed the end of the day-1 and
+    # day-2 windows, so both were FINALIZED and emitted ...
+    assert set(out) == {1, 2}
+    # ... with the exact same deterministic OHLC semantics as batch
+    assert (out[1].open, out[1].close, out[1].n_events) == (10.0, 13.0, 4)
+    assert (out[2].open, out[2].high, out[2].low) == (20.0, 23.0, 20.0)
+    # day 3 is still open (watermark hasn't passed its end): not emitted,
+    # and it is the ONLY state left — emitted windows were evicted.
+    last = q.lastProgress
+    state_rows = sum(op["numRowsTotal"] for op in last["stateOperators"])
+    assert state_rows == 1, f"state should hold only the open window, got {state_rows}"
+
+
+def test_append_mode_complete_mode_agree_on_closed_windows(spark, tmp_path):
+    """The closed-window rows append mode emits must be byte-identical to the
+    same windows in a complete-mode drain (batch parity transfers)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_day_files(spark, src, [1, 2, 3])
+    schema = spark.createDataFrame([], EVENT_DDL).schema
+
+    results = {}
+    for mode in ("append", "complete"):
+        agg = tumbling_ohlc(
+            file_stream(spark, src, schema, max_files_per_trigger=1), watermark="10 minutes"
+        )
+        name = f"mode_cmp_{mode}_{int(time.time() * 1000)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[mode] = {
+            r.period.day: tuple(r) for r in spark.table(name).collect() if r.period.day < 3
+        }
+    assert results["append"] == results["complete"]
+
+
+def test_kafka_shaped_decode_through_shared_ingest(spark, tmp_path):
+    """Kafka wire rows (binary key/value) -> decode_kafka_values ->
+    ingest_to_bronze: the whole post-source pipeline runs without a broker,
+    which is exactly the Kafka-parity contract (only .format('kafka')
+    itself needs one)."""
+    import json
+
+    src = str(tmp_path / "wire")
+    rows = [
+        (str(i).encode(), json.dumps({"event_id": i, "event_type": "click", "value": i * 1.5}).encode())
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, "key binary, value binary").write.parquet(src)
+
+    wire_schema = spark.createDataFrame([], "key binary, value binary").schema
+    stream = file_stream(spark, src, wire_schema, max_files_per_trigger=None)
+    typed = decode_kafka_values(stream, "event_id long, event_type string, value double")
+
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_to_bronze(typed, bronze, ckpt, trigger_available_now=True)
+    q.awaitTermination()
+    got = spark.read.parquet(bronze).orderBy("event_id").collect()
+    assert [(r.event_id, r.event_type, r.value) for r in got] == [
+        (i, "click", i * 1.5) for i in range(5)
+    ]
+
+
+def test_kafka_source_interface(spark):
+    """kafka_stream builds the reader behind the shared interface; without
+    the connector jar / broker the source lookup fails — skip then (the
+    decode + ingest path is covered above)."""
+    try:
+        df = kafka_stream(
+            spark, "localhost:9092", "events", "event_id long, value double"
+        )
+    except Exception as e:  # noqa: BLE001 — no kafka connector in container
+        msg = str(e).lower()
+        assert "kafka" in msg
+        pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["event_id", "value"]

@@ -236,13 +236,14 @@ def _sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-series quantiles (p50/p90/p99) — `percentile` with linear
-    interpolation, the same definition as ANSI percentile_cont."""
+    interpolation, the same definition as ANSI percentile_cont.  The
+    bounded-memory 100 TB variant is ``percentiles(..., approx=True)``
+    (approx_percentile sketch; tolerance-tested, not oracle-able since
+    sketch internals differ across engines)."""
+    from real_time_financial_data_pipeline_spark.operators.query import percentiles
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-    )
+    return percentiles(ev, "value", ["event_type"], [0.5, 0.9, 0.99])
 
 
 def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,16 +951,24 @@ def oracle_sql() -> dict[str, str]:
         WITH b AS (
             SELECT doc_id,
                    octet_length(encode(text)) AS n,
-                   list_transform(range(1, len(text) + 1), i -> unicode(text[i])) AS bytes
+                   CASE WHEN octet_length(encode(text)) != len(text)
+                        THEN error('multimodal_features oracle assumes ASCII-only text (bytes == code points); the data fabric changed')
+                        ELSE list_transform(range(1, len(text) + 1), i -> unicode(text[i]))
+                   END AS bytes
             FROM documents
         ),
         m AS (
-            SELECT *, CAST(list_sum(bytes) AS DOUBLE) / n AS mean_b FROM b
+            SELECT *,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS mean_b
+            FROM b
         )
         SELECT doc_id AS media_id,
                CAST(n AS BIGINT) AS byte_len,
                round(mean_b, 6) AS feat_mean,
-               round(sqrt(list_sum(list_transform(bytes, x -> (CAST(x AS DOUBLE) - mean_b) ^ 2)) / n), 6) AS feat_std
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE round(sqrt(list_sum(list_transform(bytes, x -> (CAST(x AS DOUBLE) - mean_b) ^ 2)) / n), 6)
+               END AS feat_std
         FROM m
     """
     sqls["lang_id_docs"] = """

@@ -160,3 +160,32 @@ def preview(df: DataFrame, n: int = 100, order_cols: list[str] | None = None) ->
     TakeOrderedAndProject (top-k per partition, no full sort)."""
     out = df.orderBy(*order_cols) if order_cols else df
     return out.limit(n)
+
+
+def percentiles(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ps: list[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-key quantiles, exact or approximate.
+
+    Exact ``percentile`` (linear interpolation, = ANSI percentile_cont)
+    buffers each group's values — fine up to millions of rows per group.
+    ``approx=True`` switches to ``approx_percentile`` (KLL-style sketch,
+    bounded memory, mergeable across partitions): the 100 TB path, with
+    rank error <= n/accuracy rows per group — at the default accuracy the
+    result sits within +-0.01 quantile rank of exact (tolerance test in
+    tests/test_operators.py).
+    """
+    fn = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    aggs = [
+        F.round(fn(F.col(value_col), p), 6).alias(f"p{int(p * 100)}") for p in ps
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)

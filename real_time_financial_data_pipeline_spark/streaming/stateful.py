@@ -13,6 +13,13 @@ are retained via ``GroupStateTimeout``.
 Scale: state is O(distinct keys) × a few scalars; updates are
 Arrow-batched per key-group.  This is the pattern to extend for running
 VWAP, order-book imbalance, per-user sessionization with custom logic, etc.
+
+State-schema compatibility: ``last_ts_us`` was ADDED to ``_STATE_SCHEMA``
+after the initial release — a streaming query restarted from a checkpoint
+written with the 3-field state will fail the state-store schema check (and
+a 3-tuple would not unpack into 4 values).  All in-repo checkpoints are
+ephemeral tmp dirs so nothing here migrates; if long-lived checkpoints
+ever matter, version the state or unpack ``state.get`` defensively.
 """
 
 from __future__ import annotations
@@ -66,8 +73,11 @@ def _update(
         total += float(pdf["value"].sum())
         if len(pdf):
             max_value = max(max_value, float(pdf["value"].max()))
-            batch_us = int(pdf["ts"].max().value // 1_000)  # pandas ns -> us
-            last_us = batch_us if last_us is None else max(last_us, batch_us)
+            batch_max = pdf["ts"].max()
+            # all-null ts slice -> NaT, whose .value is a garbage sentinel
+            if pd.notna(batch_max):
+                batch_us = int(batch_max.value // 1_000)  # pandas ns -> us
+                last_us = batch_us if last_us is None else max(last_us, batch_us)
     state.update((n, total, max_value, last_us))
     yield pd.DataFrame(
         {

@@ -125,3 +125,27 @@ def test_timeseries_bounds_and_order(events):
 
 def test_preview_bounded(events):
     assert len(preview(events, 7, ["event_id"]).collect()) == 7
+
+
+def test_percentiles_exact_vs_approx_tolerance(spark):
+    """Documented tolerance: approx_percentile at accuracy=10_000 must land
+    within +-0.01 quantile rank of the exact percentile (rank error is
+    bounded by n/accuracy rows per group)."""
+    from real_time_financial_data_pipeline_spark.operators.query import percentiles
+
+    n = 10_000
+    df = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS k",
+        # deterministic non-uniform values
+        "CAST(pmod(id * 2654435761, 100000) AS DOUBLE) / 100 AS v",
+    )
+    ps = [0.5, 0.9, 0.99]
+    exact = {r.k: r for r in percentiles(df, "v", ["k"], ps).collect()}
+    approx = {r.k: r for r in percentiles(df, "v", ["k"], ps, approx=True).collect()}
+    # exact values at the +-0.01 rank bounds bracket the approx answer
+    lo = {r.k: r for r in percentiles(df, "v", ["k"], [max(p - 0.01, 0.0) for p in ps]).collect()}
+    hi = {r.k: r for r in percentiles(df, "v", ["k"], [min(p + 0.01, 1.0) for p in ps]).collect()}
+    for k in ("a", "b"):
+        for p, plo, phi in [(50, 49, 51), (90, 89, 91), (99, 98, 100)]:
+            a = approx[k][f"p{p}"]
+            assert lo[k][f"p{plo}"] <= a <= hi[k][f"p{phi}"], (k, p, a, exact[k][f"p{p}"])

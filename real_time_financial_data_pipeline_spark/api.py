@@ -2,9 +2,10 @@
 functions over the engine.
 
 The reference exposes 8 FastAPI routes; this module maps each onto the
-engine 1:1 so an HTTP layer (FastAPI/Flask/anything) is a thin adapter.
-The container ships no web framework, so the HTTP wrapper is intentionally
-absent — every handler below is the complete business logic of its route.
+engine 1:1 so an HTTP layer is a thin adapter.  Every handler below is the
+complete business logic of its route; the actual HTTP entry point is
+:mod:`.http_app` (stdlib ThreadingHTTPServer — the container ships no web
+framework), with request envelopes validated by :mod:`.envelopes`.
 
 | reference route (routes.py)              | function here      |
 |------------------------------------------|--------------------|

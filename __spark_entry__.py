@@ -460,6 +460,47 @@ def _events_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a BUCKETED orders⋈customer join:
+    both tables are written once bucketed+sorted on custkey (8 buckets), so
+    the sort-merge join runs with ZERO Exchange on the join key — the only
+    shuffle left is the tiny per-segment aggregate (asserted by
+    tools/plan_audit.py, max_exchange=1).  At 100 TB, pre-bucketing the
+    fact tables on the join key once pays for every subsequent join."""
+    import os
+
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "lake"
+    )
+    lake = DataLake(spark, root)
+    names = {"orders": f"orders_bkt_{sf_tag}", "customer": f"customer_bkt_{sf_tag}"}
+    keys = {"orders": "o_custkey", "customer": "c_custkey"}
+    for tbl, name in names.items():
+        if not spark.catalog.tableExists(f"silver_{name}"):
+            lake.save_bucketed(
+                load_table(spark, sf_dir, tbl), name, keys[tbl], n_buckets=8,
+                sort_col=keys[tbl],
+            )
+    o = lake.read_table(names["orders"])
+    c = lake.read_table(names["customer"])
+    return (
+        # merge hint: at test SF the small side would auto-broadcast; the
+        # SMJ is the 100 TB shape (two big facts, neither broadcastable) —
+        # and bucketing is exactly what makes it exchange-free
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 # --- streaming (Structured Streaming over the same events data) -----------
 
 _STREAM_SEQ = [0]
@@ -597,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": _multimodal_stats,
         "multimodal_features": _multimodal_features,
         "events_pruned_week": _events_pruned_week,
+        "bucketed_order_revenue": _bucketed_order_revenue,
     }
     for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
                          ("Q", "quarterly"), ("Y", "yearly")]:
@@ -915,6 +957,13 @@ def oracle_sql() -> dict[str, str]:
                strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts,
                user_id, event_type, value, props
         FROM events ORDER BY event_id LIMIT 100
+    """
+    sqls["bucketed_order_revenue"] = """
+        SELECT c_mktsegment AS mktsegment,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS total_revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
     """
     sqls["events_pruned_week"] = """
         SELECT event_type,

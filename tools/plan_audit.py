@@ -40,6 +40,8 @@ CHECKS = {
     "token_stats": dict(pruned_cols="text"),
     "multimodal_stats": dict(partial_agg=True),
     "events_pruned_week": dict(part_filter="ingest_date", partial_agg=True, no_cartesian=True),
+    # bucketed SMJ: the ONLY exchange allowed is the per-segment aggregate's
+    "bucketed_order_revenue": dict(max_exchange=1, partial_agg=True, no_cartesian=True),
 }
 
 
@@ -57,6 +59,10 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
         rf"PartitionFilters: \[[^\]]*{pcol}[^\]]*\]", plan
     ):
         problems.append(f"no PartitionFilters on {pcol} (partitioned scan not pruned)")
+    if (xmax := spec.get("max_exchange")) is not None:
+        n_ex = len(re.findall(r"\bExchange\b|BroadcastExchange", plan))
+        if n_ex > xmax:
+            problems.append(f"expected <= {xmax} exchanges, saw {n_ex}")
     if spec.get("no_cartesian") and "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
     if (col := spec.get("pruned_cols")) is not None:

@@ -347,6 +347,15 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded spherical-k-means coarse quantizer, n_probe nearest
+    posting lists per query, exact re-rank inside the probed lists."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above a cosine threshold within
     a bounded id window (brute force here; the LSH-bucketed path is
@@ -625,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         # rows-only (no SQL-expressible oracle): hash-based / heuristic ops
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "minhash_pairs": _minhash_pairs,
         "dedup_apply_docs": _dedup_apply_docs,
         "simhash_docs": _simhash_docs,

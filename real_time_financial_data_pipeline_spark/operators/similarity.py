@@ -217,3 +217,114 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# --- IVF (inverted-file) ANN: k-means coarse quantizer + probed lists -----
+
+
+def _kmeans_spherical(X: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means on L2-normalized vectors (spherical k-means:
+    assignment by max cosine).  Deterministic: fixed init, fixed iteration
+    count, argmax ties break to the lowest centroid index."""
+    rng = np.random.default_rng(seed)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[rng.choice(len(Xn), size=n_lists, replace=False)]
+    for _ in range(iters):
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def nearest_list(vec: Column, centroids: np.ndarray) -> Column:
+    """Coarse-quantizer assignment: argmax cosine vs the centroid matrix,
+    one numpy matmul per Arrow batch (same kernel shape as rp_signature)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        X = _stack_f64(vecs)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series((Xn @ C.T).argmax(axis=1).astype(np.int64))
+
+    return _assign(vec)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: a seeded spherical
+    k-means coarse quantizer partitions the corpus into ``n_lists``
+    posting lists; each query probes only its ``n_probe`` nearest lists,
+    then exact cosine re-ranks inside them.
+
+    At 100 TB the corpus is written partitioned-by-list once (the quantizer
+    is trained on a driver-side sample — standard IVF practice) and a probe
+    touches n_probe/n_lists of the data; recall/latency trades off via
+    ``n_probe`` (n_probe = n_lists degenerates to exact brute force).
+    Returns the ``cosine_topk`` schema; fully deterministic (seeded init,
+    fixed iterations, lowest-index tie-breaks).
+    """
+    sample = (
+        corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
+    )
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    centroids = _kmeans_spherical(X, min(n_lists, len(X)), iters, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        nearest_list(F.col(vec_col), centroids).alias("list_id"),
+    )
+    # queries are small (broadcast contract): probe lists computed driver-side
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {corpus.schema[id_col].dataType.simpleString()}, "
+                f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+                "score double, rank bigint"
+        )
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_idx = np.argsort(-(Qn @ centroids.T), kind="stable", axis=1)[:, :n_probe]
+    probes = [
+        (r[0], list(r[1]), int(lst))
+        for r, lists in zip(q_rows, probe_idx)
+        for lst in lists
+    ]
+    q = corpus.sparkSession.createDataFrame(
+        probes,
+        f"query_id {corpus.schema[id_col].dataType.simpleString()}, "
+        f"query_vec {corpus.schema[vec_col].dataType.simpleString()}, "
+        "list_id long",
+    )
+    joined = c.join(broadcast(q), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -226,3 +226,46 @@ def test_simhash_byte_identical_to_reference(spark):
     got = {r.doc_id: r.simhash for r in simhash(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _simhash_reference(t), f"doc {i}: {got[i]} != {_simhash_reference(t)}"
+
+
+def test_ivf_topk_deterministic_and_agrees_with_exact(embeddings):
+    from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    a = ivf_topk(embeddings, q, k=10).collect()
+    b = ivf_topk(embeddings, q, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded => reproducible
+
+    exact = {(r.query_id, r.neighbor_id): r.score for r in
+             cosine_topk(embeddings, q, k=50).collect()}
+    rows = a
+    assert rows and all(r.rank <= 10 for r in rows)
+    for r in rows:  # probed-list scores are EXACT cosine, same rounding
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.score) < 2e-6
+
+
+def test_ivf_topk_full_probe_equals_exact(embeddings):
+    """n_probe == n_lists degenerates to exact brute force: same top-k as
+    cosine_topk for every query."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(embeddings, q, k=5)
+    full = ivf_topk(embeddings, q, k=5, n_lists=8, n_probe=8)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_ivf_topk_finds_planted_near_duplicate(spark):
+    from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 16)).astype("float32")
+    base[17] = base[0] + rng.standard_normal(16).astype("float32") * 0.01  # near-dup of 0
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=3, n_lists=8, n_probe=2)
+    top1 = {r.rank: r.neighbor_id for r in out.collect()}
+    assert top1[1] == 17  # the planted near-dup shares the list and wins rank 1

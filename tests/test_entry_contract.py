@@ -24,7 +24,7 @@ def test_oracle_keys_subset_of_queries():
     # every non-oracle query is an intentionally rows-only op
     rows_only = set(qs) - set(os_)
     assert rows_only <= {
-        "ann_lsh_topk", "minhash_pairs", "dedup_apply_docs", "simhash_docs",
+        "ann_lsh_topk", "ann_ivf_topk", "minhash_pairs", "dedup_apply_docs", "simhash_docs",
         "lang_id_docs", "fingerprint_docs", "multimodal_features",
     }
 

@@ -7,10 +7,18 @@ running state across micro-batches.
 ``running_stats``: per-key cumulative count / sum / mean / max plus the
 last-seen event time, updated every micro-batch and emitted as one row per
 key per batch.  The state dict survives between triggers in the state
-store (checkpointed, recoverable); a watermark bounds how long idle keys
-are retained via ``GroupStateTimeout``.
+store (checkpointed, recoverable).
 
-Scale: state is O(distinct keys) × a few scalars; updates are
+Idle-key eviction: pass ``idle_timeout_ms`` to bound state by activity —
+the stream gets a watermark and each key arms an event-time timeout at
+``last_seen + idle_timeout_ms``; once the watermark passes it, the key's
+state is dropped (``GroupStateTimeout.EventTimeTimeout``).  Default is
+``NoTimeout`` (state = O(live keys) forever) — right for low-cardinality
+keys like event_type, wrong for unbounded key spaces like user ids at
+100 TB/day, where the timeout is the difference between O(active users)
+and O(all users ever) state.
+
+Scale: state is O(retained keys) × a few scalars; updates are
 Arrow-batched per key-group.  This is the pattern to extend for running
 VWAP, order-book imbalance, per-user sessionization with custom logic, etc.
 
@@ -62,33 +70,42 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (n, total, max_value, last_us) = (
-        state.get if state.exists else (0, 0.0, float("-inf"), None)
-    )
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            max_value = max(max_value, float(pdf["value"].max()))
-            batch_max = pdf["ts"].max()
-            # all-null ts slice -> NaT, whose .value is a garbage sentinel
-            if pd.notna(batch_max):
-                batch_us = int(batch_max.value // 1_000)  # pandas ns -> us
-                last_us = batch_us if last_us is None else max(last_us, batch_us)
-    state.update((n, total, max_value, last_us))
-    yield pd.DataFrame(
-        {
-            "key": [key[0]],
-            "n_events": [n],
-            "total": [round(total, 6)],
-            "mean": [round(total / n, 6) if n else None],
-            "max_value": [max_value if n else None],
-            "last_ts": [pd.Timestamp(last_us * 1_000) if last_us is not None else None],
-        }
-    )
+def _make_update(idle_timeout_ms: int | None):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_seen + idle_timeout: evict, emit nothing
+            state.remove()
+            return
+        (n, total, max_value, last_us) = (
+            state.get if state.exists else (0, 0.0, float("-inf"), None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                max_value = max(max_value, float(pdf["value"].max()))
+                batch_max = pdf["ts"].max()
+                # all-null ts slice -> NaT, whose .value is a garbage sentinel
+                if pd.notna(batch_max):
+                    batch_us = int(batch_max.value // 1_000)  # pandas ns -> us
+                    last_us = batch_us if last_us is None else max(last_us, batch_us)
+        state.update((n, total, max_value, last_us))
+        if idle_timeout_ms is not None and last_us is not None:
+            state.setTimeoutTimestamp(last_us // 1_000 + idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "total": [round(total, 6)],
+                "mean": [round(total / n, 6) if n else None],
+                "max_value": [max_value if n else None],
+                "last_ts": [pd.Timestamp(last_us * 1_000) if last_us is not None else None],
+            }
+        )
+
+    return _update
 
 
 def running_stats(
@@ -96,15 +113,27 @@ def running_stats(
     key_col: str = "event_type",
     value_col: str = "value",
     time_col: str = "ts",
+    idle_timeout_ms: int | None = None,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Per-key running statistics across micro-batches (update mode)."""
+    """Per-key running statistics across micro-batches (update mode).
+
+    With ``idle_timeout_ms``, keys idle past the event-time watermark are
+    evicted (state restarts from zero if the key reappears) — the bounded-
+    state posture for unbounded key spaces.
+    """
     normalized = stream.selectExpr(
         f"{key_col} AS key", f"CAST({value_col} AS double) AS value", f"{time_col} AS ts"
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if idle_timeout_ms is not None:
+        # EventTimeTimeout requires a watermark on the input stream
+        normalized = normalized.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return normalized.groupBy("key").applyInPandasWithState(
-        _update,
+        _make_update(idle_timeout_ms),
         outputStructType=RUNNING_STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

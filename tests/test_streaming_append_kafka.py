@@ -157,3 +157,55 @@ def test_kafka_source_interface(spark):
         pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["event_id", "value"]
+
+
+def test_running_stats_idle_timeout_evicts_state(spark, tmp_path):
+    """Key seen only in batch 1 must be EVICTED once the watermark passes
+    last_seen + idle_timeout; when it reappears its stats restart from
+    zero — bounded state for unbounded key spaces."""
+    from real_time_financial_data_pipeline_spark.streaming.stateful import running_stats
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import shutil
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batches = [
+        [(1, base, "A", 1.0), (2, base, "B", 5.0)],
+        [(3, base + dt.timedelta(hours=2), "B", 7.0)],  # A idle; event time jumps 2h
+        # watermark is now t0+1h50m > A's timeout (t0+30m); A has NO data in
+        # this batch, so the event-time timeout fires here and evicts A
+        [(4, base + dt.timedelta(hours=2, minutes=1), "B", 8.0)],
+        [(5, base + dt.timedelta(hours=2, minutes=5), "A", 9.0)],  # A returns
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENT_DDL)
+        stage = os.path.join(src, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet"))
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.createDataFrame([], EVENT_DDL).schema
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    out = running_stats(stream, idle_timeout_ms=30 * 60 * 1000)  # 30 min idle cap
+    name = f"idle_evict_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table(name).collect()
+    a_counts = [r.n_events for r in rows if r.key == "A"]
+    b_counts = [r.n_events for r in rows if r.key == "B"]
+    # A: batch1 -> 1 event; evicted while idle; reappearance restarts at 1
+    # (without eviction this would be [1, 2])
+    assert a_counts == [1, 1], a_counts
+    # B stayed active across batches: cumulative 1 -> 2 -> 3
+    assert sorted(b_counts) == [1, 2, 3], b_counts

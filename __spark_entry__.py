@@ -369,12 +369,13 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        # filter on the UNROUNDED cosine (the oracle does too); round only
-        # at the serving edge — else cos in [0.2999995, 0.3) rounds up into
-        # the Spark result but stays out of the oracle's.
-        .withColumn("_cos_raw", pairwise_cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("_cos_raw") >= 0.3)
-        .select("id_a", "id_b", F.round("_cos_raw", 6).alias("cos"))
+        # guard band: numpy matmul vs DuckDB's fold-order dot can differ by
+        # ~1 ulp, so snap to 9 dp BEFORE the threshold (both engines do) —
+        # the >= 0.3 decision then agrees unless the true cosine sits within
+        # 1e-9 of the threshold, vs 1e-16 on the raw float.
+        .withColumn("_cos9", F.round(pairwise_cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("_cos9") >= 0.3)
+        .select("id_a", "id_b", F.round("_cos9", 6).alias("cos"))
     )
 
 
@@ -851,8 +852,8 @@ def oracle_sql() -> dict[str, str]:
                 ),
                 scored AS (
                     SELECT query_id, neighbor_id,
-                           round(list_dot_product(v, qv)
-                                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+                           round(round(list_dot_product(v, qv)
+                                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS score
                     FROM c, q WHERE neighbor_id != query_id
                 )
                 SELECT query_id, neighbor_id, score, rank FROM (
@@ -988,13 +989,15 @@ def oracle_sql() -> dict[str, str]:
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 200
+        ),
+        c AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) AS cos9
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.e, b.e)
-                     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+        SELECT id_a, id_b, round(cos9, 6) AS cos
+        FROM c WHERE cos9 >= 0.3
     """
     sqls["multimodal_stats"] = """
         SELECT 'image' AS kind,

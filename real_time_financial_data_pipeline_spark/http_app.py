@@ -119,9 +119,18 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self, method: str) -> None:
         url = urlparse(self.path)
         path, q = url.path.rstrip("/") or "/", parse_qs(url.query)
-        layer = q.get("layer", ["bronze"])[0]
-        limit = int(q["limit"][0]) if "limit" in q else None
         try:
+            layer = q.get("layer", ["bronze"])[0]
+            try:
+                limit = int(q["limit"][0]) if "limit" in q else None
+            except ValueError:
+                raise EnvelopeError(
+                    [{
+                        "loc": ["query", "limit"],
+                        "msg": "value is not a valid integer",
+                        "type": "type_error.integer",
+                    }]
+                ) from None
             if method == "GET" and path == "/":
                 return self._respond(200, _INDEX_HTML.encode(), "text/html; charset=utf-8")
             if method == "POST" and path == "/api/ingest":
@@ -160,6 +169,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"detail": "Not Found"})
         except EnvelopeError as e:
             self._json(422, {"detail": e.detail})
+        except ValueError as e:
+            # DataLake rejects unsafe dataset names / unknown layers — a
+            # traversal attempt (name='..') must never reach the filesystem
+            self._json(422, {"detail": [{"loc": ["path"], "msg": str(e), "type": "value_error"}]})
         except FileNotFoundError as e:
             self._json(404, {"detail": str(e)})
         except Exception as e:  # noqa: BLE001 — route errors become 500 JSON
@@ -202,8 +215,32 @@ class _Handler(BaseHTTPRequestHandler):
 
         req = parse_envelope(QueryRequest, self._body_json())
         layer, _, name = req.dataset.partition("/")
-        df = self.lake.read(name, layer)
         p = req.params
+
+        def _require(*names: str) -> None:
+            missing = [n for n in names if n not in p]
+            if missing:
+                raise EnvelopeError(
+                    [
+                        {
+                            "loc": ["body", "params", n],
+                            "msg": "field required",
+                            "type": "value_error.missing",
+                        }
+                        for n in missing
+                    ]
+                )
+
+        # validate params BEFORE touching the lake: a bad request must be a
+        # 422 even when the dataset also doesn't exist
+        _REQUIRED = {
+            "timeseries": ("key_col", "key", "time_col"),
+            "moving_average": ("value_col", "partition_cols", "order_cols"),
+            "correlation": ("key_col", "key_a", "key_b", "time_col", "value_col"),
+        }
+        if req.query_type in _REQUIRED:
+            _require(*_REQUIRED[req.query_type])
+        df = self.lake.read(name, layer)
         if req.query_type == "timeseries":
             out = timeseries(
                 df, p["key_col"], p["key"], p["time_col"], p.get("start"), p.get("end")

@@ -22,12 +22,30 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LAYERS = ("bronze", "silver", "gold")
+
+# Dataset names come from the filename codec below — word chars, dots and
+# dashes only.  Anything else (path separators, '', '.', '..') is rejected
+# before it can touch the filesystem: `delete` runs shutil.rmtree on the
+# resolved path, so a traversal like name='..' would otherwise escape the
+# layer directory and destroy the lake root.
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def validate_dataset_name(name: str) -> str:
+    """Return ``name`` if it is a safe single path segment, else raise."""
+    if not _NAME_RE.fullmatch(name) or set(name) <= {"."}:
+        raise ValueError(
+            f"invalid dataset name {name!r}: expected [A-Za-z0-9._-]+ "
+            "starting with an alphanumeric"
+        )
+    return name
 
 
 def dataset_name(source: str, data_type: str, date: dt.date | None = None) -> str:
@@ -57,7 +75,13 @@ class DataLake:
     def _path(self, layer: str, name: str) -> str:
         if layer not in LAYERS:
             raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
-        return os.path.join(self.root, layer, name)
+        validate_dataset_name(name)
+        path = os.path.join(self.root, layer, name)
+        # belt-and-braces: the resolved path must stay under the layer dir
+        base = os.path.realpath(os.path.join(self.root, layer))
+        if os.path.commonpath([base, os.path.realpath(path)]) != base:
+            raise ValueError(f"dataset path escapes layer directory: {name!r}")
+        return path
 
     # -- K1: save (storage.py:120-142) ------------------------------------
     def save(

@@ -185,7 +185,10 @@ def percentiles(
         if approx
         else (lambda c, p: F.percentile(c, F.lit(p)))
     )
+    # %g avoids float truncation (int(0.57*100)==56) and gives fractional
+    # quantiles distinct names (0.575 -> p57_5) instead of duplicate aliases
     aggs = [
-        F.round(fn(F.col(value_col), p), 6).alias(f"p{int(p * 100)}") for p in ps
+        F.round(fn(F.col(value_col), p), 6).alias(f"p{p * 100:g}".replace(".", "_"))
+        for p in ps
     ]
     return df.groupBy(*key_cols).agg(*aggs)

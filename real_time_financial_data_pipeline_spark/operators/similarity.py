@@ -136,8 +136,12 @@ def cosine_topk(
     scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema=out_ddl)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    # guard band: numpy matmul and a fold-order engine (e.g. a SQL oracle's
+    # list_dot_product) can differ by ~1 ulp; snapping to 9 dp first makes
+    # the 6-dp serving round agree across engines unless the true value sits
+    # within 1e-9 of a boundary (vs 1e-16 without it)
     scored = scored.select(
-        "query_id", "neighbor_id", F.round("_score_raw", 6).alias("score")
+        "query_id", "neighbor_id", F.round(F.round("_score_raw", 9), 6).alias("score")
     )
     from pyspark.sql import Window
 
@@ -204,10 +208,11 @@ def lsh_topk(
         rp_signature(F.col(vec_col), planes).alias("bucket"),
     )
     joined = c.join(broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    # same 9-then-6 dp guard band as cosine_topk (scores comparable 1:1)
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 6).alias("score"),
+        F.round(F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 9), 6).alias("score"),
     )
     from pyspark.sql import Window
 
@@ -318,7 +323,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 6).alias("score"),
+        F.round(F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 9), 6).alias("score"),
     )
     from pyspark.sql import Window
 

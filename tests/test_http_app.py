@@ -121,6 +121,56 @@ def test_validation_422_shapes(app):
     assert ei.value.code == 404
 
 
+def test_path_traversal_rejected(app, tmp_path):
+    """Dataset names like '..' must never reach the filesystem: DELETE
+    /api/datasets/.. would rmtree the lake root (drive-by via the allow-all
+    CORS).  The lake validates every name; the route maps it to 422."""
+    lake_root = tmp_path / "lake"
+    for bad in ["..", ".", "%2e%2e", "a%2Fb"]:  # urllib keeps %2e/%2F encoded; server decodes
+        r = urllib.request.Request(f"{app}/api/datasets/{bad}", method="DELETE")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(r)
+        assert ei.value.code in (404, 422), bad
+    # the lake tree survived (bronze/silver/gold still present)
+    assert sorted(p.name for p in lake_root.iterdir()) == ["bronze", "gold", "silver"]
+    # GET variants equally rejected
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(app, "/api/data/bronze/..")
+    assert ei.value.code == 422
+
+
+def test_lake_name_validation_unit(spark, tmp_path):
+    from real_time_financial_data_pipeline_spark.lake import DataLake, validate_dataset_name
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    for bad in ["..", ".", "", "a/b", "../b", "a\\b", "...", ".hidden"]:
+        with pytest.raises(ValueError):
+            lake.delete(bad, "bronze")
+    for ok in ["yahoo_stock_20240102", "alpha-v2.1_fx_20240102"]:
+        assert validate_dataset_name(ok) == ok
+        assert lake.delete(ok, "bronze") is False  # valid name, absent dataset
+
+
+def test_query_param_422(app):
+    # bad ?limit= must 422 with a FastAPI-shaped detail, not drop the socket
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(app, "/api/data/bronze/whatever?limit=abc")
+    assert ei.value.code == 422
+    detail = json.loads(ei.value.read())["detail"]
+    assert detail[0]["loc"] == ["query", "limit"]
+
+    # /api/query with a missing required param -> 422 naming the param,
+    # even when the dataset doesn't exist (validation precedes the read)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(
+            app, "/api/query", "POST",
+            {"dataset": "bronze/nope", "query_type": "timeseries", "params": {"key_col": "s"}},
+        )
+    assert ei.value.code == 422
+    detail = json.loads(ei.value.read())["detail"]
+    assert ["body", "params", "key"] in [d["loc"] for d in detail]
+
+
 def test_envelope_parsing_unit():
     req = parse_envelope(QueryRequest, {"dataset": "bronze/x", "query_type": "timeseries", "extra": 1})
     assert req.params == {} and req.dataset == "bronze/x"  # unknown field ignored, default applied

@@ -343,8 +343,13 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table + multi-probe LSH (4 OR-ed tables, Hamming-1 probes):
+    recall@10 0.43 vs 0.01 single-table on the sf0.01 embeddings (floors
+    gated in tests/test_dedup_similarity.py::test_ann_recall_floors)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_tables=4, multiprobe=True
+    )
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -187,6 +187,8 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket by random-hyperplane signature, exact cosine
     within the shared bucket.
@@ -195,19 +197,66 @@ def lsh_topk(
     probe touches 1/2^n_planes of the data; here both sides compute the
     signature on the fly.  Returns the same schema as ``cosine_topk`` —
     recall < 1 by construction (scale/recall tradeoff).
+
+    Two standard recall levers, composable:
+
+    - ``n_tables``: T independent plane sets OR-ed together (a neighbor is
+      a candidate if it collides in ANY table).  One corpus scan computes
+      all T signatures; candidate volume grows ~T×, miss probability
+      decays exponentially: (1 - p^h)^T for bit-agreement p.
+    - ``multiprobe``: each query also probes the h Hamming-distance-1
+      buckets of its signature (flip one bit) per table — the nearest
+      misclassified neighbors sit exactly one sign flip away.  Probes per
+      query go h+1×, corpus cost is unchanged (no extra corpus rows).
     """
-    planes = _random_planes(dim, n_planes, seed)
+    tables = [_random_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    # one scan: all T signatures as columns, exploded to (table, bucket) rows
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        rp_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        rp_signature(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "vec", "tb.table", "tb.bucket")
+    q_sig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        rp_signature(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        rp_signature(F.col(vec_col), planes).alias("sig"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("query_id", "query_vec", "tb.table", "tb.sig")
+    if multiprobe:
+        # probe set = own bucket + every Hamming-1 neighbor (flip bit i)
+        probes = F.array(
+            F.col("sig"), *[F.expr(f"sig ^ {1 << i}L") for i in range(n_planes)]
+        )
+        q = q_sig.select(
+            "query_id", "query_vec", "table", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = q_sig.withColumnRenamed("sig", "bucket")
+    joined = (
+        c.join(broadcast(q), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair can collide in several tables/probes — score it once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    joined = c.join(broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     # same 9-then-6 dp guard band as cosine_topk (scores comparable 1:1)
     scored = joined.select(
         "query_id",
@@ -284,8 +333,19 @@ def ivf_topk(
     Returns the ``cosine_topk`` schema; fully deterministic (seeded init,
     fixed iterations, lowest-index tie-breaks).
     """
+    # uniform deterministic training sample: take the sample_size smallest
+    # ids in xxhash64 order — a seeded pseudo-random permutation of the
+    # corpus that doesn't depend on partitioning (unlike sample(seed)) and
+    # runs as TakeOrderedAndProject (top-k per partition, no full sort).
+    # The previous orderBy(id).limit() was biased to low ids.
     sample = (
-        corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
+        corpus.select(
+            vec_col, F.col(id_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hid")
+        )
+        .orderBy("_hid", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
     )
     X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     centroids = _kmeans_spherical(X, min(n_lists, len(X)), iters, seed)

@@ -228,6 +228,61 @@ def test_simhash_byte_identical_to_reference(spark):
         assert got[i] == _simhash_reference(t), f"doc {i}: {got[i]} != {_simhash_reference(t)}"
 
 
+def _mean_recall(exact_df, approx_df) -> float:
+    ex: dict = {}
+    ap: dict = {}
+    for r in exact_df.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_df.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+
+
+def test_ann_recall_floors(spark):
+    """Quantified recall@10 for the approximate ANN paths vs exact ground
+    truth on the sf0.01 embeddings (500 vecs, 20 queries — deterministic:
+    seeded planes/quantizer, fixed data).
+
+    The synthetic embeddings are near-random, so absolute recall is low by
+    nature (top-10 of near-orthogonal vectors is barely separated); what
+    the gate locks in is (a) measured floors and (b) that the recall
+    levers are monotone.  Measured 2026-08-13: single-table LSH 0.01,
+    +3 extra tables 0.07, +multiprobe 0.43, IVF n_probe=4/16 0.57."""
+    from real_time_financial_data_pipeline_spark.catalog import load_table
+    from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, k=10)
+    exact.cache().count()
+
+    r_single = _mean_recall(exact, lsh_topk(emb, q, k=10))
+    r_multi = _mean_recall(exact, lsh_topk(emb, q, k=10, n_tables=4, multiprobe=True))
+    r_ivf = _mean_recall(exact, ivf_topk(emb, q, k=10, n_probe=4))
+    print(f"recall@10: lsh_single={r_single:.3f} lsh_t4+mp={r_multi:.3f} ivf_p4={r_ivf:.3f}")
+
+    # levers must help, and the shipped configs must hold their floors
+    assert r_multi > r_single
+    assert r_multi >= 0.30  # measured 0.43
+    assert r_ivf >= 0.45    # measured 0.57
+    exact.unpersist()
+    emb.unpersist()
+
+
+def test_lsh_multiprobe_candidates_superset_of_single(embeddings):
+    """Multi-table/multi-probe may only ADD candidates relative to the
+    single-table run with the same seed (table 0 is the same plane set),
+    and each (query, neighbor) pair is scored exactly once."""
+    q = embeddings.filter(F.col("vec_id") < 3)
+    single = lsh_topk(embeddings, q, k=100)
+    multi = lsh_topk(embeddings, q, k=100, n_tables=3, multiprobe=True)
+    s_pairs = {(r.query_id, r.neighbor_id) for r in single.collect()}
+    m_rows = multi.collect()
+    m_pairs = {(r.query_id, r.neighbor_id) for r in m_rows}
+    assert len(m_pairs) == len(m_rows)  # dedup before scoring held
+    assert s_pairs <= m_pairs  # table-0 candidates all retained (k exceeds candidates)
+
+
 def test_ivf_topk_deterministic_and_agrees_with_exact(embeddings):
     from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
 

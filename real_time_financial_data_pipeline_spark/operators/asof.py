@@ -35,18 +35,25 @@ def asof_join(
     ts_col: str,
     right_value_cols: list[str],
     right_ts_out: str = "asof_ts",
+    right_tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: append to each left row the most recent right-row
     values (``right.ts <= left.ts``) within the same key.
 
-    Right timestamps must be unique per key for deterministic results
-    (true for the test data; add a tiebreak column otherwise).
+    When right timestamps can TIE within a key, pass ``right_tiebreak_col``
+    (a unique right column, e.g. an event id): tied right rows then resolve
+    deterministically to the greatest tiebreak value.  Without it, which of
+    several equal-ts right rows wins is partition-order dependent.
     """
     left_cols = left.columns
+    _tb_type = (
+        right.schema[right_tiebreak_col].dataType if right_tiebreak_col else None
+    )
     tagged_right = right.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("_tag"),
+        (F.col(right_tiebreak_col) if right_tiebreak_col else F.lit(0)).alias("_tb"),
         F.col(ts_col).alias("_r_ts"),
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols if c not in key_cols and c != ts_col],
@@ -55,16 +62,20 @@ def asof_join(
         *key_cols,
         F.col(ts_col),
         F.lit(1).alias("_tag"),
+        (F.lit(None).cast(_tb_type) if _tb_type is not None else F.lit(0)).alias("_tb"),
         F.lit(None).cast("timestamp").alias("_r_ts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
         *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in key_cols and c != ts_col],
     )
     unioned = tagged_right.unionByName(tagged_left)
 
-    # right rows sort before left rows at equal ts -> inclusive (<=) asof
+    # right rows sort before left rows at equal ts -> inclusive (<=) asof;
+    # among equal-ts right rows the tiebreak orders ascending, so the
+    # unbounded-preceding last() picks the max tiebreak (left rows carry a
+    # null/constant _tb and are ordered by _tag alone)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col), F.col("_tag"))
+        .orderBy(F.col(ts_col), F.col("_tag"), F.asc_nulls_first("_tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

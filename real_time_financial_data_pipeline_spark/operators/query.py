@@ -91,18 +91,32 @@ def correlation(
     return bucketed.agg(F.corr("a", "b").alias("correlation"))
 
 
-def latest_per_key(df: DataFrame, key_cols: list[str], time_col: str) -> DataFrame:
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
     """O1 generalized — latest full row per key.
 
-    Implemented as ``max_by(struct(*), time)`` per key: a single hash
+    Implemented as ``max_by(struct(*), ordering)`` per key: a single hash
     aggregate with partial combine, strictly cheaper at scale than
-    row_number-over-window + filter (no per-partition sort).  Requires the
-    time column to be unique per key (true for test data); ties would need a
-    composite ordering.
+    row_number-over-window + filter (no per-partition sort).
+
+    With ``tiebreak_col`` the ordering is the lexicographic struct
+    ``(time, tiebreak)`` — rows tied on the time column resolve to the max
+    tiebreak value, deterministically.  Without it, max_by picks an
+    arbitrary row among exact time ties — pass a unique column (an event
+    id) whenever the time column isn't unique per key.
     """
     others = [c for c in df.columns if c not in key_cols]
+    ordering = (
+        F.struct(F.col(time_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(time_col)
+    )
     packed = df.groupBy(*key_cols).agg(
-        F.max_by(F.struct(*others), F.col(time_col)).alias("_row")
+        F.max_by(F.struct(*others), ordering).alias("_row")
     )
     return packed.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in others])
 

@@ -66,23 +66,35 @@ def revenue_by_nation(
     nation: DataFrame,
     region: DataFrame,
 ) -> DataFrame:
-    """Star join: fact lineitem ⋈ orders, then broadcast-joined dims up to
-    region; revenue per (region, nation).
+    """Star join: fact lineitem pre-aggregated to order grain, ⋈ orders,
+    then broadcast-joined dims up to region; revenue per (region, nation).
 
-    lineitem⋈orders is the only shuffle join (both large, co-keyed on
-    orderkey); customer/nation/region are broadcast so the fact side never
-    re-shuffles on their keys.
+    lineitem is reduced to (orderkey, revenue, count) BEFORE the join —
+    decimal sums are exact, so re-summing per-order subtotals is
+    hash-identical to summing raw rows.  The groupBy shuffles narrow
+    partial-aggregated rows on orderkey, and the join then reuses that
+    hash partitioning (no second fact shuffle), so the shuffle-joined row
+    count drops from |lineitem| to |orders| — the same 4× here (600k→150k)
+    holds at 100 TB, where it's the difference between shuffling the fact
+    table and shuffling an order-grain sketch of it.  customer/nation/
+    region are broadcast so the fact side never re-shuffles on their keys.
+    (Broadcasting orders outright benches marginally faster at sf0.1 but
+    is a scale-killer — orders is a fact table and won't fit an executor
+    at real SF, so the plan keeps the shuffle join.)
     """
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("_cnt")
+    )
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+            F.sum("_cnt").alias("n_lineitems"),
         )
     )
 

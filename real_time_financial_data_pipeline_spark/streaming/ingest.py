@@ -92,6 +92,44 @@ def dedup_stream(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def make_batch_writer(
+    bronze_path: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    exactly_once: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body, exposed so replay semantics are directly
+    testable (call it twice with the same batch_id).
+
+    - ``exactly_once=False``: plain parquet append — at-least-once (a batch
+      replayed after a crash between sink write and checkpoint commit
+      appends twice).
+    - ``exactly_once=True``: each micro-batch lands in its own
+      ``_batch_id=<n>`` partition via DYNAMIC partition overwrite — only
+      partitions present in the incoming data are replaced, so a replay of
+      batch n atomically rewrites exactly its own partition and every other
+      batch is untouched.  Idempotent per batch id = exactly-once output
+      for a deterministic source+transform.  Readers see ``_batch_id`` as
+      an extra partition column (drop it, or treat it as lineage metadata);
+      at 100 TB the per-batch partitions also give retention jobs and
+      incremental consumers a natural unit.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        if exactly_once:
+            (
+                out.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(bronze_path)
+            )
+        else:
+            out.write.mode("append").parquet(bronze_path)
+
+    return write_batch
+
+
 def ingest_to_bronze(
     stream: DataFrame,
     bronze_path: str,
@@ -99,15 +137,14 @@ def ingest_to_bronze(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_available_now: bool = False,
     processing_time: str | None = None,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """T1 — append the (optionally normalized) stream to a bronze table via
     foreachBatch.  ``availableNow`` drains the backlog then stops — the
-    batch-parity mode used by tests and backfills."""
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = transform(batch_df) if transform else batch_df
-        out.write.mode("append").parquet(bronze_path)
-
+    batch-parity mode used by tests and backfills.  ``exactly_once``
+    upgrades the sink from at-least-once appends to idempotent
+    batch-id-keyed partition overwrites (see ``make_batch_writer``)."""
+    write_batch = make_batch_writer(bronze_path, transform, exactly_once)
     writer = stream.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -43,6 +43,38 @@ def test_asof_join_respects_keys(spark):
     assert r.px_asof is None  # other key's quotes are invisible
 
 
+def test_asof_join_tiebreak_resolves_equal_right_ts(spark):
+    """Two right rows at the same ts: the tiebreak column decides
+    deterministically (max wins), regardless of input/partition order."""
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1)], "key string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tied = [("k", "2024-01-01 09:00:00", 7, 100.0), ("k", "2024-01-01 09:00:00", 9, 200.0)]
+    for rows in (tied, tied[::-1]):  # both input orders
+        right = spark.createDataFrame(
+            rows, "key string, ts string, quote_id long, px double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(4)
+        r = asof_join(
+            left, right, ["key"], "ts", ["px"], right_tiebreak_col="quote_id"
+        ).collect()[0]
+        assert r.px_asof == 200.0  # quote_id 9 > 7 wins
+
+
+def test_latest_per_key_tiebreak(spark):
+    from real_time_financial_data_pipeline_spark.operators.query import latest_per_key
+
+    rows = [("u", "2024-01-01 09:00:00", 1, "a"), ("u", "2024-01-01 09:00:00", 3, "c"),
+            ("u", "2024-01-01 09:00:00", 2, "b"), ("v", "2024-01-01 08:00:00", 9, "z")]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            perm, "user_id string, ts string, event_id long, val string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(4)
+        out = {r.user_id: (r.event_id, r.val) for r in
+               latest_per_key(df, ["user_id"], "ts", tiebreak_col="event_id").collect()}
+        assert out["u"] == (3, "c")  # max event_id among tied ts
+        assert out["v"] == (9, "z")
+
+
 def test_gap_fill_densifies_and_forward_fills(spark):
     df = spark.createDataFrame(
         [("s", "2024-01-01 00:00:00", 1.0), ("s", "2024-01-04 00:00:00", 4.0)],

@@ -342,14 +342,30 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+# Approximate-ANN oracles use the same staged-candidates pattern as the
+# minhash queries (see _STAGED_PAIRS_DIR below): the WHICH-neighbors set is
+# hash/quantizer-derived and not SQL-reproducible, but given that set DuckDB
+# independently recomputes every cosine score from the raw embeddings and
+# re-derives the ranks — so the scoring kernel and ranking logic are
+# hash-checked, only candidate selection is taken from staging.
+_STAGED_ANN_LSH_DIR = "/root/repo/spark-warehouse/staged/ann_lsh_topk"
+_STAGED_ANN_IVF_DIR = "/root/repo/spark-warehouse/staged/ann_ivf_topk"
+
+
+def _stage_and_return(df: DataFrame, path: str) -> DataFrame:
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table + multi-probe LSH (4 OR-ed tables, Hamming-1 probes):
     recall@10 0.43 vs 0.01 single-table on the sf0.01 embeddings (floors
     gated in tests/test_dedup_similarity.py::test_ann_recall_floors)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(
+    out = lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_tables=4, multiprobe=True
     )
+    return _stage_and_return(out, _STAGED_ANN_LSH_DIR)
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +374,8 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return _stage_and_return(out, _STAGED_ANN_IVF_DIR)
 
 
 def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,12 +679,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _dedup_exact_docs,
         "ngram_jaccard_adjacent": _ngram_jaccard_adjacent,
         "ann_cosine_topk": _ann_cosine_topk,
-        # staged-pairs oracles (candidate set staged, downstream recomputed)
+        # staged-candidate oracles (candidate set staged, downstream recomputed)
         "minhash_pairs": _minhash_pairs,
         "dedup_apply_docs": _dedup_apply_docs,
-        # rows-only (no SQL-expressible oracle): hash-based / heuristic ops
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        # rows-only (no SQL-expressible oracle): pure hash-identity ops
         "simhash_docs": _simhash_docs,
         "fingerprint_docs": _fingerprint_docs,
         # oracle-checked heuristics
@@ -948,6 +965,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.doc_id, d.lang, d.source, d.n_chars
                 FROM documents d
                 WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id != canonical)
+            """,
+            # staged-candidate ANN oracles: scores recomputed from raw
+            # embeddings, ranks re-derived by the same (score desc, id)
+            # total order — the top-k rows re-rank to identical 1..k
+            "ann_lsh_topk": f"""
+                WITH p AS (
+                    SELECT query_id, neighbor_id
+                    FROM read_parquet('{_STAGED_ANN_LSH_DIR}/*.parquet')
+                ),
+                v AS (
+                    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                ),
+                scored AS (
+                    SELECT p.query_id, p.neighbor_id,
+                           round(round(list_dot_product(a.e, b.e)
+                                 / (sqrt(list_dot_product(a.e, a.e))
+                                    * sqrt(list_dot_product(b.e, b.e))), 9), 6) AS score
+                    FROM p
+                    JOIN v a ON a.vec_id = p.neighbor_id
+                    JOIN v b ON b.vec_id = p.query_id
+                )
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                FROM scored
+            """,
+            "ann_ivf_topk": f"""
+                WITH p AS (
+                    SELECT query_id, neighbor_id
+                    FROM read_parquet('{_STAGED_ANN_IVF_DIR}/*.parquet')
+                ),
+                v AS (
+                    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                ),
+                scored AS (
+                    SELECT p.query_id, p.neighbor_id,
+                           round(round(list_dot_product(a.e, b.e)
+                                 / (sqrt(list_dot_product(a.e, a.e))
+                                    * sqrt(list_dot_product(b.e, b.e))), 9), 6) AS score
+                    FROM p
+                    JOIN v a ON a.vec_id = p.neighbor_id
+                    JOIN v b ON b.vec_id = p.query_id
+                )
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                FROM scored
             """,
         }
     )

@@ -110,10 +110,12 @@ def top_customers(
     is deterministic; custkey breaks any exact ties.
     """
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    # order-grain pre-aggregation before the join (exact; see revenue_by_nation)
+    per_order = lineitem.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
     per_cust = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(revenue), 2).alias("rev_dec"))
+        .agg(F.round(F.sum("_rev"), 2).alias("rev_dec"))
     )
     return (
         per_cust.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -148,15 +150,18 @@ def revenue_rollup(
     """Grouping-set totals: revenue at (region, nation), (region) and grand-
     total levels in ONE pass — ``rollup`` expands to grouping sets inside a
     single hash aggregate, so the fact table is scanned once, not three
-    times."""
+    times.  Like ``revenue_by_nation``, lineitem is pre-aggregated to order
+    grain before the shuffle join (decimal sums re-sum exactly), so the
+    rollup's input is |orders| rows, not |lineitem|."""
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
+    per_order = lineitem.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
     )
 
 

@@ -273,6 +273,29 @@ def lsh_topk(
     )
 
 
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
+    """Mean per-query recall of an approximate top-k result against the
+    exact one (both in the ``cosine_topk`` output schema).
+
+    recall(q) = |approx(q) ∩ exact(q)| / |exact(q)|, averaged over the
+    queries present in ``exact``.  Computed as one join + one aggregate —
+    top-k outputs are small, but the shape stays distributed for large
+    query sets.  This is the number to tune ``n_tables``/``multiprobe``
+    (LSH) or ``n_probe`` (IVF) against; see
+    tests/test_dedup_similarity.py::test_ann_recall_floors for gated
+    floors on the sf0.01 embeddings.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    per_query = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias("_recall"))
+    )
+    row = per_query.agg(F.avg("_recall").alias("r")).first()
+    return float(row["r"]) if row["r"] is not None else 0.0
+
+
 # --- IVF (inverted-file) ANN: k-means coarse quantizer + probed lists -----
 
 

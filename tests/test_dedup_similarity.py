@@ -229,13 +229,19 @@ def test_simhash_byte_identical_to_reference(spark):
 
 
 def _mean_recall(exact_df, approx_df) -> float:
+    from real_time_financial_data_pipeline_spark.operators.similarity import recall_at_k
+
+    # cross-check the library implementation against a driver-side fold
     ex: dict = {}
     ap: dict = {}
     for r in exact_df.collect():
         ex.setdefault(r.query_id, set()).add(r.neighbor_id)
     for r in approx_df.collect():
         ap.setdefault(r.query_id, set()).add(r.neighbor_id)
-    return sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    ref = sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    lib = recall_at_k(exact_df, approx_df)
+    assert abs(lib - ref) < 1e-9
+    return lib
 
 
 def test_ann_recall_floors(spark):

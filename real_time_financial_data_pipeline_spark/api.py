@@ -59,14 +59,21 @@ def ingest(
 def transform(
     lake: DataLake,
     source_path: str,
-    destination_layer: str,
+    destination_path: str,
     transformation_type: str,
     params: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """POST /api/transform — ``source_path`` is ``{layer}/{name}`` exactly
-    as the reference's frontend sends it (index.html:1103,1120)."""
+    """POST /api/transform — ``source_path`` is ``{layer}/{name}`` and
+    ``destination_path`` is ``{layer}/{name}`` or a bare ``{layer}``,
+    exactly as the reference's frontend sends them (index.html:1103-1121;
+    with a bare layer the destination name is derived from the source
+    codec, the reference's fallback naming)."""
     layer, _, name = source_path.partition("/")
-    return transform_pipeline(lake, name, layer, destination_layer, transformation_type, params)
+    dest_layer, _, dest_name = destination_path.partition("/")
+    return transform_pipeline(
+        lake, name, layer, dest_layer, transformation_type, params,
+        dest_name=dest_name or None,
+    )
 
 
 def list_datasets(lake: DataLake) -> dict[str, list[str]]:

@@ -9,8 +9,8 @@ The container ships no web framework, so the shell is a
   reference's ``CORSMiddleware(allow_origins=['*'], ...)`` (main.py:11-17);
 - request envelopes validated via :mod:`.envelopes` — failures return a
   FastAPI-shaped ``422 {"detail": [...]}``;
-- ``GET /`` serving a minimal HTML status page (the reference serves its
-  SPA template there, main.py:24-26);
+- ``GET /`` serving the single-page UI (:mod:`.ui` — dependency-free
+  functional parity with the reference's SPA template, main.py:24-26);
 - ``POST /api/query`` executing the reference's DECLARED-but-unshipped
   QueryRequest surface (schema.py:73-76) against the lake via the
   timeseries / moving_average / correlation operators.
@@ -45,12 +45,7 @@ from real_time_financial_data_pipeline_spark.envelopes import (
     parse_envelope,
 )
 from real_time_financial_data_pipeline_spark.lake import DataLake
-
-_INDEX_HTML = """<!doctype html>
-<html><head><title>Financial Data Pipeline API</title></head>
-<body><h1>Financial Data Pipeline API</h1>
-<p>PySpark engine is up. API under <code>/api</code>:
-ingest, transform, datasets, data, query.</p></body></html>"""
+from real_time_financial_data_pipeline_spark.ui import INDEX_HTML as _INDEX_HTML
 
 
 def _json_default(v: Any) -> str:

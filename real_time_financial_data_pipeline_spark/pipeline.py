@@ -54,9 +54,12 @@ def transform_pipeline(
     dest_layer: str,
     kind: str,
     params: dict[str, Any] | None = None,
+    dest_name: str | None = None,
 ) -> dict[str, Any]:
     """Full read -> transform -> write slice with the reference's result
-    envelope (transformers.py:209-214)."""
+    envelope (transformers.py:209-214).  ``dest_name`` overrides the
+    codec-derived destination name (the frontend sends an explicit
+    ``layer/name`` destination, index.html:1104)."""
     df = lake.read(source_name, source_layer)
     out = apply_transform(df, kind, params)
 
@@ -65,8 +68,9 @@ def transform_pipeline(
         # reference errors on empty output (transformers.py:188-193)
         return {"status": "error", "message": "transformation produced no data", "records_count": 0}
 
-    parts = parse_dataset_name(source_name)
-    dest_name = f"{parts['source']}_{parts['data_type']}_{_SUFFIX[kind]}"
+    if dest_name is None:
+        parts = parse_dataset_name(source_name)
+        dest_name = f"{parts['source']}_{parts['data_type']}_{_SUFFIX[kind]}"
     path = lake.save(out, dest_name, dest_layer, mode="overwrite")
     return {
         "status": "success",

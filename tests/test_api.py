@@ -38,6 +38,14 @@ def test_full_route_flow(spark, lake):
     tr = api.transform(lake, f"bronze/{res['dataset']}", "gold", "aggregate", {"time_period": "M"})
     assert tr["status"] == "success" and tr["records_count"] == 2
 
+    # the reference frontend sends destination as "layer/name"
+    # (index.html:1104) — the explicit name must be honored
+    named = api.transform(
+        lake, f"bronze/{res['dataset']}", "silver/my_cleaned_set", "clean", {}
+    )
+    assert named["status"] == "success" and named["dataset"] == "my_cleaned_set"
+    assert "my_cleaned_set" in api.list_datasets(lake)["silver"]
+
     recs = [json.loads(r) for r in api.get_data(lake, "gold", tr["dataset"])]
     assert len(recs) == 2 and recs[0]["period"].endswith("Z")
 

@@ -48,7 +48,12 @@ def _req(base, path, method="GET", payload=None):
 
 def test_root_and_cors_preflight(app):
     resp, body = _req(app, "/")
-    assert resp.status == 200 and b"Financial Data Pipeline API" in body
+    assert resp.status == 200 and b"Financial Data Pipeline" in body
+    # the SPA exposes the reference's three tabs and drives the API routes
+    for marker in (b"tab-ingest", b"tab-explore", b"tab-transform",
+                   b"/api/ingest", b"/api/transform", b"/api/datasets",
+                   b"/download"):
+        assert marker in body, marker
     assert resp.headers["Access-Control-Allow-Origin"] == "*"
     r = urllib.request.Request(f"{app}/api/datasets", method="OPTIONS")
     pre = urllib.request.urlopen(r)

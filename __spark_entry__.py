@@ -647,6 +647,56 @@ def _stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase paired with the same
+    user's clicks from the preceding hour — two watermarked streams, key
+    equality + time-range predicate (state bounded by lookback+watermark).
+    Inner-join rows emit as both sides arrive; draining the static backlog
+    with availableNow emits every qualifying pair, so the oracle is the
+    identical batch interval join in DuckDB."""
+    from real_time_financial_data_pipeline_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    _STREAM_SEQ[0] += 1
+    name = f"stream_ssjoin_{_STREAM_SEQ[0]}"
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = stream_interval_join(
+        purchases, clicks, [("p_user", "c_user")], "p_ts", "c_ts", lookback="1 hour"
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "p_ts", "click_id", "c_ts"
+    )
+    # each state partition costs 4 state-store instances for a stream-stream
+    # join (2 sides × key/value stores); at this backlog size a vanilla
+    # session's 200 shuffle partitions would spend more time opening stores
+    # than joining.  Pin a modest count for THIS query and restore (the
+    # partition count is baked into the new query's checkpoint only).
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_events": _clean_events,
@@ -690,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked heuristics
         "lang_id_docs": _lang_id_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
+        "stream_purchase_click_join": _stream_purchase_click_join,
         "stream_session_stats": _stream_session_stats,
         "stream_sliding_counts": _stream_sliding_counts,
         "stream_running_stats": _stream_running_stats,
@@ -1216,6 +1267,18 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
     sqls["stream_tumbling_daily"] = _OHLCV_SQL.format(unit="day")
+    sqls["stream_purchase_click_join"] = """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               p.ts AS p_ts,
+               c.event_id AS click_id,
+               c.ts AS c_ts
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """
     sqls["stream_sliding_counts"] = """
         SELECT event_type,
                win_start,

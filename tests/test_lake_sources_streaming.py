@@ -216,3 +216,53 @@ def test_exactly_once_sink_replay_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(str(tmp_path / "bronze_stream"))
     assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join on planted data == the batch interval
+    join, and pairs outside the lookback window are excluded."""
+    from real_time_financial_data_pipeline_spark.streaming.ingest import file_stream
+    from real_time_financial_data_pipeline_spark.streaming.joins import stream_interval_join
+
+    purchases = [("u1", "2024-01-01 10:00:00", 100), ("u2", "2024-01-01 12:00:00", 101)]
+    clicks = [
+        ("u1", "2024-01-01 09:30:00", 200),  # within 1h before purchase 100
+        ("u1", "2024-01-01 10:00:00", 201),  # boundary: equal ts, inclusive
+        ("u1", "2024-01-01 08:59:00", 202),  # 61 min before -> excluded
+        ("u1", "2024-01-01 10:05:00", 203),  # after purchase -> excluded
+        ("u2", "2024-01-01 11:30:00", 204),  # other user's window
+    ]
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    pdf = spark.createDataFrame(purchases, "p_user string, p_ts string, purchase_id long") \
+        .withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    cdf = spark.createDataFrame(clicks, "c_user string, c_ts string, click_id long") \
+        .withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+    pdf.write.parquet(p_dir)
+    cdf.write.parquet(c_dir)
+
+    joined = stream_interval_join(
+        file_stream(spark, p_dir, pdf.schema, max_files_per_trigger=None),
+        file_stream(spark, c_dir, cdf.schema, max_files_per_trigger=None),
+        [("p_user", "c_user")],
+        "p_ts",
+        "c_ts",
+        lookback="1 hour",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName("t_ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.purchase_id, r.click_id) for r in spark.table("t_ssjoin").collect()}
+    assert got == {(100, 200), (100, 201), (101, 204)}
+
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in pdf.join(
+            cdf,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).collect()
+    }
+    assert got == batch

@@ -442,6 +442,25 @@ def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+_STAGED_SIMHASH_DIR = "/root/repo/spark-warehouse/staged/simhash_sigs"
+
+
+def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (4×16-bit slices ⇒
+    exhaustive for Hamming ≤ 3).  Staged-signature oracle: DuckDB
+    recomputes ALL qualifying pairs from the staged signatures with an
+    exhaustive quadratic scan — which independently PROVES the banding
+    candidate generation missed nothing (banding ⊆ brute force is trivial;
+    equality is the completeness claim)."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs).select("doc_id", "simhash")
+    sig.coalesce(1).write.mode("overwrite").parquet(_STAGED_SIMHASH_DIR)
+    staged = spark.read.parquet(_STAGED_SIMHASH_DIR)
+    return simhash_pairs(docs, max_hamming=3, sig_df=staged)
+
+
 def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_table(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -734,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply_docs": _dedup_apply_docs,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "simhash_pairs_docs": _simhash_pairs_docs,
         # rows-only (no SQL-expressible oracle): pure hash-identity ops
         "simhash_docs": _simhash_docs,
         "fingerprint_docs": _fingerprint_docs,
@@ -1016,6 +1036,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.doc_id, d.lang, d.source, d.n_chars
                 FROM documents d
                 WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id != canonical)
+            """,
+            # staged-signature oracle: the EXHAUSTIVE quadratic Hamming scan
+            # over staged signatures — equality with the banded Spark result
+            # proves banding completeness, not just candidate correctness
+            "simhash_pairs_docs": f"""
+                WITH s AS (
+                    SELECT doc_id, simhash
+                    FROM read_parquet('{_STAGED_SIMHASH_DIR}/*.parquet')
+                )
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             """,
             # staged-candidate ANN oracles: scores recomputed from raw
             # embeddings, ranks re-derived by the same (score desc, id)

@@ -354,3 +354,71 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: all (id_a < id_b) with signature Hamming
+    distance ≤ ``max_hamming``.
+
+    Candidate generation is the pigeonhole banding trick: split the 64-bit
+    signature into ``bands`` equal bit-slices — two signatures within
+    Hamming distance ``bands - 1`` MUST agree exactly on at least one
+    slice (≤ bands-1 differing bits can't touch all bands).  So for
+    ``max_hamming ≤ bands - 1`` the banded self-join is EXHAUSTIVE, never
+    an all-pairs product: explode to (band, slice) rows, join on slice
+    equality per band, verify exact Hamming on the candidates.  Same
+    O(docs·bands) shuffle shape as MinHash-LSH banding.
+
+    Pass ``sig_df`` (an ``(id, simhash)`` frame) to reuse precomputed
+    signatures; otherwise they're computed from ``text_col``.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees recall for "
+            f"max_hamming <= {bands - 1}; got {max_hamming}"
+        )
+    if sig_df is None:
+        sig_df = simhash(df, text_col).select(id_col, "simhash")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {b * width}) & {mask}L").alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "simhash", "bs.band", "bs.slice")
+    a = banded.withColumnsRenamed({id_col: "id_a", "simhash": "sim_a"}).alias("a")
+    b = banded.withColumnsRenamed({id_col: "id_b", "simhash": "sim_b"}).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", hamming64(F.col("sim_a"), F.col("sim_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

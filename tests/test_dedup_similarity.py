@@ -289,6 +289,55 @@ def test_lsh_multiprobe_candidates_superset_of_single(embeddings):
     assert s_pairs <= m_pairs  # table-0 candidates all retained (k exceeds candidates)
 
 
+def test_simhash_pairs_banding_equals_brute_force(documents):
+    """The pigeonhole banding (4×16-bit slices) must find EXACTLY the pairs
+    an all-pairs Hamming scan finds for max_hamming ≤ bands-1."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        hamming64,
+        simhash,
+        simhash_pairs,
+    )
+
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(documents, max_hamming=3).collect()
+    }
+    sig = simhash(documents).select("doc_id", "simhash")
+    a = sig.withColumnsRenamed({"doc_id": "id_a", "simhash": "sa"})
+    b = sig.withColumnsRenamed({"doc_id": "id_b", "simhash": "sb"})
+    brute = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", hamming64(F.col("sa"), F.col("sb")).cast("long"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+    with pytest.raises(ValueError):  # banding guarantee violated -> loud
+        simhash_pairs(documents, max_hamming=4, bands=4)
+
+
+def test_simhash_pairs_finds_planted_near_dup(spark):
+    """Two documents sharing 100 distinct tokens and differing in one must
+    surface as a banded pair.  The signatures are deterministic (fixed
+    FNV-1a), so the planted suffixes are chosen with VERIFIED Hamming
+    distance 2 ('mu'/'nu' over this base; a single differing token only
+    flips bits whose 100-token vote is tied, and the tie pattern is a
+    fixed property of these hashes) — the third doc sits at distance 31+
+    from both."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    base = " ".join(f"w{i:03d}" for i in range(100)) + " "
+    docs = spark.createDataFrame(
+        [(1, base + "mu"), (2, base + "nu"),
+         (3, "completely different words here entirely unrelated content")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == {(1, 2): 2}
+
+
 def test_ivf_topk_deterministic_and_agrees_with_exact(embeddings):
     from real_time_financial_data_pipeline_spark.operators.similarity import ivf_topk
 

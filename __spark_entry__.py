@@ -257,6 +257,18 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user cardinality per series (the HLL++ sketch twin is
+    ``cardinality_stats(..., approx=True)`` — tolerance-tested, not
+    oracle-able)."""
+    from real_time_financial_data_pipeline_spark.operators.query import (
+        cardinality_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cardinality_stats(ev, ["event_type"], "user_id")
+
+
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase annotated with the user's most recent
     prior-or-simultaneous click (trade -> prevailing quote shape)."""
@@ -733,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_segment": _sql_revenue_by_segment,
         "value_percentiles": _value_percentiles,
         "value_histogram": _value_histogram,
+        "cardinality_stats": _cardinality_stats,
         "asof_purchase_click": _asof_purchase_click,
         "gap_fill_daily": _gap_fill_daily,
         "events_with_lag": _events_with_lag,
@@ -1119,6 +1132,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["value_histogram"] = """
         SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n
         FROM events GROUP BY 1, 2
+    """
+    sqls["cardinality_stats"] = """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY 1
     """
     sqls["asof_purchase_click"] = """
         WITH purchases AS (

@@ -176,6 +176,31 @@ def preview(df: DataFrame, n: int = 100, order_cols: list[str] | None = None) ->
     return out.limit(n)
 
 
+def cardinality_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    count_col: str,
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Distinct cardinality per key, exact or sketched.
+
+    Exact ``count(DISTINCT x)`` plans as an expand + two-phase aggregate —
+    fine when per-group distinct sets fit the shuffle.  ``approx=True``
+    switches to ``approx_count_distinct`` (HyperLogLog++, relative standard
+    deviation ``rsd``): fixed-size mergeable sketch per group, the 100 TB
+    path for high-cardinality columns (tolerance-tested in
+    tests/test_operators.py; the sketch itself isn't oracle-able since HLL
+    internals differ across engines — the exact twin is the oracle query).
+    """
+    fn = (
+        F.approx_count_distinct(count_col, rsd)
+        if approx
+        else F.countDistinct(count_col)
+    )
+    return df.groupBy(*key_cols).agg(fn.cast("long").alias("n_distinct"))
+
+
 def percentiles(
     df: DataFrame,
     value_col: str,

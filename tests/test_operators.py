@@ -127,6 +127,22 @@ def test_preview_bounded(events):
     assert len(preview(events, 7, ["event_id"]).collect()) == 7
 
 
+def test_cardinality_exact_vs_hll_tolerance(spark):
+    """approx_count_distinct (HLL++) must land within ~5·rsd of the exact
+    distinct count on a high-cardinality column."""
+    from real_time_financial_data_pipeline_spark.operators.query import cardinality_stats
+
+    df = spark.range(200_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS k",
+        "CAST(pmod(id * 2654435761, 50000) AS LONG) AS v",
+    )
+    exact = {r.k: r.n_distinct for r in cardinality_stats(df, ["k"], "v").collect()}
+    approx = {r.k: r.n_distinct for r in
+              cardinality_stats(df, ["k"], "v", approx=True, rsd=0.02).collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 0.1 * exact[k], (k, exact[k], approx[k])
+
+
 def test_percentiles_exact_vs_approx_tolerance(spark):
     """Documented tolerance: approx_percentile at accuracy=10_000 must land
     within +-0.01 quantile rank of the exact percentile (rank error is

@@ -30,8 +30,16 @@ def plan_of(df) -> str:
 
 CHECKS = {
     "pricing_summary": dict(pushed=True, partial_agg=True, no_cartesian=True),
-    "revenue_by_nation": dict(broadcast_min=3, partial_agg=True, no_cartesian=True),
-    "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True),
+    # pre_agg_key: lineitem must be aggregated to order grain BELOW the
+    # fact join (the shuffle-join input is |orders|-sized, not |lineitem|)
+    "revenue_by_nation": dict(broadcast_min=3, partial_agg=True, no_cartesian=True,
+                              pre_agg_key="l_orderkey"),
+    "revenue_rollup": dict(broadcast_min=3, partial_agg=True, no_cartesian=True,
+                           pre_agg_key="l_orderkey"),
+    "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True,
+                          pre_agg_key="l_orderkey"),
+    "simhash_pairs_docs": dict(no_cartesian=True),
+    "cardinality_stats": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "timeseries_purchase": dict(pushed=True),
     "latest_per_user": dict(partial_agg=True),
@@ -65,6 +73,10 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
             problems.append(f"expected <= {xmax} exchanges, saw {n_ex}")
     if spec.get("no_cartesian") and "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
+    if (pkey := spec.get("pre_agg_key")) and not re.search(
+        rf"HashAggregate\(keys=\[{pkey}", plan
+    ):
+        problems.append(f"no pre-aggregation on {pkey} below the fact join")
     if (col := spec.get("pruned_cols")) is not None:
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         if m and any(c not in col and c.split(":")[0] not in ("doc_id", col) for c in m.group(1).split(",")):

@@ -186,6 +186,93 @@ class DataLake:
         """Read a bucketed table through the catalog (keeps bucket info)."""
         return self.spark.table(f"{layer}_{name}")
 
+    # -- maintenance: compaction + retention (beyond-reference; the two
+    # jobs every real lake needs once appends accumulate) ------------------
+    def compact(
+        self,
+        name: str,
+        layer: str = "bronze",
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Small-files compaction: rewrite a dataset so each partition
+        directory holds ONE file (micro-batch appends and per-batch
+        exactly-once overwrites accumulate a file per trigger — at 100 TB
+        the scan cost is dominated by file-open overhead long before data
+        volume; periodic compaction is the standard fix).
+
+        ``repartition(*partition_by)`` hash-routes every partition value to
+        exactly one task, so the rewrite emits one file per directory.  The
+        rewrite lands in a temp dir and swaps in with a rename, so readers
+        never see a half-written table; row count is verified before the
+        swap and the temp dir is cleaned up on failure.
+        """
+        path = self._path(layer, name)
+        df = self.spark.read.parquet(path)
+        partition_by = partition_by or (
+            ["ingest_date"] if "ingest_date" in df.columns else None
+        )
+        n_before = df.count()
+        files_before = sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(path)
+        )
+        tmp = path + ".__compacting__"
+        try:
+            out = df.repartition(*partition_by) if partition_by else df.coalesce(1)
+            writer = out.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(tmp)
+            n_after = self.spark.read.parquet(tmp).count()
+            if n_after != n_before:
+                raise RuntimeError(
+                    f"compaction row drift: {n_before} -> {n_after}; aborting swap"
+                )
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        finally:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+        files_after = sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(path)
+        )
+        return {
+            "rows": n_before,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
+    def expire_partitions(
+        self,
+        name: str,
+        layer: str = "bronze",
+        partition_col: str = "ingest_date",
+        before: str | dt.date = None,
+    ) -> int:
+        """Retention: drop whole ``{partition_col}=VALUE`` directories whose
+        date value is older than ``before`` — a pure file-level operation
+        (no data rewrite), which is why date-partitioned layouts make
+        retention O(partitions) instead of O(data) at any scale.  Returns
+        the number of partitions removed."""
+        if before is None:
+            raise ValueError("expire_partitions requires an explicit cutoff")
+        cutoff = before if isinstance(before, dt.date) else dt.date.fromisoformat(before)
+        path = self._path(layer, name)
+        removed = 0
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            value = entry.split("=", 1)[1]
+            try:
+                part_date = dt.date.fromisoformat(value)
+            except ValueError:
+                continue  # non-date partition value: never expire silently
+            if part_date < cutoff:
+                shutil.rmtree(os.path.join(path, entry))
+                removed += 1
+        return removed
+
     # -- K4: delete (storage.py:172-196) ------------------------------------
     def delete(self, name: str, layer: str) -> bool:
         path = self._path(layer, name)

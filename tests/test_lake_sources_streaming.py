@@ -266,3 +266,35 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_lake_compaction_and_retention(spark, tmp_path):
+    """Many small appended files compact to one file per partition with
+    identical rows; retention drops whole partition dirs by date."""
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        for batch in range(3):  # 3 files per partition
+            df = spark.createDataFrame(
+                [(day, batch, i) for i in range(10)],
+                "ingest_date string, batch long, v long",
+            ).withColumn("ingest_date", F.col("ingest_date").cast("date")).repartition(2)
+            lake.save(df, "smallfiles", mode="append")
+
+    before = lake.read("smallfiles").collect()
+    stats = lake.compact("smallfiles")
+    assert stats["rows"] == 90 and stats["files_after"] == 3  # one per day
+    assert stats["files_before"] > stats["files_after"]
+    after = lake.read("smallfiles").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    removed = lake.expire_partitions("smallfiles", before="2024-01-03")
+    assert removed == 2
+    left = lake.read("smallfiles")
+    assert left.count() == 30
+    assert {str(r.ingest_date) for r in left.select("ingest_date").distinct().collect()} == {"2024-01-03"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lake.expire_partitions("smallfiles")  # cutoff must be explicit

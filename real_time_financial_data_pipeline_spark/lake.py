@@ -217,6 +217,7 @@ class DataLake:
             for _, _, fs in os.walk(path)
         )
         tmp = path + ".__compacting__"
+        old = path + ".__precompact__"
         try:
             out = df.repartition(*partition_by) if partition_by else df.coalesce(1)
             writer = out.write.mode("overwrite")
@@ -228,10 +229,16 @@ class DataLake:
                 raise RuntimeError(
                     f"compaction row drift: {n_before} -> {n_after}; aborting swap"
                 )
-            shutil.rmtree(path)
+            # rename-based swap: every failure window leaves a complete copy
+            # on disk (either at path, or at old with tmp ready) — never
+            # rmtree the only copy before the replacement is in place
+            os.rename(path, old)
             os.rename(tmp, path)
+            shutil.rmtree(old)
         finally:
-            if os.path.isdir(tmp):
+            # clean the rewrite only if the table is still present; if the
+            # swap died mid-way, tmp/old are the recovery copies — keep them
+            if os.path.isdir(tmp) and os.path.isdir(path):
                 shutil.rmtree(tmp)
         files_after = sum(
             len([f for f in fs if f.endswith(".parquet")])

@@ -427,6 +427,12 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver runs the Spark query before its oracle, which (over)writes the
 # staging dir; the pairs are deterministic, so a pre-existing staging file
 # from an earlier run of the same SF is also valid.
+#
+# The staging write lives INSIDE the query callables (not in tools/check.py)
+# because the DRIVER calls queries() directly for its own oracle comparison
+# — an external harness can't intercept that.  Cost: the bench for
+# minhash_pairs includes its small coalesce(1) write (~0.2 s at sf0.1),
+# accepted as the price of a hash-checked result.
 _STAGED_PAIRS_DIR = "/root/repo/spark-warehouse/staged/minhash_pairs"
 
 
@@ -702,8 +708,15 @@ def _stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"),
         F.col("event_id").alias("click_id"),
     )
+    # watermark spans the whole dataset's time range: this is a VERIFICATION
+    # harness choice (like complete mode on the windowed streams) — if the
+    # backlog ever arrives as multiple files/micro-batches, a tight
+    # watermark would discard earlier-timestamped rows in later batches and
+    # the result would drift from the batch oracle.  Production uses the
+    # operator's tight default (state bounded by lookback+watermark).
     joined = stream_interval_join(
-        purchases, clicks, [("p_user", "c_user")], "p_ts", "c_ts", lookback="1 hour"
+        purchases, clicks, [("p_user", "c_user")], "p_ts", "c_ts",
+        lookback="1 hour", watermark="365 days",
     ).select(
         F.col("p_user").alias("user_id"), "purchase_id", "p_ts", "click_id", "c_ts"
     )

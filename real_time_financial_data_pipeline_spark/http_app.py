@@ -44,8 +44,35 @@ from real_time_financial_data_pipeline_spark.envelopes import (
     TransformationRequest,
     parse_envelope,
 )
-from real_time_financial_data_pipeline_spark.lake import DataLake
+from real_time_financial_data_pipeline_spark.lake import (
+    LAYERS,
+    DataLake,
+    validate_dataset_name,
+)
 from real_time_financial_data_pipeline_spark.ui import INDEX_HTML as _INDEX_HTML
+
+
+def _checked_name(name: str) -> str:
+    """Dataset-name validation at the HTTP boundary -> 422 (the lake
+    re-validates defensively; this maps the failure to the client)."""
+    try:
+        return validate_dataset_name(name)
+    except ValueError as e:
+        raise EnvelopeError(
+            [{"loc": ["path", "dataset"], "msg": str(e), "type": "value_error"}]
+        ) from None
+
+
+def _checked_layer(layer: str) -> str:
+    if layer not in LAYERS:
+        raise EnvelopeError(
+            [{
+                "loc": ["path", "layer"],
+                "msg": f"unknown layer {layer!r}; expected one of {LAYERS}",
+                "type": "value_error",
+            }]
+        )
+    return layer
 
 
 def _json_default(v: Any) -> str:
@@ -137,12 +164,14 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "GET" and path == "/api/datasets":
                 return self._json(200, api.list_datasets(self.lake))
             if m := re.fullmatch(r"/api/datasets/([^/]+)", path):
+                name = _checked_name(m.group(1))
+                _checked_layer(layer)
                 if method == "GET":
-                    return self._json(200, api.dataset_info(self.lake, m.group(1), layer))
+                    return self._json(200, api.dataset_info(self.lake, name, layer))
                 if method == "DELETE":  # routes.py:261-267 — 204 on success
-                    out = api.delete_dataset(self.lake, m.group(1), layer)
+                    out = api.delete_dataset(self.lake, name, layer)
                     if out["status"] == "error":
-                        return self._json(404, {"detail": f"Dataset {m.group(1)} not found"})
+                        return self._json(404, {"detail": f"Dataset {name} not found"})
                     return self._respond(204, b"", "text/plain")
             if m := re.fullmatch(r"/api/data/latest/([^/]+)/([^/]+)", path):
                 if method == "GET":
@@ -150,24 +179,22 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._json(200, [json.loads(r) for r in recs])
             if m := re.fullmatch(r"/api/data/([^/]+)/([^/]+)/download", path):
                 if method == "GET":
-                    csv = api.download_csv(self.lake, m.group(1), m.group(2), limit=limit)
+                    lay, name = _checked_layer(m.group(1)), _checked_name(m.group(2))
+                    csv = api.download_csv(self.lake, lay, name, limit=limit)
                     return self._respond(
                         200,
                         csv.encode(),
                         "text/csv",
-                        {"Content-Disposition": f"attachment; filename={m.group(2)}.csv"},
+                        {"Content-Disposition": f"attachment; filename={name}.csv"},
                     )
             if m := re.fullmatch(r"/api/data/([^/]+)/([^/]+)", path):
                 if method == "GET":
-                    recs = api.get_data(self.lake, m.group(1), m.group(2), limit=limit)
+                    lay, name = _checked_layer(m.group(1)), _checked_name(m.group(2))
+                    recs = api.get_data(self.lake, lay, name, limit=limit)
                     return self._json(200, [json.loads(r) for r in recs])
             self._json(404, {"detail": "Not Found"})
         except EnvelopeError as e:
             self._json(422, {"detail": e.detail})
-        except ValueError as e:
-            # DataLake rejects unsafe dataset names / unknown layers — a
-            # traversal attempt (name='..') must never reach the filesystem
-            self._json(422, {"detail": [{"loc": ["path"], "msg": str(e), "type": "value_error"}]})
         except FileNotFoundError as e:
             self._json(404, {"detail": str(e)})
         except Exception as e:  # noqa: BLE001 — route errors become 500 JSON
@@ -235,7 +262,7 @@ class _Handler(BaseHTTPRequestHandler):
         }
         if req.query_type in _REQUIRED:
             _require(*_REQUIRED[req.query_type])
-        df = self.lake.read(name, layer)
+        df = self.lake.read(_checked_name(name), _checked_layer(layer))
         if req.query_type == "timeseries":
             out = timeseries(
                 df, p["key_col"], p["key"], p["time_col"], p.get("start"), p.get("end")

@@ -39,8 +39,10 @@ _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 
 def validate_dataset_name(name: str) -> str:
-    """Return ``name`` if it is a safe single path segment, else raise."""
-    if not _NAME_RE.fullmatch(name) or set(name) <= {"."}:
+    """Return ``name`` if it is a safe single path segment, else raise.
+    The leading-alphanumeric requirement already excludes '', '.', '..'
+    and every all-dots name."""
+    if not _NAME_RE.fullmatch(name):
         raise ValueError(
             f"invalid dataset name {name!r}: expected [A-Za-z0-9._-]+ "
             "starting with an alphanumeric"
@@ -207,6 +209,20 @@ class DataLake:
         swap and the temp dir is cleaned up on failure.
         """
         path = self._path(layer, name)
+        tmp = path + ".__compacting__"
+        old = path + ".__precompact__"
+        # recover from a previous compaction that died mid-swap: `old` with
+        # no `path` means the first rename landed but the second didn't —
+        # restore the original; `old` alongside `path` means only the final
+        # cleanup was missed — drop the stale copy.  A leftover `tmp` is an
+        # unfinished rewrite either way.
+        if os.path.isdir(old):
+            if os.path.isdir(path):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         df = self.spark.read.parquet(path)
         partition_by = partition_by or (
             ["ingest_date"] if "ingest_date" in df.columns else None
@@ -216,8 +232,6 @@ class DataLake:
             len([f for f in fs if f.endswith(".parquet")])
             for _, _, fs in os.walk(path)
         )
-        tmp = path + ".__compacting__"
-        old = path + ".__precompact__"
         try:
             out = df.repartition(*partition_by) if partition_by else df.coalesce(1)
             writer = out.write.mode("overwrite")
@@ -255,7 +269,7 @@ class DataLake:
         name: str,
         layer: str = "bronze",
         partition_col: str = "ingest_date",
-        before: str | dt.date = None,
+        before: str | dt.date | None = None,
     ) -> int:
         """Retention: drop whole ``{partition_col}=VALUE`` directories whose
         date value is older than ``before`` — a pure file-level operation

@@ -155,13 +155,25 @@ async function loadDatasets() {
   }
 }
 
+// Server data is untrusted at render time (a symbol ingested as
+// "<img onerror=...>" must not execute in the Explorer): all dynamic
+// values go through textContent, never innerHTML.
+function el(tag, text) {
+  const node = document.createElement(tag);
+  if (text !== undefined) node.textContent = text;
+  return node;
+}
+
 async function openDataset(name) {
   selectedDataset = name;
   const layer = $('exp-layer').value;
   const info = await call(`/api/datasets/${encodeURIComponent(name)}?layer=${layer}`);
-  $('datasetInfo').innerHTML =
-    `<h3>${name}</h3><p>${info.record_count} records · source ${info.source}` +
-    (info.first_date ? ` · ${info.first_date} → ${info.last_date}` : '') + '</p>';
+  const box = $('datasetInfo');
+  box.replaceChildren(
+    el('h3', name),
+    el('p', `${info.record_count} records · source ${info.source}` +
+            (info.first_date ? ` · ${info.first_date} → ${info.last_date}` : '')),
+  );
   $('dataActions').style.display = 'block';
   const rows = await call(`/api/data/${layer}/${encodeURIComponent(name)}?limit=100`);
   renderPreview(rows);
@@ -169,12 +181,20 @@ async function openDataset(name) {
 
 function renderPreview(rows) {
   const head = $('previewHead'), body = $('previewBody');
-  head.innerHTML = ''; body.innerHTML = '';
-  if (!rows.length) { body.innerHTML = '<tr><td>empty dataset</td></tr>'; return; }
+  head.replaceChildren(); body.replaceChildren();
+  if (!rows.length) {
+    const tr = el('tr'); tr.appendChild(el('td', 'empty dataset'));
+    body.appendChild(tr);
+    return;
+  }
   const cols = Object.keys(rows[0]);
-  head.innerHTML = '<tr>' + cols.map(c => `<th>${c}</th>`).join('') + '</tr>';
+  const hr = el('tr');
+  for (const c of cols) hr.appendChild(el('th', c));
+  head.appendChild(hr);
   for (const r of rows) {
-    body.innerHTML += '<tr>' + cols.map(c => `<td>${r[c] ?? ''}</td>`).join('') + '</tr>';
+    const tr = el('tr');
+    for (const c of cols) tr.appendChild(el('td', r[c] ?? ''));
+    body.appendChild(tr);
   }
 }
 

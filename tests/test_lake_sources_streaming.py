@@ -298,3 +298,37 @@ def test_lake_compaction_and_retention(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         lake.expire_partitions("smallfiles")  # cutoff must be explicit
+
+
+def test_lake_compaction_crash_recovery(spark, tmp_path):
+    """compact() must self-heal the three crash states a died swap leaves:
+    (a) leftover tmp dir, (b) old copy alongside the new table, (c) old
+    copy with the table dir missing entirely."""
+    import os
+    import shutil
+
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [("2024-01-01", i) for i in range(20)], "ingest_date string, v long"
+    ).withColumn("ingest_date", F.col("ingest_date").cast("date"))
+    lake.save(df, "crashy", mode="append")
+    path = lake._path("bronze", "crashy")
+
+    # (a) stale unfinished rewrite
+    os.makedirs(path + ".__compacting__/junk")
+    stats = lake.compact("crashy")
+    assert stats["rows"] == 20 and not os.path.isdir(path + ".__compacting__")
+
+    # (b) crash after the new table landed but before old-copy cleanup
+    shutil.copytree(path, path + ".__precompact__")
+    stats = lake.compact("crashy")
+    assert stats["rows"] == 20 and not os.path.isdir(path + ".__precompact__")
+
+    # (c) crash between the two renames: only the old copy exists
+    os.rename(path, path + ".__precompact__")
+    stats = lake.compact("crashy")
+    assert stats["rows"] == 20
+    assert lake.read("crashy").count() == 20
+    assert not os.path.isdir(path + ".__precompact__")

@@ -332,3 +332,46 @@ def test_lake_compaction_crash_recovery(spark, tmp_path):
     assert stats["rows"] == 20
     assert lake.read("crashy").count() == 20
     assert not os.path.isdir(path + ".__precompact__")
+
+
+def test_stream_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
+    """leftOuter: unmatched left rows emit with nulls once the watermark
+    passes their match interval (driven here by a second, later file that
+    advances the watermark past batch 1)."""
+    from real_time_financial_data_pipeline_spark.streaming.ingest import file_stream
+    from real_time_financial_data_pipeline_spark.streaming.joins import stream_interval_join
+
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    pdf1 = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 100), ("u2", "2024-01-01 10:00:00", 101)],
+        "p_user string, p_ts string, purchase_id long",
+    ).withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    cdf1 = spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", 200)], "c_user string, c_ts string, click_id long"
+    ).withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+    pdf2 = spark.createDataFrame(
+        [("u9", "2024-01-02 10:00:00", 900)], "p_user string, p_ts string, purchase_id long"
+    ).withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    cdf2 = spark.createDataFrame(
+        [("u9", "2024-01-02 09:30:00", 901)], "c_user string, c_ts string, click_id long"
+    ).withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+    pdf1.coalesce(1).write.parquet(p_dir)
+    cdf1.coalesce(1).write.parquet(c_dir)
+    pdf2.coalesce(1).write.mode("append").parquet(p_dir)
+    cdf2.coalesce(1).write.mode("append").parquet(c_dir)
+
+    joined = stream_interval_join(
+        file_stream(spark, p_dir, pdf1.schema, max_files_per_trigger=1),
+        file_stream(spark, c_dir, cdf1.schema, max_files_per_trigger=1),
+        [("p_user", "c_user")], "p_ts", "c_ts",
+        lookback="1 hour", watermark="10 minutes", how="leftOuter",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName("t_ssjoin_outer")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (r.purchase_id, r.click_id) for r in spark.table("t_ssjoin_outer").collect()
+    )
+    assert rows == [(100, 200), (101, None), (900, 901)]

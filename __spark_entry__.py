@@ -257,6 +257,25 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over events: nullability, range, set
+    membership and key uniqueness — every rule evaluated in ONE conditional
+    aggregate pass (the ingest-gating shape that scales)."""
+    from real_time_financial_data_pipeline_spark.operators import quality as Q
+
+    ev = load_table(spark, sf_dir, "events")
+    return Q.check(
+        ev,
+        [
+            Q.not_null("user_id"),
+            Q.not_null("ts"),
+            Q.in_range("value", 0, 1000),
+            Q.in_set("event_type", ["click", "view", "purchase", "scroll", "search"]),
+        ],
+        unique_cols=["event_id"],
+    )
+
+
 def _cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user cardinality per series (the HLL++ sketch twin is
     ``cardinality_stats(..., approx=True)`` — tolerance-tested, not
@@ -759,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _value_percentiles,
         "value_histogram": _value_histogram,
         "cardinality_stats": _cardinality_stats,
+        "events_quality_report": _events_quality_report,
         "asof_purchase_click": _asof_purchase_click,
         "gap_fill_daily": _gap_fill_daily,
         "events_with_lag": _events_with_lag,
@@ -1149,6 +1169,31 @@ def oracle_sql() -> dict[str, str]:
     sqls["cardinality_stats"] = """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         FROM events GROUP BY 1
+    """
+    # the same rule predicates, evaluated engine-side in DuckDB (violation =
+    # predicate false OR null, exactly as Q.check counts them)
+    sqls["events_quality_report"] = """
+        WITH agg AS (
+            SELECT count(*) AS total,
+                   sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v_user,
+                   sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS v_ts,
+                   sum(CASE WHEN value >= 0 AND value <= 1000 THEN 0 ELSE 1 END) AS v_range,
+                   sum(CASE WHEN event_type IN ('click','view','purchase','scroll','search')
+                        THEN 0 ELSE 1 END) AS v_set,
+                   count(*) - count(DISTINCT event_id) AS v_uniq
+            FROM events
+        )
+        SELECT r.rule,
+               CAST(r.violations AS BIGINT) AS violations,
+               CAST(agg.total AS BIGINT) AS total,
+               r.violations = 0 AS passed
+        FROM agg, LATERAL (VALUES
+            ('user_id_not_null', v_user),
+            ('ts_not_null', v_ts),
+            ('value_in_range', v_range),
+            ('event_type_in_set', v_set),
+            ('event_id_unique', v_uniq)
+        ) AS r(rule, violations)
     """
     sqls["asof_purchase_click"] = """
         WITH purchases AS (

@@ -165,3 +165,36 @@ def test_percentiles_exact_vs_approx_tolerance(spark):
         for p, plo, phi in [(50, 49, 51), (90, 89, 91), (99, 98, 100)]:
             a = approx[k][f"p{p}"]
             assert lo[k][f"p{plo}"] <= a <= hi[k][f"p{phi}"], (k, p, a, exact[k][f"p{p}"])
+
+
+def test_quality_check_counts_planted_violations(spark):
+    """Each rule counts exactly its planted violations (null predicate
+    results count as failures); uniqueness = total - distinct."""
+    from real_time_financial_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 50.0),
+            (2, "click", -1.0),     # range violation
+            (3, "bogus", 10.0),     # set violation
+            (None, "view", 20.0),   # null violation
+            (4, None, None),        # set (null) + range (null) violations
+            (4, "view", 30.0),      # duplicate id
+        ],
+        "id long, kind string, v double",
+    )
+    out = {r.rule: (r.violations, r.total, r.passed) for r in Q.check(
+        df,
+        [Q.not_null("id"), Q.in_range("v", 0, 100), Q.in_set("kind", ["click", "view"])],
+        unique_cols=["id"],
+    ).collect()}
+    assert out["id_not_null"] == (1, 6, False)
+    assert out["v_in_range"] == (2, 6, False)   # -1 and NULL both fail
+    assert out["kind_in_set"] == (2, 6, False)  # 'bogus' and NULL both fail
+    # count_distinct ignores the NULL id: 6 rows - 4 distinct non-null = 2
+    assert out["id_unique"] == (2, 6, False)
+
+    clean = spark.createDataFrame([(1, "click", 5.0)], "id long, kind string, v double")
+    assert all(r.passed for r in Q.check(
+        clean, [Q.not_null("id"), Q.in_range("v", 0, 100)], unique_cols=["id"]
+    ).collect())

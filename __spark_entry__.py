@@ -257,6 +257,14 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-5 non-stopword terms per source
+    (explode → partial-agg count → per-group top-k window)."""
+    from real_time_financial_data_pipeline_spark.operators.text import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def _events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over events: nullability, range, set
     membership and key uniqueness — every rule evaluated in ONE conditional
@@ -779,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _value_histogram,
         "cardinality_stats": _cardinality_stats,
         "events_quality_report": _events_quality_report,
+        "top_terms_by_source": _top_terms_by_source,
         "asof_purchase_click": _asof_purchase_click,
         "gap_fill_daily": _gap_fill_daily,
         "events_with_lag": _events_with_lag,
@@ -1169,6 +1178,24 @@ def oracle_sql() -> dict[str, str]:
     sqls["cardinality_stats"] = """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         FROM events GROUP BY 1
+    """
+    sqls["top_terms_by_source"] = """
+        WITH toks AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, term, count(*) AS n
+            FROM toks
+            WHERE term != ''
+              AND term NOT IN ('the','a','and','of','to','in','is','on','for','as')
+            GROUP BY 1, 2
+        )
+        SELECT source, term, CAST(n AS BIGINT) AS n, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY n DESC, term) AS rank
+            FROM counts
+        ) WHERE rank <= 5
     """
     # the same rule predicates, evaluated engine-side in DuckDB (violation =
     # predicate false OR null, exactly as Q.check counts them)

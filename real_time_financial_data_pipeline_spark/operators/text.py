@@ -152,6 +152,40 @@ def doc_grams(
     return staged.select(F.col(id_col), ngrams(F.col("_toks"), n).alias(out_col))
 
 
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k most frequent terms per group (corpus vocabulary profiling).
+
+    explode(tokens) → one hash aggregate on (group, term) with map-side
+    combine → per-group top-k window on the (small) term-count table.
+    The shuffle carries (group, term, partial count) — independent of
+    corpus size for a bounded vocabulary, which is what makes this viable
+    at 100 TB.  Ranking breaks count ties on term order, so the k-set and
+    ranks are deterministic.
+    """
+    from pyspark.sql import Window
+
+    stopwords = STOPWORDS if stopwords is None else stopwords
+    staged = _staged_tokens(df, text_col, [F.col(group_col)])
+    counts = (
+        staged.select(group_col, F.explode("_toks").alias("term"))
+        .filter(~F.col("term").isin(*stopwords) if stopwords else F.lit(True))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "term", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized token stream) —
     the reference's filename-identity idea upgraded to content identity.

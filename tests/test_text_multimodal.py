@@ -109,3 +109,21 @@ def test_frame_sample_plan(spark):
     )
     plan = frame_sample_plan(media, 1.0).collect()
     assert [r.frame_ts for r in plan] == [0.0, 1.0, 2.0]  # only the video, sampled
+
+
+def test_top_terms_ranks_and_excludes_stopwords(spark):
+    from real_time_financial_data_pipeline_spark.operators.text import top_terms
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "apple apple apple banana banana the the the the cherry"),
+            ("s2", "dog dog cat"),
+        ],
+        "source string, text string",
+    )
+    out = {(r.source, r.rank): (r.term, r.n) for r in top_terms(df, k=2).collect()}
+    assert out[("s1", 1)] == ("apple", 3)   # 'the' excluded despite 4 hits
+    assert out[("s1", 2)] == ("banana", 2)
+    assert out[("s2", 1)] == ("dog", 2)
+    assert out[("s2", 2)] == ("cat", 1)
+    assert ("s1", 3) not in out  # k bound holds

@@ -94,3 +94,56 @@ def test_fingerprint_equals_iff_normalized_tokens_equal(spark, texts):
     for i in fps:
         for j in fps:
             assert (fps[i] == fps[j]) == (norm[i] == norm[j])
+
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9999),            # unique row id (tiebreak)
+        st.sampled_from(["k1", "k2"]),   # key
+        st.integers(0, 100),             # timestamp offset (seconds) — ties allowed
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(left_rows=_asof_rows, right_rows=_asof_rows)
+@_settings
+def test_asof_join_matches_brute_force_reference(spark, left_rows, right_rows):
+    """For ANY inputs (including tied right timestamps), asof_join must
+    equal the brute-force definition: per left row, the right row with the
+    max (ts, tiebreak) among those with ts <= left.ts and the same key."""
+    import datetime as dt
+
+    from real_time_financial_data_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(rid, k, base + dt.timedelta(seconds=s), v) for rid, k, s, v in left_rows],
+        "event_id long, key string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, base + dt.timedelta(seconds=s), v) for rid, k, s, v in right_rows],
+        "quote_id long, key string, ts timestamp, px double",
+    )
+    got = {
+        r.event_id: (r.asof_ts, r.px_asof)
+        for r in asof_join(
+            left, right, ["key"], "ts", ["px"], right_tiebreak_col="quote_id"
+        ).collect()
+    }
+
+    for rid, k, s, _v in left_rows:
+        lts = base + dt.timedelta(seconds=s)
+        cands = [
+            (base + dt.timedelta(seconds=rs), rq, rv)
+            for rq, rk, rs, rv in right_rows
+            if rk == k and base + dt.timedelta(seconds=rs) <= lts
+        ]
+        if not cands:
+            assert got[rid] == (None, None), rid
+        else:
+            best = max(cands, key=lambda c: (c[0], c[1]))  # max (ts, tiebreak)
+            assert got[rid] == (best[0], best[2]), (rid, got[rid], best)

@@ -147,3 +147,44 @@ def test_asof_join_matches_brute_force_reference(spark, left_rows, right_rows):
         else:
             best = max(cands, key=lambda c: (c[0], c[1]))  # max (ts, tiebreak)
             assert got[rid] == (best[0], best[2]), (rid, got[rid], best)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).map(
+        lambda p: (min(p), max(p) + 1)  # id_a < id_b always
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edges)
+@_settings
+def test_resolve_dup_clusters_any_graph_matches_union_find(spark, edges):
+    """Both execution paths (driver union-find and distributed min-label
+    propagation) must produce min-of-component labels for ANY pair graph,
+    including cycles, chains and self-contained cliques."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import resolve_dup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(list(set(edges)), "id_a long, id_b long")
+    for threshold in (10**6, 0):  # driver path, then distributed path
+        got = {
+            r.doc_id: r.canonical_id
+            for r in resolve_dup_clusters(pairs, driver_threshold=threshold).collect()
+        }
+        assert got == expected, f"threshold={threshold}"

@@ -39,13 +39,18 @@ def in_range(col: str, lo, hi) -> Rule:
     return Rule(f"{col}_in_range", f"{col} >= {lo} AND {col} <= {hi}")
 
 
+def _quote(v: str) -> str:
+    # SQL string literal with embedded quotes doubled — a value like
+    # "o'brien" must not break (or widen) the generated predicate
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def in_set(col: str, values: list[str]) -> Rule:
-    quoted = ", ".join(f"'{v}'" for v in values)
-    return Rule(f"{col}_in_set", f"{col} IN ({quoted})")
+    return Rule(f"{col}_in_set", f"{col} IN ({', '.join(_quote(v) for v in values)})")
 
 
 def matches(col: str, regex: str) -> Rule:
-    return Rule(f"{col}_matches", f"{col} RLIKE '{regex}'")
+    return Rule(f"{col}_matches", f"{col} RLIKE {_quote(regex)}")
 
 
 def check(
@@ -60,12 +65,17 @@ def check(
     (row count), ``passed``.  ``unique_cols`` adds a ``<cols>_unique`` rule
     whose violation count is ``total - distinct``.
     """
+    # positional aliases: two rules may share a name (warning + hard band on
+    # one column) — name-derived aliases would be ambiguous references.
+    # coalesce: sum() over zero rows is NULL — an empty (valid) batch must
+    # report 0 violations / passed=true, not nulls.
     aggs = [F.count(F.lit(1)).alias("_total")]
-    for r in rules:
+    for i, r in enumerate(rules):
         aggs.append(
-            F.sum(
-                F.when(F.expr(r.predicate), F.lit(0)).otherwise(F.lit(1))
-            ).alias(f"_v_{r.name}")
+            F.coalesce(
+                F.sum(F.when(F.expr(r.predicate), F.lit(0)).otherwise(F.lit(1))),
+                F.lit(0),
+            ).alias(f"_v_{i}")
         )
     if unique_cols:
         aggs.append(F.count_distinct(*[F.col(c) for c in unique_cols]).alias("_dist"))
@@ -82,8 +92,8 @@ def check(
         )
 
     reports = [
-        _report(r.name, F.col(f"_v_{r.name}"), F.col(f"_v_{r.name}") == 0)
-        for r in rules
+        _report(r.name, F.col(f"_v_{i}"), F.col(f"_v_{i}") == 0)
+        for i, r in enumerate(rules)
     ]
     if unique_cols:
         uname = "_".join(unique_cols) + "_unique"

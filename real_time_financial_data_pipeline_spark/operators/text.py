@@ -163,18 +163,22 @@ def top_terms(
 
     explode(tokens) → one hash aggregate on (group, term) with map-side
     combine → per-group top-k window on the (small) term-count table.
-    The shuffle carries (group, term, partial count) — independent of
-    corpus size for a bounded vocabulary, which is what makes this viable
-    at 100 TB.  Ranking breaks count ties on term order, so the k-set and
-    ranks are deterministic.
+    Tokenize + explode run in the SAME stage as the scan (no staging
+    repartition: the token array is consumed exactly once, so the
+    interpreted-HOF re-evaluation problem _staged_tokens exists for
+    doesn't apply), and the only shuffle carries (group, term, partial
+    count) — bounded by vocabulary, not corpus, which is what makes this
+    viable at 100 TB.  Ranking breaks count ties on term order, so the
+    k-set and ranks are deterministic.
     """
     from pyspark.sql import Window
 
     stopwords = STOPWORDS if stopwords is None else stopwords
-    staged = _staged_tokens(df, text_col, [F.col(group_col)])
+    exploded = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
     counts = (
-        staged.select(group_col, F.explode("_toks").alias("term"))
-        .filter(~F.col("term").isin(*stopwords) if stopwords else F.lit(True))
+        exploded.filter(~F.col("term").isin(*stopwords) if stopwords else F.lit(True))
         .groupBy(group_col, "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )

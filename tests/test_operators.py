@@ -198,3 +198,20 @@ def test_quality_check_counts_planted_violations(spark):
     assert all(r.passed for r in Q.check(
         clean, [Q.not_null("id"), Q.in_range("v", 0, 100)], unique_cols=["id"]
     ).collect())
+
+
+def test_quality_check_edge_cases(spark):
+    """Empty input reports 0 violations / passed (not nulls); duplicate
+    rule names coexist; quoted values don't break the predicate."""
+    from real_time_financial_data_pipeline_spark.operators import quality as Q
+
+    empty = spark.createDataFrame([], "id long, kind string, v double")
+    rows = Q.check(empty, [Q.not_null("id"), Q.in_range("v", 0, 10)], unique_cols=["id"]).collect()
+    assert all(r.violations == 0 and r.passed and r.total == 0 for r in rows)
+
+    dup = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    out = Q.check(dup, [Q.in_range("v", 0, 10), Q.in_range("v", 0, 4)]).collect()
+    assert [(r.rule, r.violations) for r in out] == [("v_in_range", 0), ("v_in_range", 1)]
+
+    quo = spark.createDataFrame([("o'brien",), ("x",)], "kind string")
+    assert Q.check(quo, [Q.in_set("kind", ["o'brien"])]).collect()[0].violations == 1

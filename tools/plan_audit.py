@@ -40,6 +40,8 @@ CHECKS = {
                           pre_agg_key="l_orderkey"),
     "simhash_pairs_docs": dict(no_cartesian=True),
     "cardinality_stats": dict(partial_agg=True, no_cartesian=True),
+    "top_terms_by_source": dict(partial_agg=True, no_cartesian=True),
+    "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "timeseries_purchase": dict(pushed=True),
     "latest_per_user": dict(partial_agg=True),

@@ -335,6 +335,23 @@ def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivoted table back to long form.  Dropping
+    the null cells pivot manufactured for absent (day, type) combos, the
+    round trip must equal the direct per-(day, type) aggregate — which IS
+    the oracle, so pivot→melt losslessness is hash-checked."""
+    wide = _events_pivot_daily(spark, sf_dir)
+    return (
+        wide.melt(
+            ids=["day"],
+            values=["click", "error", "purchase", "signup", "view"],
+            variableColumnName="event_type",
+            valueColumnName="avg_value",
+        )
+        .filter(F.col("avg_value").isNotNull())
+    )
+
+
 def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_rollup(
         load_table(spark, sf_dir, "lineitem"),
@@ -792,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": _gap_fill_daily,
         "events_with_lag": _events_with_lag,
         "events_pivot_daily": _events_pivot_daily,
+        "events_unpivot_daily": _events_unpivot_daily,
         "revenue_rollup": _revenue_rollup,
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
@@ -1268,6 +1286,13 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
                round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
         FROM events GROUP BY 1
+    """
+    sqls["events_unpivot_daily"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
     """
     sqls["revenue_rollup"] = """
         SELECT r_name AS region_name, n_name AS nation_name,

@@ -335,6 +335,43 @@ def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, distinct
+    active users per (cohort, weeks-since) offset — two hash aggregates
+    (first-activity per user, then distinct-per-cell), no window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    first_week = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+             / (7 * 86400)).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def _distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series spread profile: mean / sample stddev / min / max —
+    single partial-aggregated pass (stddev_samp definitions agree across
+    engines; 6-dp rounding absorbs summation-order ulps)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide pivoted table back to long form.  Dropping
     the null cells pivot manufactured for absent (day, type) combos, the
@@ -810,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_with_lag": _events_with_lag,
         "events_pivot_daily": _events_pivot_daily,
         "events_unpivot_daily": _events_unpivot_daily,
+        "user_retention_cohorts": _user_retention_cohorts,
+        "distribution_stats": _distribution_stats,
         "revenue_rollup": _revenue_rollup,
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
@@ -1285,6 +1324,33 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
                round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
                round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+        FROM events GROUP BY 1
+    """
+    sqls["user_retention_cohorts"] = """
+        WITH first_week AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(floor(epoch(a.active_week - f.cohort_week) / (7*86400)) AS BIGINT)
+                   AS weeks_since,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM activity a JOIN first_week f USING (user_id)
+        GROUP BY 1, 2
+    """
+    sqls["distribution_stats"] = """
+        SELECT event_type,
+               round(avg(value), 6) AS mean_value,
+               round(stddev_samp(value), 6) AS stddev_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               count(*) AS n
         FROM events GROUP BY 1
     """
     sqls["events_unpivot_daily"] = """

@@ -335,6 +335,22 @@ def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands) aggregated to the same shape
+    as the streaming session_window query — the two share an oracle
+    definition, proving batch backfill ≡ live stream for sessions."""
+    from real_time_financial_data_pipeline_spark.operators.query import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 minutes")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).drop("session_id")
+
+
 def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, distinct
     active users per (cohort, weeks-since) offset — two hash aggregates
@@ -849,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot_daily": _events_unpivot_daily,
         "user_retention_cohorts": _user_retention_cohorts,
         "distribution_stats": _distribution_stats,
+        "batch_session_stats": _batch_session_stats,
         "revenue_rollup": _revenue_rollup,
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
@@ -1325,6 +1342,29 @@ def oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
                round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
         FROM events GROUP BY 1
+    """
+    # identical oracle text as stream_session_stats: batch gaps-and-islands
+    # and streaming session_window MUST agree on a static backlog
+    sqls["batch_session_stats"] = """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid
     """
     sqls["user_retention_cohorts"] = """
         WITH first_week AS (

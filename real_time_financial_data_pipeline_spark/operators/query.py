@@ -176,6 +176,36 @@ def preview(df: DataFrame, n: int = 100, order_cols: list[str] | None = None) ->
     return out.limit(n)
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: a new session starts wherever
+    the gap to the previous event (per key) exceeds ``gap``; the session id
+    is the running count of such starts.
+
+    Two window functions over ONE (key, time) sort — a single shuffle and
+    per-partition sort regardless of session count, the batch twin of the
+    streaming ``session_window`` (same gap-based semantics, so batch
+    backfills agree with the live stream).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    prev = F.lag(time_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(time_col) - prev) > F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(*key_cols).orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("_new_session", new_session).withColumn(
+        session_col, F.sum("_new_session").over(running).cast("long")
+    ).drop("_new_session")
+
+
 def cardinality_stats(
     df: DataFrame,
     key_cols: list[str],

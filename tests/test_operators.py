@@ -215,3 +215,24 @@ def test_quality_check_edge_cases(spark):
 
     quo = spark.createDataFrame([("o'brien",), ("x",)], "kind string")
     assert Q.check(quo, [Q.in_set("kind", ["o'brien"])]).collect()[0].violations == 1
+
+
+def test_sessionize_assigns_gap_based_ids(spark):
+    from real_time_financial_data_pipeline_spark.operators.query import sessionize
+
+    rows = [
+        ("u", "2024-01-01 10:00:00"), ("u", "2024-01-01 10:20:00"),  # session 1
+        ("u", "2024-01-01 11:30:00"),                                 # gap > 30m -> 2
+        ("u", "2024-01-01 11:59:00"),                                 # still 2
+        ("v", "2024-01-01 10:00:00"),                                 # own key -> 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {(r.user_id, str(r.ts)): r.session_id
+           for r in sessionize(df, ["user_id"], "ts").collect()}
+    assert out[("u", "2024-01-01 10:00:00")] == 1
+    assert out[("u", "2024-01-01 10:20:00")] == 1
+    assert out[("u", "2024-01-01 11:30:00")] == 2
+    assert out[("u", "2024-01-01 11:59:00")] == 2
+    assert out[("v", "2024-01-01 10:00:00")] == 1

@@ -335,6 +335,35 @@ def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: customer as a versioned dimension, one synthetic
+    deterministic update batch (every custkey % 10 == 0 gets +100 balance,
+    effective 2024-06-01).  Changed keys -> closed old version + new
+    current version; all others pass through untouched."""
+    from real_time_financial_data_pipeline_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.round(F.col("c_acctbal"), 2) + 100, 2).alias("acctbal"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("effective_ts"),
+        )
+    )
+    return scd2_apply(
+        dim, updates, ["c_custkey"], ["c_mktsegment", "acctbal"]
+    )
+
+
 def _batch_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands) aggregated to the same shape
     as the streaming session_window query — the two share an oracle
@@ -866,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention_cohorts": _user_retention_cohorts,
         "distribution_stats": _distribution_stats,
         "batch_session_stats": _batch_session_stats,
+        "scd2_customer_dim": _scd2_customer_dim,
         "revenue_rollup": _revenue_rollup,
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
@@ -1365,6 +1395,22 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                round(sum(value), 6) AS sum_value
         FROM sess GROUP BY user_id, sid
+    """
+    sqls["scd2_customer_dim"] = """
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+            FROM customer
+        ),
+        changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+        SELECT d.c_custkey, d.c_mktsegment, d.acctbal, d.valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+        FROM dim d LEFT JOIN changed ch USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, round(round(c_acctbal, 2) + 100, 2),
+               TIMESTAMP '2024-06-01 00:00:00', NULL
+        FROM customer WHERE c_custkey % 10 = 0
     """
     sqls["user_retention_cohorts"] = """
         WITH first_week AS (

@@ -1,0 +1,90 @@
+"""Slowly-changing-dimension (SCD Type 2) merge — versioned dimension
+history with plain DataFrame ops.
+
+Without a transactional table format there is no MERGE INTO; the Type-2
+apply is still expressible as one join + a union of three row classes,
+which is exactly what a 100 TB engine wants anyway (a single shuffle on
+the business key; every branch reuses it):
+
+- HISTORICAL rows (``valid_to`` set) pass through untouched;
+- CURRENT rows with a differing update are CLOSED (``valid_to`` :=
+  update's effective timestamp); unchanged / un-updated current rows pass
+  through;
+- each change INSERTS a new current version (``valid_from`` := effective
+  timestamp, ``valid_to`` NULL).
+
+Updates that equal the current attribute values are no-ops (no spurious
+versions).  The output is a full replacement image of the dimension —
+write it with ``DataLake.save(mode="overwrite")`` or partition-swap it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply a batch of updates to a Type-2 dimension; returns the new full
+    dimension image (same schema as ``dim``).
+
+    ``dim`` carries ``key_cols + attr_cols + valid_from + valid_to``
+    (``valid_to`` NULL marks the current version).  ``updates`` carries
+    ``key_cols + attr_cols + effective_col``.  At most one update per key
+    per batch (pre-aggregate upstream with ``latest_per_key`` otherwise).
+    """
+    hist = dim.filter(F.col(valid_to_col).isNotNull())
+    current = dim.filter(F.col(valid_to_col).isNull())
+
+    up = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols + attr_cols],
+        F.col(effective_col).alias("_u_eff"),
+    )
+    joined = current.join(
+        up, _all([F.col(k) == F.col(f"_u_{k}") for k in key_cols]), "left"
+    )
+
+    # an update "changes" the row if ANY attribute differs (null-safe)
+    changed = _any([~F.col(a).eqNullSafe(F.col(f"_u_{a}")) for a in attr_cols])
+    has_update = F.col("_u_eff").isNotNull()
+
+    closed_or_kept = joined.select(
+        *key_cols,
+        *attr_cols,
+        F.col(valid_from_col),
+        F.when(has_update & changed, F.col("_u_eff")).otherwise(F.col(valid_to_col)).alias(valid_to_col),
+    )
+    new_versions = (
+        joined.filter(has_update & changed)
+        .select(
+            *[F.col(f"_u_{k}").alias(k) for k in key_cols],
+            *[F.col(f"_u_{a}").alias(a) for a in attr_cols],
+            F.col("_u_eff").alias(valid_from_col),
+            F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
+        )
+    )
+    return hist.select(*key_cols, *attr_cols, valid_from_col, valid_to_col).unionByName(
+        closed_or_kept
+    ).unionByName(new_versions)
+
+
+def _all(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _any(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

@@ -236,3 +236,37 @@ def test_sessionize_assigns_gap_based_ids(spark):
     assert out[("u", "2024-01-01 11:30:00")] == 2
     assert out[("u", "2024-01-01 11:59:00")] == 2
     assert out[("v", "2024-01-01 10:00:00")] == 1
+
+
+def test_scd2_apply_versions_only_real_changes(spark):
+    from real_time_financial_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", "2024-01-01 00:00:00", None),          # will change
+            (2, "silver", "2024-01-01 00:00:00", None),        # no-op update
+            (3, "bronze", "2024-01-01 00:00:00", None),        # no update
+            (1, "silver", "2023-01-01 00:00:00", "2024-01-01 00:00:00"),  # history
+        ],
+        "k long, tier string, valid_from string, valid_to string",
+    ).select(
+        "k", "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [(1, "platinum", "2024-06-01 00:00:00"), (2, "silver", "2024-06-01 00:00:00")],
+        "k long, tier string, effective_ts string",
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+
+    out = scd2_apply(dim, updates, ["k"], ["tier"])
+    rows = {(r.k, r.tier, str(r.valid_from), str(r.valid_to)) for r in out.collect()}
+    assert rows == {
+        (1, "silver", "2023-01-01 00:00:00", "2024-01-01 00:00:00"),  # history kept
+        (1, "gold", "2024-01-01 00:00:00", "2024-06-01 00:00:00"),    # closed
+        (1, "platinum", "2024-06-01 00:00:00", "None"),               # new current
+        (2, "silver", "2024-01-01 00:00:00", "None"),                 # no-op: untouched
+        (3, "bronze", "2024-01-01 00:00:00", "None"),                 # no update
+    }
+    # exactly one current version per live key
+    assert out.filter(F.col("valid_to").isNull()).count() == 3

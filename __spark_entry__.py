@@ -323,13 +323,18 @@ def _events_with_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("delta", F.round("delta", 6))
 
 
+# one list shared by pivot AND melt — a type added to only one side would
+# silently drop a column (melt) or desync the round-trip oracle
+_PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
 def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return pivot_series(
         ev,
         F.date_trunc("day", F.col("ts")),
         "event_type",
-        ["click", "error", "purchase", "signup", "view"],
+        _PIVOT_EVENT_TYPES,
         "value",
         "day",
     )
@@ -426,7 +431,7 @@ def _events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         wide.melt(
             ids=["day"],
-            values=["click", "error", "purchase", "signup", "view"],
+            values=_PIVOT_EVENT_TYPES,
             variableColumnName="event_type",
             valueColumnName="avg_value",
         )

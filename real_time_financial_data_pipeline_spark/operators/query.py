@@ -201,9 +201,13 @@ def sessionize(
     running = Window.partitionBy(*key_cols).orderBy(time_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return df.withColumn("_new_session", new_session).withColumn(
-        session_col, F.sum("_new_session").over(running).cast("long")
-    ).drop("_new_session")
+    # collision-safe temp name: the input may legitimately carry any column
+    tmp = "_new_session"
+    while tmp in df.columns:
+        tmp += "_"
+    return df.withColumn(tmp, new_session).withColumn(
+        session_col, F.sum(tmp).over(running).cast("long")
+    ).drop(tmp)
 
 
 def cardinality_stats(

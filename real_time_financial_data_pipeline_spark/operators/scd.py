@@ -20,6 +20,9 @@ write it with ``DataLake.save(mode="overwrite")`` or partition-swap it.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,15 +41,24 @@ def scd2_apply(
 
     ``dim`` carries ``key_cols + attr_cols + valid_from + valid_to``
     (``valid_to`` NULL marks the current version).  ``updates`` carries
-    ``key_cols + attr_cols + effective_col``.  At most one update per key
-    per batch (pre-aggregate upstream with ``latest_per_key`` otherwise).
+    ``key_cols + attr_cols + effective_col`` — keys absent from the
+    dimension INSERT as brand-new current rows (the MERGE "not matched"
+    branch).  At most one update per key per batch (pre-aggregate
+    upstream with ``latest_per_key`` otherwise); a NULL effective
+    timestamp is invalid input and raises.
     """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_apply requires non-empty key_cols and attr_cols")
+    if updates.filter(F.col(effective_col).isNull()).limit(1).count():
+        raise ValueError(f"scd2_apply: {effective_col} must be non-null on every update")
+
     hist = dim.filter(F.col(valid_to_col).isNotNull())
     current = dim.filter(F.col(valid_to_col).isNull())
 
     up = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols + attr_cols],
         F.col(effective_col).alias("_u_eff"),
+        F.lit(True).alias("_u_matched"),  # join-presence flag; never null-ambiguous
     )
     joined = current.join(
         up, _all([F.col(k) == F.col(f"_u_{k}") for k in key_cols]), "left"
@@ -54,7 +66,7 @@ def scd2_apply(
 
     # an update "changes" the row if ANY attribute differs (null-safe)
     changed = _any([~F.col(a).eqNullSafe(F.col(f"_u_{a}")) for a in attr_cols])
-    has_update = F.col("_u_eff").isNotNull()
+    has_update = F.coalesce(F.col("_u_matched"), F.lit(False))
 
     closed_or_kept = joined.select(
         *key_cols,
@@ -71,20 +83,28 @@ def scd2_apply(
             F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
         )
     )
-    return hist.select(*key_cols, *attr_cols, valid_from_col, valid_to_col).unionByName(
-        closed_or_kept
-    ).unionByName(new_versions)
+    # MERGE "not matched": update keys with no current dimension row insert
+    # as new current versions (anti-join against the current key set)
+    inserts = (
+        updates.join(current.select(*key_cols), key_cols, "left_anti")
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col(effective_col).alias(valid_from_col),
+            F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
+        )
+    )
+    return (
+        hist.select(*key_cols, *attr_cols, valid_from_col, valid_to_col)
+        .unionByName(closed_or_kept)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )
 
 
 def _all(cols: list[Column]) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = out & c
-    return out
+    return functools.reduce(operator.and_, cols)
 
 
 def _any(cols: list[Column]) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = out | c
-    return out
+    return functools.reduce(operator.or_, cols)

@@ -270,3 +270,21 @@ def test_scd2_apply_versions_only_real_changes(spark):
     }
     # exactly one current version per live key
     assert out.filter(F.col("valid_to").isNull()).count() == 3
+
+    # MERGE "not matched": an update for a key absent from the dimension
+    # inserts a brand-new current row (previously silently dropped)
+    new_key = spark.createDataFrame(
+        [(42, "iron", "2024-06-01 00:00:00")], "k long, tier string, effective_ts string"
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    out2 = scd2_apply(dim, new_key, ["k"], ["tier"]).filter(F.col("k") == 42).collect()
+    assert len(out2) == 1 and out2[0].tier == "iron" and out2[0].valid_to is None
+    assert str(out2[0].valid_from) == "2024-06-01 00:00:00"
+
+    # invalid input fails loudly instead of silently no-opping
+    null_eff = spark.createDataFrame(
+        [(1, "x", None)], "k long, tier string, effective_ts timestamp"
+    )
+    with pytest.raises(ValueError):
+        scd2_apply(dim, null_eff, ["k"], ["tier"])
+    with pytest.raises(ValueError):
+        scd2_apply(dim, updates, ["k"], [])

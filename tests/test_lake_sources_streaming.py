@@ -334,6 +334,69 @@ def test_lake_compaction_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(path + ".__precompact__")
 
 
+@pytest.mark.parametrize("exactly_once", [False, True])
+def test_compaction_between_ingest_microbatches_no_loss(spark, tmp_path, exactly_once):
+    """Compose the two lake-maintenance features a real deployment runs
+    together: an ongoing incremental ingest (checkpointed file stream →
+    bronze) with ``compact()`` run between drains — the nightly-maintenance
+    protocol for a rename-swap lake (the swap is atomic for readers but not
+    for concurrent writers, so compaction runs in the gap between
+    micro-batches).  Invariants across the swap:
+
+    - every previously ingested row survives compaction byte-for-byte;
+    - the ingest RESUMES from its checkpoint afterwards (the source
+      checkpoint tracks source files, not sink layout, so the rewrite must
+      not confuse it) — no re-ingestion, no gaps;
+    - with ``exactly_once=True`` the ``_batch_id`` partition layout is
+      preserved and later batches land in fresh partitions."""
+    import os as _os
+
+    from real_time_financial_data_pipeline_spark.streaming.ingest import (
+        file_stream,
+        ingest_to_bronze,
+    )
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    bronze = _os.path.join(str(tmp_path / "lake"), "bronze", "stream_bronze")
+    schema = spark.createDataFrame([], "id long, v double").schema
+
+    def drop(ids):
+        spark.createDataFrame([(i, float(i)) for i in ids], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def drain():
+        q = ingest_to_bronze(
+            file_stream(spark, src, schema),
+            bronze, ckpt, trigger_available_now=True, exactly_once=exactly_once,
+        )
+        q.awaitTermination(120)
+
+    drop(range(0, 10))
+    drop(range(10, 20))
+    drop(range(20, 30))
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(bronze).collect()) == list(range(30))
+
+    stats = lake.compact(
+        "stream_bronze", partition_by=["_batch_id"] if exactly_once else None
+    )
+    assert stats["rows"] == 30
+    assert stats["files_after"] <= stats["files_before"]
+    assert sorted(r.id for r in spark.read.parquet(bronze).collect()) == list(range(30))
+
+    drop(range(30, 40))
+    drop(range(40, 50))
+    drain()
+    got = sorted(r.id for r in spark.read.parquet(bronze).collect())
+    assert got == list(range(50))  # no loss, no duplicates across the swap
+    if exactly_once:
+        parts = {d for d in _os.listdir(bronze) if d.startswith("_batch_id=")}
+        assert len(parts) == 5  # 3 compacted + 2 post-compaction batches
+
+
 def test_stream_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
     """leftOuter: unmatched left rows emit with nulls once the watermark
     passes their match interval (driven here by a second, later file that

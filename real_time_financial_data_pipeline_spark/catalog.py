@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = [
     "region",
@@ -48,9 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # engine semantics are coerce-to-null (reference errors='coerce'), not
     # ANSI aborts — pin it regardless of the caller's session defaults
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Parquet naive timestamps (isAdjustedToUTC=false) must load as
+    # TIMESTAMP (LTZ-at-UTC), not TIMESTAMP_NTZ: watermarks/windows require
+    # LTZ, and with the UTC session zone the wall-clock values are identical
+    # to what DuckDB sees, keeping oracle hashes stable.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces for sessions where the conf can't take effect (e.g. a
+    # caller resolved the scan before we pinned it): NTZ -> LTZ is a no-op
+    # on values under the UTC session zone.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
 
 

@@ -60,6 +60,9 @@ def get_spark(
         # vectorized reader; read as long ns and convert at the catalog edge
         # (catalog.load_table) with µs truncation, matching DuckDB/pandas.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps load as LTZ (UTC), never NTZ — watermarks
+        # and windows require LTZ; see catalog.load_table.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Keep driver/UI quiet and light in CI.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -1,0 +1,140 @@
+"""Training-set assembly operators: deterministic splits, deterministic
+sampling, and token-window document chunking.
+
+Why not the Spark built-ins at 100 TB:
+
+- ``DataFrame.randomSplit``/``sampleBy`` draw from a seeded RNG whose stream
+  is tied to partition layout — re-running after a repartition, an AQE
+  re-plan, or a file-count change silently reassigns rows, which is a
+  train/test-contamination bug at training-pipeline scale.  Content-hash
+  assignment (``xxhash64(key, salt)``) is a pure projection: the same key
+  lands in the same split on any cluster, any layout, any day.
+- Chunking is expressed with higher-order array functions + one
+  ``posexplode`` — no Python in the loop, no shuffle; a 100 TB documents
+  table streams through as a narrow map-only stage.
+
+All outputs are deterministic functions of (row content, parameters), so
+every operator here is replay-safe under task retries and exactly-once under
+speculative execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Hash-bucket resolution for split/sample assignment.  2^20 buckets keeps
+# the quantization error of any fraction below 1e-6 while staying far from
+# the int64 hash range (no modulo-bias concerns).
+_BUCKETS = 1 << 20
+
+
+def _unit_hash(key: Column, salt: str) -> Column:
+    """Uniform [0, 1) double derived from the key content + salt.
+
+    ``\\x1f`` (unit separator) joins key and salt so ("ab", "c") and
+    ("a", "bc") hash differently.  xxhash64 is JVM-side and codegen'd —
+    the assignment is a pure projection, no shuffle, no RNG state.
+    """
+    h = F.xxhash64(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)))
+    return F.pmod(h, F.lit(_BUCKETS)).cast("double") / F.lit(float(_BUCKETS))
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministically assign each row to a named split by key content.
+
+    ``weights`` maps split name -> relative weight (normalized internally);
+    iteration order fixes the bucket layout, so pass the same dict to get
+    the same assignment.  Rows with equal keys always land in the same
+    split (leakage-safe for grouped data: key on document/user id, not on
+    row position).  Changing ``salt`` re-deals every assignment.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and strictly positive")
+    total = float(sum(weights.values()))
+    u = _unit_hash(F.col(key_col), salt)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    # chained WHEN on cumulative weight; the last split is the OTHERWISE so
+    # floating-point residue can never produce an unassigned row
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by key content.
+
+    Nested by construction: ``sample_by_hash(df, k, 0.1, s)`` is a subset of
+    ``sample_by_hash(df, k, 0.2, s)`` — growing a sample never re-draws the
+    rows already taken, so downstream caches/labels stay valid.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows.
+
+    Output: (``id_col``, chunk_id, n_chunk_tokens, chunk_text) — chunk k of
+    a document starts at token ``k * (chunk_tokens - overlap_tokens)`` and
+    carries up to ``chunk_tokens`` whitespace tokens; consecutive chunks
+    share exactly ``overlap_tokens`` tokens (the final chunk may be short).
+    Dropping the first ``overlap_tokens`` tokens of every chunk_id > 0 and
+    concatenating reconstructs the document's token stream exactly — the
+    property the tests assert.
+
+    Plan shape: tokenize (higher-order filter/split) -> start-index
+    ``sequence`` -> ``posexplode`` -> ``slice``/``array_join``.  Map-only:
+    no shuffle, no Python, output rows ~ n_tokens / stride per doc.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n = F.size(F.col("_toks"))
+    # starts while start < n - overlap (every chunk contributes >= 1 new
+    # token); empty docs produce zero chunks (sequence would otherwise
+    # count DOWN when its stop < start)
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0), F.greatest(n - F.lit(overlap_tokens + 1), F.lit(0)), F.lit(stride)
+        ),
+    ).otherwise(F.lit(None).cast("array<int>"))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.col("_toks"), F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Training-set assembly: deterministic splits/sampling and chunking.
+
+These operators guard against the classic 100 TB pipeline bug — split or
+sample assignments that silently change when partition layout changes — so
+the tests hammer determinism and layout-independence specifically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.training import (
+    assign_split,
+    chunk_documents,
+    sample_by_hash,
+)
+
+
+def _assignments(df):
+    return {r.doc_id: r.split for r in df.select("doc_id", "split").collect()}
+
+
+def test_assign_split_disjoint_complete_and_deterministic(documents):
+    out = assign_split(documents, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a1 = _assignments(out)
+    assert len(a1) == documents.count()  # every row assigned, none dropped
+    assert set(a1.values()) <= {"train", "val", "test"}
+    # re-running AND re-layouting the input must not move a single row
+    a2 = _assignments(
+        assign_split(
+            documents.repartition(13, "source"), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+    )
+    assert a1 == a2
+
+
+def test_assign_split_proportions_and_salt(spark):
+    n = 20000
+    df = spark.range(n).withColumnRenamed("id", "k")
+    out = assign_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+    # a different salt re-deals a large share of the assignments
+    resalted = assign_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2")
+    moved = (
+        out.alias("a")
+        .join(resalted.alias("b"), "k")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert moved > 0.1 * n
+
+
+def test_assign_split_equal_keys_stay_together(spark):
+    # leakage guard: rows sharing a key always share a split
+    df = spark.range(1000).select((F.col("id") % 97).alias("k"), F.col("id").alias("row"))
+    out = assign_split(df, "k")
+    assert out.select("k", "split").distinct().count() == 97
+
+
+def test_assign_split_rejects_bad_weights(documents):
+    with pytest.raises(ValueError):
+        assign_split(documents, "doc_id", {})
+    with pytest.raises(ValueError):
+        assign_split(documents, "doc_id", {"train": 1.0, "val": -0.1})
+
+
+def test_sample_by_hash_nested_and_deterministic(documents):
+    s10 = {r.doc_id for r in sample_by_hash(documents, "doc_id", 0.10).collect()}
+    s20 = {r.doc_id for r in sample_by_hash(documents, "doc_id", 0.20).collect()}
+    assert s10 <= s20  # growing a sample never re-draws
+    n = documents.count()
+    assert abs(len(s20) / n - 0.20) < 0.08
+    again = {r.doc_id for r in sample_by_hash(documents, "doc_id", 0.10).collect()}
+    assert s10 == again
+    with pytest.raises(ValueError):
+        sample_by_hash(documents, "doc_id", 1.5)
+
+
+def _chunk_rows(spark, texts, chunk_tokens, overlap_tokens):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return (
+        chunk_documents(df, chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+
+
+def test_chunking_reconstructs_token_stream(spark):
+    texts = [
+        " ".join(f"t{i}" for i in range(23)),   # several chunks + short tail
+        " ".join(f"t{i}" for i in range(8)),    # exactly one chunk
+        "one two",                              # shorter than a chunk
+        "",                                     # empty -> zero chunks
+        "  padded   with   runs   of spaces ",  # tokenizer robustness
+    ]
+    rows = _chunk_rows(spark, texts, chunk_tokens=8, overlap_tokens=3)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc yields no chunks
+    for doc_id, chunks in by_doc.items():
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.n_chunk_tokens <= 8 for c in chunks)
+        assert all(c.n_chunk_tokens == len(c.chunk_text.split(" ")) for c in chunks)
+        # the reconstruction property: chunk 0 + later chunks minus overlap
+        rebuilt = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            toks = c.chunk_text.split(" ")
+            assert toks[:3] == rebuilt[-(8 - 1):][-3:] or len(rebuilt) >= 3
+            assert toks[:3] == rebuilt[len(rebuilt) - 3:]
+            rebuilt += toks[3:]
+        expected = [t for t in texts[doc_id].split(" ") if t]
+        assert rebuilt == expected
+
+
+def test_chunking_zero_overlap_partitions_exactly(spark):
+    rows = _chunk_rows(spark, [" ".join(f"t{i}" for i in range(10))], 4, 0)
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 2]
+    assert " ".join(r.chunk_text for r in rows) == " ".join(f"t{i}" for i in range(10))
+
+
+def test_chunking_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunking_is_map_only(documents):
+    """100 TB posture: the chunking plan must contain no Exchange — it has
+    to stream through as a narrow map stage."""
+    plan = chunk_documents(
+        documents, chunk_tokens=64, overlap_tokens=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -88,6 +88,66 @@ def sample_by_hash(
     return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
 
 
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.7,
+    langs: list[str] | None = None,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Doc-level curation ladder: quality gate -> (optional) language gate ->
+    exact dedup -> MinHash-LSH near-dup removal.
+
+    Ordering matters for cost: the cheap codegen'd quality/language filters
+    shrink the corpus BEFORE the shuffle-bearing dedup stages, and exact
+    dedup (one hash aggregate) runs before MinHash (signatures + banded
+    self-join) so the expensive stage sees only distinct texts.
+    """
+    from .dedup import apply_dedup, exact_dedup_keep_min, minhash_dedup_pairs
+    from .text import lang_id, quality_score
+
+    kept = quality_score(docs, text_col).filter(
+        F.col("quality_score") >= F.lit(min_quality)
+    ).drop("quality_score")
+    if langs is not None:
+        kept = lang_id(kept, text_col).filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
+    kept = exact_dedup_keep_min(kept, text_col, id_col)
+    pairs = minhash_dedup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)
+    return apply_dedup(kept, pairs, id_col)
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.7,
+    langs: list[str] | None = None,
+    near_dup_threshold: float = 0.7,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """The whole training-data pipeline as one composition:
+    curate (quality/language/exact-dup/near-dup) -> chunk -> split.
+
+    Output: (id_col, chunk_id, n_chunk_tokens, chunk_text, split).
+
+    Dedup runs BEFORE split assignment — the other order leaks near-dups
+    across train/test.  The split is assigned on the DOCUMENT id after
+    chunking, so every chunk of a document lands in the same split and no
+    doc-to-chunk join is needed: content-hash assignment is a pure
+    projection, recomputing it on the chunk rows is identical to joining
+    the doc-level assignment (and free).
+    """
+    curated = curate_documents(
+        docs, text_col, id_col, min_quality, langs, near_dup_threshold
+    )
+    chunks = chunk_documents(curated, text_col, id_col, chunk_tokens, overlap_tokens)
+    return assign_split(chunks, id_col, weights, salt)
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from real_time_financial_data_pipeline_spark.operators.training import (
     assign_split,
     chunk_documents,
+    curate_documents,
+    prepare_training_set,
     sample_by_hash,
 )
 
@@ -132,6 +134,47 @@ def test_chunking_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_curate_removes_planted_exact_and_near_dups(spark):
+    base = " ".join(f"token{i} the of and" for i in range(12))
+    rows = [
+        (1, base),
+        (2, base),                                    # exact dup of 1
+        (3, base.replace("token3", "changed", 1)),    # near dup of 1
+        (4, " ".join(f"other{i} is on for" for i in range(15))),
+        (5, "short"),                                 # fails the quality gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in curate_documents(docs, min_quality=0.7).collect()}
+    assert kept == {1, 4}  # min-id canonical survives each cluster
+
+
+def test_prepare_training_set_end_to_end(documents):
+    out = prepare_training_set(
+        documents.limit(200),
+        weights={"train": 0.9, "val": 0.1},
+        chunk_tokens=64,
+        overlap_tokens=8,
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "chunk_id", "n_chunk_tokens", "chunk_text", "split"}
+    assert rows and all(r.n_chunk_tokens <= 64 for r in rows)
+    assert {r.split for r in rows} <= {"train", "val"}
+    # every chunk of a document shares the document's split (no leakage)
+    per_doc: dict[int, set] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_doc.values())
+    # deterministic end-to-end
+    again = prepare_training_set(
+        documents.limit(200),
+        weights={"train": 0.9, "val": 0.1},
+        chunk_tokens=64,
+        overlap_tokens=8,
+    ).collect()
+    key = lambda r: (r.doc_id, r.chunk_id)
+    assert sorted(rows, key=key) == sorted(again, key=key)
 
 
 def test_chunking_is_map_only(documents):

@@ -246,3 +246,52 @@ def test_resolve_dup_clusters_any_graph_matches_union_find(spark, edges):
             for r in resolve_dup_clusters(pairs, driver_threshold=threshold).collect()
         }
         assert got == expected, f"threshold={threshold}"
+
+
+_chunk_params = st.tuples(
+    st.integers(1, 12),  # chunk_tokens
+    st.integers(0, 11),  # overlap_tokens (clamped below chunk)
+).map(lambda p: (p[0], min(p[1], p[0] - 1)))
+
+_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "longtoken"]), max_size=40).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(params=_chunk_params, texts=_texts)
+@_settings
+def test_chunking_reconstruction_any_params(spark, params, texts):
+    """For ANY (chunk_tokens, overlap) and ANY corpus: chunk 0 plus each
+    later chunk minus its overlap prefix concatenates back to the exact
+    token stream, chunk ids are dense from 0, and no chunk exceeds the
+    window."""
+    from real_time_financial_data_pipeline_spark.operators.training import chunk_documents
+
+    chunk_tokens, overlap = params
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap_tokens=overlap
+    ).orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        expected = [t for t in text.split(" ") if t]
+        chunks = by_doc.get(doc_id, [])
+        if not expected:
+            assert chunks == []
+            continue
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(1 <= c.n_chunk_tokens <= chunk_tokens for c in chunks)
+        rebuilt = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            toks = c.chunk_text.split(" ")
+            assert toks[:overlap] == rebuilt[len(rebuilt) - overlap :] if overlap else True
+            rebuilt += toks[overlap:]
+        assert rebuilt == expected

@@ -190,6 +190,51 @@ def top_terms(
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing).
+
+    Shuffle ledger: one corpus-sized hash aggregate builds the (doc, term,
+    tf) table (map-side combine applies — repeated terms collapse in-map);
+    document frequency is one MORE aggregate of that table, bounded by
+    vocabulary; the idf join is on term, where AQE picks broadcast when the
+    vocabulary fits and a shuffle join when it doesn't — both correct, and
+    at 100 TB the vocabulary table is the small side either way.  N (the
+    corpus document count) is a driver scalar by contract — one
+    ``count()``, the same cheap metadata read ``dataset_stats`` does.
+    Ranking breaks score ties on term order: the k-set is deterministic.
+    """
+    from pyspark.sql import Window
+
+    stopwords = STOPWORDS if stopwords is None else stopwords
+    n_docs = df.select(id_col).distinct().count()
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = (
+        exploded.filter(~F.col("term").isin(*stopwords) if stopwords else F.lit(True))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(docfreq, "term").withColumn(
+        "tf_idf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "tf_idf", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized token stream) —
     the reference's filename-identity idea upgraded to content identity.

@@ -127,3 +127,47 @@ def test_top_terms_ranks_and_excludes_stopwords(spark):
     assert out[("s2", 1)] == ("dog", 2)
     assert out[("s2", 2)] == ("cat", 1)
     assert ("s1", 3) not in out  # k bound holds
+
+
+def test_tf_idf_matches_python_reference(spark):
+    from collections import Counter
+    from math import log
+
+    from real_time_financial_data_pipeline_spark.operators.text import tf_idf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry durian"),
+        (3, "apple apple apple elderberry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.tf_idf, r.rank)
+        for r in tf_idf_top_terms(df, k=10, stopwords=[]).collect()
+    }
+
+    tfs = {i: Counter(t.split()) for i, t in docs}
+    dfreq = Counter(term for c in tfs.values() for term in c)
+    n = len(docs)
+    for doc_id, counts in tfs.items():
+        scored = sorted(
+            (
+                (round(tf * (log((n + 1) / (dfreq[term] + 1)) + 1), 6), term, tf)
+                for term, tf in counts.items()
+            ),
+            key=lambda s: (-s[0], s[1]),
+        )
+        for rank, (score, term, tf) in enumerate(scored, start=1):
+            assert got[(doc_id, term)] == (tf, pytest.approx(score, abs=1e-6), rank)
+
+
+def test_tf_idf_rare_term_outranks_common_term(spark):
+    from real_time_financial_data_pipeline_spark.operators.text import tf_idf_top_terms
+
+    # "common" appears in every doc, each unique term in exactly one — with
+    # equal tf the unique term must score higher
+    df = spark.createDataFrame(
+        [(i, f"common unique{i}") for i in range(5)], "doc_id long, text string"
+    )
+    out = tf_idf_top_terms(df, k=1, stopwords=[]).collect()
+    assert all(r.term == f"unique{r.doc_id}" for r in out)

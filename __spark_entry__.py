@@ -187,6 +187,29 @@ def _dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_is_stale(dest_dir: str, src_file: str) -> bool:
+    """True when a write-once derived table under spark-warehouse/ was built
+    from an older testdata drop.  The driver regenerates the sf parquet
+    between rounds while spark-warehouse can persist, so existence alone
+    isn't freshness — each derived dir carries a ``_SRC_MTIME`` stamp
+    (underscore-prefixed: Spark's parquet reader ignores it)."""
+    import os
+
+    try:
+        src = str(os.path.getmtime(src_file))
+        with open(os.path.join(dest_dir, "_SRC_MTIME")) as fh:
+            return fh.read() != src
+    except OSError:
+        return True
+
+
+def _stamp_derived(dest_dir: str, src_file: str) -> None:
+    import os
+
+    with open(os.path.join(dest_dir, "_SRC_MTIME"), "w") as fh:
+        fh.write(str(os.path.getmtime(src_file)))
+
+
 def _pipeline_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §3.2 lifecycle as ONE hash-checked flagship: ingest (bronze lake
     write) → clean (silver, dropna+dedup+coerce) → normalize (data_type
@@ -210,12 +233,15 @@ def _pipeline_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lake = DataLake(spark, root)
     bronze = f"events_raw_{sf_tag}"
-    # write-once ingest per SF (same idempotence contract as
-    # _partitioned_events_path; the streaming twin is ingest_to_bronze)
-    if not os.path.isdir(os.path.join(root, "bronze", bronze)):
+    # write-once ingest per SF *per testdata drop* (same idempotence
+    # contract as _partitioned_events_path; streaming twin: ingest_to_bronze)
+    src = os.path.join(sf_dir, "events.parquet")
+    bronze_dir = os.path.join(root, "bronze", bronze)
+    if _derived_is_stale(bronze_dir, src):
         lake.save(
             load_table(spark, sf_dir, "events"), bronze, layer="bronze", mode="overwrite"
         )
+        _stamp_derived(bronze_dir, src)
     transform_pipeline(
         lake, bronze, "bronze", "silver", "clean",
         dest_name=f"events_clean_{sf_tag}",
@@ -654,11 +680,13 @@ def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     lake = DataLake(spark, root)
     name = f"events_part_{sf_tag}"
     path = os.path.join(root, "silver", name)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")) or _derived_is_stale(path, src):
         ev = load_table(spark, sf_dir, "events").withColumn(
             "ingest_date", F.to_date("ts")
         )
         lake.save(ev, name, layer="silver", mode="overwrite")
+        _stamp_derived(path, src)
     return path
 
 

@@ -60,12 +60,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0,1]: length band + stopword presence +
-    mean-token-length band.  Heuristic weights in the spirit of C4/Gopher
-    text-quality filters; every term is a codegen'd expression."""
-    staged = _staged_tokens(df, text_col, [F.col(c) for c in df.columns])
-    toks = F.col("_toks")
+def quality_score_expr(toks: Column) -> Column:
+    """The quality formula as a column expression over a token array —
+    shared by the batch operator (which stages the array) and the streaming
+    path (which can't stage: ``.rdd`` is illegal on a streaming frame)."""
     n_tokens = F.size(toks)
     avg_len = F.try_divide(
         F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double"), n_tokens
@@ -76,7 +74,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.0, F.lit(0.3)).otherwise(F.lit(0.0))
     )
-    return staged.withColumn("quality_score", F.round(score, 6)).drop("_toks")
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    mean-token-length band.  Heuristic weights in the spirit of C4/Gopher
+    text-quality filters; every term is a codegen'd expression."""
+    staged = _staged_tokens(df, text_col, [F.col(c) for c in df.columns])
+    return staged.withColumn("quality_score", quality_score_expr(F.col("_toks"))).drop("_toks")
 
 
 def ngrams(toks: Column, n: int) -> Column:

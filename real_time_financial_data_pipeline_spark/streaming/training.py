@@ -1,0 +1,62 @@
+"""Streaming training-set preparation: the stateless stages of
+``operators.training.prepare_training_set`` lifted onto a document stream.
+
+What streams and what doesn't:
+
+- Quality gate, chunking, split assignment — pure projections/filters, so
+  they run unchanged on an unbounded stream.
+- Exact-dup suppression — content fingerprint (xxhash64 of the normalized
+  token stream) + ``dropDuplicatesWithinWatermark``: state is bounded by the
+  watermark horizon, the streaming answer to at-least-once re-delivery.
+- MinHash NEAR-dup removal intentionally stays batch: banded candidate
+  generation is a corpus-wide self-join with no bounded-state streaming
+  form.  The lake pattern is stream-append chunks here, then run the batch
+  ``curate_documents`` pass as the nightly compaction job over the landed
+  corpus — same split assignment either way, because the content-hash split
+  is a pure function of (doc id, salt), not of which path computed it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import quality_score_expr, tokens
+from ..operators.training import assign_split, chunk_documents
+
+
+def stream_training_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.7,
+    dedup_watermark: str = "10 minutes",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """quality gate -> content-fingerprint dedup (watermark-bounded) ->
+    chunk -> split, on a streaming documents frame.
+
+    Output schema matches ``prepare_training_set``:
+    (``id_col``, chunk_id, n_chunk_tokens, chunk_text, split).
+
+    Re-deliveries are dropped by CONTENT (fingerprint), not by id, so a
+    producer that re-sends the same document under a fresh id still
+    contributes one copy.  The dedup clock is processing time
+    (``current_timestamp`` at micro-batch evaluation): documents carry no
+    event time, and re-delivery windows are an ingest-side phenomenon.
+    """
+    toks = tokens(F.col(text_col))
+    gated = docs.filter(quality_score_expr(toks) >= F.lit(min_quality))
+    fingerprinted = gated.withColumn(
+        "_fp", F.xxhash64(F.concat_ws(" ", toks))
+    ).withColumn("_ingest_ts", F.current_timestamp())
+    deduped = fingerprinted.withWatermark(
+        "_ingest_ts", dedup_watermark
+    ).dropDuplicatesWithinWatermark(["_fp"])
+    chunks = chunk_documents(
+        deduped, text_col, id_col, chunk_tokens, overlap_tokens
+    )
+    return assign_split(chunks, id_col, weights, salt)

@@ -1,0 +1,75 @@
+"""Embedding maintenance: numpy parity for L2 normalization, error bounds
+for int8 quantization round-trips, zero-vector edges, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.embeddings import (
+    dequantize_int8,
+    l2_normalize,
+    quantize_int8,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(0, 3, 16)]) for i in range(40)]
+    rows.append((40, [0.0] * 16))  # zero vector edge
+    rows.append((41, [1e-8] * 16))  # tiny-magnitude edge
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), {
+        i: np.array(v, dtype=np.float64) for i, v in rows
+    }
+
+
+def test_l2_normalize_matches_numpy(vecs):
+    df, ref = vecs
+    got = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in l2_normalize(df).collect()}
+    for i, v in ref.items():
+        n = np.linalg.norm(np.asarray(v, dtype=np.float32).astype(np.float64))
+        expected = v if n == 0 else np.asarray(v, dtype=np.float32).astype(np.float64) / n
+        assert np.allclose(got[i], expected, atol=1e-6), i
+    nz = [np.linalg.norm(got[i]) for i in ref if np.linalg.norm(ref[i]) > 0]
+    assert np.allclose(nz, 1.0, atol=1e-5)
+
+
+def test_quantize_roundtrip_error_bounds(vecs):
+    df, ref = vecs
+    out = dequantize_int8(quantize_int8(df)).collect()
+    for r in out:
+        orig = np.asarray(ref[r.vec_id], dtype=np.float32).astype(np.float64)
+        deq = np.array(r.embedding_deq, dtype=np.float64)
+        scale = float(r.embedding_q8.scale)
+        assert all(-127 <= q <= 127 for q in r.embedding_q8.q)
+        # round-to-nearest: per-element error <= scale/2 (+ float32 slack)
+        assert np.abs(orig - deq).max() <= scale / 2 + 1e-6, r.vec_id
+        if scale == 0.0:
+            assert np.array_equal(deq, orig)  # zero vector reconstructs exactly
+
+
+def test_quantize_preserves_cosine(vecs):
+    df, ref = vecs
+    deq = {
+        r.vec_id: np.array(r.embedding_deq, dtype=np.float64)
+        for r in dequantize_int8(quantize_int8(df)).collect()
+    }
+    ids = [i for i in ref if np.linalg.norm(ref[i]) > 1e-6]
+    for a, b in zip(ids, ids[1:]):
+        va, vb = ref[a], ref[b]
+        cos_ref = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        qa, qb = deq[a], deq[b]
+        cos_q = qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb))
+        assert abs(cos_ref - cos_q) < 0.02, (a, b)
+
+
+def test_embedding_ops_are_map_only(embeddings):
+    plan = (
+        dequantize_int8(quantize_int8(l2_normalize(embeddings.limit(50))))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -73,3 +73,23 @@ def test_embedding_ops_are_map_only(embeddings):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quantized_search_recall(embeddings):
+    """int8-quantized vectors must stay search-usable: brute-force top-10
+    over the dequantized corpus recovers >= 0.9 of the exact float top-10
+    on the sf0.001 embeddings."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        recall_at_k,
+    )
+
+    corpus = embeddings.select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(corpus, queries, k=10)
+    q8 = (
+        dequantize_int8(quantize_int8(corpus))
+        .select("vec_id", F.col("embedding_deq").alias("embedding"))
+    )
+    approx = cosine_topk(q8, queries, k=10)
+    assert recall_at_k(exact, approx) >= 0.9

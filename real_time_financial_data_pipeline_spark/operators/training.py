@@ -88,6 +88,62 @@ def sample_by_hash(
     return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
 
 
+def flag_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_shared`` distinct token ``n``-grams with the benchmark set.
+
+    Returns (``id_col``, n_shared_grams), one row per flagged document.
+    An n-gram match requires a verbatim n-token run, so n is the knob:
+    8-13 word-grams is the published range for eval decontamination
+    (GPT-3 used 13-grams; n-1 shared tokens produce zero shared n-grams).
+
+    Plan shape: both sides explode to (gram) / (id, gram); the benchmark
+    side is DISTINCT'd and broadcast — eval sets are tiny next to a
+    training corpus, so the join is map-side and the corpus never
+    shuffles on gram.  The only aggregation is per-doc counting of
+    matched grams, shuffle bounded by |matches|, not |corpus|.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from .text import doc_grams
+
+    bench_grams = (
+        doc_grams(benchmark, text_col, id_col, n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = doc_grams(corpus, text_col, id_col, n).select(
+        F.col(id_col), F.explode("grams").alias("gram")
+    ).distinct()  # count each shared gram once per doc
+    return (
+        corpus_grams.join(broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def remove_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Anti-join the flagged set out of the corpus — the corpus streams
+    through one broadcast-able filter, mirroring ``apply_dedup``."""
+    flagged = flag_contaminated(corpus, benchmark, text_col, id_col, n, min_shared)
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
 def curate_documents(
     docs: DataFrame,
     text_col: str = "text",

@@ -184,3 +184,45 @@ def test_chunking_is_map_only(documents):
         documents, chunk_tokens=64, overlap_tokens=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decontamination_flags_verbatim_runs_only(spark):
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        flag_contaminated,
+        remove_contaminated,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            # contains a verbatim 8-token run from the benchmark
+            (1, "prefix words " + " ".join(bench_text.split()[:8]) + " suffix"),
+            # shares only 7 consecutive tokens -> zero shared 8-grams
+            (2, "prefix " + " ".join(bench_text.split()[:7]) + " different tail"),
+            # same words, different order -> no verbatim run
+            (3, " ".join(reversed(bench_text.split()))),
+            (4, "completely unrelated content about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    flagged = {r.doc_id: r.n_shared_grams for r in flag_contaminated(corpus, benchmark, n=8).collect()}
+    assert set(flagged) == {1}
+    assert flagged[1] == 1  # exactly one shared 8-gram from an 8-token run
+
+    survivors = {r.doc_id for r in remove_contaminated(corpus, benchmark, n=8).collect()}
+    assert survivors == {2, 3, 4}
+
+
+def test_decontamination_counts_distinct_shared_grams(spark):
+    from real_time_financial_data_pipeline_spark.operators.training import flag_contaminated
+
+    run = "a1 a2 a3 a4 a5"  # 5 tokens -> three 3-grams
+    corpus = spark.createDataFrame(
+        [(1, f"{run} x y z {run}")],  # repeated run: grams counted once
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(9, run)], "doc_id long, text string")
+    got = flag_contaminated(corpus, benchmark, n=3).collect()
+    assert [(r.doc_id, r.n_shared_grams) for r in got] == [(1, 3)]

@@ -144,6 +144,75 @@ def remove_contaminated(
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_chunk_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign chunks to fixed-budget packs (sequence/example packing): every
+    pack's token sum is ≤ ``token_budget``, minimizing pad waste when packs
+    become training sequences.
+
+    Bin packing is inherently sequential, so the distributed shape is
+    bucket-then-pack: chunks land in ``n_buckets`` buckets by content hash
+    (layout-independent), and each bucket runs first-fit-decreasing over
+    its chunks sorted by (tokens desc, id, chunk) — deterministic
+    regardless of partitioning, parallel across buckets, state bounded by
+    one bucket's OPEN packs.  FFD's 11/9·OPT+1 bound applies per bucket;
+    cross-bucket waste is at most one under-filled pack per bucket, which
+    at 100 TB (billions of chunks, 64-64k buckets) is noise.  Oversized
+    chunks (> budget) raise — chunk below the budget upstream.
+
+    Output: input columns + ``pack_id`` (string, ``<bucket>_<k>``).
+    """
+    import pandas as pd
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+    ) + ", pack_id string"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col, chunk_col], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        too_big = pdf[pdf[tokens_col] > token_budget]
+        if len(too_big):
+            raise ValueError(
+                f"chunk exceeds token_budget={token_budget}: "
+                f"{too_big.iloc[0][id_col]}/{too_big.iloc[0][chunk_col]} "
+                f"({too_big.iloc[0][tokens_col]} tokens)"
+            )
+        b = int(pdf["_bucket"].iloc[0])
+        packs: list[int] = []  # remaining capacity per open pack
+        assigned = []
+        for n in pdf[tokens_col]:
+            n = int(n)
+            for i, cap in enumerate(packs):  # first fit
+                if n <= cap:
+                    packs[i] = cap - n
+                    assigned.append(f"{b}_{i}")
+                    break
+            else:
+                packs.append(token_budget - n)
+                assigned.append(f"{b}_{len(packs) - 1}")
+        pdf = pdf.drop(columns=["_bucket"])
+        pdf["pack_id"] = assigned
+        return pdf
+
+    return (
+        chunks.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_pack, schema=out_schema)
+    )
+
+
 def curate_documents(
     docs: DataFrame,
     text_col: str = "text",

@@ -226,3 +226,55 @@ def test_decontamination_counts_distinct_shared_grams(spark):
     benchmark = spark.createDataFrame([(9, run)], "doc_id long, text string")
     got = flag_contaminated(corpus, benchmark, n=3).collect()
     assert [(r.doc_id, r.n_shared_grams) for r in got] == [(1, 3)]
+
+
+def test_pack_sequences_budget_coverage_determinism(spark, documents):
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(documents.limit(150), chunk_tokens=40, overlap_tokens=4)
+    packed = pack_sequences(chunks, token_budget=100, n_buckets=8)
+    rows = packed.collect()
+
+    # every chunk assigned exactly once
+    assert len(rows) == chunks.count()
+    keys = [(r.doc_id, r.chunk_id) for r in rows]
+    assert len(keys) == len(set(keys))
+
+    # every pack within budget
+    sums: dict[str, int] = {}
+    for r in rows:
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_chunk_tokens
+    assert all(s <= 100 for s in sums.values())
+
+    # FFD keeps waste low: per bucket at most one pack under half-full
+    by_bucket: dict[str, list[int]] = {}
+    for pid, s in sums.items():
+        by_bucket.setdefault(pid.split("_")[0], []).append(s)
+    for b, packs in by_bucket.items():
+        assert sum(1 for s in packs if s < 50) <= 1, (b, sorted(packs))
+
+    # layout-independent: identical assignment from a reshuffled input
+    again = pack_sequences(
+        chunks.repartition(17, "chunk_id"), token_budget=100, n_buckets=8
+    ).collect()
+    assert sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)) == sorted(
+        again, key=lambda r: (r.doc_id, r.chunk_id)
+    )
+
+
+def test_pack_sequences_rejects_oversized_chunk(spark):
+    import pytest as _pytest
+
+    from real_time_financial_data_pipeline_spark.operators.training import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 50, "x"), (2, 0, 9, "y")],
+        "doc_id long, chunk_id int, n_chunk_tokens int, chunk_text string",
+    )
+    with _pytest.raises(Exception, match="token_budget"):
+        pack_sequences(df, token_budget=20).collect()
+    with _pytest.raises(ValueError):
+        pack_sequences(df, token_budget=0)

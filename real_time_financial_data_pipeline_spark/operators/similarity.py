@@ -153,6 +153,106 @@ def cosine_topk(
     )
 
 
+def cosine_topk_q8(
+    corpus_q8: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    scale_col: str = "scale",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine over an int8-QUANTIZED corpus (asymmetric
+    search: full-precision queries × dequantized corpus, the standard
+    quantized-index shape — queries are few, quantizing them buys nothing).
+
+    ``corpus_q8`` carries (``id_col``, ``q_col``: array<tinyint>,
+    ``scale_col``: float) as produced by ``embeddings.quantize_int8`` —
+    at 100 TB that is the 4×-smaller table actually persisted in the lake,
+    so the scan reads a quarter of the bytes of the float32 path.
+    Dequantization is IN-KERNEL and float64 end-to-end
+    (``q.astype(f64) * f64(scale)``, never a float32 round-trip), so an
+    engine reconstructing ``CAST(q AS DOUBLE) * CAST(scale AS DOUBLE)``
+    computes bit-identical scores — which is what the registry oracle does
+    from the staged quantized table.  Same output schema, broadcast-query
+    contract, 9-then-6 dp guard band, and (score desc, id) ranking as
+    ``cosine_topk``; recall vs the float path is gated in
+    tests/test_embeddings_ops.py::test_quantized_search_recall.
+    """
+    spark = corpus_q8.sparkSession
+    id_type = corpus_q8.schema[id_col].dataType.simpleString()
+    out_ddl = f"neighbor_id {id_type}, query_id {id_type}, _score_raw double"
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, score double, rank bigint"
+        )
+    q_ids = np.asarray([r[0] for r in q_rows])
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(Q, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, Q, q_norm))
+
+    def _score(batches):
+        ids, Qm, qn = bq.value
+        m = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[q_col].to_numpy()).astype(np.float64)
+            C *= pdf[scale_col].to_numpy().astype(np.float64)[:, None]
+            cn = np.linalg.norm(C, axis=1)
+            S = (C @ Qm.T) / (cn[:, None] * qn[None, :])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "query_id": np.tile(ids, len(pdf)),
+                    "_score_raw": S.ravel(),
+                }
+            )
+
+    scored = corpus_q8.select(id_col, q_col, scale_col).mapInPandas(
+        _score, schema=out_ddl
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(F.round("_score_raw", 9), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Convenience composition: ``quantize_int8`` the float corpus, then
+    ``cosine_topk_q8`` over it.  Production pipelines quantize ONCE at
+    write time and search the persisted int8 table directly with
+    ``cosine_topk_q8``; this wrapper is the one-call form for ad-hoc use
+    and parity testing against ``cosine_topk``."""
+    from .embeddings import quantize_int8
+
+    q8 = quantize_int8(corpus, vec_col, "_q8").select(
+        id_col, F.col("_q8.q").alias("q"), F.col("_q8.scale").alias("scale")
+    )
+    return cosine_topk_q8(
+        q8, queries, k, id_col, "q", "scale", vec_col, exclude_self
+    )
+
+
 def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

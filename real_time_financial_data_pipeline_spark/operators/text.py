@@ -202,6 +202,7 @@ def tf_idf_top_terms(
     id_col: str = "doc_id",
     k: int = 5,
     stopwords: list[str] | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF
     (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing).
@@ -211,15 +212,21 @@ def tf_idf_top_terms(
     document frequency is one MORE aggregate of that table, bounded by
     vocabulary; the idf join is on term, where AQE picks broadcast when the
     vocabulary fits and a shuffle join when it doesn't — both correct, and
-    at 100 TB the vocabulary table is the small side either way.  N (the
-    corpus document count) is a driver scalar by contract — one
-    ``count()``, the same cheap metadata read ``dataset_stats`` does.
+    at 100 TB the vocabulary table is the small side either way.
+
+    N (the corpus document count) must be a driver scalar because it enters
+    the idf as a literal.  When ``n_docs`` is None it is computed here as
+    ``df.select(id_col).distinct().count()`` — a full distinct+count job
+    over the upstream lineage, NOT a cheap metadata read — so composed
+    pipelines that already know N (or cached the corpus) should pass
+    ``n_docs`` to skip the extra corpus-wide aggregate per call.
     Ranking breaks score ties on term order: the k-set is deterministic.
     """
     from pyspark.sql import Window
 
     stopwords = STOPWORDS if stopwords is None else stopwords
-    n_docs = df.select(id_col).distinct().count()
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
@@ -230,8 +237,12 @@ def tf_idf_top_terms(
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    # 9-then-6 dp guard band (same as similarity.py): JVM Math.log and a SQL
+    # oracle's ln can differ by ~1 ulp; snapping at 9 dp first makes the
+    # 6-dp serving round agree across engines unless the true value sits
+    # within 1e-9 of a boundary
     scored = tf.join(docfreq, "term").withColumn(
-        "tf_idf", F.round(F.col("tf") * idf, 6)
+        "tf_idf", F.round(F.round(F.col("tf") * idf, 9), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("term"))
     return (

@@ -106,9 +106,12 @@ def flag_contaminated(
 
     Plan shape: both sides explode to (gram) / (id, gram); the benchmark
     side is DISTINCT'd and broadcast — eval sets are tiny next to a
-    training corpus, so the join is map-side and the corpus never
-    shuffles on gram.  The only aggregation is per-doc counting of
-    matched grams, shuffle bounded by |matches|, not |corpus|.
+    training corpus, so the join is map-side and the corpus side never
+    shuffles BEFORE the join.  Each shared gram counts once per doc via
+    ``count_distinct(gram)`` in the per-doc aggregate (NOT a pre-join
+    distinct, which would shuffle the full exploded corpus gram table) —
+    the only shuffle over corpus-derived rows carries matched grams only,
+    bounded by |matches|, not |corpus| × grams-per-doc.
     """
     from pyspark.sql.functions import broadcast
 
@@ -121,11 +124,11 @@ def flag_contaminated(
     )
     corpus_grams = doc_grams(corpus, text_col, id_col, n).select(
         F.col(id_col), F.explode("grams").alias("gram")
-    ).distinct()  # count each shared gram once per doc
+    )
     return (
         corpus_grams.join(broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
     )
 
@@ -150,28 +153,45 @@ def pack_sequences(
     id_col: str = "doc_id",
     chunk_col: str = "chunk_id",
     tokens_col: str = "n_chunk_tokens",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    rows_per_bucket: int = 1_000_000,
 ) -> DataFrame:
     """Assign chunks to fixed-budget packs (sequence/example packing): every
     pack's token sum is ≤ ``token_budget``, minimizing pad waste when packs
     become training sequences.
 
     Bin packing is inherently sequential, so the distributed shape is
-    bucket-then-pack: chunks land in ``n_buckets`` buckets by content hash
+    bucket-then-pack: chunks land in buckets by content hash
     (layout-independent), and each bucket runs first-fit-decreasing over
     its chunks sorted by (tokens desc, id, chunk) — deterministic
     regardless of partitioning, parallel across buckets, state bounded by
     one bucket's OPEN packs.  FFD's 11/9·OPT+1 bound applies per bucket;
     cross-bucket waste is at most one under-filled pack per bucket, which
-    at 100 TB (billions of chunks, 64-64k buckets) is noise.  Oversized
-    chunks (> budget) raise — chunk below the budget upstream.
+    at 100 TB (billions of chunks, thousands of buckets) is noise.
+    Oversized chunks (> budget) raise — chunk below the budget upstream.
+
+    Memory contract: a bucket is materialized as ONE pandas DataFrame in
+    one task, so per-bucket rows bound executor memory.  With
+    ``n_buckets=None`` (the default) the bucket count is derived from a
+    ``rows_per_bucket`` target via one ``chunks.count()`` — an eager
+    action, the price of safe-by-default sizing; callers that know their
+    scale pass ``n_buckets`` explicitly and stay lazy.  Either way a task
+    raises (rather than OOMs) if hash skew or a stale caller hint lands
+    more than ``4 * rows_per_bucket`` rows in one bucket.
 
     Output: input columns + ``pack_id`` (string, ``<bucket>_<k>``).
     """
+    import math
+
     import pandas as pd
 
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if rows_per_bucket <= 0:
+        raise ValueError(f"rows_per_bucket must be positive, got {rows_per_bucket}")
+    if n_buckets is None:
+        n_buckets = max(1, math.ceil(chunks.count() / rows_per_bucket))
+    max_bucket_rows = 4 * rows_per_bucket
 
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
     out_schema = ", ".join(
@@ -179,6 +199,12 @@ def pack_sequences(
     ) + ", pack_id string"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_bucket_rows:
+            raise ValueError(
+                f"pack_sequences bucket holds {len(pdf)} rows "
+                f"(> {max_bucket_rows}): raise n_buckets (or rows_per_bucket) "
+                "— one bucket must fit in one task's memory"
+            )
         pdf = pdf.sort_values(
             [tokens_col, id_col, chunk_col], ascending=[False, True, True]
         ).reset_index(drop=True)
@@ -190,18 +216,32 @@ def pack_sequences(
                 f"({too_big.iloc[0][tokens_col]} tokens)"
             )
         b = int(pdf["_bucket"].iloc[0])
-        packs: list[int] = []  # remaining capacity per open pack
+        # First fit over OPEN packs only.  Descending order means the min of
+        # the remaining items is the global min (the last row), so any pack
+        # whose residual capacity drops below it can never fit anything else
+        # and is closed — this bounds the inner scan by packs that can still
+        # accept work, not every pack ever opened.  Closed packs were
+        # unfittable for all remaining items, so skipping them yields the
+        # exact same assignment as scanning the full creation-order list.
+        min_item = int(pdf[tokens_col].iloc[-1]) if len(pdf) else 0
+        open_packs: list[list[int]] = []  # [pack index, remaining capacity]
+        n_packs = 0
         assigned = []
         for n in pdf[tokens_col]:
             n = int(n)
-            for i, cap in enumerate(packs):  # first fit
-                if n <= cap:
-                    packs[i] = cap - n
-                    assigned.append(f"{b}_{i}")
+            for slot in open_packs:
+                if n <= slot[1]:
+                    slot[1] -= n
+                    assigned.append(f"{b}_{slot[0]}")
+                    if slot[1] < min_item:
+                        open_packs.remove(slot)
                     break
             else:
-                packs.append(token_budget - n)
-                assigned.append(f"{b}_{len(packs) - 1}")
+                cap = token_budget - n
+                assigned.append(f"{b}_{n_packs}")
+                if cap >= min_item:
+                    open_packs.append([n_packs, cap])
+                n_packs += 1
         pdf = pdf.drop(columns=["_bucket"])
         pdf["pack_id"] = assigned
         return pdf
@@ -253,22 +293,32 @@ def prepare_training_set(
     salt: str = "",
     chunk_tokens: int = 256,
     overlap_tokens: int = 32,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
-    curate (quality/language/exact-dup/near-dup) -> chunk -> split.
+    curate (quality/language/exact-dup/near-dup) -> decontaminate ->
+    chunk -> split.
 
     Output: (id_col, chunk_id, n_chunk_tokens, chunk_text, split).
 
     Dedup runs BEFORE split assignment — the other order leaks near-dups
-    across train/test.  The split is assigned on the DOCUMENT id after
-    chunking, so every chunk of a document lands in the same split and no
-    doc-to-chunk join is needed: content-hash assignment is a pure
-    projection, recomputing it on the chunk rows is identical to joining
-    the doc-level assignment (and free).
+    across train/test.  When ``benchmark`` is given, documents sharing a
+    verbatim ``decontam_ngram``-token run with it are removed AFTER dedup
+    (the shrunken corpus pays the gram explode) and BEFORE chunking (no
+    chunk of a contaminated doc ever exists to leak into any split).  The
+    split is assigned on the DOCUMENT id after chunking, so every chunk of
+    a document lands in the same split and no doc-to-chunk join is needed:
+    content-hash assignment is a pure projection, recomputing it on the
+    chunk rows is identical to joining the doc-level assignment (and free).
     """
     curated = curate_documents(
         docs, text_col, id_col, min_quality, langs, near_dup_threshold
     )
+    if benchmark is not None:
+        curated = remove_contaminated(
+            curated, benchmark, text_col, id_col, n=decontam_ngram
+        )
     chunks = chunk_documents(curated, text_col, id_col, chunk_tokens, overlap_tokens)
     return assign_split(chunks, id_col, weights, salt)
 

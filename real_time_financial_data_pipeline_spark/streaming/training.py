@@ -12,8 +12,23 @@ What streams and what doesn't:
   generation is a corpus-wide self-join with no bounded-state streaming
   form.  The lake pattern is stream-append chunks here, then run the batch
   ``curate_documents`` pass as the nightly compaction job over the landed
-  corpus — same split assignment either way, because the content-hash split
-  is a pure function of (doc id, salt), not of which path computed it.
+  corpus.  A given surviving document's split assignment is identical on
+  either path, because the content-hash split is a pure function of
+  (doc id, salt), not of which path computed it.
+
+Survivor caveat (cross-id content duplicates): when the SAME text arrives
+under DIFFERENT doc ids, the streaming dedup keeps the first-ARRIVING id
+(``dropDuplicatesWithinWatermark`` has no min-id state), while the batch
+path's ``exact_dedup_keep_min`` keeps the MIN id — so the surviving id, and
+hence that content's hash-assigned split, can differ between the two paths.
+Re-deliveries under the SAME id are unaffected (any survivor carries the
+same id).  Deployments that need path-identical survivors run the nightly
+batch compaction over the landed corpus keyed on content with a min-id
+survivor BEFORE split assignment — which is exactly what
+``curate_documents``'s ``exact_dedup_keep_min`` stage does, making the
+compacted lake state canonical regardless of which ids the stream let
+through (tests/test_streaming_training.py::test_stream_then_batch_compaction
+asserts this end-state equivalence).
 """
 
 from __future__ import annotations

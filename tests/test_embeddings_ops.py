@@ -93,3 +93,27 @@ def test_quantized_search_recall(embeddings):
     )
     approx = cosine_topk(q8, queries, k=10)
     assert recall_at_k(exact, approx) >= 0.9
+
+
+def test_quantized_topk_first_class_call(embeddings):
+    """cosine_topk_q8 / quantized_cosine_topk: searching the int8 table
+    directly (f64 in-kernel dequantization) recovers >= 0.9 of the exact
+    float top-10 and stays within 2e-3 of the exact scores on overlapping
+    neighbors."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+        recall_at_k,
+    )
+
+    corpus = embeddings.select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(corpus, queries, k=10)
+    approx = quantized_cosine_topk(corpus, queries, k=10)
+    assert recall_at_k(exact, approx) >= 0.9
+
+    e = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.score for r in approx.collect()}
+    shared = set(e) & set(a)
+    assert shared
+    assert all(abs(e[k] - a[k]) < 2e-3 for k in shared)

@@ -171,3 +171,26 @@ def test_tf_idf_rare_term_outranks_common_term(spark):
     )
     out = tf_idf_top_terms(df, k=1, stopwords=[]).collect()
     assert all(r.term == f"unique{r.doc_id}" for r in out)
+
+
+def test_tf_idf_precomputed_n_docs_parity(spark):
+    """Passing n_docs (the composed-pipeline fast path that skips the eager
+    per-call distinct+count) must give the identical result as the
+    self-counting default."""
+    from real_time_financial_data_pipeline_spark.operators.text import tf_idf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry durian"),
+        (3, "apple apple apple elderberry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    key = lambda r: (r.doc_id, r.rank)
+    self_counted = sorted(tf_idf_top_terms(df, k=10, stopwords=[]).collect(), key=key)
+    precomputed = sorted(
+        tf_idf_top_terms(df, k=10, stopwords=[], n_docs=3).collect(), key=key
+    )
+    assert self_counted == precomputed
+    # a WRONG n_docs shifts every idf: the caller owns the contract
+    wrong = tf_idf_top_terms(df, k=10, stopwords=[], n_docs=30).collect()
+    assert {r.tf_idf for r in wrong} != {r.tf_idf for r in self_counted}

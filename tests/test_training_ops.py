@@ -278,3 +278,80 @@ def test_pack_sequences_rejects_oversized_chunk(spark):
         pack_sequences(df, token_budget=20).collect()
     with _pytest.raises(ValueError):
         pack_sequences(df, token_budget=0)
+
+
+def test_pack_sequences_auto_bucket_sizing(spark, documents):
+    """Safe-by-default sizing: with n_buckets=None the bucket count derives
+    from the rows_per_bucket target, so the default can never concentrate an
+    unbounded corpus into a fixed handful of single-task pandas frames."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(documents.limit(100), chunk_tokens=40, overlap_tokens=4)
+    n_chunks = chunks.count()
+    target = 20
+    packed = pack_sequences(chunks, token_budget=100, rows_per_bucket=target)
+    rows = packed.collect()
+    assert len(rows) == n_chunks
+    # derived n_buckets = ceil(n_chunks / target); bucket ids in pack_id must
+    # stay inside that range, and the sizing must actually have spread the
+    # chunks over more than one bucket
+    derived = -(-n_chunks // target)
+    buckets = {int(r.pack_id.split("_")[0]) for r in rows}
+    assert buckets <= set(range(derived))
+    assert len(buckets) > 1
+    # every pack still within budget under auto-sizing
+    sums: dict[str, int] = {}
+    for r in rows:
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_chunk_tokens
+    assert all(s <= 100 for s in sums.values())
+
+
+def test_pack_sequences_bucket_overflow_raises(spark):
+    """A bucket that exceeds 4x the rows_per_bucket target must raise in the
+    task (memory guard) instead of silently materializing it."""
+    import pytest as _pytest
+
+    from real_time_financial_data_pipeline_spark.operators.training import pack_sequences
+
+    rows = [(i, 0, 3, "a b c") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, n_chunk_tokens int, chunk_text string"
+    )
+    # n_buckets=1 forces all 50 rows into one bucket; 4 * rows_per_bucket = 8
+    with _pytest.raises(Exception, match="bucket holds"):
+        pack_sequences(df, token_budget=10, n_buckets=1, rows_per_bucket=2).collect()
+
+
+def test_prepare_training_set_decontaminates(spark):
+    """End-to-end composition: a curated doc carrying a verbatim benchmark
+    8-gram run is dropped before chunking when `benchmark` is passed, and
+    kept when it is not.  Reordered benchmark words do not flag."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog again tonight"
+    run8 = " ".join(bench_text.split()[:8])
+    clean = "all of the tokens in this document are original and on topic"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {run8} trailing content is here now"),   # contaminated
+            (2, clean),                                                # clean
+            (3, " ".join(reversed(bench_text.split()))),               # reordered: clean
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+
+    with_decontam = prepare_training_set(
+        corpus, min_quality=0.5, chunk_tokens=8, overlap_tokens=0, benchmark=benchmark
+    )
+    assert {r.doc_id for r in with_decontam.collect()} == {2, 3}
+
+    without = prepare_training_set(
+        corpus, min_quality=0.5, chunk_tokens=8, overlap_tokens=0
+    )
+    assert {r.doc_id for r in without.collect()} == {1, 2, 3}

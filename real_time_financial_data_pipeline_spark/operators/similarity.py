@@ -230,6 +230,59 @@ def cosine_topk_q8(
     )
 
 
+def dequantize_f64(q: Column, scale: Column) -> Column:
+    """(q: array<tinyint>, scale: float) -> array<double>, one vectorized
+    numpy op per Arrow batch.  Float64 end-to-end (never a float32
+    round-trip), so downstream scoring matches an engine computing
+    ``CAST(q AS DOUBLE) * CAST(scale AS DOUBLE)`` bit-for-bit.  This is the
+    scoring-path dequantizer; ``embeddings.dequantize_int8`` is the
+    storage-path one (float32, matching the persisted column type)."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _deq(qs: pd.Series, scales: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.stack(qs.to_numpy()).astype(np.float64)
+        return pd.Series(list(Q * scales.to_numpy().astype(np.float64)[:, None]))
+
+    return _deq(q, scale)
+
+
+def ivf_topk_q8(
+    corpus_q8: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    scale_col: str = "scale",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF over an int8-quantized corpus — the classic IVF+scalar-quantizer
+    index shape: posting lists bound the fraction of the corpus a probe
+    touches (n_probe/n_lists) AND the stored vectors are 4× smaller, so a
+    probe reads ~n_probe/n_lists of a quarter of the float bytes.
+
+    Composition: dequantize to float64 per Arrow batch (``dequantize_f64``)
+    and run the exact ``ivf_topk`` machinery — quantizer training sample,
+    list assignment, probing, and re-rank all operate on the dequantized
+    vectors, so ``n_probe = n_lists`` degenerates to exactly
+    ``cosine_topk_q8`` (asserted in tests), and recall vs the float IVF
+    path is gated alongside it.
+    """
+    corpus = corpus_q8.select(
+        F.col(id_col), dequantize_f64(F.col(q_col), F.col(scale_col)).alias(vec_col)
+    )
+    return ivf_topk(
+        corpus, queries, k, id_col, vec_col, n_lists, n_probe, seed, sample_size, iters
+    )
+
+
 def quantized_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -117,3 +117,32 @@ def test_quantized_topk_first_class_call(embeddings):
     shared = set(e) & set(a)
     assert shared
     assert all(abs(e[k] - a[k]) < 2e-3 for k in shared)
+
+
+def test_ivf_over_int8_corpus(embeddings):
+    """IVF+SQ composition: full-probe IVF over the quantized corpus must
+    EQUAL the brute-force quantized search (same dequantized f64 scoring
+    kernel), and the probed variant must keep recall@10 >= 0.4 vs the
+    exact float top-10 (the float IVF gate is 0.45; quantization may shave
+    a little)."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_q8,
+        ivf_topk_q8,
+        recall_at_k,
+    )
+
+    corpus = embeddings.select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    q8 = quantize_int8(corpus, "embedding", "_q8").select(
+        "vec_id", F.col("_q8.q").alias("q"), F.col("_q8.scale").alias("scale")
+    )
+
+    full_probe = ivf_topk_q8(q8, queries, k=10, n_lists=8, n_probe=8).collect()
+    brute = cosine_topk_q8(q8, queries, k=10).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(full_probe, key=key) == sorted(brute, key=key)
+
+    exact = cosine_topk(corpus, queries, k=10)
+    probed = ivf_topk_q8(q8, queries, k=10, n_lists=8, n_probe=3)
+    assert recall_at_k(exact, probed) >= 0.4

@@ -147,6 +147,37 @@ def remove_contaminated(
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
+def _ffd_assign(sizes: list[int], budget: int) -> list[int]:
+    """First-fit pack index per item; ``sizes`` must already be sorted
+    descending (the FFD order).  Scans OPEN packs only: in descending
+    order the minimum of the remaining items is the global minimum (the
+    last element), so any pack whose residual capacity drops below it can
+    never fit another item and is closed.  A closed pack was unfittable
+    for every remaining item, so skipping it yields the exact same
+    assignment as scanning the full creation-order pack list — the
+    invariant tests/test_properties.py checks against a naive reference.
+    """
+    min_item = sizes[-1] if sizes else 0
+    open_packs: list[list[int]] = []  # [pack index, remaining capacity]
+    n_packs = 0
+    assigned: list[int] = []
+    for n in sizes:
+        for slot in open_packs:
+            if n <= slot[1]:
+                slot[1] -= n
+                assigned.append(slot[0])
+                if slot[1] < min_item:
+                    open_packs.remove(slot)
+                break
+        else:
+            cap = budget - n
+            assigned.append(n_packs)
+            if cap >= min_item:
+                open_packs.append([n_packs, cap])
+            n_packs += 1
+    return assigned
+
+
 def pack_sequences(
     chunks: DataFrame,
     token_budget: int,
@@ -216,34 +247,9 @@ def pack_sequences(
                 f"({too_big.iloc[0][tokens_col]} tokens)"
             )
         b = int(pdf["_bucket"].iloc[0])
-        # First fit over OPEN packs only.  Descending order means the min of
-        # the remaining items is the global min (the last row), so any pack
-        # whose residual capacity drops below it can never fit anything else
-        # and is closed — this bounds the inner scan by packs that can still
-        # accept work, not every pack ever opened.  Closed packs were
-        # unfittable for all remaining items, so skipping them yields the
-        # exact same assignment as scanning the full creation-order list.
-        min_item = int(pdf[tokens_col].iloc[-1]) if len(pdf) else 0
-        open_packs: list[list[int]] = []  # [pack index, remaining capacity]
-        n_packs = 0
-        assigned = []
-        for n in pdf[tokens_col]:
-            n = int(n)
-            for slot in open_packs:
-                if n <= slot[1]:
-                    slot[1] -= n
-                    assigned.append(f"{b}_{slot[0]}")
-                    if slot[1] < min_item:
-                        open_packs.remove(slot)
-                    break
-            else:
-                cap = token_budget - n
-                assigned.append(f"{b}_{n_packs}")
-                if cap >= min_item:
-                    open_packs.append([n_packs, cap])
-                n_packs += 1
+        packs = _ffd_assign([int(n) for n in pdf[tokens_col]], token_budget)
         pdf = pdf.drop(columns=["_bucket"])
-        pdf["pack_id"] = assigned
+        pdf["pack_id"] = [f"{b}_{i}" for i in packs]
         return pdf
 
     return (

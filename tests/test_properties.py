@@ -295,3 +295,40 @@ def test_chunking_reconstruction_any_params(spark, params, texts):
             assert toks[:overlap] == rebuilt[len(rebuilt) - overlap :] if overlap else True
             rebuilt += toks[overlap:]
         assert rebuilt == expected
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=64), min_size=0, max_size=300),
+    st.integers(min_value=64, max_value=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_ffd_open_pack_pruning_equals_naive_first_fit(sizes, budget):
+    """The production FFD kernel scans OPEN packs only (packs whose
+    residual capacity fell below the remaining minimum are closed).  That
+    pruning must be invisible: for ANY descending item list the assignment
+    must equal the naive first-fit that scans every pack ever opened, and
+    no pack may exceed the budget."""
+    from real_time_financial_data_pipeline_spark.operators.training import _ffd_assign
+
+    sizes = sorted(sizes, reverse=True)
+
+    def naive(items: list[int]) -> list[int]:
+        caps: list[int] = []
+        out = []
+        for n in items:
+            for i, c in enumerate(caps):
+                if n <= c:
+                    caps[i] = c - n
+                    out.append(i)
+                    break
+            else:
+                caps.append(budget - n)
+                out.append(len(caps) - 1)
+        return out
+
+    got = _ffd_assign(sizes, budget)
+    assert got == naive(sizes)
+    sums: dict[int, int] = {}
+    for n, p in zip(sizes, got):
+        sums[p] = sums.get(p, 0) + n
+    assert all(s <= budget for s in sums.values())

@@ -24,7 +24,6 @@ from real_time_financial_data_pipeline_spark.catalog import load_table
 from real_time_financial_data_pipeline_spark.functions import sanitize_floats, timestamps_to_iso
 from real_time_financial_data_pipeline_spark.operators.aggregate import ohlcv
 from real_time_financial_data_pipeline_spark.operators.clean import clean_data
-from real_time_financial_data_pipeline_spark.operators.normalize import derive_mid
 from real_time_financial_data_pipeline_spark.operators.query import (
     correlation,
     latest_per_key,
@@ -128,19 +127,6 @@ def _latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _preview_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return preview(ev, 100, ["event_id"])
-
-
-def _mid_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 — derived mid column on top of the daily OHLCV (forex mid_rate
-    shape, transformers.py:81-82)."""
-    ev = load_table(spark, sf_dir, "events")
-    out = derive_mid(ohlcv(ev, "D", "ts", "value", ["event_type"]), "open", "close")
-    return (
-        out.select("event_type", "period", "open", "close", "mid_rate")
-        .withColumn("mid_rate", F.round("mid_rate", 6))
-    )
-
-
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
@@ -272,16 +258,6 @@ def _pipeline_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-
-
-def _events_iso_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 serving shape — P8 ISO-Z timestamp format + P9 float sanitize on a
-    bounded preview (routes.py:190-215)."""
-    ev = load_table(spark, sf_dir, "events")
-    out = timestamps_to_iso(sanitize_floats(preview(ev, 100, ["event_id"])))
-    return out
-
-
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-series quantiles (p50/p90/p99) — `percentile` with linear
     interpolation, the same definition as ANSI percentile_cont.  The
@@ -381,24 +357,6 @@ def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         dim, updates, ["c_custkey"], ["c_mktsegment", "acctbal"]
     )
-
-
-def _batch_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (gaps-and-islands) aggregated to the same shape
-    as the streaming session_window query — the two share an oracle
-    definition, proving batch backfill ≡ live stream for sessions."""
-    from real_time_financial_data_pipeline_spark.operators.query import sessionize
-
-    ev = load_table(spark, sf_dir, "events")
-    sess = sessionize(ev, ["user_id"], "ts", gap="30 minutes")
-    return sess.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        (F.max("ts") + F.expr("INTERVAL 30 minutes")).alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
-    ).drop("session_id")
-
-
 def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, distinct
     active users per (cohort, weeks-since) offset — two hash aggregates
@@ -420,22 +378,6 @@ def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
-
-
-def _distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series spread profile: mean / sample stddev / min / max —
-    single partial-aggregated pass (stddev_samp definitions agree across
-    engines; 6-dp rounding absorbs summation-order ulps)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
-        F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_rollup(
         load_table(spark, sf_dir, "lineitem"),
@@ -463,20 +405,6 @@ def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keep_min(load_table(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-def _ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-Jaccard over adjacent doc-id pairs — the verify kernel
-    of the near-dup pipeline, made oracle-checkable."""
-    docs = doc_grams(load_table(spark, sf_dir, "documents"), "text", "doc_id", 3)
-    a = docs.withColumnsRenamed({"doc_id": "id_a", "grams": "grams_a"})
-    b = docs.withColumnsRenamed({"doc_id": "id_b", "grams": "grams_b"})
-    return (
-        a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select("id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6).alias("jaccard"))
-    )
-
-
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -985,16 +985,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ohlcv_daily oracle row (test_ohlcv_all_period_buckets); still benched
       (frozen headline set, BENCH_OVERRIDES);
     - mid_value_daily: one-derived-column variant of the same
-      min_by/max_by calendar-agg path (test_normalize_mid_rate);
-    - distribution_stats: moment profiling subsumed by segment_stats +
-      value_percentiles (test_distribution_stats);
+      min_by/max_by calendar-agg path (test_normalize_forex_mid_rate);
+    - distribution_stats: moment profiling subsumed by the segment_stats
+      + value_percentiles oracle rows;
     - events_iso_preview: ISO-Z/inf-NaN serving semantics + bounded
       preview, each pytest-anchored (test_preview_bounded,
-      test_sanitize_and_iso) and overlapping dataset_stats/pipeline
+      test_sinks_sanitize_iso_json_csv) and overlapping dataset_stats/pipeline
       rows — pipeline_gold_daily still hash-checks the ISO-Z format;
     - ngram_jaccard_adjacent: its exact-Jaccard verify kernel is
       re-derived from raw text inside the minhash_pairs oracle every
-      round (plus test_jaccard_known_values);
+      round (plus test_jaccard_column);
     - batch_session_stats: oracle text was IDENTICAL to
       stream_session_stats (still green); batch≡stream equivalence is
       pinned by test_batch_sessionize_equals_streaming.

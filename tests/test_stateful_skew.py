@@ -189,3 +189,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_batch_sessionize_equals_streaming(spark, events):
+    """Batch gaps-and-islands sessionization aggregated to session stats
+    must EQUAL the streaming session_window aggregate drained over the same
+    static backlog — the batch-backfill ≡ live-stream guarantee that
+    previously rode on the two queries sharing one oracle definition
+    (the duplicate oracle row was retired in the r8 registry rotation)."""
+    import pyspark.sql.functions as F
+
+    from real_time_financial_data_pipeline_spark.operators.query import sessionize
+    from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+        run_stream_to_memory,
+        session_stats,
+    )
+
+    sess = sessionize(events, ["user_id"], "ts", gap="30 minutes")
+    batch = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 minutes")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .drop("session_id")
+        .collect()
+    )
+
+    # replay the same static events as a file stream
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        events.write.mode("overwrite").parquet(f"{d}/src")
+        schema = spark.read.parquet(f"{d}/src").schema
+        stream = spark.readStream.schema(schema).parquet(f"{d}/src")
+        run_stream_to_memory(
+            session_stats(stream), "batch_vs_stream_sessions"
+        ).awaitTermination(120)
+        got = spark.table("batch_vs_stream_sessions").collect()
+
+    key = lambda r: (r.user_id, r.session_start)
+    assert sorted(got, key=key) == sorted(batch, key=key)

@@ -33,11 +33,54 @@ asserts this end-state equivalence).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.text import quality_score_expr, tokens
 from ..operators.training import assign_split, chunk_documents
+
+
+def _stream_decontam_filter(
+    benchmark: DataFrame, text_col: str, n: int
+) -> Column:
+    """Stream-legal decontamination predicate: True for documents sharing
+    NO token ``n``-gram with the benchmark set.
+
+    The batch operator's shape (explode -> join -> per-doc aggregate) is
+    not append-mode legal on an unbounded stream, but its broadcast
+    contract transfers: eval sets are tiny next to a training corpus, so
+    the DISTINCT benchmark gram set is collected once at plan time and
+    broadcast into a stateless Arrow-batched predicate — per-row, no
+    state, no shuffle, same verbatim-n-token-run semantics as
+    ``flag_contaminated`` (lowercased whitespace tokens, space-joined
+    grams; parity asserted in tests/test_streaming_training.py).
+    """
+    from ..operators.text import doc_grams
+
+    bench_rows = (
+        doc_grams(benchmark, text_col, n=n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .collect()
+    )
+    bgrams = frozenset(r.gram for r in bench_rows)
+    bc = benchmark.sparkSession.sparkContext.broadcast(bgrams)
+
+    @F.pandas_udf("boolean")
+    def _clean(texts: pd.Series) -> pd.Series:
+        bench = bc.value
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split(" ") if w]
+            hit = any(
+                " ".join(toks[i : i + n]) in bench
+                for i in range(len(toks) - n + 1)
+            )
+            out.append(not hit)
+        return pd.Series(out)
+
+    return _clean(F.col(text_col))
 
 
 def stream_training_chunks(
@@ -50,9 +93,12 @@ def stream_training_chunks(
     salt: str = "",
     chunk_tokens: int = 256,
     overlap_tokens: int = 32,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> DataFrame:
-    """quality gate -> content-fingerprint dedup (watermark-bounded) ->
-    chunk -> split, on a streaming documents frame.
+    """quality gate -> (optional) benchmark decontamination ->
+    content-fingerprint dedup (watermark-bounded) -> chunk -> split, on a
+    streaming documents frame.
 
     Output schema matches ``prepare_training_set``:
     (``id_col``, chunk_id, n_chunk_tokens, chunk_text, split).
@@ -62,9 +108,19 @@ def stream_training_chunks(
     contributes one copy.  The dedup clock is processing time
     (``current_timestamp`` at micro-batch evaluation): documents carry no
     event time, and re-delivery windows are an ingest-side phenomenon.
+
+    ``benchmark`` (a STATIC frame) drops contaminated documents in-flight
+    via a broadcast stateless predicate — see ``_stream_decontam_filter``.
+    The benchmark gram set is frozen at stream start; a refreshed eval set
+    means restarting the query (and the nightly batch compaction re-runs
+    full decontamination anyway).
     """
     toks = tokens(F.col(text_col))
     gated = docs.filter(quality_score_expr(toks) >= F.lit(min_quality))
+    if benchmark is not None:
+        gated = gated.filter(
+            _stream_decontam_filter(benchmark, text_col, decontam_ngram)
+        )
     fingerprinted = gated.withColumn(
         "_fp", F.xxhash64(F.concat_ws(" ", toks))
     ).withColumn("_ingest_ts", F.current_timestamp())

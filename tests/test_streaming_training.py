@@ -148,3 +148,50 @@ def test_stream_then_batch_compaction(spark, tmp_path):
     assert sorted(compacted, key=key) == sorted(pure, key=key)
     # the near-dup (4) and the low-quality doc (5) are gone; min-id survivors remain
     assert {r.doc_id for r in compacted} == {1, 3}
+
+
+def test_stream_decontamination_matches_batch(spark, tmp_path):
+    """In-flight decontamination: the stream must drop exactly the docs the
+    batch remove_contaminated drops (verbatim 8-gram run -> gone; reordered
+    benchmark words -> kept), with the stateless broadcast predicate."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        remove_contaminated,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog again tonight"
+    run8 = " ".join(bench_text.split()[:8])
+    rows = [
+        (1, GOOD_A),
+        (2, f"intro words {run8} trailing content is here now"),  # contaminated
+        (3, " ".join(reversed(bench_text.split()))),              # reordered: clean
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src / "f1")
+    )
+    benchmark = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    schema = spark.read.parquet(str(src / "f1")).schema
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, chunk_tokens=8, overlap_tokens=2,
+            min_quality=0.5, benchmark=benchmark,
+        )
+        .writeStream.format("memory")
+        .queryName("decontam_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got_ids = {r.doc_id for r in spark.table("decontam_chunks").collect()}
+
+    batch_ids = {
+        r.doc_id
+        for r in remove_contaminated(
+            spark.createDataFrame(rows, "doc_id long, text string"), benchmark, n=8
+        ).collect()
+    }
+    assert got_ids == batch_ids == {1, 3}

@@ -24,6 +24,43 @@ def tokens(text: Column, lowercase: bool = True) -> Column:
     return F.filter(F.split(base, " "), lambda x: x != F.lit(""))
 
 
+# GPT-2-style pre-tokenization pattern (the published regex of the GPT-2
+# BPE, reused by the r50k/p50k tiktoken families), in Java-regex form:
+# contractions, optionally-space-prefixed letter runs / digit runs /
+# punctuation runs, then whitespace (trailing-run lookahead keeps one
+# space attached to the following word, as the original does).
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def regex_tokens(text: Column, pattern: str = BPE_PRETOKEN_RE) -> Column:
+    """BPE-ish pre-token pieces via ``regexp_extract_all`` — JVM-side and
+    codegen'd, no Python in the loop.  Each piece is what a byte-pair
+    encoder would then split into >= 1 subword, so the piece count is the
+    standard cheap LOWER-BOUND estimator of a document's true BPE token
+    count (the knob training pipelines budget sequences with when the real
+    tokenizer is too expensive to run corpus-wide)."""
+    return F.regexp_extract_all(text, F.lit(pattern), 0)
+
+
+def token_count_estimate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-count estimators in one narrow projection:
+    whitespace token count (``n_ws_tokens``) and GPT-2-style pre-token
+    piece count (``n_bpe_pieces``, includes whitespace-run pieces exactly
+    as the GPT-2 pre-tokenizer emits them).  Map-only — both counts are
+    single-pass JVM regex/split work, no shuffle, no Python."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.size(regex_tokens(F.col(text_col))).cast("long").alias("n_bpe_pieces"),
+    )
+
+
 def _staged_tokens(df: DataFrame, text_col: str, extra_cols: list[Column]) -> DataFrame:
     """(extra_cols..., _toks) with tokenization staged behind an exchange.
 

@@ -194,3 +194,45 @@ def test_tf_idf_precomputed_n_docs_parity(spark):
     # a WRONG n_docs shifts every idf: the caller owns the contract
     wrong = tf_idf_top_terms(df, k=10, stopwords=[], n_docs=30).collect()
     assert {r.tf_idf for r in wrong} != {r.tf_idf for r in self_counted}
+
+
+def test_regex_tokens_gpt2_pretokenizer_pinned_cases(spark):
+    """BPE-ish pre-tokenization: pinned piece sequences for contractions,
+    space-prefixed words, digit runs, punctuation runs, and trailing
+    whitespace — the published GPT-2 pre-tokenizer behavior."""
+    from real_time_financial_data_pipeline_spark.operators.text import regex_tokens
+
+    cases = {
+        "Hello world": ["Hello", " world"],
+        "don't stop": ["don", "'t", " stop"],
+        "a1b2": ["a", "1", "b", "2"],
+        "price: $5.99": ["price", ":", " $", "5", ".", "99"],
+        "hi!!": ["hi", "!!"],
+        "a  ": ["a", "  "],
+        "": [],
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r.text: r.pieces for r in df.select(
+        "text", regex_tokens(F.col("text")).alias("pieces")).collect()}
+    for text, expected in cases.items():
+        assert got[text] == expected, (text, got[text])
+
+
+def test_token_count_estimate_map_only_and_bounds(documents):
+    """The estimator must be a zero-Exchange narrow projection, and on real
+    prose the BPE-ish piece count is >= the whitespace token count (pieces
+    split punctuation off words) while staying within a sane multiple."""
+    from real_time_financial_data_pipeline_spark.operators.text import (
+        token_count_estimate,
+    )
+
+    est = token_count_estimate(documents.limit(200))
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    rows = est.collect()
+    assert rows
+    for r in rows:
+        if r.n_ws_tokens > 0:
+            assert r.n_bpe_pieces >= r.n_ws_tokens
+            assert r.n_bpe_pieces <= 4 * r.n_ws_tokens

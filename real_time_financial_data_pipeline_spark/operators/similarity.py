@@ -485,6 +485,91 @@ def nearest_list(vec: Column, centroids: np.ndarray) -> Column:
     return _assign(vec)
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Fit the seeded spherical-k-means coarse quantizer on a deterministic
+    corpus sample and return the (n_lists, dim) L2-normalized centroid
+    matrix — shared by the IVF index and corpus clustering.
+
+    The sample takes the ``sample_size`` smallest ids in xxhash64 order: a
+    seeded pseudo-random permutation of the corpus that doesn't depend on
+    partitioning (unlike ``sample(seed)``) and runs as
+    TakeOrderedAndProject (top-k per partition, no full sort).
+    """
+    sample = (
+        corpus.select(
+            vec_col, F.col(id_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hid")
+        )
+        .orderBy("_hid", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    return _kmeans_spherical(X, min(n_lists, len(X)), iters, seed)
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+    centroids: np.ndarray | None = None,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Corpus clustering over the embedding column: fit spherical k-means
+    on a driver-side deterministic sample (``train_centroids``), broadcast
+    the centroid matrix into an Arrow-batched argmax-cosine assigner, and
+    tag every row — the training-data workhorse for mixture analysis,
+    topic-balanced sampling, and cluster-stratified dedup.
+
+    Map-only after the one-time fit: assignment is a pure projection (one
+    numpy matmul per Arrow batch), so a 100 TB corpus streams through with
+    no shuffle; the same sampling-fit-on-driver shape is standard IVF/
+    k-means practice at scale.  Deterministic: seeded init, fixed
+    iterations, argmax ties to the lowest cluster index.  Pass
+    ``centroids`` to reuse a fitted quantizer (e.g. to assign a NEW batch
+    of documents to an existing clustering).
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, k, id_col=id_col, vec_col=vec_col, seed=seed,
+            sample_size=sample_size, iters=iters,
+        )
+    return corpus.withColumn(out_col, nearest_list(F.col(vec_col), centroids))
+
+
+def cluster_mix(
+    assigned: DataFrame,
+    cluster_col: str = "cluster_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Cluster-size report: rows per cluster (optionally per cluster x
+    stratum) plus each group's share — one hash aggregate with map-side
+    combine, share window over the tiny aggregated table."""
+    from pyspark.sql import Window
+
+    keys = [cluster_col] + ([strata_col] if strata_col else [])
+    per = assigned.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_vecs"))
+    return per.select(
+        *keys,
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.sum("n_vecs").over(Window.partitionBy()), 6).alias(
+            "share"
+        ),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -509,22 +594,10 @@ def ivf_topk(
     Returns the ``cosine_topk`` schema; fully deterministic (seeded init,
     fixed iterations, lowest-index tie-breaks).
     """
-    # uniform deterministic training sample: take the sample_size smallest
-    # ids in xxhash64 order — a seeded pseudo-random permutation of the
-    # corpus that doesn't depend on partitioning (unlike sample(seed)) and
-    # runs as TakeOrderedAndProject (top-k per partition, no full sort).
-    # The previous orderBy(id).limit() was biased to low ids.
-    sample = (
-        corpus.select(
-            vec_col, F.col(id_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hid")
-        )
-        .orderBy("_hid", id_col)
-        .limit(sample_size)
-        .select(vec_col)
-        .collect()
+    centroids = train_centroids(
+        corpus, n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
+        sample_size=sample_size, iters=iters,
     )
-    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
-    centroids = _kmeans_spherical(X, min(n_lists, len(X)), iters, seed)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

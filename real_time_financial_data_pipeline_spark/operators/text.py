@@ -289,6 +289,248 @@ def tf_idf_top_terms(
     )
 
 
+# --- repetition statistics (Gopher-style repetition filters) --------------
+#
+# Deepmind's Gopher paper (Rae et al. 2021, table A1) filters documents by
+# repetition: fraction of duplicate lines, fraction of characters in
+# duplicate lines, fraction of characters in the most common 2-/3-gram, and
+# fraction of characters in duplicated longer n-grams.  The same family
+# appears in RefinedWeb and Dolma.  The metrics below follow the common
+# open reimplementation: character coverage is approximated as
+# occurrences x gram-char-length (overlaps not de-duplicated), clamped to 1.
+
+
+def _dup_adjacent_chars(sorted_arr: Column, extra_join_chars: int = 0) -> Column:
+    """Characters in repeat occurrences (every occurrence after the first)
+    of a SORTED string array, as one aggregate pass: equal elements are
+    adjacent after the sort, so a single (prev, chars) accumulator counts
+    them.  ``extra_join_chars`` is subtracted per element (the ``n-1``
+    joiner spaces of a token n-gram, so only token characters count).
+
+    The array expression is the aggregate TARGET, evaluated once per row —
+    lambdas only touch the accumulator and element, which keeps interpreted
+    higher-order eval linear (the re-evaluation trap ``_staged_tokens``
+    documents)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+    return F.aggregate(
+        sorted_arr,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["chars"]
+                + F.when(
+                    x == acc["prev"],
+                    (F.length(x) - F.lit(extra_join_chars)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("chars"),
+        ),
+        lambda acc: acc["chars"],
+    )
+
+
+def _top_run_chars(sorted_arr: Column, extra_join_chars: int = 0) -> Column:
+    """Characters covered by the MOST FREQUENT element of a sorted string
+    array (count x element-char-length), again as one accumulator pass over
+    runs of equal adjacent elements."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run2 = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(run2 > acc["best"], run2).otherwise(acc["best"]).alias("best"),
+            F.when(run2 > acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        zero,
+        merge,
+        # a gram occurring once is not repetition: require best >= 2 (keeps
+        # short repetition-free documents at metric 0 instead of charging
+        # them the length of their longest n-gram)
+        lambda acc: F.when(
+            acc["best"] >= F.lit(2),
+            acc["best"] * (F.length(acc["bestg"]) - F.lit(extra_join_chars)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def _repetition_metric_cols(toks: Column, lines: Column) -> dict[str, Column]:
+    """The five repetition metrics as expressions over staged token/line
+    array ATTRIBUTES (callers must materialize both behind an exchange —
+    see ``repetition_stats``).  Empty docs yield nulls via ``try_divide``."""
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        # explicit den > 0 guard (NOT try_divide + least: least SKIPS nulls,
+        # which would turn an empty doc's null ratio into a hard 1.0)
+        return F.when(
+            den > 0, F.round(F.least(F.lit(1.0), num.cast("double") / den), 6)
+        )
+
+    return {
+        "dup_line_frac": frac((n_lines - F.size(F.array_distinct(lines))), n_lines),
+        "dup_line_char_frac": frac(_dup_adjacent_chars(F.array_sort(lines)), line_chars),
+        "top_2gram_char_frac": frac(
+            _top_run_chars(F.array_sort(ngrams(toks, 2)), extra_join_chars=1), tok_chars
+        ),
+        "top_3gram_char_frac": frac(
+            _top_run_chars(F.array_sort(ngrams(toks, 3)), extra_join_chars=2), tok_chars
+        ),
+        "dup_5gram_char_frac": frac(
+            _dup_adjacent_chars(F.array_sort(ngrams(toks, 5)), extra_join_chars=4),
+            tok_chars,
+        ),
+    }
+
+
+def _stage_toks_lines(df: DataFrame, text_col: str, keep: list[Column]) -> DataFrame:
+    """(keep..., _toks, _lines) staged behind an exchange — same rationale
+    as ``_staged_tokens``, plus trimmed non-empty raw-case lines."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    return df.select(
+        *keep, tokens(F.col(text_col)).alias("_toks"), lines.alias("_lines")
+    ).repartition(max(parallelism, df.rdd.getNumPartitions()))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher table-A1 family):
+
+    - ``dup_line_frac`` — fraction of (trimmed, non-empty) lines that are
+      repeat occurrences of an earlier line;
+    - ``dup_line_char_frac`` — fraction of line characters in those repeat
+      occurrences;
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — fraction of token
+      characters covered by the most frequent token 2-/3-gram;
+    - ``dup_5gram_char_frac`` — fraction of token characters in repeat
+      occurrences of duplicated token 5-grams.
+
+    Map-only and JVM-side: every metric is one ``array_sort`` + one
+    single-pass ``aggregate`` over per-row arrays — no shuffle beyond the
+    staging exchange, no Python, cost O(tokens log tokens) per document.
+    Character coverage counts occurrences x gram length without overlap
+    de-duplication (the standard open reimplementation), clamped to 1.
+    The top-n-gram metrics require the gram to occur at least twice (a
+    unique n-gram is not repetition — without this, every short document
+    is charged the length of its longest n-gram).
+    """
+    staged = _stage_toks_lines(df, text_col, [F.col(id_col)])
+    metrics = _repetition_metric_cols(F.col("_toks"), F.col("_lines"))
+    return staged.select(
+        F.col(id_col), *[c.alias(name) for name, c in metrics.items()]
+    )
+
+
+# Gopher table-A1 thresholds (2-/3-gram and duplicate-line/5-gram cuts).
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Drop documents exceeding any repetition threshold (defaults =
+    ``REPETITION_THRESHOLDS``, the Gopher cuts).  Preserves the input
+    schema; documents with no tokens/lines have null metrics and PASS here
+    (the quality gate owns the degenerate-doc policy).  Same staged
+    map-only shape as ``repetition_stats``."""
+    thresholds = REPETITION_THRESHOLDS if thresholds is None else thresholds
+    unknown = set(thresholds) - set(REPETITION_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown repetition metrics: {sorted(unknown)}")
+    staged = _stage_toks_lines(df, text_col, [F.col(c) for c in df.columns])
+    metrics = _repetition_metric_cols(F.col("_toks"), F.col("_lines"))
+    keep = F.lit(True)
+    for name, cut in thresholds.items():
+        keep = keep & (F.coalesce(metrics[name], F.lit(0.0)) <= F.lit(float(cut)))
+    return staged.filter(keep).drop("_toks", "_lines")
+
+
+# --- PII scrubbing --------------------------------------------------------
+#
+# The standard pre-training privacy pass (BigScience ROOTS, Dolma): mask
+# well-formed emails / IPv4s / phone-shaped digit runs with typed tokens.
+# Pattern order matters: IPv4 is masked before phone so dotted digit runs
+# resolve to the more specific type.  All patterns are Java-regex,
+# evaluated JVM-side by regexp_replace/regexp_count — map-only, no Python.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+    "phone": r"(?<![\dA-Za-z])\+?\d{0,2}[ .\-]?\(?\d{3}\)?[ .\-]?\d{3}[ .\-]?\d{4}(?![\dA-Za-z])",
+}
+
+
+def pii_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII match counts (``n_email``, ``n_ipv4``, ``n_phone``)
+    in one narrow projection — the audit view that decides whether a corpus
+    needs the scrub pass at all."""
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Mask PII matches with typed tokens (``<EMAIL>``, ``<IPV4>``,
+    ``<PHONE>``), replacing ``text_col`` in place unless ``out_col`` is
+    given.  ``kinds`` selects a subset; application always follows
+    ``PII_PATTERNS`` order so email/IPv4 claim their matches before the
+    looser phone pattern runs."""
+    if kinds is None:
+        kinds = list(PII_PATTERNS)
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        if kind in kinds:
+            scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col or text_col, scrubbed)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized token stream) —
     the reference's filename-identity idea upgraded to content identity.

@@ -88,6 +88,73 @@ def sample_by_hash(
     return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
 
 
+def target_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum (domain-reweighting) sample: keep a
+    hash-chosen ``fractions[stratum]`` of each stratum's keys — the
+    data-mixing knob of a training pipeline (down-weight crawl, keep all of
+    code/books) expressed as one codegen'd filter, no shuffle, no RNG.
+
+    Strata absent from ``fractions`` keep ``default_fraction``.  Per
+    stratum the same nesting guarantee as ``sample_by_hash`` holds:
+    raising a stratum's fraction only ADDS keys, never re-draws.  Keep
+    ``salt`` distinct from the split-assignment salt — with the same
+    (key, salt) the kept sample would be exactly the low end of the unit
+    interval that split assignment carves, i.e. a split-correlated sample.
+    """
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    u = _unit_hash(F.col(key_col), salt)
+    frac: Column | None = None
+    for name, f in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        branch = F.when(cond, F.lit(float(f)))
+        frac = branch if frac is None else frac.when(cond, F.lit(float(f)))
+    frac = (
+        F.lit(float(default_fraction))
+        if frac is None
+        else frac.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.filter(u < frac)
+
+
+def domain_mix(
+    df: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Corpus mixture report: per stratum, document count, whitespace-token
+    count, and each one's share of the corpus total — the before/after view
+    for ``target_mix_sample`` decisions.
+
+    One corpus-sized hash aggregate (map-side combine applies); the share
+    window runs over the aggregated table, which has one row per stratum.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
+    )
+
+
 def flag_contaminated(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -266,23 +333,30 @@ def curate_documents(
     min_quality: float = 0.7,
     langs: list[str] | None = None,
     near_dup_threshold: float = 0.7,
+    repetition_gate: bool = False,
 ) -> DataFrame:
     """Doc-level curation ladder: quality gate -> (optional) language gate ->
-    exact dedup -> MinHash-LSH near-dup removal.
+    (optional) repetition gate -> exact dedup -> MinHash-LSH near-dup
+    removal.
 
     Ordering matters for cost: the cheap codegen'd quality/language filters
     shrink the corpus BEFORE the shuffle-bearing dedup stages, and exact
     dedup (one hash aggregate) runs before MinHash (signatures + banded
     self-join) so the expensive stage sees only distinct texts.
+    ``repetition_gate=True`` inserts the Gopher-style repetition filter
+    (``text.repetition_filter``, table-A1 thresholds) after the language
+    gate — still map-only, still ahead of every shuffle.
     """
     from .dedup import apply_dedup, exact_dedup_keep_min, minhash_dedup_pairs
-    from .text import lang_id, quality_score
+    from .text import lang_id, quality_score, repetition_filter
 
     kept = quality_score(docs, text_col).filter(
         F.col("quality_score") >= F.lit(min_quality)
     ).drop("quality_score")
     if langs is not None:
         kept = lang_id(kept, text_col).filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
+    if repetition_gate:
+        kept = repetition_filter(kept, text_col)
     kept = exact_dedup_keep_min(kept, text_col, id_col)
     pairs = minhash_dedup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)
     return apply_dedup(kept, pairs, id_col)
@@ -301,6 +375,7 @@ def prepare_training_set(
     overlap_tokens: int = 32,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 8,
+    repetition_gate: bool = False,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     curate (quality/language/exact-dup/near-dup) -> decontaminate ->
@@ -319,7 +394,8 @@ def prepare_training_set(
     chunk rows is identical to joining the doc-level assignment (and free).
     """
     curated = curate_documents(
-        docs, text_col, id_col, min_quality, langs, near_dup_threshold
+        docs, text_col, id_col, min_quality, langs, near_dup_threshold,
+        repetition_gate=repetition_gate,
     )
     if benchmark is not None:
         curated = remove_contaminated(

@@ -405,15 +405,21 @@ def _repetition_metric_cols(toks: Column, lines: Column) -> dict[str, Column]:
 
 def _stage_toks_lines(df: DataFrame, text_col: str, keep: list[Column]) -> DataFrame:
     """(keep..., _toks, _lines) staged behind an exchange — same rationale
-    as ``_staged_tokens``, plus trimmed non-empty raw-case lines."""
+    as ``_staged_tokens``, plus trimmed non-empty raw-case lines.
+
+    Stream-safe: ``.rdd`` is illegal on a streaming frame, so there the
+    exchange width is just the default parallelism (the repartition itself
+    is append-legal — a stateless intra-micro-batch shuffle) and the
+    repetition operators stay usable as in-flight gates."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
+    n = parallelism if df.isStreaming else max(parallelism, df.rdd.getNumPartitions())
     return df.select(
         *keep, tokens(F.col(text_col)).alias("_toks"), lines.alias("_lines")
-    ).repartition(max(parallelism, df.rdd.getNumPartitions()))
+    ).repartition(n)
 
 
 def repetition_stats(

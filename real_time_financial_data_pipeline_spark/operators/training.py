@@ -376,10 +376,14 @@ def prepare_training_set(
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 8,
     repetition_gate: bool = False,
+    scrub: bool = False,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
-    curate (quality/language/exact-dup/near-dup) -> decontaminate ->
-    chunk -> split.
+    (optional) PII scrub -> curate (quality/language/repetition/exact-dup/
+    near-dup) -> decontaminate -> chunk -> split.  ``scrub`` masks
+    emails/IPv4s/phones BEFORE any token-derived stage so quality scores,
+    fingerprints, and chunks all see the masked text (and the streaming
+    twin orders identically).
 
     Output: (id_col, chunk_id, n_chunk_tokens, chunk_text, split).
 
@@ -393,6 +397,10 @@ def prepare_training_set(
     content-hash assignment is a pure projection, recomputing it on the
     chunk rows is identical to joining the doc-level assignment (and free).
     """
+    if scrub:
+        from .text import scrub_pii
+
+        docs = scrub_pii(docs, text_col)
     curated = curate_documents(
         docs, text_col, id_col, min_quality, langs, near_dup_threshold,
         repetition_gate=repetition_gate,

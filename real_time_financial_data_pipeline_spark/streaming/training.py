@@ -95,10 +95,21 @@ def stream_training_chunks(
     overlap_tokens: int = 32,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 8,
+    scrub: bool = False,
+    repetition_gate: bool = False,
 ) -> DataFrame:
-    """quality gate -> (optional) benchmark decontamination ->
-    content-fingerprint dedup (watermark-bounded) -> chunk -> split, on a
-    streaming documents frame.
+    """(optional) PII scrub -> quality gate -> (optional) repetition gate
+    -> (optional) benchmark decontamination -> content-fingerprint dedup
+    (watermark-bounded) -> chunk -> split, on a streaming documents frame.
+
+    ``scrub`` masks emails/IPv4s/phones in-flight (``text.scrub_pii`` — a
+    stateless JVM regexp projection, trivially append-legal) BEFORE any
+    token-derived stage, so quality/fingerprint/chunks see the masked
+    text, exactly as the batch path does.  ``repetition_gate`` applies the
+    Gopher repetition filter in-flight — a stateless per-row filter whose
+    staging repartition is an intra-micro-batch shuffle, also
+    append-legal; thresholds match ``curate_documents(repetition_gate=
+    True)``, so batch and stream drop the same documents.
 
     Output schema matches ``prepare_training_set``:
     (``id_col``, chunk_id, n_chunk_tokens, chunk_text, split).
@@ -115,8 +126,16 @@ def stream_training_chunks(
     means restarting the query (and the nightly batch compaction re-runs
     full decontamination anyway).
     """
+    if scrub:
+        from ..operators.text import scrub_pii
+
+        docs = scrub_pii(docs, text_col)
     toks = tokens(F.col(text_col))
     gated = docs.filter(quality_score_expr(toks) >= F.lit(min_quality))
+    if repetition_gate:
+        from ..operators.text import repetition_filter
+
+        gated = repetition_filter(gated, text_col)
     if benchmark is not None:
         gated = gated.filter(
             _stream_decontam_filter(benchmark, text_col, decontam_ngram)

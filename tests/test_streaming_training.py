@@ -150,6 +150,60 @@ def test_stream_then_batch_compaction(spark, tmp_path):
     assert {r.doc_id for r in compacted} == {1, 3}
 
 
+def test_stream_scrub_and_repetition_gate_match_batch(spark, tmp_path):
+    """In-flight PII scrub + repetition gate: the stream must emit exactly
+    the chunks the batch pipeline emits with the same knobs — masked text
+    and all — and drop the repetitive doc on both paths."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    pii_doc = (
+        "the contact is bob@example.com and the backup host is 10.0.0.1 "
+        + " ".join(f"word{i}" for i in range(12))
+    )
+    repetitive = "spam ham " * 40  # top-2-gram saturated -> gated
+    # every token distinct after the leading stopword: repetition-free
+    varied = "the " + " ".join(f"w{i} v{i} u{i}" for i in range(10))
+    rows = [(1, varied), (2, pii_doc), (3, repetitive)]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src / "f1")
+    )
+    schema = spark.read.parquet(str(src / "f1")).schema
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, chunk_tokens=8, overlap_tokens=2,
+            min_quality=0.5, scrub=True, repetition_gate=True,
+        )
+        .writeStream.format("memory")
+        .queryName("scrubbed_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("scrubbed_chunks").collect()
+
+    batch = prepare_training_set(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_quality=0.5, chunk_tokens=8, overlap_tokens=2,
+        scrub=True, repetition_gate=True,
+    ).collect()
+
+    key = lambda r: (r.doc_id, r.chunk_id)
+    assert sorted(got, key=key) == sorted(batch, key=key)
+    assert {r.doc_id for r in got} == {1, 2}  # repetitive doc gone
+    masked = " ".join(
+        c.chunk_text for c in sorted((r for r in got if r.doc_id == 2), key=key)
+    )
+    assert "<EMAIL>" in masked and "<IPV4>" in masked
+    assert "bob@example.com" not in masked and "10.0.0.1" not in masked
+
+
 def test_stream_decontamination_matches_batch(spark, tmp_path):
     """In-flight decontamination: the stream must drop exactly the docs the
     batch remove_contaminated drops (verbatim 8-gram run -> gone; reordered

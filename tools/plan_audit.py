@@ -39,8 +39,10 @@ CHECKS = {
     "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True,
                           pre_agg_key="l_orderkey"),
     "simhash_pairs_docs": dict(no_cartesian=True),
-    "cardinality_stats": dict(partial_agg=True, no_cartesian=True),
     "top_terms_by_source": dict(partial_agg=True, no_cartesian=True),
+    # repetition metrics must stay a narrow scan: only (doc_id, text) read
+    "repetition_docs": dict(pruned_cols="text", no_cartesian=True),
+    "domain_mix_docs": dict(partial_agg=True, no_cartesian=True),
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "timeseries_purchase": dict(pushed=True),

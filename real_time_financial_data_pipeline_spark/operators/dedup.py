@@ -51,6 +51,82 @@ def key_dedup_latest(df: DataFrame, key_cols: list[str], time_col: str) -> DataF
     return latest_per_key(df, key_cols, time_col)
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the CCNet/Dolma sub-document stage):
+    remove every paragraph whose trimmed content occurs ``min_count`` or
+    more times across the whole corpus, keeping (when ``keep_first``) only
+    the single occurrence with the smallest (doc id, paragraph index) —
+    boilerplate headers/footers/navigation vanish while each document's
+    remaining paragraphs keep their original order.
+
+    Shuffle ledger at 100 TB: paragraphs explode map-side; occurrence
+    stats are ONE hash aggregate keyed on a 64-bit paragraph hash
+    (map-side combine collapses within-partition repeats — boilerplate is
+    exactly what combines well), FILTERED to duplicated paragraphs before
+    the join back, so the join's build side is bounded by |duplicated
+    paragraphs|, not |corpus|; the rebuild is one more aggregate on doc
+    id.  Matching is by xxhash64 of the trimmed paragraph — at 64 bits a
+    collision (~3e-4 expected per 1e8 distinct) deletes one innocent
+    paragraph, the standard trade every hash-keyed dedup makes.
+
+    Empty/whitespace-only paragraphs are structural, never dedup-eligible,
+    and survive in place.  A document whose every paragraph was removed
+    comes back with empty text (the quality gate owns that policy).  All
+    non-text columns pass through unchanged.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_para"),
+    ).withColumn(
+        "_key",
+        F.when(F.trim(F.col("_para")) != "", F.xxhash64(F.trim(F.col("_para")))),
+    )
+    dup_stats = (
+        paras.filter(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col(id_col).alias("id"), F.col("_idx").alias("idx"))).alias("_first"),
+        )
+        .filter(F.col("_n") >= min_count)
+    )
+    joined = paras.join(dup_stats, "_key", "left")
+    keep = F.col("_n").isNull()
+    if keep_first:
+        keep = keep | (
+            (F.col("_first.id") == F.col(id_col)) & (F.col("_first.idx") == F.col("_idx"))
+        )
+    rebuilt = (
+        joined.filter(keep)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx").alias("idx"), F.col("_para").alias("para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .select(*df.columns)
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two string-array columns (as distinct sets)."""
     inter = F.size(F.array_intersect(a, b))

@@ -334,10 +334,16 @@ def curate_documents(
     langs: list[str] | None = None,
     near_dup_threshold: float = 0.7,
     repetition_gate: bool = False,
+    dedup_paragraphs: bool = False,
 ) -> DataFrame:
-    """Doc-level curation ladder: quality gate -> (optional) language gate ->
-    (optional) repetition gate -> exact dedup -> MinHash-LSH near-dup
-    removal.
+    """Doc-level curation ladder: (optional) corpus paragraph dedup ->
+    quality gate -> (optional) language gate -> (optional) repetition gate
+    -> exact dedup -> MinHash-LSH near-dup removal.
+
+    ``dedup_paragraphs`` runs the CCNet/Dolma sub-document stage FIRST:
+    corpus-wide boilerplate paragraphs are stripped before quality scoring
+    (a nav-bar-heavy page should be judged on its real prose) and before
+    any fingerprint/MinHash signature is computed over the text.
 
     Ordering matters for cost: the cheap codegen'd quality/language filters
     shrink the corpus BEFORE the shuffle-bearing dedup stages, and exact
@@ -348,8 +354,11 @@ def curate_documents(
     gate — still map-only, still ahead of every shuffle.
     """
     from .dedup import apply_dedup, exact_dedup_keep_min, minhash_dedup_pairs
+    from .dedup import paragraph_dedup as _paragraph_dedup
     from .text import lang_id, quality_score, repetition_filter
 
+    if dedup_paragraphs:
+        docs = _paragraph_dedup(docs, text_col, id_col)
     kept = quality_score(docs, text_col).filter(
         F.col("quality_score") >= F.lit(min_quality)
     ).drop("quality_score")

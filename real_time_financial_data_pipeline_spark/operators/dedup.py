@@ -183,18 +183,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 4,
+def _banded(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: equal band-slice => candidate pair.
-
-    explode(bands) -> groupBy (band, slice-hash) -> self-join inside tiny
-    buckets.  Pairs are emitted once (id_a < id_b).
-    """
-    banded = signatures.select(
+    """(id, band, band_sig) rows: each signature exploded to its band-slice
+    hashes — the shared candidate-generation half of the self-join and the
+    two-sided (incremental) LSH paths."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -210,6 +205,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.band_sig")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: equal band-slice => candidate pair.
+
+    explode(bands) -> groupBy (band, slice-hash) -> self-join inside tiny
+    buckets.  Pairs are emitted once (id_a < id_b).
+    """
+    banded = _banded(signatures, id_col, bands, rows_per_band)
 
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -260,6 +269,97 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def minhash_pairs_between(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Two-sided MinHash-LSH: (id_new, id_corpus, jaccard) for every new
+    document near-duplicating an EXISTING corpus document — the incremental
+    (daily-crawl vs historical-index) deployment of the self-join pipeline.
+
+    Scale contract: pass ``corpus_sigs`` — the persisted (id, minhash)
+    signature table the nightly build already writes — and the 100 TB
+    corpus text is touched ONLY for verification, via a semi-join down to
+    the candidate ids (bounded by |candidates|, not |corpus|).  Without
+    ``corpus_sigs`` the signatures are recomputed here (one full corpus
+    pass — fine for tests, wrong for production).  Exact copies are caught
+    too: identical text means identical signatures, so every band
+    collides and Jaccard verifies at 1.0.
+
+    New-batch ids and corpus ids are distinct ROLES (id_new / id_corpus);
+    the same document id appearing on both sides is reported like any
+    other pair — callers deduplicate by content, not by id equality.
+    """
+    rows_per_band = num_hashes // bands
+    new_grams = doc_grams(new_docs, text_col, id_col, shingle_n, "grams").persist()
+    new_grams.count()
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, grams_df=new_grams
+    ).persist()
+    new_sigs.count()
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
+    cands = (
+        _banded(new_sigs, id_col, bands, rows_per_band)
+        .withColumnRenamed(id_col, "id_new")
+        .join(
+            _banded(corpus_sigs, id_col, bands, rows_per_band).withColumnRenamed(
+                id_col, "id_corpus"
+            ),
+            ["band", "band_sig"],
+        )
+        .select("id_new", "id_corpus")
+        .distinct()
+        .persist()
+    )
+    cands.count()  # materialize: the semi-join below must not re-plan the LSH tree
+    corpus_subset = corpus.join(
+        cands.select(F.col("id_corpus").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    corpus_grams = doc_grams(corpus_subset, text_col, id_col, shingle_n, "grams")
+    return (
+        cands.join(
+            new_grams.withColumnsRenamed({id_col: "id_new", "grams": "grams_a"}), "id_new"
+        )
+        .join(
+            corpus_grams.withColumnsRenamed({id_col: "id_corpus", "grams": "grams_b"}),
+            "id_corpus",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Drop every new document that near-duplicates (or exactly copies) an
+    existing corpus document — one anti-join over the flagged id set.
+    Compose AFTER within-batch curation: ``curate_documents(new_batch)``
+    then ``incremental_dedup(curated, corpus, corpus_sigs=index)``."""
+    flagged = minhash_pairs_between(
+        new_docs, corpus, text_col, id_col, num_hashes, shingle_n, bands,
+        threshold, corpus_sigs,
+    ).select(F.col("id_new").alias(id_col)).distinct()
+    return new_docs.join(flagged, id_col, "left_anti")
 
 
 def resolve_dup_clusters(

@@ -88,6 +88,27 @@ def sample_by_hash(
     return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
 
 
+def deterministic_shuffle(
+    df: DataFrame, key_cols: list[str], seed: int = 0
+) -> DataFrame:
+    """Reproducible global shuffle for training-example order: total sort by
+    ``xxhash64(key..., seed)`` with the key columns as tie-break — the
+    standard way to write an epoch's worth of shuffled training data.
+
+    Unlike ``orderBy(rand(seed))`` (partition-layout-dependent RNG), the
+    order is a pure function of row content + seed: any cluster, any
+    layout, any day produces byte-identical file order, so a resumed or
+    re-run data job never silently re-orders an epoch.  Different seeds
+    give independent epoch orders.  Cost: one range-partitioned sort —
+    exactly what the final write of a prepared dataset pays anyway
+    (``df.sortWithinPartitions`` variants cannot give a GLOBAL order).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    return df.orderBy(h, *[F.col(c) for c in key_cols])
+
+
 def target_mix_sample(
     df: DataFrame,
     strata_col: str,

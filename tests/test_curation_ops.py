@@ -201,6 +201,30 @@ def test_domain_mix_shares_sum_to_one(documents):
     assert sum(r.n_docs for r in rows) == total_docs
 
 
+# --- deterministic epoch shuffle ------------------------------------------
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(documents):
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        deterministic_shuffle,
+    )
+
+    a = [r.doc_id for r in deterministic_shuffle(documents, ["doc_id"], seed=1).collect()]
+    b = [
+        r.doc_id
+        for r in deterministic_shuffle(
+            documents.repartition(13, "source"), ["doc_id"], seed=1
+        ).collect()
+    ]
+    assert a == b  # layout-independent global order
+    assert sorted(a) == sorted(r.doc_id for r in documents.collect())  # permutation
+    c = [r.doc_id for r in deterministic_shuffle(documents, ["doc_id"], seed=2).collect()]
+    assert a != c  # another epoch, another order
+    assert sorted(a) == sorted(c)
+    with pytest.raises(ValueError):
+        deterministic_shuffle(documents, [])
+
+
 # --- corpus clustering ----------------------------------------------------
 
 

@@ -332,3 +332,87 @@ def test_ffd_open_pack_pruning_equals_naive_first_fit(sizes, budget):
     for n, p in zip(sizes, got):
         sums[p] = sums.get(p, 0) + n
     assert all(s <= budget for s in sums.values())
+
+
+# --- repetition metrics vs pure-Python reference --------------------------
+
+_doc_text = st.text(alphabet="ab x\n", min_size=0, max_size=120)
+
+
+def _ref_repetition(text: str) -> tuple:
+    """Pure-Python reference for the five repetition metrics, mirroring the
+    documented semantics: trimmed non-empty lines, lowercase whitespace
+    tokens, >=2 rule on top grams, lexicographic argmax tie-break,
+    occurrences x token-chars coverage clamped at 1, round 6 (HALF_UP)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float | None) -> float | None:
+        if x is None:
+            return None
+        return float(Decimal(repr(min(1.0, x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    toks = [w for w in text.lower().split(" ") if w]
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    n_lines = len(lines)
+    line_chars = sum(len(x) for x in lines)
+    tok_chars = sum(len(t) for t in toks)
+
+    dup_line_frac = None if n_lines == 0 else r6((n_lines - len(set(lines))) / n_lines)
+    seen: Counter = Counter()
+    dup_chars = 0
+    for ln in sorted(lines):
+        if seen[ln]:
+            dup_chars += len(ln)
+        seen[ln] += 1
+    dup_line_char_frac = None if line_chars == 0 else r6(dup_chars / line_chars)
+
+    def grams(n: int) -> list[str]:
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    def top_frac(n: int) -> float | None:
+        if tok_chars == 0:
+            return None
+        c = Counter(grams(n))
+        if not c:
+            return r6(0.0)
+        best_cnt = max(c.values())
+        if best_cnt < 2:
+            return r6(0.0)
+        best_gram = min(g for g, k in c.items() if k == best_cnt)
+        return r6(best_cnt * (len(best_gram) - (n - 1)) / tok_chars)
+
+    def dup_frac(n: int) -> float | None:
+        if tok_chars == 0:
+            return None
+        c = Counter(grams(n))
+        chars = sum((k - 1) * (len(g) - (n - 1)) for g, k in c.items() if k >= 2)
+        return r6(chars / tok_chars)
+
+    return (dup_line_frac, dup_line_char_frac, top_frac(2), top_frac(3), dup_frac(5))
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=12))
+@_settings
+def test_repetition_stats_match_python_reference(spark, texts):
+    from real_time_financial_data_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_char_frac,
+            r.top_3gram_char_frac, r.dup_5gram_char_frac,
+        )
+        for r in repetition_stats(df).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, text in enumerate(texts):
+        expect = _ref_repetition(text)
+        for g, e, name in zip(
+            got[i], expect,
+            ["dup_line_frac", "dup_line_char_frac", "top2", "top3", "dup5"],
+        ):
+            if e is None:
+                assert g is None, (i, name, text, g)
+            else:
+                assert g is not None and abs(g - e) < 1e-9, (i, name, text, g, e)

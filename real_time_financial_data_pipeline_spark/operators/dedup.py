@@ -65,15 +65,19 @@ def paragraph_dedup(
     boilerplate headers/footers/navigation vanish while each document's
     remaining paragraphs keep their original order.
 
-    Shuffle ledger at 100 TB: paragraphs explode map-side; occurrence
-    stats are ONE hash aggregate keyed on a 64-bit paragraph hash
-    (map-side combine collapses within-partition repeats — boilerplate is
-    exactly what combines well), FILTERED to duplicated paragraphs before
-    the join back, so the join's build side is bounded by |duplicated
-    paragraphs|, not |corpus|; the rebuild is one more aggregate on doc
-    id.  Matching is by xxhash64 of the trimmed paragraph — at 64 bits a
-    collision (~3e-4 expected per 1e8 distinct) deletes one innocent
-    paragraph, the standard trade every hash-keyed dedup makes.
+    Shuffle ledger at 100 TB — the corpus TEXT never shuffles:
+    paragraphs explode map-side; occurrence stats are ONE hash aggregate
+    keyed on a 64-bit paragraph hash (map-side combine collapses
+    within-partition repeats — boilerplate is exactly what combines
+    well), filtered to duplicated paragraphs; what flows back is only the
+    REMOVAL SET — (doc id, indices to drop), bounded by |duplicate
+    occurrences| — aggregated per doc and joined to the original frame,
+    where a single indexed higher-order filter rebuilds the text
+    map-side.  Documents with nothing to remove pass through
+    byte-identical (no split/rejoin round trip at all).  Matching is by
+    xxhash64 of the trimmed paragraph — at 64 bits a collision (~3e-4
+    expected per 1e8 distinct) deletes one innocent paragraph, the
+    standard trade every hash-keyed dedup makes.
 
     Empty/whitespace-only paragraphs are structural, never dedup-eligible,
     and survive in place.  A document whose every paragraph was removed
@@ -98,31 +102,26 @@ def paragraph_dedup(
         )
         .filter(F.col("_n") >= min_count)
     )
-    joined = paras.join(dup_stats, "_key", "left")
-    keep = F.col("_n").isNull()
+    # inner join: only occurrences OF a duplicated paragraph survive it —
+    # the removal candidates, bounded by |duplicate occurrences|
+    flagged = paras.join(dup_stats, "_key")
     if keep_first:
-        keep = keep | (
-            (F.col("_first.id") == F.col(id_col)) & (F.col("_first.idx") == F.col("_idx"))
+        flagged = flagged.filter(
+            (F.col("_first.id") != F.col(id_col)) | (F.col("_first.idx") != F.col("_idx"))
         )
-    rebuilt = (
-        joined.filter(keep)
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_idx").alias("idx"), F.col("_para").alias("para")))
-                    ),
-                    lambda s: s["para"],
-                ),
-                "\n",
-            ).alias(text_col)
-        )
+    removals = flagged.groupBy(id_col).agg(F.collect_set("_idx").alias("_drop"))
+    rebuilt = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda x, i: ~F.array_contains(F.col("_drop"), i),
+        ),
+        "\n",
     )
     return (
-        df.drop(text_col)
-        .join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        df.join(removals, id_col, "left")
+        .withColumn(
+            text_col, F.when(F.col("_drop").isNull(), F.col(text_col)).otherwise(rebuilt)
+        )
         .select(*df.columns)
     )
 

@@ -53,8 +53,13 @@ def test_paragraph_dedup_unique_docs_unchanged(spark):
         "doc_id long, text string",
     )
     out = {r.doc_id: r.text for r in paragraph_dedup(docs).collect()}
-    # byte-identical round trip when nothing is duplicated
+    # byte-identical round trip when nothing is duplicated — untouched docs
+    # skip the split/rejoin entirely, so even odd whitespace survives
     assert out == {1: f"{UNIQ_A}\n\n{UNIQ_B}", 2: f"{UNIQ_C}\ntrailing line here"}
+    weird = spark.createDataFrame(
+        [(1, f"  {UNIQ_A}  \n\r tabs\tand \r carriage ")], "doc_id long, text string"
+    )
+    assert paragraph_dedup(weird).first().text == f"  {UNIQ_A}  \n\r tabs\tand \r carriage "
 
 
 def test_paragraph_dedup_min_count_and_validation(spark):

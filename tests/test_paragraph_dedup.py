@@ -96,6 +96,18 @@ def test_curate_documents_paragraph_rung(spark):
     assert out[2] == other  # boilerplate stripped, prose intact
 
 
+def test_paragraph_dedup_plan_never_shuffles_corpus_text(spark):
+    """The scale contract: document text is rebuilt map-side from the
+    removal set — no corpus-wide collect_list aggregate, and the only
+    grouping aggregates run over exploded paragraph keys / removal
+    indices, never over the text column itself."""
+    plan = paragraph_dedup(_docs(spark))._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan  # the old whole-corpus rebuild shape
+    # removal indices aggregate exists (collect_set over _idx), text does not
+    assert "collect_set" in plan
+    assert plan.count("text#") > 0
+
+
 def test_paragraph_dedup_preserves_columns_and_layout_independence(spark):
     docs = _docs(spark)
     out = paragraph_dedup(docs)

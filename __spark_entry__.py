@@ -51,7 +51,6 @@ from real_time_financial_data_pipeline_spark.operators.similarity import (
 from real_time_financial_data_pipeline_spark.operators.text import (
     doc_grams,
     fingerprint,
-    lang_id,
     quality_score,
     token_stats,
 )
@@ -127,6 +126,8 @@ def _latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _preview_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return preview(ev, 100, ["event_id"])
+
+
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
@@ -258,6 +259,8 @@ def _pipeline_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-series quantiles (p50/p90/p99) — `percentile` with linear
     interpolation, the same definition as ANSI percentile_cont.  The
@@ -295,18 +298,6 @@ def _events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_cols=["event_id"],
     )
-
-
-def _cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-user cardinality per series (the HLL++ sketch twin is
-    ``cardinality_stats(..., approx=True)`` — tolerance-tested, not
-    oracle-able)."""
-    from real_time_financial_data_pipeline_spark.operators.query import (
-        cardinality_stats,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    return cardinality_stats(ev, ["event_type"], "user_id")
 
 
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +348,8 @@ def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         dim, updates, ["c_custkey"], ["c_mktsegment", "acctbal"]
     )
+
+
 def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, distinct
     active users per (cohort, weeks-since) offset — two hash aggregates
@@ -378,6 +371,8 @@ def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
 def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_rollup(
         load_table(spark, sf_dir, "lineitem"),
@@ -405,6 +400,8 @@ def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keep_min(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -690,10 +687,6 @@ def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.coalesce(1).write.mode("overwrite").parquet(_STAGED_SIMHASH_DIR)
     staged = spark.read.parquet(_STAGED_SIMHASH_DIR)
     return simhash_pairs(docs, max_hamming=3, sig_df=staged)
-
-
-def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(load_table(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
 
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,7 +1249,10 @@ def oracle_sql() -> dict[str, str]:
                 WITH base AS (
                     SELECT doc_id,
                            list_filter(string_split(lower(text), ' '), x -> x != '') AS t,
-                           list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') AS l
+                           -- CRLF-safe strip matching text.LINE_STRIP_RE
+                           -- (explicit class, identical in Java and RE2)
+                           list_filter(list_transform(string_split(text, chr(10)),
+                                x -> regexp_replace(x, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g')), x -> x != '') AS l
                     FROM documents
                 ),
                 m AS (
@@ -1342,9 +1338,9 @@ def oracle_sql() -> dict[str, str]:
                 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
                 scored AS (
                     SELECT v.vec_id, c.cluster_id,
-                           list_dot_product(v.e, c.centroid)
+                           round(list_dot_product(v.e, c.centroid)
                            / (sqrt(list_dot_product(v.e, v.e))
-                              * sqrt(list_dot_product(c.centroid, c.centroid))) AS score
+                              * sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS score
                     FROM v CROSS JOIN c
                 )
                 SELECT vec_id, cluster_id FROM (

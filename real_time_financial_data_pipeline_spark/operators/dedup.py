@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from real_time_financial_data_pipeline_spark.operators.query import latest_per_key
-from real_time_financial_data_pipeline_spark.operators.text import doc_grams
+from real_time_financial_data_pipeline_spark.operators.text import doc_grams, strip_line
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -90,8 +90,13 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_para"),
     ).withColumn(
+        # CRLF-safe strip (text.strip_line): a '\r' left by a CRLF line
+        # ending must read as a STRUCTURAL blank line, never a dedup-
+        # eligible paragraph that boilerplate-collapses every separator
         "_key",
-        F.when(F.trim(F.col("_para")) != "", F.xxhash64(F.trim(F.col("_para")))),
+        F.when(
+            strip_line(F.col("_para")) != "", F.xxhash64(strip_line(F.col("_para")))
+        ),
     )
     dup_stats = (
         paras.filter(F.col("_key").isNotNull())
@@ -293,6 +298,12 @@ def minhash_pairs_between(
     pass — fine for tests, wrong for production).  Exact copies are caught
     too: identical text means identical signatures, so every band
     collides and Jaccard verifies at 1.0.
+
+    Caching note: the new-batch grams/signatures and the candidate set are
+    persisted internally (same plan-explosion rationale as
+    ``minhash_dedup_pairs``) and stay cached until GC'd — a long-lived
+    driver looping over daily batches should ``spark.catalog.clearCache()``
+    (or unpersist the returned frame's lineage) between runs.
 
     New-batch ids and corpus ids are distinct ROLES (id_new / id_corpus);
     the same document id appearing on both sides is reported like any

@@ -101,6 +101,28 @@ def cosine_topk(
     the driver and broadcast — same smallness contract as a broadcast-hash
     join build side.
     """
+    return _brute_topk(
+        corpus, queries, k, id_col, vec_col, exclude_self,
+        select_cols=[vec_col],
+        to_matrix=lambda pdf: _stack_f64(pdf[vec_col]),
+    )
+
+
+def _brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    select_cols: list[str],
+    to_matrix,
+) -> DataFrame:
+    """Shared brute-force kernel behind ``cosine_topk`` and
+    ``cosine_topk_q8``: broadcast query matrix, one numpy matmul per Arrow
+    batch, 9-then-6 dp guard band, (score desc, id asc) window top-k.
+    ``to_matrix(pdf) -> float64 matrix`` is the only thing that differs —
+    plain stacking vs in-kernel dequantization."""
     spark = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_ddl = f"neighbor_id {id_type}, query_id {id_type}, _score_raw double"
@@ -122,7 +144,7 @@ def cosine_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = _stack_f64(pdf[vec_col])
+            C = to_matrix(pdf)
             cn = np.linalg.norm(C, axis=1)
             S = (C @ Qm.T) / (cn[:, None] * qn[None, :])
             yield pd.DataFrame(
@@ -133,7 +155,7 @@ def cosine_topk(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema=out_ddl)
+    scored = corpus.select(id_col, *select_cols).mapInPandas(_score, schema=out_ddl)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     # guard band: numpy matmul and a fold-order engine (e.g. a SQL oracle's
@@ -180,53 +202,15 @@ def cosine_topk_q8(
     ``cosine_topk``; recall vs the float path is gated in
     tests/test_embeddings_ops.py::test_quantized_search_recall.
     """
-    spark = corpus_q8.sparkSession
-    id_type = corpus_q8.schema[id_col].dataType.simpleString()
-    out_ddl = f"neighbor_id {id_type}, query_id {id_type}, _score_raw double"
+    def dequant(pdf: pd.DataFrame) -> np.ndarray:
+        C = np.stack(pdf[q_col].to_numpy()).astype(np.float64)
+        C *= pdf[scale_col].to_numpy().astype(np.float64)[:, None]
+        return C
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], f"query_id {id_type}, neighbor_id {id_type}, score double, rank bigint"
-        )
-    q_ids = np.asarray([r[0] for r in q_rows])
-    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(Q, axis=1)
-    bq = spark.sparkContext.broadcast((q_ids, Q, q_norm))
-
-    def _score(batches):
-        ids, Qm, qn = bq.value
-        m = len(ids)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            C = np.stack(pdf[q_col].to_numpy()).astype(np.float64)
-            C *= pdf[scale_col].to_numpy().astype(np.float64)[:, None]
-            cn = np.linalg.norm(C, axis=1)
-            S = (C @ Qm.T) / (cn[:, None] * qn[None, :])
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
-                    "query_id": np.tile(ids, len(pdf)),
-                    "_score_raw": S.ravel(),
-                }
-            )
-
-    scored = corpus_q8.select(id_col, q_col, scale_col).mapInPandas(
-        _score, schema=out_ddl
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id", "neighbor_id", F.round(F.round("_score_raw", 9), 6).alias("score")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+    return _brute_topk(
+        corpus_q8, queries, k, id_col, vec_col, exclude_self,
+        select_cols=[q_col, scale_col],
+        to_matrix=dequant,
     )
 
 
@@ -471,7 +455,16 @@ def _kmeans_spherical(X: np.ndarray, n_lists: int, iters: int, seed: int) -> np.
 
 def nearest_list(vec: Column, centroids: np.ndarray) -> Column:
     """Coarse-quantizer assignment: argmax cosine vs the centroid matrix,
-    one numpy matmul per Arrow batch (same kernel shape as rp_signature)."""
+    one numpy matmul per Arrow batch (same kernel shape as rp_signature).
+
+    Scores are snapped to 9 dp before the argmax — the repo-wide
+    cross-engine guard band: an engine recomputing the assignment with a
+    different summation order (e.g. the cluster_docs oracle's
+    list_dot_product) agrees unless two centroids' true cosines sit within
+    1e-9 of each other AND straddle a rounding boundary.  numpy argmax
+    takes the FIRST maximum, so 9-dp ties resolve to the lowest centroid
+    index — the same (score desc, index asc) total order the oracle uses.
+    """
     C = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf(LongType())
@@ -480,7 +473,8 @@ def nearest_list(vec: Column, centroids: np.ndarray) -> Column:
             return pd.Series([], dtype=np.int64)
         X = _stack_f64(vecs)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series((Xn @ C.T).argmax(axis=1).astype(np.int64))
+        S = np.round(Xn @ C.T, 9)
+        return pd.Series(S.argmax(axis=1).astype(np.int64))
 
     return _assign(vec)
 

@@ -195,6 +195,17 @@ def doc_grams(
     return staged.select(F.col(id_col), ngrams(F.col("_toks"), n).alias(out_col))
 
 
+def gram_set(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """DISTINCT token n-grams of a corpus as one (gram) column — no id
+    column required (unlike ``doc_grams``), so a benchmark/eval frame with
+    ANY schema works as long as it has the text column.  Same staged-
+    tokenization shape as ``doc_grams``."""
+    staged = _staged_tokens(df, text_col, [])
+    return (
+        staged.select(F.explode(ngrams(F.col("_toks"), n)).alias("gram")).distinct()
+    )
+
+
 def top_terms(
     df: DataFrame,
     text_col: str = "text",
@@ -413,7 +424,7 @@ def _stage_toks_lines(df: DataFrame, text_col: str, keep: list[Column]) -> DataF
     repetition operators stay usable as in-flight gates."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: strip_line(x)),
         lambda x: x != F.lit(""),
     )
     n = parallelism if df.isStreaming else max(parallelism, df.rdd.getNumPartitions())
@@ -450,6 +461,20 @@ def repetition_stats(
     return staged.select(
         F.col(id_col), *[c.alias(name) for name, c in metrics.items()]
     )
+
+
+# Line/paragraph strip class, shared by the repetition metrics, paragraph
+# dedup, and their DuckDB oracles.  An EXPLICIT char class, not \s: Java's
+# \s includes \x0B where RE2's does not, so \s-based stripping would
+# diverge between Spark and a RE2 oracle on vertical-tab-only lines.
+# (F.trim strips only ASCII spaces — a '\r' from a CRLF line ending would
+# count as a non-empty line, which is why trim() is not used here.)
+LINE_STRIP_RE = "^[ \\t\\r\\f]+|[ \\t\\r\\f]+$"
+
+
+def strip_line(c: Column) -> Column:
+    """Strip spaces/tabs/CRs/form-feeds from both ends (CRLF-safe trim)."""
+    return F.regexp_replace(c, LINE_STRIP_RE, "")
 
 
 # Gopher table-A1 thresholds (2-/3-gram and duplicate-line/5-gram cuts).

@@ -102,6 +102,12 @@ def deterministic_shuffle(
     give independent epoch orders.  Cost: one range-partitioned sort —
     exactly what the final write of a prepared dataset pays anyway
     (``df.sortWithinPartitions`` variants cannot give a GLOBAL order).
+
+    ``key_cols`` must uniquely identify rows — that is what makes the
+    order total.  For chunked training data pass the composite key, e.g.
+    ``["doc_id", "chunk_id"]``: rows sharing a partial key would tie on
+    both the hash and the tie-break and their relative order would be
+    layout-dependent again.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -203,13 +209,11 @@ def flag_contaminated(
     """
     from pyspark.sql.functions import broadcast
 
-    from .text import doc_grams
+    from .text import doc_grams, gram_set
 
-    bench_grams = (
-        doc_grams(benchmark, text_col, id_col, n)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-    )
+    # gram_set, not doc_grams: the benchmark frame only needs the text
+    # column — it may carry a different (or no) id column than the corpus
+    bench_grams = gram_set(benchmark, text_col, n)
     corpus_grams = doc_grams(corpus, text_col, id_col, n).select(
         F.col(id_col), F.explode("grams").alias("gram")
     )

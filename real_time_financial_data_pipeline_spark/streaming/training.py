@@ -56,14 +56,11 @@ def _stream_decontam_filter(
     ``flag_contaminated`` (lowercased whitespace tokens, space-joined
     grams; parity asserted in tests/test_streaming_training.py).
     """
-    from ..operators.text import doc_grams
+    from ..operators.text import gram_set
 
-    bench_rows = (
-        doc_grams(benchmark, text_col, n=n)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-        .collect()
-    )
+    # gram_set: no id column required of the benchmark frame (the batch
+    # twin flag_contaminated uses the same helper)
+    bench_rows = gram_set(benchmark, text_col, n).collect()
     bgrams = frozenset(r.gram for r in bench_rows)
     bc = benchmark.sparkSession.sparkContext.broadcast(bgrams)
 

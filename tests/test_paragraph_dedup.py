@@ -71,6 +71,26 @@ def test_paragraph_dedup_min_count_and_validation(spark):
         paragraph_dedup(docs, min_count=1)
 
 
+def test_paragraph_dedup_crlf_blank_lines_are_structural(spark):
+    """A '\\r' left by a CRLF line ending is a blank separator, not a
+    dedup-eligible paragraph — it must never boilerplate-collapse."""
+    docs = spark.createDataFrame(
+        [
+            (1, f"{UNIQ_A}\r\n\r\n{BOILER}\r"),
+            (2, f"{BOILER}\r\n\r\n{UNIQ_B}\r"),
+            (3, f"{UNIQ_C}\r\n\r\n{UNIQ_C} extended\r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in paragraph_dedup(docs).collect()}
+    # doc 1 keeps the first BOILER occurrence; blank \r lines untouched
+    assert out[1] == f"{UNIQ_A}\r\n\r\n{BOILER}\r"
+    # doc 2 loses only the BOILER paragraph; the blank \r line survives
+    assert out[2] == f"\r\n{UNIQ_B}\r"
+    # doc 3: nothing duplicated -> byte-identical (CRs and all)
+    assert out[3] == f"{UNIQ_C}\r\n\r\n{UNIQ_C} extended\r"
+
+
 def test_curate_documents_paragraph_rung(spark):
     """With dedup_paragraphs=True the pure-boilerplate doc empties and the
     quality gate then removes it; prose docs keep their prose."""

@@ -336,7 +336,7 @@ def test_ffd_open_pack_pruning_equals_naive_first_fit(sizes, budget):
 
 # --- repetition metrics vs pure-Python reference --------------------------
 
-_doc_text = st.text(alphabet="ab x\n", min_size=0, max_size=120)
+_doc_text = st.text(alphabet="ab x\n\t\r", min_size=0, max_size=120)
 
 
 def _ref_repetition(text: str) -> tuple:
@@ -353,7 +353,8 @@ def _ref_repetition(text: str) -> tuple:
         return float(Decimal(repr(min(1.0, x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
     toks = [w for w in text.lower().split(" ") if w]
-    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    # the explicit LINE_STRIP_RE class: spaces, tabs, CRs, form feeds
+    lines = [ln.strip(" \t\r\f") for ln in text.split("\n") if ln.strip(" \t\r\f")]
     n_lines = len(lines)
     line_chars = sum(len(x) for x in lines)
     tok_chars = sum(len(t) for t in toks)

@@ -49,7 +49,6 @@ from real_time_financial_data_pipeline_spark.operators.similarity import (
     lsh_topk,
 )
 from real_time_financial_data_pipeline_spark.operators.text import (
-    doc_grams,
     fingerprint,
     quality_score,
     token_stats,

@@ -6,8 +6,6 @@ guarantee that must survive any repartitioning or scale-up.
 
 from __future__ import annotations
 
-import math
-
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

@@ -94,6 +94,7 @@ def stream_training_chunks(
     decontam_ngram: int = 8,
     scrub: bool = False,
     repetition_gate: bool = False,
+    known_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """(optional) PII scrub -> quality gate -> (optional) repetition gate
     -> (optional) benchmark decontamination -> content-fingerprint dedup
@@ -122,6 +123,17 @@ def stream_training_chunks(
     The benchmark gram set is frozen at stream start; a refreshed eval set
     means restarting the query (and the nightly batch compaction re-runs
     full decontamination anyway).
+
+    ``known_fingerprints`` (a STATIC frame with a ``fingerprint`` column —
+    e.g. ``text.fingerprint`` over the landed lake corpus) drops documents
+    whose content ALREADY EXISTS in the lake, in-flight, via a
+    stream-static left-anti join on the content fingerprint — append-legal
+    and stateless on the stream side, and unlike the watermark dedup it
+    has no time bound: content ingested last month still dedups.  The
+    static side is re-read per micro-batch, so a nightly-refreshed
+    fingerprint table takes effect without restarting the stream.  Exact
+    content only; near-dups against history remain the nightly batch
+    compaction's job.
     """
     if scrub:
         from ..operators.text import scrub_pii
@@ -140,6 +152,12 @@ def stream_training_chunks(
     fingerprinted = gated.withColumn(
         "_fp", F.xxhash64(F.concat_ws(" ", toks))
     ).withColumn("_ingest_ts", F.current_timestamp())
+    if known_fingerprints is not None:
+        fingerprinted = fingerprinted.join(
+            known_fingerprints.select(F.col("fingerprint").alias("_fp")).distinct(),
+            "_fp",
+            "left_anti",
+        )
     deduped = fingerprinted.withWatermark(
         "_ingest_ts", dedup_watermark
     ).dropDuplicatesWithinWatermark(["_fp"])

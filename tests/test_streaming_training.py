@@ -204,6 +204,45 @@ def test_stream_scrub_and_repetition_gate_match_batch(spark, tmp_path):
     assert "bob@example.com" not in masked and "10.0.0.1" not in masked
 
 
+def test_stream_known_fingerprint_exclusion(spark, tmp_path):
+    """known_fingerprints drops in-flight any document whose CONTENT is
+    already in the lake — regardless of id, matching text.fingerprint's
+    normalized-token identity (case/whitespace-insensitive)."""
+    from real_time_financial_data_pipeline_spark.operators.text import fingerprint
+
+    landed = spark.createDataFrame(
+        [(900, GOOD_A), (901, GOOD_B)], "doc_id long, text string"
+    )
+    known = fingerprint(landed).select("fingerprint")
+
+    fresh = " ".join(f"fresh{i} the newly crawled words" for i in range(10))
+    rows = [
+        (1, GOOD_A),                 # exact known content, new id -> dropped
+        (2, GOOD_B.upper() + " "),   # case/whitespace variant -> same fingerprint
+        (3, fresh),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src / "f1")
+    )
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, chunk_tokens=8, overlap_tokens=2, known_fingerprints=known
+        )
+        .writeStream.format("memory")
+        .queryName("known_fp_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got_ids = {r.doc_id for r in spark.table("known_fp_chunks").collect()}
+    assert got_ids == {3}
+
+
 def test_stream_decontamination_matches_batch(spark, tmp_path):
     """In-flight decontamination: the stream must drop exactly the docs the
     batch remove_contaminated drops (verbatim 8-gram run -> gone; reordered

@@ -1,0 +1,213 @@
+"""Financial technical indicators over bar (candle) tables.
+
+The reference pipeline stops at OHLCV resampling (transformers.py:17-142 —
+its aggregation ladder ends at candle bars); every charting/screening user
+of a financial data pipeline immediately computes indicators ON those bars.
+This module adds the standard ladder — SMA/Bollinger bands, log returns,
+rolling volatility, running-max drawdown, EMA/MACD/signal, Wilder RSI — as
+two operators chosen by their execution shape:
+
+* :func:`window_indicators` — everything expressible as a frame aggregate
+  (SMA, bands, returns, volatility, drawdown) in ONE window pass: a single
+  shuffle on the series keys, one sort per partition, all arithmetic
+  JVM-side in whole-stage codegen.  At 100 TB of ticks the bar table this
+  runs on is already reduced by the OHLCV aggregate (rows = symbols x
+  periods), so the window partitions are small and skew-free.
+
+* :func:`recursive_indicators` — EMA-family recurrences
+  (``y_t = a*x_t + (1-a)*y_{t-1}``) have no bounded-frame form; they are
+  inherently a per-key prefix scan.  Implemented as one Arrow-batched
+  ``applyInPandas`` per series key: one shuffle on the keys, then a linear
+  numpy scan per series.  Per-task memory is one key's bar history
+  (periods-per-symbol — thousands of rows, not the tick table), which is
+  exactly the state any engine needs to compute an EMA.
+
+Variance uses the explicit ``(sum(x^2) - n*mean^2)/(n-1)`` form (not the
+builtin ``stddev_samp``) so the DuckDB oracle can reproduce the arithmetic
+operation-for-operation; the recurrences in the pandas kernel are written
+as the same fused multiply-adds the oracle's recursive CTE evaluates, so
+both engines walk bitwise-identical float64 sequences.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from .aggregate import ohlcv
+
+ANNUALIZE_DAILY = math.sqrt(252.0)  # trading days per year
+
+
+def daily_close_bars(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    day_col: str = "day",
+) -> DataFrame:
+    """Per-key daily close bars from a tick-like table — the OHLCV 'D'
+    aggregate (aggregate.py:ohlcv) projected to (keys, day, close).  One
+    map-side-combined hash aggregate; output rows = keys x days."""
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    bars = ohlcv(df, "D", time_col, value_col, group_cols, bucket_col="_period")
+    return bars.select(
+        *group_cols, F.col("_period").cast("date").alias(day_col), F.col("close")
+    )
+
+
+def window_indicators(
+    bars: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    close_col: str = "close",
+    band_window: int = 20,
+    band_k: float = 2.0,
+    vol_window: int = 10,
+    annualize: float = ANNUALIZE_DAILY,
+) -> DataFrame:
+    """Frame-aggregate indicator pass: trailing SMA + Bollinger bands
+    (``band_window`` bars, ``band_k`` sample standard deviations), log
+    return, trailing annualized log-return volatility (``vol_window``),
+    running max and drawdown from it.
+
+    Plan shape: one Exchange on ``key_cols``, one sort per partition, two
+    chained Window operators over the SAME (partition, order) spec — the
+    second (volatility over the derived log-return column) reuses the sort,
+    so no second shuffle.  Rows with an under-filled frame (fewer than two
+    samples) yield NULL bands/volatility rather than a degenerate 0.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(day_col)
+    frame = w.rowsBetween(-(band_window - 1), 0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    c = F.col(close_col)
+    cnt = F.count(c).over(frame)
+    s1 = F.sum(c).over(frame)
+    s2 = F.sum(c * c).over(frame)
+    sma = s1 / cnt
+    # sample variance, explicit form; clamp the catastrophic-cancellation
+    # negative at 0 so sqrt never NaNs (both engines do the same clamp)
+    var = F.greatest((s2 - cnt * sma * sma) / (cnt - 1), F.lit(0.0))
+    sd = F.when(cnt > 1, F.sqrt(var))
+
+    prev = F.lag(c).over(w)
+    log_ret = F.log(c / prev)
+
+    stage1 = bars.select(
+        *key_cols,
+        F.col(day_col),
+        c.alias(close_col),
+        sma.alias("sma"),
+        (sma + F.lit(band_k) * sd).alias("boll_up"),
+        (sma - F.lit(band_k) * sd).alias("boll_dn"),
+        log_ret.alias("log_return"),
+        F.max(c).over(run).alias("run_max"),
+        (c / F.max(c).over(run) - F.lit(1.0)).alias("drawdown"),
+    )
+
+    vframe = w.rowsBetween(-(vol_window - 1), 0)
+    r = F.col("log_return")
+    vcnt = F.count(r).over(vframe)
+    v1 = F.sum(r).over(vframe)
+    v2 = F.sum(r * r).over(vframe)
+    vmean = v1 / vcnt
+    vvar = F.greatest((v2 - vcnt * vmean * vmean) / (vcnt - 1), F.lit(0.0))
+    vol = F.when(vcnt > 1, F.sqrt(vvar) * F.lit(annualize))
+    return stage1.withColumn("volatility", vol)
+
+
+def _ema_alpha(span: int) -> float:
+    return 2.0 / (span + 1.0)
+
+
+def _recursive_kernel(
+    pdf: pd.DataFrame,
+    day_col: str,
+    close_col: str,
+    a_fast: float,
+    a_slow: float,
+    a_sig: float,
+    rsi_n: int,
+) -> pd.DataFrame:
+    """Linear scan of one series.  The update expressions are kept
+    textually identical to the oracle CTE's recursive arm
+    (``a*x + (1-a)*prev``; ``(avg*(n-1) + g)/n``) so float64 results match
+    bitwise, not just to rounding."""
+    pdf = pdf.sort_values(day_col, ignore_index=True)
+    x = pdf[close_col].to_numpy(dtype=np.float64)
+    n = len(x)
+    ef = np.empty(n)
+    es = np.empty(n)
+    sig = np.empty(n)
+    rsi = np.full(n, np.nan)
+    if n:
+        ef[0] = x[0]
+        es[0] = x[0]
+        sig[0] = 0.0
+        ag = al = None
+        for i in range(1, n):
+            ef[i] = a_fast * x[i] + (1.0 - a_fast) * ef[i - 1]
+            es[i] = a_slow * x[i] + (1.0 - a_slow) * es[i - 1]
+            macd_i = ef[i] - es[i]
+            sig[i] = a_sig * macd_i + (1.0 - a_sig) * sig[i - 1]
+            g = max(x[i] - x[i - 1], 0.0)
+            loss = max(x[i - 1] - x[i], 0.0)
+            if ag is None:
+                ag, al = g, loss
+            else:
+                ag = (ag * (rsi_n - 1) + g) / rsi_n
+                al = (al * (rsi_n - 1) + loss) / rsi_n
+            if ag + al > 0.0:
+                rsi[i] = 100.0 * ag / (ag + al)
+    out = pdf.copy()
+    out["ema_fast"] = ef
+    out["ema_slow"] = es
+    out["macd"] = ef - es
+    out["macd_signal"] = sig
+    out["rsi"] = rsi
+    return out
+
+
+def recursive_indicators(
+    bars: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    close_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    rsi_n: int = 14,
+) -> DataFrame:
+    """EMA-family recurrences per series: EMA(fast), EMA(slow), MACD =
+    EMA(fast) - EMA(slow), signal = EMA(signal) of MACD, and Wilder RSI
+    (first-delta-seeded smoothing: ``avg_1 = gain_1`` then
+    ``avg_t = (avg*(n-1) + gain)/n``; ``rsi = 100*ag/(ag+al)``, NULL when
+    the series hasn't moved).  Seeds: ``ema_0 = close_0`` so
+    ``macd_0 = 0`` exactly, signal seeded at 0.
+
+    One shuffle on ``key_cols``, then one Arrow batch + numpy scan per
+    series — the only state is that key's bar history, already reduced to
+    (symbols x periods) rows by the upstream OHLCV aggregate.
+    """
+    a_fast, a_slow, a_sig = _ema_alpha(fast), _ema_alpha(slow), _ema_alpha(signal)
+    schema = StructType(
+        list(bars.schema.fields)
+        + [
+            StructField("ema_fast", DoubleType()),
+            StructField("ema_slow", DoubleType()),
+            StructField("macd", DoubleType()),
+            StructField("macd_signal", DoubleType()),
+            StructField("rsi", DoubleType()),
+        ]
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _recursive_kernel(pdf, day_col, close_col, a_fast, a_slow, a_sig, rsi_n)
+
+    return bars.groupBy(*key_cols).applyInPandas(apply_fn, schema=schema)

@@ -1,0 +1,176 @@
+"""Count-based n-gram language model: train on a corpus, score documents
+by perplexity — the CCNet/RefinedWeb-style quality filter (documents whose
+LM perplexity is far above the corpus norm are boilerplate, gibberish, or
+wrong-language and get filtered before training).
+
+The reference pipeline has no text-quality stage; this extends the §2.13
+training-data family.  Published recipe: CCNet (Wenzek et al., 2020)
+filters Common Crawl by KenLM perplexity; here the model is an add-k
+bigram LM trained ON the corpus itself with plain Spark aggregates, so the
+whole train+score loop is expressible as DataFrame ops (and the DuckDB
+oracle can re-derive it end-to-end in SQL).
+
+Execution shape (100 TB posture):
+
+* Training: the corpus explodes to (w1, w2) bigram pairs map-side only —
+  tokenize, BOS/EOS-pad, zip-shifted arrays, explode.  The only shuffles
+  are hash aggregates whose map-side-combined volume is bounded by the
+  DISTINCT gram vocabulary per partition, never the corpus token count.
+  Vocabulary selection is a ``TakeOrderedAndProject`` (orderBy+limit), not
+  a global sort.
+* OOV mapping is two BROADCAST joins against the ≤``vocab_size``-row
+  vocab — the exploded corpus never shuffles to get mapped.
+* Scoring: the same map-side explode, a broadcast (or shuffle, if the
+  observed-bigram table outgrows the broadcast threshold) join against the
+  model, then one partial-aggregated sum per document.
+
+``train_bigram_lm`` runs one bounded driver action (``vocab.count()``,
+≤ ``vocab_size`` rows) to fix the smoothing denominator — training is
+semantically an action (it fits a model), unlike the lazy operators.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+BOS, EOS, UNK = "<s>", "</s>", "<unk>"
+
+
+class BigramLM(NamedTuple):
+    """A fitted add-k bigram model: the vocab (``token``), per-context
+    totals (``w1``, ``ctx_count``), observed bigram counts (``w1``, ``w2``,
+    ``cnt``), the prediction-vocabulary size ``v_pred`` (vocab + UNK +
+    EOS), and the smoothing constant."""
+
+    vocab: DataFrame
+    contexts: DataFrame
+    bigrams: DataFrame
+    v_pred: int
+    add_k: float
+
+
+def _raw_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1_raw, w2_raw) bigram occurrences of the BOS/EOS-padded
+    whitespace token stream.  Map-only: arrays are built and zip-shifted
+    with JVM higher-order functions, then exploded — no shuffle, no
+    Python."""
+    seq = F.concat(
+        F.array(F.lit(BOS)), tokens(F.col(text_col)), F.array(F.lit(EOS))
+    )
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(seq, 1, F.size(seq) - 1).alias("w1_raw"),
+            F.slice(seq, 2, F.size(seq) - 1).alias("w2_raw"),
+        )
+    )
+    return df.select(F.col(id_col).alias("_doc"), pair.alias("p")).select(
+        "_doc", F.col("p.w1_raw").alias("w1_raw"), F.col("p.w2_raw").alias("w2_raw")
+    )
+
+
+def _map_oov(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map raw bigram sides into the model vocabulary (OOV -> UNK) via two
+    broadcast joins; the padded sentinels map to themselves.  A literal
+    document token equal to a sentinel maps to that sentinel — accepted
+    collision, mirrored exactly by the oracle."""
+    v1 = F.broadcast(vocab.select(F.col("token").alias("_v1")))
+    v2 = F.broadcast(vocab.select(F.col("token").alias("_v2")))
+    return (
+        pairs.join(v1, pairs["w1_raw"] == v1["_v1"], "left")
+        .join(v2, pairs["w2_raw"] == v2["_v2"], "left")
+        .select(
+            "_doc",
+            F.when(F.col("w1_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("_v1"), F.lit(UNK)))
+            .alias("w1"),
+            F.when(F.col("w2_raw") == EOS, F.lit(EOS))
+            .otherwise(F.coalesce(F.col("_v2"), F.lit(UNK)))
+            .alias("w2"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 32768
+) -> DataFrame:
+    """Top-``vocab_size`` whitespace tokens by corpus frequency, ties
+    broken by token ascending (deterministic).  One map-side-combined
+    count aggregate (shuffle bounded by distinct tokens), then
+    TakeOrderedAndProject — no global sort materialization."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32768,
+    add_k: float = 0.5,
+) -> BigramLM:
+    """Fit the add-k bigram model:
+    ``P(w2|w1) = (c(w1,w2) + k) / (ctx(w1) + k * v_pred)`` where
+    ``ctx(w1) = sum_w2 c(w1,w2)`` and ``v_pred = |vocab| + 2`` (UNK and
+    EOS are predictable outcomes; BOS is context-only)."""
+    vocab = build_vocab(df, text_col, vocab_size)
+    mapped = _map_oov(_raw_pairs(df, text_col, id_col), vocab)
+    bigrams = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("cnt").alias("ctx_count"))
+    v_pred = vocab.count() + 2  # bounded driver action: <= vocab_size rows
+    return BigramLM(vocab, contexts, bigrams, v_pred, add_k)
+
+
+def perplexity(
+    df: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document LM score: bigram count, total log-probability, and
+    perplexity ``exp(-log_prob / n_bigrams)``.  Unseen (mapped) bigrams
+    get the smoothed floor ``k / (ctx + k*v_pred)``; contexts unseen in
+    training fall back to the uniform ``k / (k*v_pred)``.
+
+    ``broadcast_model=True`` broadcasts the observed-bigram table (right
+    for vocab-bounded models); set False when the model outgrows the
+    broadcast threshold and let it shuffle-join on the gram key — the
+    scored corpus side still never shuffles before its per-doc partial
+    sum."""
+    mapped = _map_oov(_raw_pairs(df, text_col, id_col), lm.vocab)
+    big = lm.bigrams.select(
+        F.col("w1").alias("_bw1"), F.col("w2").alias("_bw2"), F.col("cnt")
+    )
+    ctx = lm.contexts.select(F.col("w1").alias("_cw1"), F.col("ctx_count"))
+    if broadcast_model:
+        big, ctx = F.broadcast(big), F.broadcast(ctx)
+    k = F.lit(lm.add_k)
+    denom_v = F.lit(float(lm.v_pred))
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + k)
+        / (F.coalesce(F.col("ctx_count"), F.lit(0)) + k * denom_v)
+    )
+    scored = (
+        mapped.join(big, (mapped["w1"] == big["_bw1"]) & (mapped["w2"] == big["_bw2"]), "left")
+        .join(ctx, mapped["w1"] == ctx["_cw1"], "left")
+        .select("_doc", logp.alias("logp"))
+    )
+    return (
+        scored.groupBy(F.col("_doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").alias("log_prob"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("log_prob") / F.col("n_bigrams")))
+    )

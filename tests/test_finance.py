@@ -1,0 +1,165 @@
+"""Technical-indicator operators (operators/finance.py): pandas/numpy
+reference parity, recurrence-seed edge cases, and plan-shape asserts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.finance import (
+    ANNUALIZE_DAILY,
+    _ema_alpha,
+    daily_close_bars,
+    recursive_indicators,
+    window_indicators,
+)
+
+
+def _bars_df(spark, series: dict[str, list[float]]):
+    rows = [
+        (key, dt.date(2024, 1, 1) + dt.timedelta(days=i), float(v))
+        for key, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, day date, close double")
+
+
+def _py_recursive(xs: list[float], fast=12, slow=26, signal=9, rsi_n=14):
+    """Independent scalar-Python reference for the EMA/MACD/RSI recurrences."""
+    af, asl, asg = _ema_alpha(fast), _ema_alpha(slow), _ema_alpha(signal)
+    ef = es = xs[0]
+    sig = 0.0
+    ag = al = None
+    out = [(ef, es, 0.0, sig, None)]
+    for i in range(1, len(xs)):
+        ef = af * xs[i] + (1 - af) * ef
+        es = asl * xs[i] + (1 - asl) * es
+        macd = ef - es
+        sig = asg * macd + (1 - asg) * sig
+        g, l = max(xs[i] - xs[i - 1], 0.0), max(xs[i - 1] - xs[i], 0.0)
+        if ag is None:
+            ag, al = g, l
+        else:
+            ag = (ag * (rsi_n - 1) + g) / rsi_n
+            al = (al * (rsi_n - 1) + l) / rsi_n
+        rsi = 100.0 * ag / (ag + al) if ag + al > 0 else None
+        out.append((ef, es, macd, sig, rsi))
+    return out
+
+
+class TestWindowIndicators:
+    def test_matches_pandas_reference(self, spark):
+        rng = np.random.default_rng(7)
+        xs = (100 + np.cumsum(rng.normal(0, 2, 60))).tolist()
+        bars = _bars_df(spark, {"A": xs})
+        got = (
+            window_indicators(bars, ["sym"], band_window=20, vol_window=10)
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        s = pd.Series(xs)
+        sma = s.rolling(20, min_periods=1).mean()
+        sd = s.rolling(20, min_periods=2).std()
+        lr = np.log(s / s.shift(1))
+        vol = lr.rolling(10, min_periods=2).std() * ANNUALIZE_DAILY
+        run_max = s.cummax()
+        assert np.allclose(got["sma"], sma, rtol=1e-9)
+        assert np.allclose(got["boll_up"].iloc[1:], (sma + 2 * sd).iloc[1:], rtol=1e-9)
+        assert np.allclose(got["boll_dn"].iloc[1:], (sma - 2 * sd).iloc[1:], rtol=1e-9)
+        assert np.allclose(got["log_return"].iloc[1:], lr.iloc[1:], rtol=1e-12)
+        assert np.allclose(got["volatility"].iloc[2:], vol.iloc[2:], rtol=1e-9)
+        assert np.allclose(got["run_max"], run_max, rtol=0)
+        assert np.allclose(got["drawdown"], s / run_max - 1.0, rtol=1e-12)
+
+    def test_underfilled_frames_are_null(self, spark):
+        bars = _bars_df(spark, {"A": [10.0]})
+        row = window_indicators(bars, ["sym"]).toPandas().iloc[0]
+        assert row["sma"] == 10.0  # frame of one: mean defined
+        assert pd.isna(row["boll_up"]) and pd.isna(row["boll_dn"])
+        assert pd.isna(row["log_return"]) and pd.isna(row["volatility"])
+        assert row["run_max"] == 10.0 and row["drawdown"] == 0.0
+
+    def test_keys_do_not_leak_across_partitions(self, spark):
+        bars = _bars_df(spark, {"A": [10.0, 20.0], "B": [1000.0, 500.0]})
+        got = window_indicators(bars, ["sym"]).toPandas()
+        a = got[got.sym == "A"].sort_values("day")
+        assert pytest.approx(a["log_return"].iloc[1]) == math.log(2.0)
+        b = got[got.sym == "B"].sort_values("day")
+        assert b["drawdown"].iloc[1] == pytest.approx(-0.5)
+
+    def test_single_exchange_plan(self, spark):
+        bars = _bars_df(spark, {"A": [1.0, 2.0, 3.0]})
+        plan = window_indicators(bars, ["sym"])._jdf.queryExecution().executedPlan().toString()
+        # chained Window specs share (partition, order): exactly one shuffle
+        assert plan.count("Exchange") == 1
+
+
+class TestRecursiveIndicators:
+    def test_matches_python_reference(self, spark):
+        rng = np.random.default_rng(11)
+        series = {
+            "A": (100 + np.cumsum(rng.normal(0, 2, 50))).tolist(),
+            "B": (50 + np.cumsum(rng.normal(0, 1, 35))).tolist(),
+        }
+        got = recursive_indicators(_bars_df(spark, series), ["sym"]).toPandas()
+        for sym, xs in series.items():
+            g = got[got.sym == sym].sort_values("day", ignore_index=True)
+            ref = _py_recursive(xs)
+            for i, (ef, es, macd, sig, rsi) in enumerate(ref):
+                assert g["ema_fast"].iloc[i] == pytest.approx(ef, rel=1e-12)
+                assert g["ema_slow"].iloc[i] == pytest.approx(es, rel=1e-12)
+                assert g["macd"].iloc[i] == pytest.approx(macd, abs=1e-9)
+                assert g["macd_signal"].iloc[i] == pytest.approx(sig, abs=1e-9)
+                if rsi is None:
+                    assert pd.isna(g["rsi"].iloc[i])
+                else:
+                    assert g["rsi"].iloc[i] == pytest.approx(rsi, rel=1e-12)
+
+    def test_ema_matches_pandas_ewm(self, spark):
+        xs = [100.0, 101.5, 99.0, 102.0, 104.0, 103.0]
+        got = (
+            recursive_indicators(_bars_df(spark, {"A": xs}), ["sym"], fast=12, slow=26)
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        ewm = pd.Series(xs).ewm(span=12, adjust=False).mean()
+        assert np.allclose(got["ema_fast"], ewm, rtol=1e-12)
+
+    def test_flat_series_rsi_null_macd_zero(self, spark):
+        got = (
+            recursive_indicators(_bars_df(spark, {"A": [5.0] * 10}), ["sym"])
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        assert got["rsi"].isna().all()
+        assert (got["macd"] == 0.0).all() and (got["macd_signal"] == 0.0).all()
+
+    def test_monotonic_up_rsi_100(self, spark):
+        got = (
+            recursive_indicators(_bars_df(spark, {"A": [1.0, 2.0, 3.0, 4.0]}), ["sym"])
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        assert (got["rsi"].iloc[1:] == 100.0).all()
+
+    def test_single_exchange_plan(self, spark):
+        bars = _bars_df(spark, {"A": [1.0, 2.0]})
+        plan = recursive_indicators(bars, ["sym"])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestDailyCloseBars:
+    def test_close_is_value_at_max_ts(self, spark, events):
+        bars = daily_close_bars(events).toPandas()
+        ev = events.toPandas()
+        ev["day"] = ev["ts"].dt.floor("D").dt.date
+        last = ev.sort_values("ts").groupby(["event_type", "day"]).tail(1)
+        ref = last.set_index(["event_type", "day"])["value"]
+        got = bars.set_index(["event_type", "day"])["close"]
+        assert len(got) == len(ref)
+        assert np.allclose(got.sort_index(), ref.sort_index(), rtol=0)

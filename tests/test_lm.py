@@ -1,0 +1,125 @@
+"""Bigram-LM perplexity filter (operators/lm.py): pure-Python parity,
+discrimination between natural and scrambled text, OOV/UNK handling, and
+plan-shape checks (corpus never shuffles before its per-doc sum)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.lm import (
+    BOS,
+    EOS,
+    UNK,
+    build_vocab,
+    perplexity,
+    train_bigram_lm,
+)
+
+
+def _docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _py_lm(texts: list[str], vocab_size: int, k: float):
+    """Independent pure-Python add-k bigram LM (train + per-doc score)."""
+    tok_docs = [[w for w in t.lower().split(" ") if w] for t in texts]
+    uni = Counter(w for toks in tok_docs for w in toks)
+    vocab = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    )
+    v_pred = len(vocab) + 2
+
+    def mapped(toks):
+        seq = [BOS] + [w if w in vocab else UNK for w in toks] + [EOS]
+        return list(zip(seq, seq[1:]))
+
+    big = Counter(p for toks in tok_docs for p in mapped(toks))
+    ctx = Counter()
+    for (w1, _), c in big.items():
+        ctx[w1] += c
+    scores = []
+    for toks in tok_docs:
+        pairs = mapped(toks)
+        lp = sum(
+            math.log((big.get(p, 0) + k) / (ctx.get(p[0], 0) + k * v_pred))
+            for p in pairs
+        )
+        scores.append((len(pairs), lp, math.exp(-lp / len(pairs))))
+    return v_pred, scores
+
+
+class TestTrainScore:
+    def test_matches_python_reference(self, spark):
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog",
+            "the the the cat cat",
+            "zippy unseen words here",
+        ]
+        lm = train_bigram_lm(_docs_df(spark, texts), vocab_size=8, add_k=0.5)
+        v_pred, ref = _py_lm(texts, 8, 0.5)
+        assert lm.v_pred == v_pred
+        got = (
+            perplexity(_docs_df(spark, texts), lm)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        for i, (n, lp, ppl) in enumerate(ref):
+            assert got["n_bigrams"].iloc[i] == n
+            assert got["log_prob"].iloc[i] == pytest.approx(lp, rel=1e-12)
+            assert got["perplexity"].iloc[i] == pytest.approx(ppl, rel=1e-12)
+
+    def test_n_bigrams_is_tokens_plus_one(self, spark):
+        texts = ["one two three", "", "solo"]
+        lm = train_bigram_lm(_docs_df(spark, texts), vocab_size=10)
+        got = (
+            perplexity(_docs_df(spark, texts), lm)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got["n_bigrams"].tolist() == [4, 1, 2]
+
+    def test_vocab_deterministic_ties_by_token(self, spark):
+        # every token count 1 -> selection must be purely alphabetical
+        df = _docs_df(spark, ["delta alpha echo bravo charlie"])
+        v = sorted(r.token for r in build_vocab(df, vocab_size=3).collect())
+        assert v == ["alpha", "bravo", "charlie"]
+
+    def test_scores_unseen_corpus_with_unseen_contexts(self, spark):
+        lm = train_bigram_lm(_docs_df(spark, ["a b a b a b"]), vocab_size=4)
+        got = perplexity(_docs_df(spark, ["q r s"]), lm).toPandas()
+        # all tokens OOV -> mapped to <unk>, context <unk> unseen in training
+        assert got["perplexity"].iloc[0] > 0 and not pd.isna(got["perplexity"].iloc[0])
+
+    def test_discriminates_pattern_from_gibberish(self, spark, documents):
+        """CCNet-style use: in-distribution text scores lower perplexity
+        than token-salad drawn from the same vocabulary."""
+        corpus = documents.limit(200)
+        lm = train_bigram_lm(corpus, vocab_size=1000, add_k=0.5)
+        natural = [r.text for r in corpus.limit(5).collect()]
+        rng_tokens = sorted({w for t in natural for w in t.lower().split()})
+        scrambled = " ".join(rng_tokens[::-1][:50])  # reversed-vocab salad
+        score = perplexity(
+            _docs_df(spark, natural + [scrambled]), lm
+        ).toPandas().sort_values("doc_id", ignore_index=True)
+        nat_ppl = score["perplexity"].iloc[:5].mean()
+        assert score["perplexity"].iloc[5] > nat_ppl
+
+    def test_score_plan_has_no_corpus_shuffle_before_doc_sum(self, spark):
+        texts = ["a b c", "c b a"]
+        df = _docs_df(spark, texts)
+        lm = train_bigram_lm(df, vocab_size=4)
+        plan = (
+            perplexity(df, lm)._jdf.queryExecution().executedPlan().toString()
+        )
+        # model joins are broadcast; the only exchange on the scored side is
+        # the per-doc hash aggregate (plus AQE coalesces reading it)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

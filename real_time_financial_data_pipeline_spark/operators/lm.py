@@ -123,9 +123,14 @@ def train_bigram_lm(
     ``P(w2|w1) = (c(w1,w2) + k) / (ctx(w1) + k * v_pred)`` where
     ``ctx(w1) = sum_w2 c(w1,w2)`` and ``v_pred = |vocab| + 2`` (UNK and
     EOS are predictable outcomes; BOS is context-only)."""
-    vocab = build_vocab(df, text_col, vocab_size)
+    # The model tables are vocab-bounded (vocab <= vocab_size rows, bigrams
+    # <= observed grams over vocab^2) but their LINEAGE is a full corpus
+    # aggregate — persist them so the mapping joins and every later scoring
+    # query read the tiny cached tables instead of re-scanning the corpus
+    # once per reuse.
+    vocab = build_vocab(df, text_col, vocab_size).persist()
     mapped = _map_oov(_raw_pairs(df, text_col, id_col), vocab)
-    bigrams = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    bigrams = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt")).persist()
     contexts = bigrams.groupBy("w1").agg(F.sum("cnt").alias("ctx_count"))
     v_pred = vocab.count() + 2  # bounded driver action: <= vocab_size rows
     return BigramLM(vocab, contexts, bigrams, v_pred, add_k)

@@ -170,6 +170,42 @@ def test_streaming_ingest_and_tumbling_batch_parity(spark, events, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_sliding_counts_batch_equivalence(spark, events, tmp_path):
+    """Backing anchor for the retired stream_sliding_counts oracle row:
+    the watermarked sliding aggregate drained over a static backlog equals
+    the batch F.window(size, slide) aggregate, and the 1h/15m overlap
+    factor holds exactly (every event lands in 4 windows)."""
+    from pyspark.sql import functions as F
+
+    from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+        run_stream_to_memory,
+        sliding_counts,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.ingest import file_stream
+
+    src = tmp_path / "src"
+    events.limit(400).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = file_stream(spark, str(src), schema)
+    run_stream_to_memory(sliding_counts(stream), "sliding_parity", "complete")
+    got = {
+        (r.event_type, r.win_start, r.win_end): r.n_events
+        for r in spark.table("sliding_parity").collect()
+    }
+    batch = spark.read.parquet(str(src))
+    exp = {
+        (r.event_type, r.win.start, r.win.end): r.n_events
+        for r in batch.groupBy(
+            "event_type", F.window("ts", "1 hour", "15 minutes").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+    assert sum(got.values()) == 4 * 400  # 1h/15m: each event in exactly 4 windows
+
+
 def test_exactly_once_sink_replay_idempotent(spark, tmp_path):
     """A replayed micro-batch (same batch_id — what foreachBatch delivers
     after a crash between sink write and checkpoint commit) must leave the

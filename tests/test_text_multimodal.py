@@ -87,6 +87,13 @@ def test_multimodal_plumbing(documents):
     media = attach_binary(documents)
     stats = media_stats(media).collect()[0]
     assert stats.kind == "image" and stats.n_media == documents.count()
+    # byte totals (backing anchor for the retired multimodal_stats oracle
+    # row): the fabric encodes text as UTF-8, so totals equal text bytes
+    exp_total = sum(
+        len(r.text.encode("utf-8")) for r in documents.select("text").collect()
+    )
+    assert stats.total_bytes == exp_total
+    assert abs(stats.avg_bytes - exp_total / stats.n_media) < 1e-6
 
     feats = extract_features(media)
     rows = feats.collect()

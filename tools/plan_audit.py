@@ -45,12 +45,18 @@ CHECKS = {
     "domain_mix_docs": dict(partial_agg=True, no_cartesian=True),
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
-    "timeseries_purchase": dict(pushed=True),
     "latest_per_user": dict(partial_agg=True),
     "order_priority_counts": dict(no_cartesian=True),
     "dedup_exact_docs": dict(partial_agg=True),
     "token_stats": dict(pruned_cols="text"),
-    "multimodal_stats": dict(partial_agg=True),
+    # indicator ladders: exactly the bar-aggregate exchange plus ONE series
+    # shuffle — the chained window specs / the applyInPandas grouping must
+    # not introduce extra exchanges
+    "tech_indicators_daily": dict(max_exchange=2, partial_agg=True, no_cartesian=True),
+    "ema_macd_daily": dict(max_exchange=2, partial_agg=True, no_cartesian=True),
+    # LM scoring: model tables broadcast (scored corpus never SMJs) and the
+    # gram/doc aggregates keep their map-side partial phase
+    "perplexity_docs": dict(broadcast_min=8, partial_agg=True, no_cartesian=True),
     "events_pruned_week": dict(part_filter="ingest_date", partial_agg=True, no_cartesian=True),
     # bucketed SMJ: the ONLY exchange allowed is the per-segment aggregate's
     "bucketed_order_revenue": dict(max_exchange=1, partial_agg=True, no_cartesian=True),

@@ -31,10 +31,18 @@ semantically an action (it fits a model), unlike the lazy operators.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import math
+from typing import Iterator, NamedTuple
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from .text import tokens
 
@@ -179,3 +187,79 @@ def perplexity(
         )
         .withColumn("perplexity", F.exp(-F.col("log_prob") / F.col("n_bigrams")))
     )
+
+
+class LocalBigramLM(NamedTuple):
+    """A driver-materialized copy of a fitted model: plain dicts shipped to
+    executors inside a pandas UDF closure.  Size contract: bounded by the
+    OBSERVED bigram table (<= grams over vocab^2, in practice far less) —
+    the right form when the model fits comfortably in executor memory and
+    the scored side is a STREAM (no aggregate, no state)."""
+
+    bigrams: dict[tuple[str, str], int]
+    contexts: dict[str, int]
+    vocab: frozenset[str]
+    v_pred: int
+    add_k: float
+
+
+def collect_model(lm: BigramLM) -> LocalBigramLM:
+    """Materialize a fitted :class:`BigramLM` on the driver (one bounded
+    collect of the persisted model tables)."""
+    bigrams = {(r["w1"], r["w2"]): r["cnt"] for r in lm.bigrams.collect()}
+    contexts = {r["w1"]: r["ctx_count"] for r in lm.contexts.collect()}
+    vocab = frozenset(r["token"] for r in lm.vocab.collect())
+    return LocalBigramLM(bigrams, contexts, vocab, lm.v_pred, lm.add_k)
+
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("n_bigrams", LongType()),
+        StructField("log_prob", DoubleType()),
+        StructField("perplexity", DoubleType()),
+    ]
+)
+
+
+def perplexity_local_expr(local: LocalBigramLM, text_col: str = "text"):
+    """Column form of the per-row scorer: a struct<n_bigrams, log_prob,
+    perplexity> computed in one Arrow-batched pandas UDF against the
+    driver-collected model — a stateless map, no explode, no join, no
+    aggregate, hence append-legal on a STREAM.  Python-side tokenization
+    mirrors ``text.tokens`` (lower, split on a single space, drop
+    empties)."""
+    big, ctx, vocab = local.bigrams, local.contexts, local.vocab
+    k, v_pred = local.add_k, float(local.v_pred)
+
+    def score_batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in it:
+            rows = []
+            for t in texts:
+                toks = [w for w in (t or "").lower().split(" ") if w]
+                seq = [BOS] + [w if w in vocab else UNK for w in toks] + [EOS]
+                lp = 0.0
+                n = len(seq) - 1
+                for w1, w2 in zip(seq, seq[1:]):
+                    lp += math.log(
+                        (big.get((w1, w2), 0) + k) / (ctx.get(w1, 0) + k * v_pred)
+                    )
+                rows.append((n, lp, math.exp(-lp / n)))
+            yield pd.DataFrame(rows, columns=["n_bigrams", "log_prob", "perplexity"])
+
+    scorer = F.pandas_udf(score_batches, returnType=_SCORE_SCHEMA)
+    return scorer(F.col(text_col))
+
+
+def perplexity_local(
+    df: DataFrame,
+    local: LocalBigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-row form of :func:`perplexity` (see
+    :func:`perplexity_local_expr`) — equivalent to the distributed scorer
+    up to float summation order (parity pinned by
+    test_local_scorer_matches_distributed)."""
+    return df.select(
+        F.col(id_col), perplexity_local_expr(local, text_col).alias("_s")
+    ).select(id_col, "_s.n_bigrams", "_s.log_prob", "_s.perplexity")

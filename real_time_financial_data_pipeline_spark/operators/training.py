@@ -360,10 +360,13 @@ def curate_documents(
     near_dup_threshold: float = 0.7,
     repetition_gate: bool = False,
     dedup_paragraphs: bool = False,
+    perplexity_lm=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
     quality gate -> (optional) language gate -> (optional) repetition gate
-    -> exact dedup -> MinHash-LSH near-dup removal.
+    -> (optional) LM perplexity gate -> exact dedup -> MinHash-LSH
+    near-dup removal.
 
     ``dedup_paragraphs`` runs the CCNet/Dolma sub-document stage FIRST:
     corpus-wide boilerplate paragraphs are stripped before quality scoring
@@ -377,6 +380,14 @@ def curate_documents(
     ``repetition_gate=True`` inserts the Gopher-style repetition filter
     (``text.repetition_filter``, table-A1 thresholds) after the language
     gate — still map-only, still ahead of every shuffle.
+
+    ``perplexity_lm`` + ``max_perplexity`` insert the CCNet-style LM
+    quality gate (``lm.perplexity``, a fitted :class:`~..lm.BigramLM`):
+    documents whose bigram perplexity exceeds the cutoff are dropped via
+    a left-semi join on the passing ids.  That semi-join is the one
+    id-keyed corpus shuffle of the ladder, which is why it sits AFTER the
+    map-only gates (scores fewer docs) and BEFORE the dedup shuffles
+    (they see the already-filtered corpus).
     """
     from .dedup import apply_dedup, exact_dedup_keep_min, minhash_dedup_pairs
     from .dedup import paragraph_dedup as _paragraph_dedup
@@ -391,6 +402,15 @@ def curate_documents(
         kept = lang_id(kept, text_col).filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
     if repetition_gate:
         kept = repetition_filter(kept, text_col)
+    if perplexity_lm is not None and max_perplexity is not None:
+        from .lm import perplexity as _ppl
+
+        passing = (
+            _ppl(kept, perplexity_lm, text_col, id_col)
+            .filter(F.col("perplexity") <= F.lit(max_perplexity))
+            .select(id_col)
+        )
+        kept = kept.join(passing, id_col, "left_semi")
     kept = exact_dedup_keep_min(kept, text_col, id_col)
     pairs = minhash_dedup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)
     return apply_dedup(kept, pairs, id_col)
@@ -411,13 +431,17 @@ def prepare_training_set(
     decontam_ngram: int = 8,
     repetition_gate: bool = False,
     scrub: bool = False,
+    perplexity_lm=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
-    (optional) PII scrub -> curate (quality/language/repetition/exact-dup/
-    near-dup) -> decontaminate -> chunk -> split.  ``scrub`` masks
-    emails/IPv4s/phones BEFORE any token-derived stage so quality scores,
-    fingerprints, and chunks all see the masked text (and the streaming
-    twin orders identically).
+    (optional) PII scrub -> curate (quality/language/repetition/
+    LM-perplexity/exact-dup/near-dup) -> decontaminate -> chunk -> split.
+    ``scrub`` masks emails/IPv4s/phones BEFORE any token-derived stage so
+    quality scores, fingerprints, and chunks all see the masked text (and
+    the streaming twin orders identically).  ``perplexity_lm`` +
+    ``max_perplexity`` enable the CCNet-style LM quality gate inside the
+    curation ladder (see ``curate_documents``).
 
     Output: (id_col, chunk_id, n_chunk_tokens, chunk_text, split).
 
@@ -438,6 +462,7 @@ def prepare_training_set(
     curated = curate_documents(
         docs, text_col, id_col, min_quality, langs, near_dup_threshold,
         repetition_gate=repetition_gate,
+        perplexity_lm=perplexity_lm, max_perplexity=max_perplexity,
     )
     if benchmark is not None:
         curated = remove_contaminated(

@@ -95,10 +95,13 @@ def stream_training_chunks(
     scrub: bool = False,
     repetition_gate: bool = False,
     known_fingerprints: DataFrame | None = None,
+    perplexity_model=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """(optional) PII scrub -> quality gate -> (optional) repetition gate
-    -> (optional) benchmark decontamination -> content-fingerprint dedup
-    (watermark-bounded) -> chunk -> split, on a streaming documents frame.
+    -> (optional) LM perplexity gate -> (optional) benchmark
+    decontamination -> content-fingerprint dedup (watermark-bounded) ->
+    chunk -> split, on a streaming documents frame.
 
     ``scrub`` masks emails/IPv4s/phones in-flight (``text.scrub_pii`` — a
     stateless JVM regexp projection, trivially append-legal) BEFORE any
@@ -134,6 +137,15 @@ def stream_training_chunks(
     fingerprint table takes effect without restarting the stream.  Exact
     content only; near-dups against history remain the nightly batch
     compaction's job.
+
+    ``perplexity_model`` (a :class:`~..operators.lm.LocalBigramLM`, the
+    driver-collected form of a batch-fitted model) + ``max_perplexity``
+    apply the CCNet-style LM quality gate in-flight: the per-row scorer
+    (``lm.perplexity_local``) is a stateless Arrow-batched map, so it is
+    append-legal where the batch path's explode+join+aggregate scorer is
+    not.  Scores are identical between the two forms (parity pinned in
+    tests/test_lm.py), so batch and stream drop the same documents; the
+    model is frozen at stream start like the benchmark gram set.
     """
     if scrub:
         from ..operators.text import scrub_pii
@@ -145,6 +157,13 @@ def stream_training_chunks(
         from ..operators.text import repetition_filter
 
         gated = repetition_filter(gated, text_col)
+    if perplexity_model is not None and max_perplexity is not None:
+        from ..operators.lm import perplexity_local_expr
+
+        gated = gated.filter(
+            perplexity_local_expr(perplexity_model, text_col)["perplexity"]
+            <= F.lit(max_perplexity)
+        )
     if benchmark is not None:
         gated = gated.filter(
             _stream_decontam_filter(benchmark, text_col, decontam_ngram)

@@ -112,6 +112,63 @@ class TestTrainScore:
         nat_ppl = score["perplexity"].iloc[:5].mean()
         assert score["perplexity"].iloc[5] > nat_ppl
 
+    def test_local_scorer_matches_distributed(self, spark, documents):
+        """perplexity_local (driver-collected model, stateless Arrow map)
+        must equal the distributed explode+join+aggregate scorer up to
+        float summation order."""
+        from real_time_financial_data_pipeline_spark.operators.lm import (
+            collect_model,
+            perplexity_local,
+        )
+
+        corpus = documents.limit(100)
+        lm = train_bigram_lm(corpus, vocab_size=25, add_k=0.5)
+        dist = (
+            perplexity(corpus, lm).toPandas().sort_values("doc_id", ignore_index=True)
+        )
+        loc = (
+            perplexity_local(corpus, collect_model(lm))
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert dist["n_bigrams"].tolist() == loc["n_bigrams"].tolist()
+        assert dist["log_prob"].tolist() == pytest.approx(
+            loc["log_prob"].tolist(), rel=1e-9
+        )
+        assert dist["perplexity"].tolist() == pytest.approx(
+            loc["perplexity"].tolist(), rel=1e-9
+        )
+
+    def test_perplexity_gate_in_curation(self, spark, documents):
+        """curate_documents(perplexity_lm=..., max_perplexity=...) drops a
+        planted token-salad document and keeps in-distribution text."""
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            curate_documents,
+        )
+
+        corpus = documents.limit(100)
+        lm = train_bigram_lm(corpus, vocab_size=1000, add_k=0.5)
+        base = perplexity(corpus, lm).toPandas()
+        cutoff = float(base["perplexity"].max()) + 0.5
+
+        vocab_toks = sorted(
+            {w for r in corpus.limit(5).collect() for w in r.text.lower().split()}
+        )
+        salad = " ".join(vocab_toks[::-1] * 3)
+        planted = corpus.select("doc_id", "text").union(
+            spark.createDataFrame([(999_999, salad)], "doc_id long, text string")
+        )
+        kept = curate_documents(
+            planted,
+            min_quality=0.0,
+            near_dup_threshold=0.99,
+            perplexity_lm=lm,
+            max_perplexity=cutoff,
+        )
+        kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        assert 999_999 not in kept_ids
+        assert len(kept_ids) > 50  # in-distribution docs survive the gate
+
     def test_score_plan_has_no_corpus_shuffle_before_doc_sum(self, spark):
         texts = ["a b c", "c b a"]
         df = _docs_df(spark, texts)

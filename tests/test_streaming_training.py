@@ -204,6 +204,65 @@ def test_stream_scrub_and_repetition_gate_match_batch(spark, tmp_path):
     assert "bob@example.com" not in masked and "10.0.0.1" not in masked
 
 
+def test_stream_perplexity_gate_matches_batch(spark, tmp_path):
+    """In-flight LM perplexity gate: the stream (local-model stateless
+    scorer) must emit exactly the chunks the batch pipeline (distributed
+    scorer) emits with the same model and cutoff, and both must drop the
+    planted token-salad document."""
+    from real_time_financial_data_pipeline_spark.operators.lm import (
+        collect_model,
+        perplexity,
+        train_bigram_lm,
+    )
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    # same small vocabulary, distinct text per doc (no content dedup here)
+    natural = [
+        (i, " ".join(f"tok{(i + j) % 7} word{j % 5} the" for j in range(12)))
+        for i in range(1, 5)
+    ]
+    salad = (99, " ".join(f"zz{j} qq{j * 7} xx{j * 13}" for j in range(12)))
+    rows = natural + [salad]
+    train_df = spark.createDataFrame(natural, "doc_id long, text string")
+    lm = train_bigram_lm(train_df, vocab_size=50, add_k=0.5)
+    cutoff = float(
+        perplexity(train_df, lm).agg({"perplexity": "max"}).collect()[0][0]
+    ) + 0.5
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src / "f1")
+    )
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, chunk_tokens=8, overlap_tokens=2, min_quality=0.0,
+            perplexity_model=collect_model(lm), max_perplexity=cutoff,
+        )
+        .writeStream.format("memory")
+        .queryName("ppl_gated_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ppl"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ppl_gated_chunks").collect()
+
+    batch = prepare_training_set(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_quality=0.0, chunk_tokens=8, overlap_tokens=2,
+        perplexity_lm=lm, max_perplexity=cutoff,
+    ).collect()
+
+    key = lambda r: (r.doc_id, r.chunk_id)
+    assert sorted(got, key=key) == sorted(batch, key=key)
+    assert {r.doc_id for r in got} == {1, 2, 3, 4}  # salad gone on both paths
+
+
 def test_stream_known_fingerprint_exclusion(spark, tmp_path):
     """known_fingerprints drops in-flight any document whose CONTENT is
     already in the lake — regardless of id, matching text.fingerprint's

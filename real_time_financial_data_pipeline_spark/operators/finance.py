@@ -126,6 +126,42 @@ def _ema_alpha(span: int) -> float:
     return 2.0 / (span + 1.0)
 
 
+def seed_state(x0: float) -> tuple:
+    """Recurrence state at the first bar: (ema_fast, ema_slow, signal,
+    avg_gain, avg_loss) — EMAs seed at the close (so MACD_0 == 0 exactly),
+    signal at 0, Wilder averages undefined until the first delta."""
+    return (x0, x0, 0.0, None, None)
+
+
+def advance_state(
+    state: tuple,
+    prev_close: float,
+    x: float,
+    a_fast: float,
+    a_slow: float,
+    a_sig: float,
+    rsi_n: int,
+) -> tuple[tuple, float | None]:
+    """One recurrence step shared by the batch scan and the streaming
+    stateful op — the SINGLE source of the update arithmetic (textually
+    the oracle CTE's recursive arm), so batch, stream, and oracle walk
+    bitwise-identical float64 sequences.  Returns (new_state, rsi)."""
+    ef, es, sig, ag, al = state
+    ef = a_fast * x + (1.0 - a_fast) * ef
+    es = a_slow * x + (1.0 - a_slow) * es
+    macd = ef - es
+    sig = a_sig * macd + (1.0 - a_sig) * sig
+    g = max(x - prev_close, 0.0)
+    loss = max(prev_close - x, 0.0)
+    if ag is None:
+        ag, al = g, loss
+    else:
+        ag = (ag * (rsi_n - 1) + g) / rsi_n
+        al = (al * (rsi_n - 1) + loss) / rsi_n
+    rsi = 100.0 * ag / (ag + al) if ag + al > 0.0 else None
+    return (ef, es, sig, ag, al), rsi
+
+
 def _recursive_kernel(
     pdf: pd.DataFrame,
     day_col: str,
@@ -135,10 +171,10 @@ def _recursive_kernel(
     a_sig: float,
     rsi_n: int,
 ) -> pd.DataFrame:
-    """Linear scan of one series.  The update expressions are kept
-    textually identical to the oracle CTE's recursive arm
-    (``a*x + (1-a)*prev``; ``(avg*(n-1) + g)/n``) so float64 results match
-    bitwise, not just to rounding."""
+    """Linear scan of one series via :func:`advance_state` (the single
+    source of the update arithmetic, textually identical to the oracle
+    CTE's recursive arm) so float64 results match bitwise, not just to
+    rounding."""
     pdf = pdf.sort_values(day_col, ignore_index=True)
     x = pdf[close_col].to_numpy(dtype=np.float64)
     n = len(x)
@@ -147,24 +183,15 @@ def _recursive_kernel(
     sig = np.empty(n)
     rsi = np.full(n, np.nan)
     if n:
-        ef[0] = x[0]
-        es[0] = x[0]
-        sig[0] = 0.0
-        ag = al = None
+        state = seed_state(x[0])
+        ef[0], es[0], sig[0] = state[0], state[1], state[2]
         for i in range(1, n):
-            ef[i] = a_fast * x[i] + (1.0 - a_fast) * ef[i - 1]
-            es[i] = a_slow * x[i] + (1.0 - a_slow) * es[i - 1]
-            macd_i = ef[i] - es[i]
-            sig[i] = a_sig * macd_i + (1.0 - a_sig) * sig[i - 1]
-            g = max(x[i] - x[i - 1], 0.0)
-            loss = max(x[i - 1] - x[i], 0.0)
-            if ag is None:
-                ag, al = g, loss
-            else:
-                ag = (ag * (rsi_n - 1) + g) / rsi_n
-                al = (al * (rsi_n - 1) + loss) / rsi_n
-            if ag + al > 0.0:
-                rsi[i] = 100.0 * ag / (ag + al)
+            state, rsi_i = advance_state(
+                state, x[i - 1], x[i], a_fast, a_slow, a_sig, rsi_n
+            )
+            ef[i], es[i], sig[i] = state[0], state[1], state[2]
+            if rsi_i is not None:
+                rsi[i] = rsi_i
     out = pdf.copy()
     out["ema_fast"] = ef
     out["ema_slow"] = es

@@ -1,0 +1,135 @@
+"""Streaming technical indicators: the EMA/MACD/RSI recurrence family as
+a custom stateful op (``applyInPandasWithState``).
+
+The batch form (``operators.finance.recursive_indicators``) is a per-key
+prefix scan over the FULL bar history; a live deployment cannot re-scan
+history per update.  This is the incremental twin: per-key state is just
+the recurrence seeds — (ema_fast, ema_slow, signal, avg_gain, avg_loss,
+prev_close, last_day_us), a handful of scalars per symbol — updated per
+micro-batch via the SAME :func:`~..operators.finance.advance_state` step
+the batch kernel uses, so a bar processed by either path yields the
+bitwise-identical indicator row (parity pinned by
+tests/test_finance.py::test_stream_ema_matches_batch).
+
+Ordering contract: the recurrences are order-sensitive, so bars must
+arrive per key in non-decreasing ``day`` order across micro-batches;
+in-batch rows are sorted, and an out-of-order bar (day <= the last
+processed day for its key) is DROPPED and counted nowhere — feed this
+operator from the watermark-finalized tumbling-OHLC gold stream
+(``streaming.aggregates.tumbling_ohlc``), which emits bars exactly once
+in window order.
+
+State is O(live symbols) x 7 scalars — effectively unbounded-safe for
+any real symbol universe; for synthetic unbounded key spaces the same
+``GroupStateTimeout`` eviction pattern as ``stateful.running_stats``
+applies (not wired here: indicator state is deliberately permanent —
+evicting a symbol's seeds silently restarts its EMA history).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.finance import _ema_alpha, advance_state, seed_state
+
+STREAM_EMA_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("day", TimestampType(), True),
+        StructField("close", DoubleType(), True),
+        StructField("ema_fast", DoubleType(), True),
+        StructField("ema_slow", DoubleType(), True),
+        StructField("macd", DoubleType(), True),
+        StructField("macd_signal", DoubleType(), True),
+        StructField("rsi", DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("ef", DoubleType(), True),
+        StructField("es", DoubleType(), True),
+        StructField("sig", DoubleType(), True),
+        StructField("ag", DoubleType(), True),   # None until the 2nd bar
+        StructField("al", DoubleType(), True),
+        StructField("prev_close", DoubleType(), True),
+        # epoch MICROS (same rationale as stateful.py: scalar longs
+        # round-trip the state store without tz/unit ambiguity)
+        StructField("last_day_us", LongType(), True),
+    ]
+)
+
+
+def _make_update(a_fast: float, a_slow: float, a_sig: float, rsi_n: int):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ef, es, sig, ag, al, prev_close, last_us = state.get
+            st = (ef, es, sig, ag, al)
+        else:
+            st = prev_close = last_us = None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("day", ignore_index=True)
+            for day, close in zip(pdf["day"], pdf["close"]):
+                day_us = int(day.value // 1_000)  # pandas ns -> us
+                if last_us is not None and day_us <= last_us:
+                    continue  # out-of-order bar: dropped (see module doc)
+                x = float(close)
+                if st is None:
+                    st = seed_state(x)
+                    rsi = None
+                else:
+                    st, rsi = advance_state(
+                        st, prev_close, x, a_fast, a_slow, a_sig, rsi_n
+                    )
+                prev_close, last_us = x, day_us
+                out.append(
+                    (key[0], day, x, st[0], st[1], st[0] - st[1], st[2], rsi)
+                )
+        if st is not None:
+            state.update((st[0], st[1], st[2], st[3], st[4], prev_close, last_us))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in STREAM_EMA_SCHEMA.fields])
+
+    return _update
+
+
+def stream_ema(
+    bars: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    close_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    rsi_n: int = 14,
+) -> DataFrame:
+    """Incremental EMA/MACD/RSI over a streaming bar frame — one output
+    row per consumed bar (append mode), per-key state = the recurrence
+    seeds.  See the module docstring for the ordering contract."""
+    normalized = bars.selectExpr(
+        f"CAST({key_col} AS string) AS key",
+        f"CAST({day_col} AS timestamp) AS day",
+        f"CAST({close_col} AS double) AS close",
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _make_update(_ema_alpha(fast), _ema_alpha(slow), _ema_alpha(signal), rsi_n),
+        outputStructType=STREAM_EMA_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

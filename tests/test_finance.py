@@ -153,6 +153,95 @@ class TestRecursiveIndicators:
         assert plan.count("Exchange") == 1
 
 
+class TestStreamEma:
+    def test_stream_ema_matches_batch(self, spark, tmp_path):
+        """The stateful streaming twin must emit the bitwise-identical
+        indicator row for every bar the batch prefix scan produces, with
+        state carrying the recurrence seeds across micro-batches."""
+        rng = np.random.default_rng(3)
+        series = {
+            "A": (100 + np.cumsum(rng.normal(0, 2, 30))).tolist(),
+            "B": (40 + np.cumsum(rng.normal(0, 1, 30))).tolist(),
+        }
+        bars = _bars_df(spark, series).withColumn(
+            "day", F.col("day").cast("timestamp")
+        )
+        batch = recursive_indicators(bars, ["sym"]).toPandas()
+
+        # split by day range into two files -> two micro-batches, so the
+        # seeds must survive the state store between triggers
+        src = tmp_path / "bars"
+        cut = dt.datetime(2024, 1, 16)
+        bars.filter(F.col("day") < F.lit(cut)).write.parquet(str(src / "f1"))
+        bars.filter(F.col("day") >= F.lit(cut)).write.parquet(str(src / "f2"))
+        schema = spark.read.parquet(str(src / "f1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_ema,
+        )
+
+        q = (
+            stream_ema(stream, key_col="sym")
+            .writeStream.format("memory")
+            .queryName("ema_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("ema_stream").toPandas()
+
+        assert len(got) == len(batch) == 60
+        key = ["ema_fast", "ema_slow", "macd", "macd_signal", "rsi"]
+        b = batch.sort_values(["sym", "day"], ignore_index=True)
+        g = got.rename(columns={"key": "sym"}).sort_values(
+            ["sym", "day"], ignore_index=True
+        )
+        assert (b["sym"] == g["sym"]).all()
+        for c in key:  # exact: same advance_state arithmetic on both paths
+            bv, gv = b[c].to_numpy(), g[c].to_numpy()
+            assert ((bv == gv) | (np.isnan(bv) & np.isnan(gv))).all()
+
+    def test_stream_ema_drops_out_of_order_bars(self, spark, tmp_path):
+        """A bar at or before a key's last processed day is dropped, not
+        folded into the recurrence out of order."""
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_ema,
+        )
+
+        src = tmp_path / "bars"
+        d = dt.datetime(2024, 1, 1)
+        f1 = [("A", d, 10.0), ("A", d + dt.timedelta(days=1), 11.0)]
+        f2 = [("A", d, 99.0),  # duplicate/late day: must be ignored
+              ("A", d + dt.timedelta(days=2), 12.0)]
+        schema_str = "sym string, day timestamp, close double"
+        spark.createDataFrame(f1, schema_str).write.parquet(str(src / "f1"))
+        spark.createDataFrame(f2, schema_str).write.parquet(str(src / "f2"))
+        schema = spark.read.parquet(str(src / "f1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_ema(stream, key_col="sym")
+            .writeStream.format("memory")
+            .queryName("ema_ooo")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("ema_ooo").toPandas().sort_values("day", ignore_index=True)
+        assert got["close"].tolist() == [10.0, 11.0, 12.0]  # 99.0 dropped
+
+
 class TestDailyCloseBars:
     def test_close_is_value_at_max_ts(self, spark, events):
         bars = daily_close_bars(events).toPandas()

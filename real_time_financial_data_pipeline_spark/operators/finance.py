@@ -122,6 +122,46 @@ def window_indicators(
     return stage1.withColumn("volatility", vol)
 
 
+def returns_correlation(
+    bars: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    close_col: str = "close",
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of per-key daily log returns —
+    the cross-asset diversification view every portfolio screen wants.
+
+    Output: (key_a, key_b, n_days, correlation) for key_a < key_b.
+
+    Plan shape: one window pass for the log returns (shuffle on the key),
+    then a day-keyed self-equi-join and ONE partial-aggregated
+    ``corr``/``count`` per pair — joined rows number |days| x |pairs on
+    that day|, which is the size of the answer's support, not the tick
+    table.  The join aligns returns on shared days only, so series with
+    different calendars correlate over their intersection (and ``n_days``
+    reports it).  For symbol universes where |pairs| itself explodes
+    (10^4 symbols = 5x10^7 pairs), filter the key set first — a full
+    correlation MATRIX at that scale is the quadratic object, not this
+    plan."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    rets = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_d"),
+        F.log(F.col(close_col) / F.lag(close_col).over(w)).alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    a = rets.select(
+        F.col("_k").alias("key_a"), F.col("_d").alias("_d"), F.col("_r").alias("_ra")
+    )
+    b = rets.select(
+        F.col("_k").alias("key_b"), F.col("_d").alias("_db"), F.col("_r").alias("_rb")
+    )
+    joined = a.join(b, (a["_d"] == b["_db"]) & (a["key_a"] < b["key_b"]))
+    return joined.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.corr("_ra", "_rb").alias("correlation"),
+    )
+
+
 def _ema_alpha(span: int) -> float:
     return 2.0 / (span + 1.0)
 

@@ -153,6 +153,46 @@ class TestRecursiveIndicators:
         assert plan.count("Exchange") == 1
 
 
+class TestReturnsCorrelation:
+    def test_matches_numpy_corrcoef(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            returns_correlation,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(0, 1, 41)
+        series = {
+            "A": (100 + np.cumsum(base)).tolist(),
+            "B": (50 + np.cumsum(0.7 * base + rng.normal(0, 0.5, 41))).tolist(),
+            "C": (200 + np.cumsum(rng.normal(0, 2, 41))).tolist(),
+        }
+        got = returns_correlation(_bars_df(spark, series), "sym").toPandas()
+        got = got.set_index(["key_a", "key_b"])
+        rets = {k: np.diff(np.log(v)) for k, v in series.items()}
+        for ka, kb in [("A", "B"), ("A", "C"), ("B", "C")]:
+            exp = np.corrcoef(rets[ka], rets[kb])[0, 1]
+            row = got.loc[(ka, kb)]
+            assert row["n_days"] == 40
+            assert row["correlation"] == pytest.approx(exp, rel=1e-9)
+        # A/B share a driver: correlated well above the independent pair
+        assert got.loc[("A", "B")]["correlation"] > 0.5
+
+    def test_partial_calendar_overlap(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            returns_correlation,
+        )
+
+        # B starts 5 days later: correlation over the shared days only
+        rows = [("A", dt.date(2024, 1, 1) + dt.timedelta(days=i), 100.0 + i)
+                for i in range(10)]
+        rows += [("B", dt.date(2024, 1, 1) + dt.timedelta(days=i), 50.0 + i)
+                 for i in range(5, 10)]
+        bars = spark.createDataFrame(rows, "sym string, day date, close double")
+        got = returns_correlation(bars, "sym").collect()[0]
+        # A has returns on days 2-10, B on days 7-10 -> 4 shared return days
+        assert got.n_days == 4
+
+
 class TestStreamEma:
     def test_stream_ema_matches_batch(self, spark, tmp_path):
         """The stateful streaming twin must emit the bitwise-identical

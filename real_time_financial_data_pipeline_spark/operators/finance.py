@@ -162,6 +162,80 @@ def returns_correlation(
     )
 
 
+def beta_to_benchmark(
+    bars: DataFrame,
+    benchmark_key: str,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    close_col: str = "close",
+) -> DataFrame:
+    """CAPM beta (and correlation) of every series' daily log returns
+    against one benchmark series: ``beta = cov(r_i, r_m) / var(r_m)`` over
+    the days both traded.
+
+    Output: (``key_col``, n_days, beta, correlation).
+
+    Unlike the full pairwise matrix (:func:`returns_correlation`), this is
+    LINEAR in the symbol universe: the benchmark's return series (|days|
+    rows) broadcasts, every other series equi-joins it map-side on the
+    day, and one partial-aggregated covar/var per key finishes it — no
+    symbol-side self-join, no quadratic pair blowup.  Note var(r_m) is
+    computed per key over the SHARED days, which is the statistically
+    consistent choice when calendars differ (beta over the days both
+    series actually traded)."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    rets = bars.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_d"),
+        F.log(F.col(close_col) / F.lag(close_col).over(w)).alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    bench = F.broadcast(
+        rets.filter(F.col("_k") == benchmark_key).select(
+            F.col("_d").alias("_db"), F.col("_r").alias("_rm")
+        )
+    )
+    joined = rets.filter(F.col("_k") != benchmark_key).join(
+        bench, F.col("_d") == F.col("_db")
+    )
+    return joined.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.covar_samp("_r", "_rm") / F.var_samp("_rm")).alias("beta"),
+        F.corr("_r", "_rm").alias("correlation"),
+    )
+
+
+def calendar_gaps(
+    bars: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+) -> DataFrame:
+    """Missing-day report per series: every hole in a key's daily calendar
+    as (``key_col``, gap_start, gap_end, n_missing) — the time-series
+    data-quality check that catches silently dropped partitions or feed
+    outages before an indicator quietly computes across the hole.
+
+    One window pass (shuffle on the key, sort by day) and a filter —
+    output rows = number of gaps, not days."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    prev = F.lag(day_col).over(w)
+    missing = F.datediff(F.col(day_col), prev) - 1
+    return (
+        bars.select(
+            F.col(key_col),
+            prev.alias("_prev"),
+            F.col(day_col).alias("_day"),
+            missing.alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+        .select(
+            key_col,
+            F.date_add("_prev", 1).alias("gap_start"),
+            F.date_sub("_day", 1).alias("gap_end"),
+            "n_missing",
+        )
+    )
+
+
 def _ema_alpha(span: int) -> float:
     return 2.0 / (span + 1.0)
 

@@ -193,6 +193,63 @@ class TestReturnsCorrelation:
         assert got.n_days == 4
 
 
+class TestBetaAndGaps:
+    def test_beta_matches_numpy(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            beta_to_benchmark,
+        )
+
+        rng = np.random.default_rng(9)
+        mkt = rng.normal(0, 0.01, 61)
+        series = {
+            "MKT": (100 * np.exp(np.cumsum(mkt))).tolist(),
+            "HI": (50 * np.exp(np.cumsum(1.8 * mkt + rng.normal(0, 0.002, 61)))).tolist(),
+            "LO": (80 * np.exp(np.cumsum(0.4 * mkt + rng.normal(0, 0.002, 61)))).tolist(),
+        }
+        got = (
+            beta_to_benchmark(_bars_df(spark, series), "MKT", key_col="sym")
+            .toPandas()
+            .set_index("sym")
+        )
+        assert set(got.index) == {"HI", "LO"}  # benchmark not self-reported
+        rets = {k: np.diff(np.log(v)) for k, v in series.items()}
+        for k in ("HI", "LO"):
+            cov = np.cov(rets[k], rets["MKT"], ddof=1)
+            exp_beta = cov[0, 1] / cov[1, 1]
+            assert got.loc[k, "n_days"] == 60
+            assert got.loc[k, "beta"] == pytest.approx(exp_beta, rel=1e-9)
+        assert got.loc["HI", "beta"] > 1.2 > 0.8 > got.loc["LO", "beta"]
+
+    def test_beta_plan_broadcasts_benchmark(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            beta_to_benchmark,
+        )
+
+        bars = _bars_df(spark, {"M": [1.0, 2.0], "X": [3.0, 4.0]})
+        plan = (
+            beta_to_benchmark(bars, "M", key_col="sym")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_calendar_gaps(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            calendar_gaps,
+        )
+
+        d = dt.date(2024, 1, 1)
+        rows = [("A", d + dt.timedelta(days=i), 1.0) for i in (0, 1, 2, 5, 6, 10)]
+        rows += [("B", d + dt.timedelta(days=i), 1.0) for i in (0, 1, 2)]
+        bars = spark.createDataFrame(rows, "sym string, day date, close double")
+        got = sorted(
+            calendar_gaps(bars, "sym").collect(), key=lambda r: (r.sym, r.gap_start)
+        )
+        assert [(r.sym, str(r.gap_start), str(r.gap_end), r.n_missing) for r in got] == [
+            ("A", "2024-01-04", "2024-01-05", 2),
+            ("A", "2024-01-08", "2024-01-10", 3),
+        ]
+
+
 class TestStreamEma:
     def test_stream_ema_matches_batch(self, spark, tmp_path):
         """The stateful streaming twin must emit the bitwise-identical

@@ -232,6 +232,58 @@ class TestBetaAndGaps:
         )
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
+    def test_correlation_and_beta_match_duckdb_oracle(self, spark, events):
+        """Oracle-grade check without a registry slot: DuckDB re-derives
+        the full pairwise correlation matrix AND the benchmark betas from
+        the same daily bars with its own window/corr/covar machinery."""
+        import duckdb
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            beta_to_benchmark,
+            returns_correlation,
+        )
+
+        bars = daily_close_bars(events)
+        corr = returns_correlation(bars).toPandas()
+        beta = beta_to_benchmark(bars, "purchase").toPandas()
+
+        bars_pd = bars.toPandas()
+        con = duckdb.connect()
+        con.register("bars", bars_pd)
+        rets_sql = """
+            SELECT event_type AS k, day AS d,
+                   ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY day)) AS r
+            FROM bars QUALIFY r IS NOT NULL
+        """
+        ocorr = con.execute(f"""
+            WITH rets AS ({rets_sql})
+            SELECT a.k AS key_a, b.k AS key_b, count(*) AS n_days,
+                   corr(a.r, b.r) AS correlation
+            FROM rets a JOIN rets b ON a.d = b.d AND a.k < b.k
+            GROUP BY 1, 2
+        """).df()
+        obeta = con.execute(f"""
+            WITH rets AS ({rets_sql})
+            SELECT a.k AS event_type, count(*) AS n_days,
+                   covar_samp(a.r, m.r) / var_samp(m.r) AS beta,
+                   corr(a.r, m.r) AS correlation
+            FROM rets a JOIN rets m ON a.d = m.d AND m.k = 'purchase'
+            WHERE a.k != 'purchase'
+            GROUP BY 1
+        """).df()
+
+        c = corr.sort_values(["key_a", "key_b"], ignore_index=True)
+        oc = ocorr.sort_values(["key_a", "key_b"], ignore_index=True)
+        assert c[["key_a", "key_b", "n_days"]].values.tolist() == \
+            oc[["key_a", "key_b", "n_days"]].values.tolist()
+        assert np.allclose(c["correlation"], oc["correlation"], rtol=1e-9)
+
+        b = beta.sort_values("event_type", ignore_index=True)
+        ob = obeta.sort_values("event_type", ignore_index=True)
+        assert b["event_type"].tolist() == ob["event_type"].tolist()
+        assert np.allclose(b["beta"], ob["beta"], rtol=1e-9)
+        assert np.allclose(b["correlation"], ob["correlation"], rtol=1e-9)
+
     def test_calendar_gaps(self, spark):
         from real_time_financial_data_pipeline_spark.operators.finance import (
             calendar_gaps,

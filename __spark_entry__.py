@@ -763,9 +763,9 @@ def _fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tech_indicators_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-aggregate indicator ladder over per-type daily close bars:
-    SMA20 + Bollinger, log returns, 10-bar annualized volatility, running
-    max + drawdown — one shuffle, chained same-spec Window operators
-    (operators/finance.py:window_indicators)."""
+    SMA20 + Bollinger, log returns, 10-bar annualized volatility + Sharpe,
+    running max + drawdown — one shuffle, chained same-spec Window
+    operators (operators/finance.py:window_indicators)."""
     bars = daily_close_bars(load_table(spark, sf_dir, "events"))
     out = window_indicators(bars, ["event_type"])
     return out.select(
@@ -779,6 +779,7 @@ def _tech_indicators_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run_max",
         F.round("drawdown", 6).alias("drawdown"),
         F.round("volatility", 6).alias("volatility"),
+        F.round("sharpe", 6).alias("sharpe"),
     )
 
 
@@ -1825,7 +1826,13 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN vcnt > 1 THEN
                    sqrt(greatest((v2 - vcnt*(v1/vcnt)*(v1/vcnt))/(vcnt-1), 0.0))
                        * sqrt(252)
-               END, 6) AS volatility
+               END, 6) AS volatility,
+               round(CASE WHEN vcnt > 1
+                          AND greatest((v2 - vcnt*(v1/vcnt)*(v1/vcnt))/(vcnt-1), 0.0) > 0
+                     THEN (v1/vcnt)
+                          / sqrt(greatest((v2 - vcnt*(v1/vcnt)*(v1/vcnt))/(vcnt-1), 0.0))
+                          * sqrt(252)
+               END, 6) AS sharpe
         FROM s3
     """
     # ema_macd_daily: the EMA/MACD/signal/RSI recurrences walked by a

@@ -73,8 +73,8 @@ def window_indicators(
 ) -> DataFrame:
     """Frame-aggregate indicator pass: trailing SMA + Bollinger bands
     (``band_window`` bars, ``band_k`` sample standard deviations), log
-    return, trailing annualized log-return volatility (``vol_window``),
-    running max and drawdown from it.
+    return, trailing annualized log-return volatility and Sharpe ratio
+    (``vol_window``, rf=0), running max and drawdown from it.
 
     Plan shape: one Exchange on ``key_cols``, one sort per partition, two
     chained Window operators over the SAME (partition, order) spec — the
@@ -118,8 +118,11 @@ def window_indicators(
     v2 = F.sum(r * r).over(vframe)
     vmean = v1 / vcnt
     vvar = F.greatest((v2 - vcnt * vmean * vmean) / (vcnt - 1), F.lit(0.0))
-    vol = F.when(vcnt > 1, F.sqrt(vvar) * F.lit(annualize))
-    return stage1.withColumn("volatility", vol)
+    vsd = F.sqrt(vvar)
+    vol = F.when(vcnt > 1, vsd * F.lit(annualize))
+    # rolling Sharpe (rf=0): annualized mean / annualized sd = mean/sd * sqrt(252)
+    sharpe = F.when((vcnt > 1) & (vvar > 0), vmean / vsd * F.lit(annualize))
+    return stage1.withColumn("volatility", vol).withColumn("sharpe", sharpe)
 
 
 def returns_correlation(

@@ -73,6 +73,12 @@ class TestWindowIndicators:
         assert np.allclose(got["boll_dn"].iloc[1:], (sma - 2 * sd).iloc[1:], rtol=1e-9)
         assert np.allclose(got["log_return"].iloc[1:], lr.iloc[1:], rtol=1e-12)
         assert np.allclose(got["volatility"].iloc[2:], vol.iloc[2:], rtol=1e-9)
+        sharpe = (
+            lr.rolling(10, min_periods=2).mean()
+            / lr.rolling(10, min_periods=2).std()
+            * ANNUALIZE_DAILY
+        )
+        assert np.allclose(got["sharpe"].iloc[2:], sharpe.iloc[2:], rtol=1e-9)
         assert np.allclose(got["run_max"], run_max, rtol=0)
         assert np.allclose(got["drawdown"], s / run_max - 1.0, rtol=1e-12)
 

@@ -263,3 +263,159 @@ def perplexity_local(
     return df.select(
         F.col(id_col), perplexity_local_expr(local, text_col).alias("_s")
     ).select(id_col, "_s.n_bigrams", "_s.log_prob", "_s.perplexity")
+
+
+# --- interpolated trigram LM ---------------------------------------------
+
+
+class TrigramLM(NamedTuple):
+    """Jelinek-Mercer interpolated trigram model: per-order count tables
+    (all vocab-bounded), the prediction-vocabulary size, the smoothing
+    constant, the mixture weights, and the corpus token total."""
+
+    vocab: DataFrame      # token
+    uni: DataFrame        # w, cnt
+    bi: DataFrame         # w1, w2, cnt
+    bi_ctx: DataFrame     # w1, ctx_count
+    tri: DataFrame        # w1, w2, w3, cnt
+    tri_ctx: DataFrame    # w1, w2, ctx_count
+    v_pred: int
+    n_tokens: int
+    add_k: float
+    lambdas: tuple[float, float, float]
+
+
+def _raw_triples(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1_raw, w2_raw, w3_raw) trigram occurrences of the
+    doubly-BOS-padded token stream — map-only, like ``_raw_pairs``."""
+    seq = F.concat(
+        F.array(F.lit(BOS), F.lit(BOS)), tokens(F.col(text_col)), F.array(F.lit(EOS))
+    )
+    n = F.size(seq)
+    trip = F.explode(
+        F.arrays_zip(
+            F.slice(seq, 1, n - 2).alias("w1_raw"),
+            F.slice(seq, 2, n - 2).alias("w2_raw"),
+            F.slice(seq, 3, n - 2).alias("w3_raw"),
+        )
+    )
+    return df.select(F.col(id_col).alias("_doc"), trip.alias("p")).select(
+        "_doc",
+        F.col("p.w1_raw").alias("w1_raw"),
+        F.col("p.w2_raw").alias("w2_raw"),
+        F.col("p.w3_raw").alias("w3_raw"),
+    )
+
+
+def _map_oov3(triples: DataFrame, vocab: DataFrame) -> DataFrame:
+    """OOV-map all three trigram positions via three broadcast joins;
+    sentinels map to themselves (context positions may legitimately be
+    BOS; only the predicted position may be EOS)."""
+    vs = [
+        F.broadcast(vocab.select(F.col("token").alias(f"_v{i}"))) for i in (1, 2, 3)
+    ]
+    out = triples
+    for i, v in enumerate(vs, start=1):
+        out = out.join(v, out[f"w{i}_raw"] == v[f"_v{i}"], "left")
+    sent = lambda i, s: F.when(F.col(f"w{i}_raw") == s, F.lit(s))
+    return out.select(
+        "_doc",
+        sent(1, BOS).otherwise(F.coalesce(F.col("_v1"), F.lit(UNK))).alias("w1"),
+        sent(2, BOS).otherwise(F.coalesce(F.col("_v2"), F.lit(UNK))).alias("w2"),
+        sent(3, EOS).otherwise(F.coalesce(F.col("_v3"), F.lit(UNK))).alias("w3"),
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32768,
+    add_k: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.1, 0.3, 0.6),
+) -> TrigramLM:
+    """Fit the interpolated trigram model:
+    ``P(w3|w1,w2) = l3*P3 + l2*P2 + l1*P1`` where each order is add-k
+    smoothed (``P3 = (c(w1,w2,w3)+k)/(ctx(w1,w2)+k*v_pred)`` etc.), so the
+    mixture is strictly positive and needs no backoff logic.  ``lambdas``
+    is (l1, l2, l3) and must sum to 1.
+
+    Execution mirrors the bigram trainer: the corpus explodes map-side to
+    triples, every count table is a map-side-combined aggregate whose
+    shuffle is bounded by the observed gram vocabulary, and the tables
+    persist (they are the model — reuse must not re-scan the corpus).
+    Count tables are derived from ONE padded stream: unigrams/bigrams are
+    marginals of the trigram occurrences over the predicted/last-two
+    positions, so every order's denominator counts the same prediction
+    events."""
+    if abs(sum(lambdas) - 1.0) > 1e-9:
+        raise ValueError(f"lambdas must sum to 1, got {lambdas}")
+    vocab = build_vocab(df, text_col, vocab_size).persist()
+    mapped = _map_oov3(_raw_triples(df, text_col, id_col), vocab)
+    tri = (
+        mapped.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    tri_ctx = tri.groupBy("w1", "w2").agg(F.sum("cnt").alias("ctx_count")).persist()
+    bi = tri.groupBy(F.col("w2").alias("w1"), F.col("w3").alias("w2")).agg(
+        F.sum("cnt").alias("cnt")
+    ).persist()
+    bi_ctx = bi.groupBy("w1").agg(F.sum("cnt").alias("ctx_count")).persist()
+    uni = tri.groupBy(F.col("w3").alias("w")).agg(F.sum("cnt").alias("cnt")).persist()
+    v_pred = vocab.count() + 2
+    n_tokens = uni.agg(F.sum("cnt")).collect()[0][0]  # = total prediction events
+    return TrigramLM(
+        vocab, uni, bi, bi_ctx, tri, tri_ctx, v_pred, int(n_tokens), add_k, lambdas
+    )
+
+
+def perplexity_trigram(
+    df: DataFrame,
+    lm: TrigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document perplexity under the interpolated trigram model —
+    same output schema as :func:`perplexity` (n_bigrams is named
+    ``n_grams`` here: one prediction event per token plus EOS).  Five
+    broadcast joins against the persisted count tables; the scored corpus
+    never shuffles before its per-doc partial sum."""
+    mapped = _map_oov3(_raw_triples(df, text_col, id_col), lm.vocab)
+    k = F.lit(lm.add_k)
+    v = F.lit(float(lm.v_pred))
+    l1, l2, l3 = (F.lit(x) for x in lm.lambdas)
+
+    tri = lm.tri.select(
+        F.col("w1").alias("_t1"), F.col("w2").alias("_t2"),
+        F.col("w3").alias("_t3"), F.col("cnt").alias("_c3"),
+    )
+    tctx = lm.tri_ctx.select(
+        F.col("w1").alias("_x1"), F.col("w2").alias("_x2"),
+        F.col("ctx_count").alias("_x3c"),
+    )
+    bi = lm.bi.select(
+        F.col("w1").alias("_b1"), F.col("w2").alias("_b2"), F.col("cnt").alias("_c2")
+    )
+    bctx = lm.bi_ctx.select(F.col("w1").alias("_y1"), F.col("ctx_count").alias("_y2c"))
+    uni = lm.uni.select(F.col("w").alias("_u1"), F.col("cnt").alias("_c1"))
+    if broadcast_model:
+        tri, tctx, bi, bctx, uni = map(F.broadcast, (tri, tctx, bi, bctx, uni))
+
+    j = (
+        mapped.join(tri, (F.col("w1") == F.col("_t1")) & (F.col("w2") == F.col("_t2"))
+                    & (F.col("w3") == F.col("_t3")), "left")
+        .join(tctx, (F.col("w1") == F.col("_x1")) & (F.col("w2") == F.col("_x2")), "left")
+        .join(bi, (F.col("w2") == F.col("_b1")) & (F.col("w3") == F.col("_b2")), "left")
+        .join(bctx, F.col("w2") == F.col("_y1"), "left")
+        .join(uni, F.col("w3") == F.col("_u1"), "left")
+    )
+    p3 = (F.coalesce(F.col("_c3"), F.lit(0)) + k) / (F.coalesce(F.col("_x3c"), F.lit(0)) + k * v)
+    p2 = (F.coalesce(F.col("_c2"), F.lit(0)) + k) / (F.coalesce(F.col("_y2c"), F.lit(0)) + k * v)
+    p1 = (F.coalesce(F.col("_c1"), F.lit(0)) + k) / (F.lit(float(lm.n_tokens)) + k * v)
+    logp = F.log(l3 * p3 + l2 * p2 + l1 * p1)
+    return (
+        j.select("_doc", logp.alias("logp"))
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("logp").alias("log_prob"))
+        .withColumn("perplexity", F.exp(-F.col("log_prob") / F.col("n_grams")))
+    )

@@ -180,3 +180,109 @@ class TestTrainScore:
         # the per-doc hash aggregate (plus AQE coalesces reading it)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestTrigramLM:
+    @staticmethod
+    def _py_trigram(texts, vocab_size, k, lambdas):
+        """Independent pure-Python interpolated trigram LM."""
+        from real_time_financial_data_pipeline_spark.operators.lm import BOS, EOS, UNK
+
+        tok_docs = [[w for w in t.lower().split(" ") if w] for t in texts]
+        uni_raw = Counter(w for toks in tok_docs for w in toks)
+        vocab = set(
+            w
+            for w, _ in sorted(uni_raw.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :vocab_size
+            ]
+        )
+        v_pred = len(vocab) + 2
+
+        def seqs(toks):
+            s = [BOS, BOS] + [w if w in vocab else UNK for w in toks] + [EOS]
+            return list(zip(s, s[1:], s[2:]))
+
+        tri = Counter(t for toks in tok_docs for t in seqs(toks))
+        ctx2 = Counter()
+        bi = Counter()
+        uni = Counter()
+        for (w1, w2, w3), c in tri.items():
+            ctx2[(w1, w2)] += c
+            bi[(w2, w3)] += c
+            uni[w3] += c
+        bctx = Counter()
+        for (w1, _), c in bi.items():
+            bctx[w1] += c
+        n_total = sum(uni.values())
+        l1, l2, l3 = lambdas
+        out = []
+        for toks in tok_docs:
+            lp = 0.0
+            trips = seqs(toks)
+            for w1, w2, w3 in trips:
+                p3 = (tri.get((w1, w2, w3), 0) + k) / (ctx2.get((w1, w2), 0) + k * v_pred)
+                p2 = (bi.get((w2, w3), 0) + k) / (bctx.get(w2, 0) + k * v_pred)
+                p1 = (uni.get(w3, 0) + k) / (n_total + k * v_pred)
+                lp += math.log(l3 * p3 + l2 * p2 + l1 * p1)
+            out.append((len(trips), lp, math.exp(-lp / len(trips))))
+        return v_pred, n_total, out
+
+    def test_matches_python_reference(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.lm import (
+            perplexity_trigram,
+            train_trigram_lm,
+        )
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog sat",
+            "rare words appear here once",
+            "",
+        ]
+        lambdas = (0.1, 0.3, 0.6)
+        lm = train_trigram_lm(_docs_df(spark, texts), vocab_size=10, add_k=0.5,
+                              lambdas=lambdas)
+        v_pred, n_total, ref = self._py_trigram(texts, 10, 0.5, lambdas)
+        assert lm.v_pred == v_pred and lm.n_tokens == n_total
+        got = (
+            perplexity_trigram(_docs_df(spark, texts), lm)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        for i, (n, lp, ppl) in enumerate(ref):
+            assert got["n_grams"].iloc[i] == n
+            assert got["log_prob"].iloc[i] == pytest.approx(lp, rel=1e-12)
+            assert got["perplexity"].iloc[i] == pytest.approx(ppl, rel=1e-12)
+
+    def test_trigram_rewards_seen_trigrams_over_bigram_salad(self, spark):
+        """The trigram order must distinguish text whose BIGRAMS are all
+        in-distribution but whose TRIGRAMS are novel — the failure mode a
+        bigram model can't see."""
+        from real_time_financial_data_pipeline_spark.operators.lm import (
+            perplexity_trigram,
+            train_trigram_lm,
+        )
+
+        train = ["a b c d e f g h " * 5]
+        # every adjacent PAIR below occurs in training; almost no triple does
+        bigram_salad = "a b c d e f g h a b c d"
+        verbatim = "a b c d e f g h a b c d e f g h"
+        # build salad with seen bigrams, unseen trigrams: pairs (c,d),(d,e)
+        # exist, but e.g. window shifts create novel triples
+        salad = "c d e f g h a b"
+        lm = train_trigram_lm(_docs_df(spark, train), vocab_size=20, add_k=0.5)
+        got = (
+            perplexity_trigram(
+                _docs_df(spark, [verbatim, bigram_salad, salad]), lm
+            )
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got["perplexity"].iloc[0] < got["perplexity"].iloc[2]
+
+    def test_lambda_validation(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.lm import train_trigram_lm
+
+        with pytest.raises(ValueError):
+            train_trigram_lm(_docs_df(spark, ["x"]), lambdas=(0.5, 0.5, 0.5))

@@ -415,3 +415,48 @@ def test_repetition_stats_match_python_reference(spark, texts):
                 assert g is None, (i, name, text, g)
             else:
                 assert g is not None and abs(g - e) < 1e-9, (i, name, text, g, e)
+
+
+@given(
+    xs=st.lists(
+        st.floats(0.01, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=80,
+    ),
+    split=st.integers(0, 79),
+)
+@settings(max_examples=200, deadline=None)
+def test_indicator_recurrence_restarts_from_any_saved_state(xs, split):
+    """The invariant the streaming EMA twin rests on: saving the
+    recurrence state after ANY prefix and continuing from it yields the
+    BITWISE-identical tail the full scan produces.  (This is why
+    stream_ema across arbitrary micro-batch boundaries equals the batch
+    prefix scan.)"""
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        _ema_alpha,
+        advance_state,
+        seed_state,
+    )
+
+    af, asl, asg = _ema_alpha(12), _ema_alpha(26), _ema_alpha(9)
+
+    def scan(series, state=None, prev=None):
+        out = []
+        for x in series:
+            if state is None:
+                state, rsi = seed_state(x), None
+            else:
+                state, rsi = advance_state(state, prev, x, af, asl, asg, 14)
+            prev = x
+            out.append((state, rsi))
+        return out, state, prev
+
+    full, _, _ = scan(xs)
+    split = min(split, len(xs) - 1)
+    head, st1, prev1 = scan(xs[: split + 1])
+    tail, _, _ = scan(xs[split + 1 :], state=st1, prev=prev1)
+    resumed = head + tail
+    assert len(resumed) == len(full)
+    for (sa, ra), (sb, rb) in zip(resumed, full):
+        assert sa == sb  # tuple equality = bitwise float equality
+        assert (ra is None and rb is None) or ra == rb

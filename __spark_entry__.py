@@ -29,7 +29,6 @@ from real_time_financial_data_pipeline_spark.operators.query import (
     latest_per_key,
     moving_average,
     preview,
-    timeseries,
 )
 from real_time_financial_data_pipeline_spark.operators.asof import asof_join, gap_fill
 from real_time_financial_data_pipeline_spark.operators.dedup import (
@@ -51,7 +50,6 @@ from real_time_financial_data_pipeline_spark.operators.lm import (
 from real_time_financial_data_pipeline_spark.operators.multimodal import (
     attach_binary,
     extract_features,
-    media_stats,
 )
 from real_time_financial_data_pipeline_spark.operators.similarity import (
     cosine_topk,
@@ -74,7 +72,6 @@ from real_time_financial_data_pipeline_spark.plans.relational import (
 from real_time_financial_data_pipeline_spark.streaming.aggregates import (
     run_stream_to_memory,
     session_stats,
-    sliding_counts,
     tumbling_ohlc,
 )
 
@@ -107,10 +104,6 @@ def _ohlcv_query(period: str) -> Callable[[SparkSession, str], DataFrame]:
 def _clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_data(load_table(spark, sf_dir, "events"))
 
-
-def _timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return timeseries(ev, "event_type", "purchase", "ts", "2024-01-10", "2024-01-20")
 
 
 def _moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,11 +810,6 @@ def _perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_binary(load_table(spark, sf_dir, "documents"))
-    out = media_stats(media)
-    return out.withColumn("avg_bytes", F.round("avg_bytes", 6))
-
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary(load_table(spark, sf_dir, "documents"))
@@ -1004,16 +992,6 @@ def _stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
 
-
-def _stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1h/15m event counts as a stream (complete mode, availableNow).
-    Epoch-aligned sliding windows: each event belongs to exactly 4 windows,
-    which the DuckDB oracle reproduces with time_bucket - k·15min."""
-    _STREAM_SEQ[0] += 1
-    name = f"stream_sliding_{_STREAM_SEQ[0]}"
-    agg = sliding_counts(_events_stream(spark, sf_dir))
-    run_stream_to_memory(agg, name, "complete")
-    return spark.table(name)
 
 
 def _stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:

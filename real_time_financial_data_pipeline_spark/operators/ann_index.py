@@ -5,17 +5,19 @@ call — right for one-shot analytics, wrong for a serving corpus queried
 repeatedly.  This module makes the index a lake artifact:
 
 - ``build_ivf_index`` trains the coarse quantizer (and optionally the PQ
-  codebooks) once, assigns every vector to its posting list, and writes
-  the corpus ``partitionBy("list_id")`` — each posting list is a
-  partition DIRECTORY.  Centroids/codebooks/params are tiny sidecar
-  files.
+  codebooks) ONCE — both fits share one ``hash_sample`` collect — then
+  assigns every vector to its posting list and writes the corpus
+  ``partitionBy("list_id")``: each posting list is a partition
+  DIRECTORY.  Centroids/codebooks/params are tiny sidecar files.
 - ``search_ivf_index`` reads the centroids driver-side, picks each
   query's ``n_probe`` lists, and scans the corpus with a
   ``list_id IN (...)`` filter — Spark prunes at the FILE level, so a
   probe literally reads n_probe/n_lists of the index bytes off disk
   (asserted via PartitionFilters in tests).  Scoring inside probed lists
-  is exact cosine (float path) or ADC over stored PQ codes + exact
-  rerank (pq path), identical to the in-memory operators.
+  is exact cosine (float path) or ADC over the stored PQ codes + exact
+  rerank (pq path).  The pq ADC stage projects ONLY (id, list_id,
+  codes), so parquet column pruning keeps the 64x-larger float column
+  unread until the k*rerank finalists fetch theirs.
 
 This turns the IVF cost model from "scan everything, skip most rows"
 into "never read the skipped bytes" — at 100 TB the difference between
@@ -23,8 +25,9 @@ a full-corpus scan per query batch and touching a few partitions.
 
 Determinism: same seeds/params as the in-memory path; building twice
 from the same corpus yields byte-identical assignments, and
-``search_ivf_index`` equals ``ivf_topk`` with the same parameters
-(asserted in tests).
+``search_ivf_index`` equals ``ivf_topk``/``ivf_pq_topk`` with the same
+parameters (asserted in tests — the probe/LUT/rounding machinery is the
+SAME shared helpers, not a copy).
 """
 
 from __future__ import annotations
@@ -39,12 +42,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from .similarity import (
+    _adc_score,
+    hash_sample,
     nearest_list,
-    pairwise_cosine,
     pq_codes,
+    pq_luts,
+    probe_lists_for,
+    rounded_pairwise_cosine,
+    topk_per_query,
     train_centroids,
     train_pq,
-    _adc_score,
 )
 
 
@@ -66,12 +73,13 @@ def build_ivf_index(
     Layout: ``{path}/vectors/list_id=N/*.parquet`` (id, embedding, and
     ``codes`` when ``pq``), ``{path}/centroids.json`` (the coarse
     quantizer + PQ codebooks + params — a few KB, read driver-side at
-    search time).  One pass over the corpus: assignment and encoding are
-    map-only Arrow projections; the only data movement is the
-    partitioned write itself."""
+    search time).  One sample collect feeds both quantizer fits; one
+    pass over the corpus assigns and encodes (map-only Arrow
+    projections); the only data movement is the partitioned write."""
+    X = hash_sample(corpus, id_col, vec_col, seed, sample_size)
     centroids = train_centroids(
         corpus, n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
-        sample_size=sample_size, iters=iters,
+        sample_size=sample_size, iters=iters, sample=X,
     )
     cols = [
         F.col(id_col),
@@ -82,7 +90,7 @@ def build_ivf_index(
     if pq:
         codebooks = train_pq(
             corpus, m, n_codes, id_col=id_col, vec_col=vec_col, seed=seed,
-            sample_size=sample_size, iters=iters,
+            sample_size=sample_size, iters=iters, sample=X,
         )
         cols.append(pq_codes(F.col(vec_col), codebooks).alias("codes"))
     corpus.select(*cols).write.partitionBy("list_id").mode("overwrite").parquet(
@@ -103,6 +111,13 @@ def build_ivf_index(
     return meta
 
 
+def _empty_result(spark: SparkSession, vectors: DataFrame, id_col: str) -> DataFrame:
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [], f"query_id {id_t}, neighbor_id {id_t}, score double, rank bigint"
+    )
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,
@@ -112,11 +127,11 @@ def search_ivf_index(
     rerank: int = 8,
 ) -> DataFrame:
     """Probe a persisted index: centroids load driver-side (KBs), each
-    query's ``n_probe`` nearest lists are computed with one tiny numpy
-    matmul, and the index scan carries ``list_id IN (union of probes)``
-    so only those partition directories are read.  Returns the
-    ``cosine_topk`` schema (exact cosine scores — the pq path reranks its
-    ADC finalists exactly like ``ivf_pq_topk``)."""
+    query's ``n_probe`` nearest lists come from one tiny numpy matmul,
+    and the index scan carries ``list_id IN (union of probes)`` so only
+    those partition directories are read.  Returns the ``cosine_topk``
+    schema (exact cosine scores — the pq path reranks its ADC finalists
+    exactly like ``ivf_pq_topk``)."""
     with open(os.path.join(path, "centroids.json")) as f:
         meta = json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -125,17 +140,15 @@ def search_ivf_index(
     q_rows = queries.select(id_col, vec_col).collect()
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     if not q_rows:
-        return spark.createDataFrame(
-            [], f"query_id {vectors.schema[id_col].dataType.simpleString()}, "
-                f"neighbor_id {vectors.schema[id_col].dataType.simpleString()}, "
-                "score double, rank bigint"
-        )
+        return _empty_result(spark, vectors, id_col)
     Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    probe_idx = np.argsort(-(Qn @ centroids.T), kind="stable", axis=1)[:, :n_probe]
+    probe_idx = probe_lists_for(Qn, centroids, n_probe)
     probed_lists = sorted({int(x) for row in probe_idx for x in row})
     # partition pruning: only the probed list_id directories are scanned
     pruned = vectors.filter(F.col("list_id").isin(probed_lists))
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
 
     if not meta["pq"]:
         probes = [
@@ -144,10 +157,7 @@ def search_ivf_index(
             for lst in lists
         ]
         q = spark.createDataFrame(
-            probes,
-            f"query_id {vectors.schema[id_col].dataType.simpleString()}, "
-            f"query_vec {vectors.schema[vec_col].dataType.simpleString()}, "
-            "list_id long",
+            probes, f"query_id {id_t}, query_vec {vec_t}, list_id long"
         )
         joined = pruned.withColumnRenamed(id_col, "neighbor_id").join(
             broadcast(q), "list_id"
@@ -155,21 +165,16 @@ def search_ivf_index(
         scored = joined.select(
             "query_id",
             "neighbor_id",
-            F.round(F.round(pairwise_cosine(F.col(vec_col), F.col("query_vec")), 9), 6).alias("score"),
+            rounded_pairwise_cosine(F.col(vec_col), F.col("query_vec")).alias("score"),
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "score", "rank")
-        )
+        return topk_per_query(scored, k)
 
-    # pq path: ADC over stored codes inside probed lists, exact rerank
+    # pq path: ADC over a CODES-ONLY projection of the probed lists
+    # (column pruning keeps the float column unread here), then exact
+    # rerank fetching floats for just the k*rerank finalists
     codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
-    m_eff, n_codes_eff, dsub = codebooks.shape
-    luts = np.einsum(
-        "qjd,jcd->qjc", Qn.reshape(len(Qn), m_eff, dsub), codebooks
-    ).reshape(len(Qn), m_eff * n_codes_eff)
+    m_eff, n_codes_eff, _ = codebooks.shape
+    luts = pq_luts(Qn, codebooks)
     probes = [
         (r[0], list(r[1]), [float(v) for v in lut], int(lst))
         for r, lut, lists in zip(q_rows, luts, probe_idx)
@@ -177,35 +182,36 @@ def search_ivf_index(
     ]
     q = spark.createDataFrame(
         probes,
-        f"query_id {vectors.schema[id_col].dataType.simpleString()}, "
-        f"query_vec {vectors.schema[vec_col].dataType.simpleString()}, "
-        "lut array<double>, list_id long",
+        f"query_id {id_t}, query_vec {vec_t}, lut array<double>, list_id long",
     )
-    cand = pruned.withColumnRenamed(id_col, "neighbor_id").join(
-        broadcast(q), "list_id"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    codes_only = pruned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("list_id"), F.col("codes")
+    )
+    cand = codes_only.join(broadcast(q), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     adc = cand.select(
         "query_id",
         "query_vec",
         "neighbor_id",
-        F.col(vec_col).alias("_nvec"),
         _adc_score(F.col("codes"), F.col("lut"), m_eff, n_codes_eff).alias("adc"),
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     finalists = adc.withColumn("_r", F.row_number().over(w_adc)).filter(
         F.col("_r") <= k * rerank
     )
-    reranked = finalists.select(
+    vecs = pruned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    )
+    reranked = vecs.join(
+        broadcast(finalists.select("query_id", "query_vec", "neighbor_id")),
+        "neighbor_id",
+    ).select(
         "query_id",
         "neighbor_id",
-        F.round(F.round(pairwise_cosine(F.col("_nvec"), F.col("query_vec")), 9), 6).alias("score"),
+        rounded_pairwise_cosine(F.col("_nvec"), F.col("query_vec")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        reranked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return topk_per_query(reranked, k)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:

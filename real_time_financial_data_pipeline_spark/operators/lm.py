@@ -232,14 +232,25 @@ def perplexity_local_expr(local: LocalBigramLM, text_col: str = "text"):
     k, v_pred = local.add_k, float(local.v_pred)
 
     def score_batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # positional sentinel mapping, replicated from _map_oov: a raw
+        # token equal to BOS maps to BOS in CONTEXT position (and EOS in
+        # predicted position) — the distributed scorer's exact semantics,
+        # including its literal-sentinel collision behavior
+        def m1(w):  # context position
+            return w if w == BOS else (w if w in vocab else UNK)
+
+        def m2(w):  # predicted position
+            return w if w == EOS else (w if w in vocab else UNK)
+
         for texts in it:
             rows = []
             for t in texts:
                 toks = [w for w in (t or "").lower().split(" ") if w]
-                seq = [BOS] + [w if w in vocab else UNK for w in toks] + [EOS]
+                raw = [BOS] + toks + [EOS]
                 lp = 0.0
-                n = len(seq) - 1
-                for w1, w2 in zip(seq, seq[1:]):
+                n = len(raw) - 1
+                for a, b in zip(raw, raw[1:]):
+                    w1, w2 = m1(a), m2(b)
                     lp += math.log(
                         (big.get((w1, w2), 0) + k) / (ctx.get(w1, 0) + k * v_pred)
                     )

@@ -479,24 +479,19 @@ def nearest_list(vec: Column, centroids: np.ndarray) -> Column:
     return _assign(vec)
 
 
-def train_centroids(
+def hash_sample(
     corpus: DataFrame,
-    n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     sample_size: int = 2048,
-    iters: int = 8,
 ) -> np.ndarray:
-    """Fit the seeded spherical-k-means coarse quantizer on a deterministic
-    corpus sample and return the (n_lists, dim) L2-normalized centroid
-    matrix — shared by the IVF index and corpus clustering.
-
-    The sample takes the ``sample_size`` smallest ids in xxhash64 order: a
-    seeded pseudo-random permutation of the corpus that doesn't depend on
-    partitioning (unlike ``sample(seed)``) and runs as
-    TakeOrderedAndProject (top-k per partition, no full sort).
-    """
+    """Deterministic driver-side training sample: the ``sample_size``
+    smallest ids in xxhash64 order — a seeded pseudo-random permutation of
+    the corpus that doesn't depend on partitioning (unlike
+    ``sample(seed)``) and runs as TakeOrderedAndProject (top-k per
+    partition, no full sort).  Collected ONCE and shared by every
+    quantizer fit (coarse centroids + PQ codebooks)."""
     sample = (
         corpus.select(
             vec_col, F.col(id_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hid")
@@ -506,7 +501,28 @@ def train_centroids(
         .select(vec_col)
         .collect()
     )
-    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    return np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+    sample: np.ndarray | None = None,
+) -> np.ndarray:
+    """Fit the seeded spherical-k-means coarse quantizer on a deterministic
+    corpus sample (``hash_sample``, or a precollected ``sample`` to share
+    one collect across fits) and return the (n_lists, dim) L2-normalized
+    centroid matrix — shared by the IVF index and corpus clustering."""
+    X = (
+        sample
+        if sample is not None
+        else hash_sample(corpus, id_col, vec_col, seed, sample_size)
+    )
     return _kmeans_spherical(X, min(n_lists, len(X)), iters, seed)
 
 
@@ -608,7 +624,7 @@ def ivf_topk(
         )
     Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    probe_idx = np.argsort(-(Qn @ centroids.T), kind="stable", axis=1)[:, :n_probe]
+    probe_idx = probe_lists_for(Qn, centroids, n_probe)
     probes = [
         (r[0], list(r[1]), int(lst))
         for r, lists in zip(q_rows, probe_idx)
@@ -626,16 +642,9 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(F.round(pairwise_cosine(F.col("vec"), F.col("query_vec")), 9), 6).alias("score"),
+        rounded_pairwise_cosine(F.col("vec"), F.col("query_vec")).alias("score"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return topk_per_query(scored, k)
 
 
 # --- IVF-PQ: product quantization + asymmetric distance ------------------
@@ -667,6 +676,7 @@ def train_pq(
     seed: int = 42,
     sample_size: int = 2048,
     iters: int = 8,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Fit the product-quantizer codebooks on the same deterministic
     hash-ordered driver sample the coarse quantizer uses: vectors are
@@ -678,16 +688,11 @@ def train_pq(
     that is 8x4 bits = 4 bytes per vector vs 256 bytes of float32 at
     dim 64: 64x compression, the tier BELOW the int8 scalar quantizer's
     4x."""
-    sample = (
-        corpus.select(
-            vec_col, F.col(id_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hid")
-        )
-        .orderBy("_hid", id_col)
-        .limit(sample_size)
-        .select(vec_col)
-        .collect()
+    X = (
+        sample
+        if sample is not None
+        else hash_sample(corpus, id_col, vec_col, seed, sample_size)
     )
-    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = Xn.shape[1]
     if dim % m:
@@ -740,6 +745,43 @@ def _adc_score(codes: Column, lut_flat: Column, m: int, n_codes: int) -> Column:
     return _score(codes, lut_flat)
 
 
+def rounded_pairwise_cosine(a: Column, b: Column) -> Column:
+    """The repo-wide ANN score convention: 9-dp snap (cross-engine guard
+    band) then the 6-dp serving round — ONE definition shared by every
+    search path so the rounding contract can't drift between them."""
+    return F.round(F.round(pairwise_cosine(a, b), 9), 6)
+
+
+def probe_lists_for(Qn: np.ndarray, centroids: np.ndarray, n_probe: int) -> np.ndarray:
+    """Each query's n_probe nearest coarse lists (stable argsort — ties
+    resolve to the lowest list index on every engine)."""
+    return np.argsort(-(Qn @ centroids.T), kind="stable", axis=1)[:, :n_probe]
+
+
+def pq_luts(Qn: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Per-query ADC look-up tables: <q_sub, codebook[j][code]> for every
+    (sub-space, code), flattened row-major to m*n_codes doubles."""
+    m, n_codes, dsub = codebooks.shape
+    return np.einsum(
+        "qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), codebooks
+    ).reshape(len(Qn), m * n_codes)
+
+
+def topk_per_query(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """(query_id, neighbor_id, score) -> ranked top-k per query with the
+    deterministic (score desc, neighbor_id asc) total order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col(score_col).alias("score"), "rank")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -778,16 +820,16 @@ def ivf_pq_topk(
     """
     from pyspark.sql import Window
 
+    X = hash_sample(corpus, id_col, vec_col, seed, sample_size)  # ONE collect
     centroids = train_centroids(
         corpus, n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
-        sample_size=sample_size, iters=iters,
+        sample_size=sample_size, iters=iters, sample=X,
     )
     codebooks = train_pq(
         corpus, m, n_codes, id_col=id_col, vec_col=vec_col, seed=seed,
-        sample_size=sample_size, iters=iters,
+        sample_size=sample_size, iters=iters, sample=X,
     )
     n_codes_eff = codebooks.shape[1]
-    dsub = codebooks.shape[2]
 
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -804,14 +846,8 @@ def ivf_pq_topk(
         )
     Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    probe_idx = np.argsort(-(Qn @ centroids.T), kind="stable", axis=1)[:, :n_probe]
-    # per-query LUT: <q_sub, codebook[j][code]> for every (sub-space, code),
-    # flattened row-major to m * n_codes doubles
-    luts = np.einsum(
-        "qjd,jcd->qjc",
-        Qn.reshape(len(Qn), m, dsub),
-        codebooks,
-    ).reshape(len(Qn), m * n_codes_eff)
+    probe_idx = probe_lists_for(Qn, centroids, n_probe)
+    luts = pq_luts(Qn, codebooks)
     probes = [
         (r[0], list(r[1]), [float(v) for v in lut], int(lst))
         for r, lut, lists in zip(q_rows, luts, probe_idx)
@@ -847,11 +883,6 @@ def ivf_pq_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(F.round(pairwise_cosine(F.col("_nvec"), F.col("query_vec")), 9), 6).alias("score"),
+        rounded_pairwise_cosine(F.col("_nvec"), F.col("query_vec")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        reranked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return topk_per_query(reranked, k)

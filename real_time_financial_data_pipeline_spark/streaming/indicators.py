@@ -82,8 +82,15 @@ def _make_update(a_fast: float, a_slow: float, a_sig: float, rsi_n: int):
         else:
             st = prev_close = last_us = None
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("day", ignore_index=True)
+        # Arrow hands one key's micro-batch as SEVERAL chunks in no
+        # particular order: concat before the single sort, or in-order
+        # bars landing in a later chunk would be mis-dropped as
+        # out-of-order.  Memory = one key's rows for this trigger.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "day", ignore_index=True
+            )
             for day, close in zip(pdf["day"], pdf["close"]):
                 day_us = int(day.value // 1_000)  # pandas ns -> us
                 if last_us is not None and day_us <= last_us:

@@ -407,3 +407,40 @@ class TestDailyCloseBars:
         got = bars.set_index(["event_type", "day"])["close"]
         assert len(got) == len(ref)
         assert np.allclose(got.sort_index(), ref.sort_index(), rtol=0)
+
+
+class TestStreamEmaChunking:
+    def test_multi_chunk_micro_batch_is_globally_sorted(self):
+        """Review regression: Arrow hands one key's micro-batch as SEVERAL
+        chunks in no particular order — the update fn must concat before
+        sorting, or in-order bars in a later chunk would be mis-dropped
+        as out-of-order."""
+        import pandas as pd
+
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            _make_update,
+        )
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            _ema_alpha,
+        )
+
+        class FakeState:
+            exists = False
+            hasTimedOut = False
+
+            def update(self, v):
+                self.exists, self._v = True, v
+
+            @property
+            def get(self):
+                return self._v
+
+        # chunk 2 holds EARLIER days than chunk 1
+        c1 = pd.DataFrame({"day": pd.to_datetime(["2024-01-03", "2024-01-04"]),
+                           "close": [3.0, 4.0]})
+        c2 = pd.DataFrame({"day": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                           "close": [1.0, 2.0]})
+        upd = _make_update(_ema_alpha(12), _ema_alpha(26), _ema_alpha(9), 14)
+        out = list(upd(("A",), iter([c1, c2]), FakeState()))
+        rows = pd.concat(out, ignore_index=True)
+        assert rows["close"].tolist() == [1.0, 2.0, 3.0, 4.0]  # nothing dropped

@@ -286,3 +286,25 @@ class TestTrigramLM:
 
         with pytest.raises(ValueError):
             train_trigram_lm(_docs_df(spark, ["x"]), lambdas=(0.5, 0.5, 0.5))
+
+
+def test_local_scorer_sentinel_collision_matches_distributed(spark):
+    """Review regression: documents containing LITERAL '<s>'/'</s>' tokens
+    (common crawl artifacts) must score identically under the distributed
+    and local scorers — both apply the positional sentinel mapping."""
+    from real_time_financial_data_pipeline_spark.operators.lm import (
+        collect_model,
+        perplexity_local,
+    )
+
+    texts = ["a <s> b </s> c", "<s> starts and ends </s>", "plain text here"]
+    df = _docs_df(spark, texts)
+    lm = train_bigram_lm(df, vocab_size=10, add_k=0.5)
+    dist = perplexity(df, lm).toPandas().sort_values("doc_id", ignore_index=True)
+    loc = (
+        perplexity_local(df, collect_model(lm))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert dist["n_bigrams"].tolist() == loc["n_bigrams"].tolist()
+    assert dist["log_prob"].tolist() == pytest.approx(loc["log_prob"].tolist(), rel=1e-9)

@@ -355,3 +355,57 @@ def recursive_indicators(
         return _recursive_kernel(pdf, day_col, close_col, a_fast, a_slow, a_sig, rsi_n)
 
     return bars.groupBy(*key_cols).applyInPandas(apply_fn, schema=schema)
+
+
+def backtest_sma_crossover(
+    bars: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    close_col: str = "close",
+    fast: int = 5,
+    slow: int = 20,
+    annualize: float = ANNUALIZE_DAILY,
+) -> DataFrame:
+    """Vectorized SMA-crossover backtest per series: long 1 unit while
+    the ``fast``-bar SMA is above the ``slow``-bar SMA, flat otherwise,
+    entering on the NEXT bar after the signal (no look-ahead: position_t
+    = signal_{t-1}).
+
+    Output per (key, day): close, position (0/1), log_return,
+    strategy_return (= position * log_return), cum_return (strategy
+    equity curve as a log-return sum), and buy-and-hold cum_bh for
+    comparison.
+
+    Everything is the same one-shuffle window pass as
+    :func:`window_indicators` — a backtest over 10^4 symbols x 10^4 bars
+    is one Exchange and a per-partition sort, no Python, no loop over
+    days.  This is deliberately the SIMPLE vectorizable strategy shape
+    (stateless signal -> shifted position -> returns product); pathwise
+    strategies with order state belong in the streaming stateful op
+    family, not a window."""
+    w = Window.partitionBy(*key_cols).orderBy(day_col)
+    c = F.col(close_col)
+    sma_f = F.avg(c).over(w.rowsBetween(-(fast - 1), 0))
+    sma_s = F.avg(c).over(w.rowsBetween(-(slow - 1), 0))
+    signal = F.when(sma_f > sma_s, F.lit(1)).otherwise(F.lit(0))
+    log_ret = F.log(c / F.lag(c).over(w))
+
+    staged = bars.select(
+        *key_cols,
+        F.col(day_col),
+        c.alias(close_col),
+        F.coalesce(F.lag(signal).over(w), F.lit(0)).alias("position"),
+        log_ret.alias("log_return"),
+    )
+    strat = F.col("position") * F.coalesce(F.col("log_return"), F.lit(0.0))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        *key_cols,
+        day_col,
+        close_col,
+        "position",
+        "log_return",
+        strat.alias("strategy_return"),
+        F.sum(strat).over(run).alias("cum_return"),
+        F.sum(F.coalesce(F.col("log_return"), F.lit(0.0))).over(run).alias("cum_bh"),
+    )

@@ -444,3 +444,62 @@ class TestStreamEmaChunking:
         out = list(upd(("A",), iter([c1, c2]), FakeState()))
         rows = pd.concat(out, ignore_index=True)
         assert rows["close"].tolist() == [1.0, 2.0, 3.0, 4.0]  # nothing dropped
+
+
+class TestBacktest:
+    def test_matches_pandas_reference_no_lookahead(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            backtest_sma_crossover,
+        )
+
+        rng = np.random.default_rng(13)
+        xs = (100 * np.exp(np.cumsum(rng.normal(0.001, 0.02, 80)))).tolist()
+        got = (
+            backtest_sma_crossover(_bars_df(spark, {"A": xs}), ["sym"], fast=5, slow=20)
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        s = pd.Series(xs)
+        sig = (
+            s.rolling(5, min_periods=1).mean() > s.rolling(20, min_periods=1).mean()
+        ).astype(int)
+        pos = sig.shift(1, fill_value=0)
+        lr = np.log(s / s.shift(1))
+        strat = pos * lr.fillna(0.0)
+        assert got["position"].tolist() == pos.tolist()
+        assert np.allclose(got["strategy_return"], strat, rtol=1e-12)
+        assert np.allclose(got["cum_return"], strat.cumsum(), rtol=1e-9)
+        assert np.allclose(got["cum_bh"], lr.fillna(0.0).cumsum(), rtol=1e-9)
+        # the strategy holds long only AFTER the signal bar (no look-ahead)
+        first_sig = sig.idxmax() if sig.any() else None
+        if first_sig is not None and first_sig + 1 < len(pos):
+            assert got["position"].iloc[first_sig] == 0 or first_sig == 0
+
+    def test_flat_when_never_crossed(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            backtest_sma_crossover,
+        )
+
+        # strictly decreasing: fast SMA stays below slow SMA after bar 1
+        xs = [float(100 - i) for i in range(30)]
+        got = (
+            backtest_sma_crossover(_bars_df(spark, {"A": xs}), ["sym"])
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        assert (got["position"] == 0).all()
+        assert (got["strategy_return"] == 0.0).all()
+        assert got["cum_return"].iloc[-1] == 0.0
+        assert got["cum_bh"].iloc[-1] < 0  # buy-and-hold lost money
+
+    def test_single_exchange_plan(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            backtest_sma_crossover,
+        )
+
+        bars = _bars_df(spark, {"A": [1.0, 2.0, 3.0]})
+        plan = (
+            backtest_sma_crossover(bars, ["sym"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1

@@ -235,3 +235,40 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
     new_vectors.select(*cols).write.partitionBy("list_id").mode("append").parquet(
         os.path.join(path, "vectors")
     )
+
+
+def stream_search(
+    query_stream: DataFrame,
+    path: str,
+    sink_path: str,
+    checkpoint: str,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Continuous ANN serving: a STREAM of query vectors searched against
+    the persisted index, results appended to a parquet sink.
+
+    Each micro-batch runs ``search_ivf_index`` inside ``foreachBatch`` —
+    the right boundary because probe selection is a driver-side numpy
+    step per query batch, and per-query top-k is independent across
+    queries, so the streamed result set is EXACTLY the batch search over
+    the union of all micro-batches (asserted in tests).  The index is
+    re-read per micro-batch: an ``append_to_ivf_index`` between batches
+    is visible to the next batch without restarting the stream."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            out = search_ivf_index(
+                batch_df.sparkSession, path, batch_df, k, n_probe, rerank
+            )
+            out.write.mode("append").parquet(sink_path)
+
+    writer = (
+        query_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

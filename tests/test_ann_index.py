@@ -73,3 +73,33 @@ def test_append_indexes_new_batch_with_saved_quantizer(spark, embeddings, tmp_pa
     top = search_ivf_index(spark, path, q, k=3, n_probe=1).collect()
     best = next(r for r in top if r.rank == 1)
     assert best.neighbor_id == 999_999 and abs(best.score - 1.0) < 1e-6
+
+
+def test_stream_search_equals_batch_over_all_queries(spark, embeddings, tmp_path):
+    """foreachBatch serving: the streamed result set equals the one-shot
+    batch search over the union of all micro-batches (per-query top-k is
+    independent across queries)."""
+    from real_time_financial_data_pipeline_spark.operators.ann_index import (
+        stream_search,
+    )
+
+    path = str(tmp_path / "idx_stream")
+    build_ivf_index(embeddings, path, n_lists=8)
+
+    qsrc = tmp_path / "queries"
+    q_all = embeddings.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+    q_all.filter(F.col("vec_id") < 3).write.parquet(str(qsrc / "f1"))
+    q_all.filter(F.col("vec_id") >= 3).write.parquet(str(qsrc / "f2"))
+    schema = spark.read.parquet(str(qsrc / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qsrc / "*"))
+    )
+    sink = str(tmp_path / "results")
+    q = stream_search(stream, path, sink, str(tmp_path / "ckpt"), k=5, n_probe=2)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    exp = search_ivf_index(spark, path, q_all, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))

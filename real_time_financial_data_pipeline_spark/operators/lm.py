@@ -430,3 +430,32 @@ def perplexity_trigram(
         .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("logp").alias("log_prob"))
         .withColumn("perplexity", F.exp(-F.col("log_prob") / F.col("n_grams")))
     )
+
+
+def save_lm(lm: BigramLM, path: str) -> None:
+    """Persist a fitted bigram model as a lake artifact: the two count
+    tables as parquet (vocab-bounded — KBs to MBs), scalars as a JSON
+    sidecar.  The nightly-train / continuously-score deployment: the
+    batch job trains and saves, serving and streaming jobs load."""
+    import json
+    import os
+
+    lm.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    lm.bigrams.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"v_pred": lm.v_pred, "add_k": lm.add_k}, f)
+
+
+def load_lm(spark, path: str) -> BigramLM:
+    """Load a saved model.  Contexts are re-derived from the bigram table
+    (one aggregate over the vocab-bounded parquet — cheaper than storing
+    a third table and can't drift from the bigrams)."""
+    import json
+    import os
+
+    vocab = spark.read.parquet(os.path.join(path, "vocab"))
+    bigrams = spark.read.parquet(os.path.join(path, "bigrams"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("cnt").alias("ctx_count"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return BigramLM(vocab, contexts, bigrams, meta["v_pred"], meta["add_k"])

@@ -308,3 +308,34 @@ def test_local_scorer_sentinel_collision_matches_distributed(spark):
     )
     assert dist["n_bigrams"].tolist() == loc["n_bigrams"].tolist()
     assert dist["log_prob"].tolist() == pytest.approx(loc["log_prob"].tolist(), rel=1e-9)
+
+
+def test_lm_save_load_round_trip(spark, documents, tmp_path):
+    """A saved+loaded model scores every document identically to the
+    in-memory fit (contexts re-derived from the persisted bigram table),
+    and the loaded model feeds collect_model for the streaming gate."""
+    from real_time_financial_data_pipeline_spark.operators.lm import (
+        collect_model,
+        load_lm,
+        perplexity_local,
+        save_lm,
+    )
+
+    corpus = documents.limit(80)
+    lm = train_bigram_lm(corpus, vocab_size=25, add_k=0.5)
+    save_lm(lm, str(tmp_path / "lm"))
+    loaded = load_lm(spark, str(tmp_path / "lm"))
+    assert loaded.v_pred == lm.v_pred and loaded.add_k == lm.add_k
+
+    a = perplexity(corpus, lm).toPandas().sort_values("doc_id", ignore_index=True)
+    b = perplexity(corpus, loaded).toPandas().sort_values("doc_id", ignore_index=True)
+    assert a["n_bigrams"].tolist() == b["n_bigrams"].tolist()
+    assert a["log_prob"].tolist() == pytest.approx(b["log_prob"].tolist(), rel=1e-12)
+
+    local = collect_model(loaded)
+    c = (
+        perplexity_local(corpus, local)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a["log_prob"].tolist() == pytest.approx(c["log_prob"].tolist(), rel=1e-9)

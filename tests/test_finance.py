@@ -503,3 +503,68 @@ class TestBacktest:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange") == 1
+
+
+class TestGoldStreamComposition:
+    def test_tick_stream_to_bars_to_incremental_indicators(
+        self, spark, events, tmp_path
+    ):
+        """The documented deployment chain (streaming/indicators.py): tick
+        stream -> watermarked tumbling OHLC (append mode emits only
+        FINALIZED bars, in watermark order) -> landed gold bars ->
+        stream_ema.  The incremental indicators over the landed bars must
+        equal the batch prefix scan over the same bar set exactly."""
+        from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+            tumbling_ohlc,
+        )
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_ema,
+        )
+
+        src = tmp_path / "ticks"
+        events.select("event_type", "ts", "value").write.parquet(str(src / "f1"))
+        schema = spark.read.parquet(str(src / "f1")).schema
+        ticks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        bars_dir = str(tmp_path / "gold_bars")
+        q1 = (
+            tumbling_ohlc(ticks, watermark="10 minutes")
+            .selectExpr("event_type", "period AS day", "close")
+            .writeStream.format("parquet")
+            .option("path", bars_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt1"))
+            .outputMode("append")  # only watermark-finalized bars land
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination(120)
+        landed = spark.read.parquet(bars_dir)
+        assert landed.count() > 0  # finalized bars made it to gold
+
+        bars_stream = spark.readStream.schema(landed.schema).parquet(bars_dir)
+        q2 = (
+            stream_ema(bars_stream, key_col="event_type")
+            .writeStream.format("memory")
+            .queryName("gold_ema")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q2.awaitTermination(120)
+        got = spark.table("gold_ema").toPandas()
+
+        batch = recursive_indicators(
+            landed.withColumn("day", F.col("day").cast("date")), ["event_type"]
+        ).toPandas()
+        assert len(got) == len(batch) > 0
+        b = batch.sort_values(["event_type", "day"], ignore_index=True)
+        g = got.rename(columns={"key": "event_type"}).sort_values(
+            ["event_type", "day"], ignore_index=True
+        )
+        for c in ["ema_fast", "ema_slow", "macd", "macd_signal", "rsi"]:
+            bv, gv = b[c].to_numpy(), g[c].to_numpy()
+            assert ((bv == gv) | (np.isnan(bv) & np.isnan(gv))).all()

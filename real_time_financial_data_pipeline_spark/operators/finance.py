@@ -409,3 +409,60 @@ def backtest_sma_crossover(
         F.sum(strat).over(run).alias("cum_return"),
         F.sum(F.coalesce(F.col("log_return"), F.lit(0.0))).over(run).alias("cum_bh"),
     )
+
+
+def detect_price_anomalies(
+    bars: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    close_col: str = "close",
+    z_window: int = 20,
+    z_threshold: float = 4.0,
+    stale_min_run: int = 3,
+) -> DataFrame:
+    """Per-series price data-quality screen — the two classic feed
+    failure modes:
+
+    * ``is_spike``: |z| of today's log return against the TRAILING
+      ``z_window`` returns EXCLUDING today (the spike must not inflate
+      its own baseline) exceeds ``z_threshold``;
+    * ``is_stale``: the close has repeated identically for at least
+      ``stale_min_run`` bars (dead feed repeating the last print).
+
+    Output: every bar with (log_return, z_score, stale_run, is_spike,
+    is_stale).  One shuffle on the keys; the stale-run computation is the
+    gaps-and-islands sum-of-change-markers trick — no self-join, no
+    Python, all in the same sorted window pass."""
+    w = Window.partitionBy(*key_cols).orderBy(day_col)
+    c = F.col(close_col)
+    log_ret = F.log(c / F.lag(c).over(w))
+    staged = bars.select(
+        *key_cols, F.col(day_col), c.alias(close_col),
+        log_ret.alias("log_return"),
+        # gaps-and-islands: run id = count of change-points so far
+        F.sum(
+            F.when(F.lag(c).over(w).isNull() | (c != F.lag(c).over(w)), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_grp"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(day_col)
+    base = w2.rowsBetween(-z_window, -1)
+    r = F.col("log_return")
+    n = F.count(r).over(base)
+    s1 = F.sum(r).over(base)
+    s2 = F.sum(r * r).over(base)
+    mean = s1 / n
+    sd = F.when(
+        n > 1, F.sqrt(F.greatest((s2 - n * mean * mean) / (n - 1), F.lit(0.0)))
+    )
+    z = F.when(sd > 0, (r - mean) / sd)
+    run = Window.partitionBy(*key_cols, "_grp").orderBy(day_col)
+    return staged.select(
+        *key_cols,
+        day_col,
+        close_col,
+        "log_return",
+        z.alias("z_score"),
+        F.row_number().over(run).alias("stale_run"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_spike"),
+        (F.row_number().over(run) >= F.lit(stale_min_run)).alias("is_stale"),
+    )

@@ -568,3 +568,48 @@ class TestGoldStreamComposition:
         for c in ["ema_fast", "ema_slow", "macd", "macd_signal", "rsi"]:
             bv, gv = b[c].to_numpy(), g[c].to_numpy()
             assert ((bv == gv) | (np.isnan(bv) & np.isnan(gv))).all()
+
+
+class TestPriceAnomalies:
+    def test_planted_spike_and_stale_run_flagged(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            detect_price_anomalies,
+        )
+
+        rng = np.random.default_rng(21)
+        xs = (100 * np.exp(np.cumsum(rng.normal(0, 0.01, 40)))).tolist()
+        xs[30] = xs[29] * 1.5  # ~40% jump against ~1% daily vol
+        xs[31] = xs[30]  # then the feed goes dead for 4 bars
+        xs[32] = xs[30]
+        xs[33] = xs[30]
+        got = (
+            detect_price_anomalies(_bars_df(spark, {"A": xs}), ["sym"])
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        assert bool(got["is_spike"].iloc[30])
+        assert not got["is_spike"].iloc[:30].infer_objects(copy=False).fillna(False).any()
+        assert got["stale_run"].iloc[30:34].tolist() == [1, 2, 3, 4]
+        assert not got["is_stale"].iloc[30:32].any()
+        assert got["is_stale"].iloc[32:34].all()
+        # healthy series: no stale flags anywhere before the plant
+        assert (got["stale_run"].iloc[:30] == 1).all()
+
+    def test_spike_does_not_poison_its_own_baseline(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            detect_price_anomalies,
+        )
+
+        # the bar AFTER a spike has a large reverse return; with the spike
+        # EXCLUDED from its own baseline but INCLUDED in the next bar's,
+        # the next-day z must be damped relative to the spike's own z
+        rng = np.random.default_rng(22)
+        xs = (100 * np.exp(np.cumsum(rng.normal(0.01, 0.003, 25)))).tolist()
+        xs[20] = xs[19] * 1.4
+        xs[21] = xs[19] * 1.02
+        got = (
+            detect_price_anomalies(_bars_df(spark, {"A": [float(x) for x in xs]}), ["sym"])
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        assert abs(got["z_score"].iloc[20]) > abs(got["z_score"].iloc[21])

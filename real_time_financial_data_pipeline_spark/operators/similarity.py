@@ -886,3 +886,89 @@ def ivf_pq_topk(
         rounded_pairwise_cosine(F.col("_nvec"), F.col("query_vec")).alias("score"),
     )
     return topk_per_query(reranked, k)
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+    iters: int = 8,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs via CLUSTER-BOUNDED pairwise cosine — cluster the embeddings
+    with the shared spherical-k-means quantizer (:func:`cluster_assign`),
+    then compare vectors only WITHIN each cluster.  Returns every pair
+    (id_a < id_b) in the same cluster whose cosine ≥ ``threshold``.
+
+    Scale shape: the all-pairs alternative is O(n²) over the corpus; the
+    published algorithm bounds the quadratic term to Σ|cluster|² by
+    sizing k so clusters hold a few thousand vectors (k grows WITH the
+    corpus — it is a budget knob, not a topic count).  Execution is one
+    shuffle of the assigned corpus on cluster_id (both join sides
+    co-partition), then a per-cluster self-join whose output is scored by
+    the Arrow-batched numpy cosine and filtered before anything else
+    materializes.  Parallelism equals the cluster count, so a tiny k on a
+    huge corpus both explodes |cluster|² and starves executors — the
+    documented contract is k ≈ n / target_cluster_size.
+
+    Recall caveat (inherent to the published algorithm, not this
+    implementation): near-dups assigned to DIFFERENT clusters are never
+    compared.  Raising k trades recall for cost; the exact alternative is
+    the brute-force pair scan.  Cosines are snapped to 9 dp before the
+    threshold (same guard band as the brute-force twin) so independent
+    engines make identical keep/drop decisions away from ties.
+    """
+    assigned = cluster_assign(
+        corpus, k, id_col, vec_col, seed, sample_size, iters, centroids,
+        out_col="_sem_cluster",
+    )
+    a = assigned.select(
+        "_sem_cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "_sem_cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "_sem_cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb")), 9))
+        .filter(F.col("_cos9") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_sem_cluster").alias("cluster_id"),
+            F.round("_cos9", 6).alias("cos"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Apply SemDedup: drop every vector that semantically duplicates a
+    lower-id vector in its cluster, keeping the minimum id per connected
+    component of the :func:`semdedup_pairs` graph.
+
+    The published heuristic keeps one arbitrary member per group; this
+    engine's dedup family convention is the DETERMINISTIC min-id survivor
+    (same as ``exact_dedup_keep_min`` / ``apply_dedup``), so batch reruns
+    and the streaming/batch twins agree on survivors.  The corpus streams
+    through one anti-join against the (tiny) non-canonical id set — only
+    the pair graph iterates (``resolve_dup_clusters``)."""
+    from .dedup import apply_dedup
+
+    pairs = semdedup_pairs(
+        corpus, threshold, k, id_col, vec_col, seed, centroids=centroids
+    )
+    return apply_dedup(corpus, pairs, id_col=id_col)

@@ -613,3 +613,121 @@ class TestPriceAnomalies:
             .sort_values("day", ignore_index=True)
         )
         assert abs(got["z_score"].iloc[20]) > abs(got["z_score"].iloc[21])
+
+
+class TestVwap:
+    def _ticks(self, spark):
+        rows = []
+        rng = np.random.default_rng(11)
+        for sym in ("A", "B"):
+            for day in (1, 2):
+                for i in range(40):
+                    ts = dt.datetime(2024, 3, day, 9, 30) + dt.timedelta(minutes=i)
+                    price = float(100 + rng.normal(0, 1))
+                    size = int(rng.integers(1, 500))
+                    rows.append((sym, ts, price, size))
+        return spark.createDataFrame(
+            rows, "sym string, ts timestamp, price double, size long"
+        )
+
+    def test_vwap_bars_matches_pandas(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import vwap_bars
+
+        ticks = self._ticks(spark)
+        got = (
+            vwap_bars(ticks, "D", "ts", "price", "size", ["sym"])
+            .toPandas()
+            .sort_values(["sym", "period"])
+            .reset_index(drop=True)
+        )
+        pdf = ticks.toPandas()
+        pdf["period"] = pdf["ts"].dt.floor("D")
+        exp = (
+            pdf.groupby(["sym", "period"])
+            .apply(
+                lambda g: pd.Series(
+                    {
+                        "vwap": (g.price * g["size"]).sum() / g["size"].sum(),
+                        "twap": g.price.mean(),
+                        "volume": float(g["size"].sum()),
+                        "n_trades": len(g),
+                        "high": g.price.max(),
+                        "low": g.price.min(),
+                    }
+                ),
+                include_groups=False,
+            )
+            .reset_index()
+            .sort_values(["sym", "period"])
+            .reset_index(drop=True)
+        )
+        for col in ("vwap", "twap", "volume", "high", "low"):
+            np.testing.assert_allclose(got[col], exp[col], rtol=1e-12)
+        assert (got["n_trades"] == exp["n_trades"]).all()
+
+    def test_vwap_null_on_zero_volume(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import vwap_bars
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 3, 1, 10), 10.0, 0),
+             ("A", dt.datetime(2024, 3, 1, 11), 12.0, 0)],
+            "sym string, ts timestamp, price double, size long",
+        )
+        row = vwap_bars(df, "D", "ts", "price", "size", ["sym"]).collect()[0]
+        assert row["vwap"] is None and row["twap"] == 11.0 and row["volume"] == 0.0
+
+    def test_anchored_vwap_runs_and_resets(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            anchored_vwap,
+        )
+
+        ticks = self._ticks(spark)
+        got = (
+            anchored_vwap(ticks, "ts", "price", "size", ["sym"], anchor="D")
+            .toPandas()
+            .sort_values(["sym", "ts"])
+            .reset_index(drop=True)
+        )
+        pdf = ticks.toPandas().sort_values(["sym", "ts"]).reset_index(drop=True)
+        pdf["day"] = pdf["ts"].dt.floor("D")
+        pdf["notional"] = pdf.price * pdf["size"]
+        grp = pdf.groupby(["sym", "day"])
+        exp = grp["notional"].cumsum() / grp["size"].cumsum()
+        np.testing.assert_allclose(got["vwap"], exp, rtol=1e-12)
+        # reset check: the first tick of day 2 equals its own price
+        first_d2 = got[(got.sym == "A") & (got.ts.dt.day == 2)].iloc[0]
+        assert math.isclose(first_d2["vwap"], first_d2["price"], rel_tol=1e-12)
+
+    def test_anchored_final_equals_bar_vwap(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            anchored_vwap,
+            vwap_bars,
+        )
+
+        ticks = self._ticks(spark)
+        anchored = anchored_vwap(ticks, "ts", "price", "size", ["sym"], anchor="D")
+        last = (
+            anchored.withColumn("day", F.date_trunc("day", "ts"))
+            .groupBy("sym", "day")
+            .agg(F.max_by("vwap", "ts").alias("final_vwap"))
+            .toPandas()
+            .sort_values(["sym", "day"])
+            .reset_index(drop=True)
+        )
+        bars = (
+            vwap_bars(ticks, "D", "ts", "price", "size", ["sym"])
+            .toPandas()
+            .sort_values(["sym", "period"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(last["final_vwap"], bars["vwap"], rtol=1e-12)
+
+    def test_vwap_bars_single_exchange(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import vwap_bars
+
+        plan = (
+            vwap_bars(self._ticks(spark), "D", "ts", "price", "size", ["sym"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 1
+        assert "HashAggregate" in plan

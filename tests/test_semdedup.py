@@ -1,0 +1,146 @@
+"""SemDedup (similarity.py::semdedup_pairs / semantic_dedup): planted
+near-dup recovery, brute-force parity at k=1, min-id survivor rule,
+centroid reuse, and layout determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.similarity import (
+    pairwise_cosine,
+    semantic_dedup,
+    semdedup_pairs,
+    train_centroids,
+)
+
+
+def _planted(spark, seed=3, n_topics=4, per_topic=30, dup_groups=3):
+    """Well-separated topic directions; within each topic, ``dup_groups``
+    groups of 3 near-identical vectors (tiny jitter) + singletons."""
+    rng = np.random.default_rng(seed)
+    dim = 16
+    topics = rng.normal(size=(n_topics, dim))
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+    rows, expected_groups = [], []
+    vid = 0
+    for t in range(n_topics):
+        group_ids = []
+        for g in range(dup_groups):
+            base = topics[t] + rng.normal(0, 0.05, dim)
+            ids = []
+            for _ in range(3):
+                v = base + rng.normal(0, 1e-4, dim)
+                rows.append((vid, [float(x) for x in v]))
+                ids.append(vid)
+                vid += 1
+            group_ids.append(ids)
+        for _ in range(per_topic - 3 * dup_groups):
+            v = topics[t] + rng.normal(0, 0.4, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        expected_groups.extend(group_ids)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, expected_groups
+
+
+class TestSemdedupPairs:
+    def test_planted_groups_recovered(self, spark):
+        df, groups = _planted(spark)
+        pairs = semdedup_pairs(df, threshold=0.999, k=4).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        # every planted within-group pair must surface (jitter 1e-4 on unit
+        # vectors keeps cosine far above 0.999; topics are ~orthogonal)
+        for ids in groups:
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    assert (a, b) in got, f"missed planted pair ({a},{b})"
+
+    def test_k1_equals_brute_force(self, spark):
+        df, _ = _planted(spark, n_topics=2, per_topic=20)
+        semantic = {
+            (r.id_a, r.id_b, r.cos)
+            for r in semdedup_pairs(df, threshold=0.9, k=1).collect()
+        }
+        a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        brute = {
+            (r.id_a, r.id_b, r.cos)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("_c9", F.round(pairwise_cosine(F.col("va"), F.col("vb")), 9))
+            .filter(F.col("_c9") >= 0.9)
+            .select("id_a", "id_b", F.round("_c9", 6).alias("cos"))
+            .collect()
+        }
+        assert semantic == brute
+
+    def test_subset_of_brute_force_any_k(self, spark):
+        df, _ = _planted(spark)
+        semantic = {
+            (r.id_a, r.id_b) for r in semdedup_pairs(df, threshold=0.9, k=4).collect()
+        }
+        a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        brute = {
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.round(pairwise_cosine(F.col("va"), F.col("vb")), 9) >= 0.9)
+            .collect()
+        }
+        assert semantic <= brute
+
+    def test_layout_independent(self, spark):
+        df, _ = _planted(spark)
+        cents = train_centroids(df, 4, sample_size=4096)
+        p1 = sorted(
+            (r.id_a, r.id_b, r.cos)
+            for r in semdedup_pairs(df, 0.99, 4, centroids=cents).collect()
+        )
+        p2 = sorted(
+            (r.id_a, r.id_b, r.cos)
+            for r in semdedup_pairs(
+                df.repartition(7), 0.99, 4, centroids=cents
+            ).collect()
+        )
+        assert p1 == p2 and p1
+
+    def test_centroid_reuse_tags_new_batch(self, spark):
+        df, _ = _planted(spark)
+        cents = train_centroids(df, 4, sample_size=4096)
+        full = semdedup_pairs(df, 0.999, 4, centroids=cents)
+        # the same fit applied to a slice yields exactly the slice's pairs
+        sliced = semdedup_pairs(
+            df.filter(F.col("vec_id") < 50), 0.999, 4, centroids=cents
+        )
+        full_ids = {
+            (r.id_a, r.id_b)
+            for r in full.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).collect()
+        }
+        assert {(r.id_a, r.id_b) for r in sliced.collect()} == full_ids
+
+
+class TestSemanticDedup:
+    def test_min_id_survives(self, spark):
+        df, groups = _planted(spark)
+        kept = {r.vec_id for r in semantic_dedup(df, 0.999, 4).collect()}
+        for ids in groups:
+            assert min(ids) in kept
+            for other in ids[1:]:
+                assert other not in kept
+
+    def test_no_pairs_is_identity(self, spark):
+        df, _ = _planted(spark, dup_groups=0)
+        # threshold 1.0: the 9-dp-rounded cosine of distinct jittered
+        # vectors stays below 1, so nothing is dropped
+        assert semantic_dedup(df, 1.0, 4).count() == df.count()
+
+    def test_plan_shuffles_on_cluster_not_allpairs(self, spark):
+        df, _ = _planted(spark)
+        cents = train_centroids(df, 4, sample_size=4096)
+        plan = (
+            semdedup_pairs(df, 0.9, 4, centroids=cents)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

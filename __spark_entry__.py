@@ -659,6 +659,7 @@ BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": _minhash_pairs_unstaged,
     "ohlcv_monthly": _ohlcv_query("M"),
     "quality_score": _quality_score,
+    "moving_average_7": _moving_average,
 }
 
 
@@ -731,6 +732,59 @@ def _cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(_STAGED_CENTROIDS_DIR)
     return cluster_assign(emb, centroids=cents).select("vec_id", "cluster_id")
+
+
+_STAGED_SEMDEDUP_DIR = "/root/repo/spark-warehouse/staged/semdedup_centroids"
+
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (similarity.py:semdedup_pairs): semantic near-dup pairs by
+    cluster-bounded pairwise cosine.  Staged-centroid oracle, same pattern
+    as cluster_docs: the seeded k-means FIT is staged, then DuckDB
+    re-derives EVERY vector's argmax-cosine assignment AND every
+    within-cluster pair's cosine from the raw embeddings — candidate
+    bounding and scoring are both independently recomputed."""
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        semdedup_pairs,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_lists=8)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_STAGED_SEMDEDUP_DIR)
+    return semdedup_pairs(emb, threshold=0.3, k=8, centroids=cents)
+
+
+def _vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP/TWAP bars per event_type (operators/finance.py:
+    vwap_bars): price = value, size = the numeric ``k`` prop pulled out of
+    the JSON props column JVM-side (get_json_object — the reference's
+    payload-field extraction pattern, schema.py request props, applied
+    columnar).  One map-side-combined hash aggregate; the ratio-of-sums
+    VWAP is exactly what the reference's named-agg map cannot express."""
+    from real_time_financial_data_pipeline_spark.operators.finance import vwap_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        "event_type",
+        "ts",
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("size"),
+    )
+    bars = vwap_bars(ticks, "D", "ts", "price", "size", ["event_type"])
+    return bars.select(
+        "event_type",
+        "period",
+        F.round("vwap", 6).alias("vwap"),
+        F.round("twap", 6).alias("twap"),
+        F.round("volume", 6).alias("volume"),
+        "n_trades",
+        "high",
+        "low",
+    )
 
 
 def _fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,7 +1172,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the stream_tumbling_daily oracle row, different window spec;
       test_sliding_counts_batch_equivalence pins the overlap expansion)
       -> perplexity_docs IN (bigram-LM train+score re-derived end-to-end
-      in SQL, UNK/smoothing paths included)."""
+      in SQL, UNK/smoothing paths included).
+
+    Round-8 fourth rotation — VWAP and SemDedup in, two kernel-overlap
+    rows out:
+
+    - moving_average_7 OUT (per-key frame-bounded window avg — the same
+      kernel shape tech_indicators_daily's SMA column oracle-checks,
+      richer; still benched via BENCH_OVERRIDES, frozen headline set)
+      -> vwap_daily IN (ratio-of-sums aggregate + JSON prop extraction,
+      a shape no existing row covers);
+    - dedup_embedding_pairs OUT (brute-force pairwise cosine; the
+      pairwise-cosine kernel is re-exercised by semdedup_pairs' oracle
+      over the FULL 500-vector table, and brute-force cosine ranking
+      stays oracle-checked via ann_cosine_topk; tests
+      test_semdedup.py::test_k1_equals_brute_force pins the brute twin)
+      -> semdedup_pairs IN (cluster-bounded candidate generation +
+      assignment + scoring all re-derived in DuckDB)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1136,7 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "clean_events": _clean_events,
         "ema_macd_daily": _ema_macd_daily,
-        "moving_average_7": _moving_average,
+        "vwap_daily": _vwap_daily,
         "correlation_click_purchase": _correlation,
         "latest_per_user": _latest_per_user,
         "pricing_summary": _pricing_summary,
@@ -1154,7 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _revenue_rollup,
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
-        "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "semdedup_pairs": _semdedup_pairs,
         "token_stats": _token_stats,
         "dedup_exact_docs": _dedup_exact_docs,
         "repetition_docs": _repetition_docs,
@@ -1200,13 +1270,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT * FROM events
             WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
               AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
-        """,
-        "moving_average_7": """
-            SELECT event_id, event_type, ts, value,
-                   round(avg(value) OVER (
-                       PARTITION BY event_type ORDER BY ts, event_id
-                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
-            FROM events
         """,
         "correlation_click_purchase": """
             SELECT round(corr(a, b), 6) AS correlation FROM (
@@ -1740,19 +1803,58 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         GROUP BY 1, 2
     """
-    sqls["dedup_embedding_pairs"] = """
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings WHERE vec_id < 200
+    # semdedup_pairs: staged-centroid oracle (same pattern as cluster_docs)
+    # — DuckDB re-derives every vector's argmax-cosine cluster assignment
+    # from the staged fit, then recomputes every WITHIN-cluster pair's
+    # cosine from the raw embeddings.  Both halves of the operator (the
+    # candidate bound and the score) are independently recomputed; only
+    # the seeded numpy k-means fit is taken from staging.
+    sqls["semdedup_pairs"] = f"""
+        WITH c AS (
+            SELECT cluster_id, centroid
+            FROM read_parquet('{_STAGED_SEMDEDUP_DIR}/*.parquet')
         ),
-        c AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        assigned AS (
+            SELECT vec_id, e, cluster_id FROM (
+                SELECT v.vec_id, v.e, c.cluster_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_dot_product(v.e, c.centroid)
+                               / (sqrt(list_dot_product(v.e, v.e))
+                                  * sqrt(list_dot_product(c.centroid, c.centroid))), 9) DESC,
+                               c.cluster_id) AS rn
+                FROM v CROSS JOIN c
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
                    round(list_dot_product(a.e, b.e)
                          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) AS cos9
-            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
         )
-        SELECT id_a, id_b, round(cos9, 6) AS cos
-        FROM c WHERE cos9 >= 0.3
+        SELECT id_a, id_b, cluster_id, round(cos9, 6) AS cos
+        FROM scored WHERE cos9 >= 0.3
+    """
+    # vwap_daily: ratio-of-sums VWAP + TWAP per (event_type, day); trade
+    # size comes out of the JSON props column on both engines
+    sqls["vwap_daily"] = """
+        WITH ticks AS (
+            SELECT event_type, ts, value AS price,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
+            FROM events
+        )
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+               round(CASE WHEN sum(size) > 0
+                     THEN sum(price * size) / sum(size) END, 6) AS vwap,
+               round(avg(price), 6) AS twap,
+               round(sum(size), 6) AS volume,
+               count(price) AS n_trades,
+               max(price) AS high,
+               min(price) AS low
+        FROM ticks GROUP BY 1, 2
     """
     # tech_indicators_daily: the window ladder re-derived with the SAME
     # explicit sum/sum2 variance arithmetic the Spark expressions use

@@ -1,0 +1,205 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Word-level byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909;
+the GPT-2 variant keeps the leading space inside the piece so no
+end-of-word marker is needed).  The reference pipeline has no tokenizer
+at all; a training-data engine needs one to budget, chunk, and pack by
+REAL subword counts instead of the pre-token lower bound
+(text.py:token_count_estimate).
+
+Scale shape — the standard one for BPE at corpus scale:
+
+* The part that touches all 100 TB is the WORD COUNT: one explode of the
+  GPT-2 pre-token pieces (JVM regex, text.py:regex_tokens) into a
+  map-side-combined hash aggregate whose output is bounded by the
+  VOCABULARY (Heaps' law: ~10^6-10^7 distinct pieces for a web corpus),
+  not the corpus.
+* Merge learning then runs over that bounded count table on the driver —
+  exactly how single-node BPE trainers (subword-nmt, HuggingFace
+  tokenizers) operate; they are handed word counts, never raw text.  The
+  driver working set is capped by ``max_words`` (top pieces by count,
+  deterministic tie-break), and truncation error is tiny because pair
+  counts are count-weighted and piece frequencies are Zipfian.
+* Encoding is distributed again: JVM pre-tokenization, then an
+  Arrow-batched pandas UDF applies the (tiny, broadcast) merge ranks per
+  piece with a per-batch word-level memo — Zipf makes the cache hit rate
+  extreme, so the per-row cost is a dict lookup, not a merge walk.
+
+Characters (not bytes) are the base alphabet — a documented
+simplification: the engine's corpora are decoded strings end-to-end, and
+byte-level fallback only matters for tokenizing arbitrary binary, which
+the multimodal column family handles separately.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from .text import BPE_PRETOKEN_RE, regex_tokens
+
+Merge = tuple[str, str]
+
+
+def word_counts(
+    corpus: DataFrame,
+    text_col: str = "text",
+    pattern: str = BPE_PRETOKEN_RE,
+) -> DataFrame:
+    """(word, n) for every distinct GPT-2 pre-token piece in the corpus —
+    the distributed half of BPE training.  One narrow projection, one
+    explode, one map-side-combined hash aggregate; the shuffle carries
+    (piece, partial count) rows bounded by the vocabulary."""
+    return (
+        corpus.select(F.explode(regex_tokens(F.col(text_col), pattern)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _pair_counts(words: list[tuple[list[str], int]]) -> dict[Merge, int]:
+    counts: dict[Merge, int] = {}
+    for syms, n in words:
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + n
+    return counts
+
+
+def _merge_word(syms: list[str], pair: Merge) -> list[str]:
+    a, b = pair
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def learn_bpe(
+    corpus: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    min_count: int = 1,
+    pattern: str = BPE_PRETOKEN_RE,
+    counts: DataFrame | None = None,
+) -> list[Merge]:
+    """Learn an ordered BPE merge list from the corpus.
+
+    Distributed word count (``word_counts``, or a precomputed ``counts``
+    frame to reuse one scan across trainings) -> driver-side merge loop
+    over the top ``max_words`` pieces.  The collect is a
+    TakeOrderedAndProject (count desc, word asc — fully deterministic,
+    layout-independent), so driver memory is O(max_words), never corpus-
+    or vocabulary-shaped.  Each round merges the (count-weighted) most
+    frequent adjacent symbol pair; ties break to the lexicographically
+    smallest pair, so equal corpora yield byte-identical merge tables on
+    any cluster layout.  Stops early when no pair repeats (count < 2) —
+    trailing singleton merges would be dataset noise, not structure.
+    Driver cost is O(n_merges x total symbols), total symbols <=
+    max_words x max piece length."""
+    wc = counts if counts is not None else word_counts(corpus, text_col, pattern)
+    top = (
+        wc.filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    words: list[tuple[list[str], int]] = [(list(r["word"]), int(r["n"])) for r in top]
+    merges: list[Merge] = []
+    for _ in range(n_merges):
+        counts_d = _pair_counts(words)
+        if not counts_d:
+            break
+        # highest count, then lexicographically smallest (a, b)
+        best_count = max(counts_d.values())
+        if best_count < 2:
+            break
+        best_pair = min(p for p, c in counts_d.items() if c == best_count)
+        merges.append(best_pair)
+        words = [(_merge_word(s, best_pair), n) for s, n in words]
+    return merges
+
+
+def encode_word(word: str, ranks: dict[Merge, int]) -> list[str]:
+    """Apply learned merges to one piece, lowest-rank pair first — the
+    canonical BPE encode loop (same order the trainer created them, so
+    training-set words round-trip to their final training segmentation)."""
+    syms = list(word)
+    while len(syms) > 1:
+        ranked = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[Merge],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    pattern: str = BPE_PRETOKEN_RE,
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: JVM pre-token
+    pieces -> Arrow-batched per-piece merge application with a word-level
+    memo (Zipf: almost every piece in a batch repeats, so the amortized
+    cost per token is a dict hit).  Map-only — no shuffle, no driver; the
+    merge table (n_merges pairs) ships once in the UDF closure.
+    Lossless: ``concat(bpe_tokens) == concat(pieces)`` by construction."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(pieces: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_one(ps: list[str] | None) -> list[str]:
+            if ps is None:
+                return []
+            out: list[str] = []
+            for p in ps:
+                hit = cache.get(p)
+                if hit is None:
+                    hit = cache[p] = encode_word(p, ranks)
+                out.extend(hit)
+            return out
+
+        return pieces.apply(enc_one)
+
+    return df.withColumn(out_col, enc(regex_tokens(F.col(text_col), pattern)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[Merge],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+    pattern: str = BPE_PRETOKEN_RE,
+) -> DataFrame:
+    """Exact learned-tokenizer token count per row — the budget number
+    chunking/packing should use once a tokenizer exists (upgrades the
+    ``n_bpe_pieces`` lower bound).  Same map-only shape as
+    :func:`bpe_encode` without materializing the token arrays."""
+    enc = bpe_encode(df, merges, text_col, "_bpe_toks", pattern)
+    return enc.withColumn(out_col, F.size("_bpe_toks").cast("long")).drop("_bpe_toks")
+
+
+def vocab_from_merges(merges: list[Merge], base: set[str] | None = None) -> set[str]:
+    """The subword vocabulary a merge list induces: every merged symbol
+    plus (optionally) a base alphabet."""
+    vocab = set(base or [])
+    for a, b in merges:
+        vocab.add(a + b)
+    return vocab

@@ -180,3 +180,29 @@ class TestKernels:
         # lower-rank merge applies first even if a later one appears earlier
         ranks = {("b", "c"): 0, ("a", "b"): 1}
         assert encode_word("abc", ranks) == ["a", "bc"]
+
+
+class TestComposition:
+    def test_bpe_counts_drive_packing(self, spark, corpus_df):
+        """The intended deployment chain: learn a tokenizer on the corpus,
+        count REAL subword tokens per doc, pack docs into fixed-budget
+        sequences by those counts (upgrading the pre-token lower bound)."""
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            pack_sequences,
+        )
+
+        merges = learn_bpe(corpus_df, n_merges=30)
+        counted = bpe_token_count(corpus_df, merges).withColumn(
+            "chunk_id", F.lit(0)
+        )
+        budget = 40
+        packed = pack_sequences(
+            counted, budget, id_col="doc_id", tokens_col="n_bpe_tokens",
+            n_buckets=1,
+        )
+        rows = packed.collect()
+        assert {r["doc_id"] for r in rows} == set(range(len(CORPUS)))
+        per_pack = Counter()
+        for r in rows:
+            per_pack[r["pack_id"]] += r["n_bpe_tokens"]
+        assert per_pack and all(v <= budget for v in per_pack.values())

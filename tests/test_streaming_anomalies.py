@@ -1,0 +1,133 @@
+"""Streaming anomaly screen (streaming/anomalies.py): batch-parity with
+operators.finance.detect_price_anomalies across micro-batches, planted
+spike/stale detection, and the out-of-order drop contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.finance import (
+    detect_price_anomalies,
+)
+from real_time_financial_data_pipeline_spark.streaming.anomalies import (
+    stream_anomalies,
+)
+
+
+def _bars(spark, series: dict[str, list[float]]):
+    rows = [
+        (key, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(v))
+        for key, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, day timestamp, close double")
+
+
+def _run_stream(spark, tmp_path, bars, cut, **kw):
+    src = tmp_path / "bars"
+    bars.filter(F.col("day") < F.lit(cut)).coalesce(1).write.parquet(str(src / "f1"))
+    bars.filter(F.col("day") >= F.lit(cut)).coalesce(1).write.parquet(str(src / "f2"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_anomalies(stream, key_col="sym", **kw)
+        .writeStream.format("memory")
+        .queryName("anomaly_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("anomaly_stream").toPandas()
+
+
+class TestStreamAnomalies:
+    def test_matches_batch_across_micro_batches(self, spark, tmp_path):
+        """Every emitted row must equal the batch window pass's row: the
+        trailing-return state has to survive the state store between the
+        two triggers."""
+        rng = np.random.default_rng(5)
+        series = {
+            "A": (100 + np.cumsum(rng.normal(0, 2, 40))).tolist(),
+            "B": (40 + np.cumsum(rng.normal(0, 1, 40))).tolist(),
+        }
+        # plant a spike and a stale run well inside symbol A
+        series["A"][25] = series["A"][24] * 1.8
+        series["B"][20:24] = [series["B"][19]] * 4
+        bars = _bars(spark, series)
+        batch = (
+            detect_price_anomalies(bars, ["sym"], z_window=10, z_threshold=3.0)
+            .toPandas()
+            .sort_values(["sym", "day"], ignore_index=True)
+        )
+        got = _run_stream(
+            spark, tmp_path, bars, dt.datetime(2024, 1, 21),
+            z_window=10, z_threshold=3.0,
+        ).rename(columns={"key": "sym"}).sort_values(["sym", "day"], ignore_index=True)
+
+        assert len(got) == len(batch) == 80
+        assert (got["sym"] == batch["sym"]).all()
+        for c in ("log_return", "z_score"):
+            # JVM Math.log and libm log differ by 1 ulp on some inputs
+            # (measured: <=1.2e-16 abs on this series), so parity is
+            # tight-tolerance, not bitwise, unlike the shared-kernel
+            # stream_ema twin
+            np.testing.assert_allclose(
+                batch[c].to_numpy(dtype=float),
+                got[c].to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c,
+            )
+        assert (got["stale_run"] == batch["stale_run"]).all()
+        for c in ("is_spike", "is_stale"):
+            bv, gv = batch[c], got[c]
+            assert ((bv == gv) | (bv.isna() & gv.isna())).all(), c
+        # the planted anomalies actually fire on both paths
+        assert got[got.sym == "A"]["is_spike"].fillna(False).any()
+        assert got[got.sym == "B"]["is_stale"].any()
+
+    def test_out_of_order_bar_dropped(self, spark, tmp_path):
+        src = tmp_path / "bars"
+        d = dt.datetime(2024, 1, 1)
+        f1 = [("A", d + dt.timedelta(days=i), 100.0 + i) for i in range(5)]
+        # second file replays day 2 (dup) and adds day 5
+        f2 = [("A", d + dt.timedelta(days=2), 999.0),
+              ("A", d + dt.timedelta(days=5), 105.0)]
+        schema = "sym string, day timestamp, close double"
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(src / "f1"))
+        spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(src / "f2"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_anomalies(stream, key_col="sym", z_window=5)
+            .writeStream.format("memory")
+            .queryName("ooo_anomaly")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("ooo_anomaly").toPandas()
+        assert len(got) == 6  # replayed day-2 bar dropped
+        assert 999.0 not in set(got["close"])
+
+    def test_stale_run_increments_and_resets(self, spark, tmp_path):
+        series = {"A": [10.0, 10.0, 10.0, 11.0, 11.0]}
+        got = _run_stream(
+            spark, tmp_path, _bars(spark, series), dt.datetime(2024, 1, 3),
+            stale_min_run=3,
+        ).sort_values("day", ignore_index=True)
+        assert got["stale_run"].tolist() == [1, 2, 3, 1, 2]
+        assert got["is_stale"].tolist() == [False, False, True, False, False]

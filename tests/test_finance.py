@@ -327,8 +327,11 @@ class TestStreamEma:
         # seeds must survive the state store between triggers
         src = tmp_path / "bars"
         cut = dt.datetime(2024, 1, 16)
-        bars.filter(F.col("day") < F.lit(cut)).write.parquet(str(src / "f1"))
-        bars.filter(F.col("day") >= F.lit(cut)).write.parquet(str(src / "f2"))
+        # one part file per micro-batch: a multi-part f1 would split its
+        # day range across triggers in listing order, tripping the
+        # out-of-order drop and breaking parity
+        bars.filter(F.col("day") < F.lit(cut)).coalesce(1).write.parquet(str(src / "f1"))
+        bars.filter(F.col("day") >= F.lit(cut)).coalesce(1).write.parquet(str(src / "f2"))
         schema = spark.read.parquet(str(src / "f1")).schema
         stream = (
             spark.readStream.schema(schema)
@@ -375,8 +378,10 @@ class TestStreamEma:
         f2 = [("A", d, 99.0),  # duplicate/late day: must be ignored
               ("A", d + dt.timedelta(days=2), 12.0)]
         schema_str = "sym string, day timestamp, close double"
-        spark.createDataFrame(f1, schema_str).write.parquet(str(src / "f1"))
-        spark.createDataFrame(f2, schema_str).write.parquet(str(src / "f2"))
+        # one part file each: a multi-slice write can land day-1 in an
+        # earlier-sorted part than day-0, making the drop test flaky
+        spark.createDataFrame(f1, schema_str).coalesce(1).write.parquet(str(src / "f1"))
+        spark.createDataFrame(f2, schema_str).coalesce(1).write.parquet(str(src / "f2"))
         schema = spark.read.parquet(str(src / "f1")).schema
         stream = (
             spark.readStream.schema(schema)

@@ -362,11 +362,16 @@ def curate_documents(
     dedup_paragraphs: bool = False,
     perplexity_lm=None,
     max_perplexity: float | None = None,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.9,
+    semantic_k: int = 16,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
     quality gate -> (optional) language gate -> (optional) repetition gate
     -> (optional) LM perplexity gate -> exact dedup -> MinHash-LSH
-    near-dup removal.
+    near-dup removal -> (optional) SemDedup semantic near-dup removal.
 
     ``dedup_paragraphs`` runs the CCNet/Dolma sub-document stage FIRST:
     corpus-wide boilerplate paragraphs are stripped before quality scoring
@@ -388,6 +393,14 @@ def curate_documents(
     id-keyed corpus shuffle of the ladder, which is why it sits AFTER the
     map-only gates (scores fewer docs) and BEFORE the dedup shuffles
     (they see the already-filtered corpus).
+
+    ``embeddings`` (rows keyed by ``emb_id_col`` equal to the document
+    id) appends the SemDedup stage (similarity.semdedup_pairs) LAST:
+    paraphrase-level duplicates share no token n-grams, so the lexical
+    stages cannot see them, and running it after them means the
+    cluster-bounded pair scan only covers lexical survivors.  Documents
+    with no embedding row pass through unexamined (documented: semantic
+    dedup is best-effort over the embedded subset).
     """
     from .dedup import apply_dedup, exact_dedup_keep_min, minhash_dedup_pairs
     from .dedup import paragraph_dedup as _paragraph_dedup
@@ -413,7 +426,19 @@ def curate_documents(
         kept = kept.join(passing, id_col, "left_semi")
     kept = exact_dedup_keep_min(kept, text_col, id_col)
     pairs = minhash_dedup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)
-    return apply_dedup(kept, pairs, id_col)
+    kept = apply_dedup(kept, pairs, id_col)
+    if embeddings is not None:
+        from .similarity import semdedup_pairs
+
+        surviving_vecs = embeddings.select(
+            F.col(emb_id_col).alias(id_col), F.col(vec_col).alias("_vec")
+        ).join(kept.select(id_col), id_col, "left_semi")
+        sem_pairs = semdedup_pairs(
+            surviving_vecs, semantic_threshold, semantic_k,
+            id_col=id_col, vec_col="_vec",
+        )
+        kept = apply_dedup(kept, sem_pairs, id_col)
+    return kept
 
 
 def prepare_training_set(

@@ -355,3 +355,39 @@ def test_prepare_training_set_decontaminates(spark):
         corpus, min_quality=0.5, chunk_tokens=8, overlap_tokens=0
     )
     assert {r.doc_id for r in without.collect()} == {1, 2, 3}
+
+
+def test_curate_semantic_stage_drops_paraphrases(spark):
+    """Two lexically-distinct paraphrases with near-identical embeddings:
+    the MinHash stages keep both, the SemDedup stage drops the higher id;
+    docs WITHOUT an embedding row pass through unexamined."""
+    import numpy as np
+
+    rows = [
+        (1, " ".join(f"alpha{i} the of and" for i in range(12))),
+        (2, " ".join(f"beta{i} is on for" for i in range(12))),   # paraphrase of 1
+        (3, " ".join(f"gamma{i} at to by" for i in range(12))),
+        (4, " ".join(f"delta{i} we he it" for i in range(12))),   # no embedding
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rng = np.random.default_rng(9)
+    v1 = rng.normal(size=16)
+    v3 = rng.normal(size=16)
+    emb = spark.createDataFrame(
+        [
+            (1, [float(x) for x in v1]),
+            (2, [float(x) for x in v1 + rng.normal(0, 1e-4, 16)]),
+            (3, [float(x) for x in v3]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    no_sem = {r.doc_id for r in curate_documents(docs, min_quality=0.0).collect()}
+    assert no_sem == {1, 2, 3, 4}  # lexical stages see no duplicates
+    kept = {
+        r.doc_id
+        for r in curate_documents(
+            docs, min_quality=0.0, embeddings=emb,
+            semantic_threshold=0.999, semantic_k=2,
+        ).collect()
+    }
+    assert kept == {1, 3, 4}  # paraphrase 2 dropped, embedding-less 4 kept

@@ -113,3 +113,49 @@ def run_stream_to_memory(stream_agg: DataFrame, name: str, output_mode: str = "c
     )
     q.awaitTermination()
     return q
+
+
+def tumbling_vwap(
+    stream: DataFrame,
+    time_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "size",
+    key_col: str = "event_type",
+    window_size: str = "1 day",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window VWAP/TWAP bars per key — the streaming
+    twin of :func:`~..operators.finance.vwap_bars`.
+
+    The ratio-of-sums VWAP is stream-legal as-is: both sums are
+    incrementally-mergeable aggregates, so the divide happens once per
+    finalized window at emission — no custom state needed, unlike the
+    recurrence indicators.  Epoch-aligned windows make the finalized bar
+    equal the batch ``date_trunc`` bar (same parity contract as
+    ``tumbling_ohlc``); state is watermark-bounded.  Zero/all-null volume
+    emits a NULL vwap, matching batch."""
+    p, s = F.col(price_col), F.col(size_col).cast("double")
+    notional = F.sum(p * s)
+    volume = F.sum(s)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(time_col), window_size).alias("win"))
+        .agg(
+            F.when(volume > 0, notional / volume).alias("vwap"),
+            F.avg(p).alias("twap"),
+            volume.alias("volume"),
+            F.count(p).alias("n_trades"),
+            F.max(p).alias("high"),
+            F.min(p).alias("low"),
+        )
+        .select(
+            key_col,
+            F.col("win.start").alias("period"),
+            "vwap",
+            "twap",
+            "volume",
+            "n_trades",
+            "high",
+            "low",
+        )
+    )

@@ -474,3 +474,44 @@ def test_stream_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
         (r.purchase_id, r.click_id) for r in spark.table("t_ssjoin_outer").collect()
     )
     assert rows == [(100, 200), (101, None), (900, 901)]
+
+
+def test_tumbling_vwap_batch_parity(spark, events, tmp_path):
+    """Streaming VWAP bars drained over a static backlog equal the batch
+    vwap_bars on the same ticks (ratio-of-sums is mergeable, so the
+    finalized window's divide matches the batch divide exactly)."""
+    from real_time_financial_data_pipeline_spark.operators.finance import vwap_bars
+    from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+        run_stream_to_memory,
+        tumbling_vwap,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.ingest import file_stream
+
+    ticks = events.limit(300).select(
+        "event_type",
+        "ts",
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("size"),
+    )
+    src = tmp_path / "ticks"
+    ticks.write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = file_stream(spark, str(src), schema)
+    run_stream_to_memory(tumbling_vwap(stream), "vwap_parity", "complete")
+    got = {
+        (r.event_type, r.period): (r.vwap, r.twap, r.volume, r.n_trades, r.high, r.low)
+        for r in spark.table("vwap_parity").collect()
+    }
+    exp = {
+        (r.event_type, r.period): (r.vwap, r.twap, r.volume, r.n_trades, r.high, r.low)
+        for r in vwap_bars(
+            spark.read.parquet(str(src)), "D", "ts", "price", "size", ["event_type"]
+        ).collect()
+    }
+    assert set(got) == set(exp) and len(got) > 0
+    for k, gv in got.items():
+        ev = exp[k]
+        assert gv[3:] == ev[3:], k  # counts/high/low exact
+        for g, e in zip(gv[:3], ev[:3]):
+            assert (g is None and e is None) or abs(g - e) < 1e-9, k

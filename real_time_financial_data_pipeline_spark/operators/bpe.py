@@ -203,3 +203,22 @@ def vocab_from_merges(merges: list[Merge], base: set[str] | None = None) -> set[
     for a, b in merges:
         vocab.add(a + b)
     return vocab
+
+
+def save_bpe(spark, merges: list[Merge], path: str) -> None:
+    """Persist a learned merge table as a lake artifact: (rank, a, b)
+    parquet rows — KBs for any real merge count.  Same nightly-train /
+    continuously-encode deployment split as the LM artifact
+    (lm.py:save_lm): one batch job learns and saves, every encode job
+    loads the ranks instead of re-scanning the corpus."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[Merge]:
+    """Load a saved merge table in rank order (the order IS the tokenizer
+    — encode applies lowest rank first)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

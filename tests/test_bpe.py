@@ -206,3 +206,21 @@ class TestComposition:
         for r in rows:
             per_pack[r["pack_id"]] += r["n_bpe_tokens"]
         assert per_pack and all(v <= budget for v in per_pack.values())
+
+
+class TestPersistence:
+    def test_save_load_round_trip(self, spark, corpus_df, tmp_path):
+        merges = learn_bpe(corpus_df, n_merges=25)
+        from real_time_financial_data_pipeline_spark.operators.bpe import (
+            load_bpe,
+            save_bpe,
+        )
+
+        path = str(tmp_path / "bpe_artifact")
+        save_bpe(spark, merges, path)
+        loaded = load_bpe(spark, path)
+        assert loaded == merges
+        # the loaded tokenizer encodes identically
+        a = bpe_encode(corpus_df, merges).collect()
+        b = bpe_encode(corpus_df, loaded).collect()
+        assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]

@@ -70,6 +70,12 @@ CHECKS = {
     "contamination_docs": dict(broadcast_min=1, partial_agg=True, no_cartesian=True),
     "split_assignment_events": dict(partial_agg=True, no_cartesian=True),
     "ann_int8_topk": dict(no_cartesian=True),
+    # VWAP: one map-side-combined hash aggregate over the tick projection,
+    # exactly one exchange (the agg's)
+    "vwap_daily": dict(max_exchange=1, partial_agg=True, no_cartesian=True),
+    # SemDedup: the per-cluster self-join must be a keyed join on the
+    # cluster id, never an all-pairs product
+    "semdedup_pairs": dict(no_cartesian=True),
 }
 
 

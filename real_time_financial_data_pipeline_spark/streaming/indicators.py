@@ -140,3 +140,96 @@ def stream_ema(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+STREAM_VWAP_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("ts", TimestampType(), True),
+        StructField("price", DoubleType(), True),
+        StructField("size", DoubleType(), True),
+        StructField("vwap", DoubleType(), True),
+    ]
+)
+
+_VWAP_STATE_SCHEMA = StructType(
+    [
+        StructField("anchor_us", LongType(), True),
+        StructField("notional", DoubleType(), True),
+        StructField("volume", DoubleType(), True),
+        StructField("last_ts_us", LongType(), True),
+    ]
+)
+
+
+def _make_vwap_update(anchor_us_len: int):
+    def _update(key, pdfs, state):
+        if state.exists:
+            anchor_us, notional, volume, last_us = state.get
+        else:
+            anchor_us = notional = volume = last_us = None
+        out = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "ts", ignore_index=True
+            )
+            for ts, price, size in zip(pdf["ts"], pdf["price"], pdf["size"]):
+                ts_us = int(ts.value // 1_000)
+                if last_us is not None and ts_us <= last_us:
+                    continue  # out-of-order tick: dropped (indicator contract)
+                a = (ts_us // anchor_us_len) * anchor_us_len
+                if anchor_us is None or a > anchor_us:
+                    anchor_us, notional, volume = a, 0.0, 0.0
+                p = float(price)
+                s = 0.0 if size is None or pd.isna(size) else float(size)
+                notional += p * s
+                volume += s
+                vwap = (notional / volume) if volume > 0 else None
+                out.append((key[0], ts, p, s, vwap))
+                last_us = ts_us
+        if anchor_us is not None:
+            state.update((anchor_us, notional, volume, last_us))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in STREAM_VWAP_SCHEMA.fields])
+
+    return _update
+
+
+def stream_anchored_vwap(
+    ticks: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "size",
+    anchor_days: int = 1,
+) -> DataFrame:
+    """Per-tick running (anchored) VWAP over a live tick stream — the
+    incremental twin of ``operators.finance.anchored_vwap``: one output
+    row per consumed tick carrying the volume-weighted mean price since
+    the anchor-period (UTC day) open.
+
+    State per key is THREE scalars (anchor start, running notional,
+    running volume) plus the last-seen tick time — the anchored window
+    needs no history buffer because both running sums are incremental;
+    a new anchor period resets them.  Same ordering contract as
+    ``stream_ema``: ticks must arrive per key in increasing event time;
+    in-batch rows are sorted, late ticks (ts <= last processed) are
+    dropped.  Batch parity is exact on strictly-increasing tick times
+    (pinned by tests/test_streaming_anomalies.py) — the batch window's
+    (ts, price, size) tie-break has no streaming counterpart since
+    equal-ts ticks are dropped as out-of-order here."""
+    us_per_day = 86_400_000_000
+    normalized = ticks.selectExpr(
+        f"CAST({key_col} AS string) AS key",
+        f"CAST({time_col} AS timestamp) AS ts",
+        f"CAST({price_col} AS double) AS price",
+        f"CAST({size_col} AS double) AS size",
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _make_vwap_update(anchor_days * us_per_day),
+        outputStructType=STREAM_VWAP_SCHEMA,
+        stateStructType=_VWAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

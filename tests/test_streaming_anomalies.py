@@ -131,3 +131,70 @@ class TestStreamAnomalies:
         ).sort_values("day", ignore_index=True)
         assert got["stale_run"].tolist() == [1, 2, 3, 1, 2]
         assert got["is_stale"].tolist() == [False, False, True, False, False]
+
+
+class TestStreamAnchoredVwap:
+    def test_matches_batch_on_ordered_ticks(self, spark, tmp_path):
+        """Running VWAP state (3 scalars/key) must survive the state store
+        and reset at the day boundary, matching the batch window pass on
+        strictly-increasing tick times."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            anchored_vwap,
+        )
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_anchored_vwap,
+        )
+
+        rng = np.random.default_rng(13)
+        rows = []
+        for sym in ("A", "B"):
+            for day in (1, 2):
+                for i in range(30):
+                    ts = dt.datetime(2024, 3, day, 9, 0) + dt.timedelta(minutes=i)
+                    rows.append(
+                        (sym, ts, float(100 + rng.normal(0, 1)), float(rng.integers(0, 300)))
+                    )
+        ticks = spark.createDataFrame(
+            rows, "sym string, ts timestamp, price double, size double"
+        )
+        batch = (
+            anchored_vwap(ticks, "ts", "price", "size", ["sym"], anchor="D")
+            .toPandas()
+            .sort_values(["sym", "ts"], ignore_index=True)
+        )
+        src = tmp_path / "ticks"
+        cut = dt.datetime(2024, 3, 2)
+        ticks.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(str(src / "f1"))
+        ticks.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(str(src / "f2"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_anchored_vwap(stream, key_col="sym")
+            .writeStream.format("memory")
+            .queryName("vwap_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table("vwap_stream")
+            .toPandas()
+            .rename(columns={"key": "sym"})
+            .sort_values(["sym", "ts"], ignore_index=True)
+        )
+        assert len(got) == len(batch) == 120
+        bv = batch["vwap"].to_numpy(dtype=float)
+        gv = got["vwap"].to_numpy(dtype=float)
+        assert ((bv == gv) | (np.isnan(bv) & np.isnan(gv))).all()
+        # day-2 reset: first tick of each (sym, day-2) equals its own price
+        for sym in ("A", "B"):
+            first = got[(got.sym == sym) & (got.ts >= cut)].iloc[0]
+            if first["size"] > 0:
+                assert first["vwap"] == first["price"]

@@ -550,3 +550,48 @@ def anchored_vwap(
     return df.withColumn(
         out_col, F.when(run_volume > 0, run_notional / run_volume)
     )
+
+
+def portfolio_returns(
+    bars: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "sym",
+    day_col: str = "day",
+    close_col: str = "close",
+) -> DataFrame:
+    """Daily portfolio return series from per-symbol close bars and a
+    static weight map: simple per-symbol returns (close/lag − 1) weighted
+    by ``weights`` and summed per day, plus the compounded equity curve
+    (``cum_growth`` = running product of (1 + r_p)).
+
+    Missing symbols in ``weights`` are excluded (weight 0); a day where a
+    held symbol has no prior close contributes nothing for that symbol
+    (its first bar has no return), mirroring how a backtest treats the
+    inception bar.  Weights are injected as a literal CASE map — no join,
+    no broadcast table; the plan is one shuffle on the series keys for
+    the lag, one day-grain aggregate, and a final single-partition
+    running product over the (days)-sized result, which is the
+    output-sized table, not the bar table."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    w = F.lit(0.0)
+    for k, v in weights.items():
+        w = F.when(F.col(key_col) == F.lit(k), F.lit(float(v))).otherwise(w)
+    per_key = Window.partitionBy(key_col).orderBy(day_col)
+    c = F.col(close_col)
+    r = c / F.lag(c).over(per_key) - 1
+    contrib = (
+        bars.filter(F.col(key_col).isin(list(weights)))
+        .select(F.col(day_col), (w * r).alias("_wr"))
+    )
+    daily = contrib.groupBy(day_col).agg(
+        F.sum("_wr").alias("portfolio_return")
+    )
+    run = Window.orderBy(day_col).rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        day_col,
+        "portfolio_return",
+        F.exp(
+            F.sum(F.log(1 + F.coalesce(F.col("portfolio_return"), F.lit(0.0)))).over(run)
+        ).alias("cum_growth"),
+    )

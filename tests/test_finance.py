@@ -736,3 +736,106 @@ class TestVwap:
         )
         assert plan.count("Exchange") <= 1
         assert "HashAggregate" in plan
+
+
+class TestPortfolioReturns:
+    def _bars3(self, spark):
+        rng = np.random.default_rng(21)
+        series = {
+            "A": (100 + np.cumsum(rng.normal(0, 2, 25))).tolist(),
+            "B": (50 + np.cumsum(rng.normal(0, 1, 25))).tolist(),
+            "C": (10 + np.cumsum(rng.normal(0, 0.2, 25))).tolist(),
+        }
+        return _bars_df(spark, series), series
+
+    def test_matches_numpy(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            portfolio_returns,
+        )
+
+        bars, series = self._bars3(spark)
+        w = {"A": 0.5, "B": 0.3}  # C unheld -> excluded
+        got = (
+            portfolio_returns(bars, w)
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        a, b = np.array(series["A"]), np.array(series["B"])
+        ra = np.concatenate([[0.0], a[1:] / a[:-1] - 1])
+        rb = np.concatenate([[0.0], b[1:] / b[:-1] - 1])
+        exp = 0.5 * ra + 0.3 * rb
+        # day 1 has no returns on either leg -> the weighted sum is null
+        assert got["portfolio_return"].iloc[0] is None or np.isnan(
+            got["portfolio_return"].iloc[0]
+        )
+        np.testing.assert_allclose(
+            got["portfolio_return"].iloc[1:].to_numpy(dtype=float), exp[1:], rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            got["cum_growth"].to_numpy(dtype=float), np.cumprod(1 + exp), rtol=1e-12
+        )
+
+    def test_duckdb_oracle(self, spark):
+        """In-test DuckDB re-derivation (registry is at its 50-row cap):
+        weighted lag-returns + running log-sum equity curve."""
+        import duckdb
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            portfolio_returns,
+        )
+
+        bars, _ = self._bars3(spark)
+        got = (
+            portfolio_returns(bars, {"A": 0.6, "C": 0.4})
+            .toPandas()
+            .sort_values("day", ignore_index=True)
+        )
+        pdf = bars.toPandas()
+        con = duckdb.connect()
+        con.register("bars", pdf)
+        exp = con.execute(
+            """
+            WITH r AS (
+                SELECT sym, day,
+                       close / lag(close) OVER (PARTITION BY sym ORDER BY day) - 1 AS ret,
+                       CASE sym WHEN 'A' THEN 0.6 WHEN 'C' THEN 0.4 END AS w
+                FROM bars WHERE sym IN ('A', 'C')
+            ), d AS (
+                SELECT day, sum(w * ret) AS portfolio_return FROM r GROUP BY day
+            )
+            SELECT day, portfolio_return,
+                   exp(sum(ln(1 + coalesce(portfolio_return, 0)))
+                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cum_growth
+            FROM d ORDER BY day
+            """
+        ).df()
+        np.testing.assert_allclose(
+            got["portfolio_return"].to_numpy(dtype=float),
+            exp["portfolio_return"].to_numpy(dtype=float),
+            rtol=1e-12, equal_nan=True,
+        )
+        np.testing.assert_allclose(
+            got["cum_growth"].to_numpy(dtype=float),
+            exp["cum_growth"].to_numpy(dtype=float), rtol=1e-12,
+        )
+
+    def test_empty_weights_raise(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            portfolio_returns,
+        )
+
+        bars, _ = self._bars3(spark)
+        with pytest.raises(ValueError):
+            portfolio_returns(bars, {})
+
+    def test_single_key_shuffle_plan(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            portfolio_returns,
+        )
+
+        bars, _ = self._bars3(spark)
+        plan = (
+            portfolio_returns(bars, {"A": 1.0})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

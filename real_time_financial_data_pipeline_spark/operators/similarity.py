@@ -972,3 +972,65 @@ def semantic_dedup(
         corpus, threshold, k, id_col, vec_col, seed, centroids=centroids
     )
     return apply_dedup(corpus, pairs, id_col=id_col)
+
+
+def semdedup_pairs_between(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Cross-batch SemDedup: (id_new, id_corpus, cluster_id, cos) for
+    every NEW vector semantically duplicating an EXISTING corpus vector —
+    the embedding-space mirror of ``dedup.minhash_pairs_between``.
+
+    Both sides are assigned with the SAME quantizer (pass the fitted
+    ``centroids`` of the standing corpus — refitting on the new batch
+    would shift cluster boundaries and silently change which corpus
+    vectors each new vector is compared against).  The join is new×corpus
+    WITHIN cluster only: cost is |new| x avg_cluster_size, never
+    |new| x |corpus|, and the corpus side can be a pre-assigned,
+    pre-partitioned table so only the (small) new batch shuffles."""
+    if centroids is None:
+        centroids = train_centroids(corpus, k, id_col=id_col, vec_col=vec_col, seed=seed)
+    a = cluster_assign(
+        new_vecs, k, id_col, vec_col, centroids=centroids, out_col="_sem_cluster"
+    ).select("_sem_cluster", F.col(id_col).alias("id_new"), F.col(vec_col).alias("_va"))
+    b = cluster_assign(
+        corpus, k, id_col, vec_col, centroids=centroids, out_col="_sem_cluster"
+    ).select("_sem_cluster", F.col(id_col).alias("id_corpus"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, "_sem_cluster")
+        .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb")), 9))
+        .filter(F.col("_cos9") >= threshold)
+        .select(
+            "id_new",
+            "id_corpus",
+            F.col("_sem_cluster").alias("cluster_id"),
+            F.round("_cos9", 6).alias("cos"),
+        )
+    )
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Drop every new vector that semantically duplicates the standing
+    corpus (one anti-join over the flagged id set) — compose AFTER
+    within-batch ``semantic_dedup`` of the new rows, the same
+    curate-then-compare-to-index pattern as ``dedup.incremental_dedup``."""
+    flagged = semdedup_pairs_between(
+        new_vecs, corpus, threshold, k, id_col, vec_col, seed, centroids
+    ).select(F.col("id_new").alias(id_col)).distinct()
+    return new_vecs.join(flagged, id_col, "left_anti")

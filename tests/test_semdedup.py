@@ -144,3 +144,62 @@ class TestSemanticDedup:
         )
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+class TestIncrementalSemdedup:
+    def test_new_dups_of_corpus_dropped(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            incremental_semantic_dedup,
+            semdedup_pairs_between,
+        )
+
+        corpus, _ = _planted(spark)
+        cents = train_centroids(corpus, 4, sample_size=4096)
+        # new batch: clones of corpus vectors 0 and 40 (jittered) + one
+        # genuinely novel direction
+        rng = np.random.default_rng(17)
+        base = {r.vec_id: np.array(r.embedding) for r in corpus.collect()}
+        novel = rng.normal(size=16)
+        novel = (novel / np.linalg.norm(novel)) * 5  # far from unit topics
+        rows = [
+            (1000, [float(x) for x in base[0] + rng.normal(0, 1e-4, 16)]),
+            (1001, [float(x) for x in base[40] + rng.normal(0, 1e-4, 16)]),
+            (1002, [float(x) for x in novel]),
+        ]
+        new = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = semdedup_pairs_between(new, corpus, 0.999, 4, centroids=cents)
+        flagged = {r.id_new for r in pairs.collect()}
+        assert {1000, 1001} <= flagged and 1002 not in flagged
+        kept = {r.vec_id for r in
+                incremental_semantic_dedup(new, corpus, 0.999, 4, centroids=cents).collect()}
+        assert kept == {1002}
+
+    def test_shared_quantizer_consistency(self, spark):
+        """pairs_between with the corpus quantizer finds exactly the
+        within-cluster cross pairs that a joint semdedup_pairs run over
+        corpus+new finds (restricted to cross pairs) under the SAME
+        centroids."""
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semdedup_pairs,
+            semdedup_pairs_between,
+        )
+
+        corpus, _ = _planted(spark, seed=8)
+        cents = train_centroids(corpus, 4, sample_size=4096)
+        rng = np.random.default_rng(23)
+        base = {r.vec_id: np.array(r.embedding) for r in corpus.collect()}
+        rows = [
+            (2000 + i, [float(x) for x in base[i * 7] + rng.normal(0, 1e-4, 16)])
+            for i in range(5)
+        ]
+        new = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        between = {
+            (r.id_new, r.id_corpus)
+            for r in semdedup_pairs_between(new, corpus, 0.99, 4, centroids=cents).collect()
+        }
+        joint = semdedup_pairs(corpus.unionByName(new), 0.99, 4, centroids=cents)
+        cross = {
+            (r.id_b, r.id_a)
+            for r in joint.filter((F.col("id_b") >= 2000) & (F.col("id_a") < 2000)).collect()
+        }
+        assert between == cross and between

@@ -569,3 +569,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     (~3e-4 expected collisions per 1e8 distinct under 64-bit hashing)."""
     normalized = F.concat_ws(" ", tokens(F.col(text_col)))
     return df.withColumn(out_col, F.xxhash64(normalized))
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Dataset-card profile per stratum: doc/token counts, token-length
+    quantiles, mean quality score, and an exact-duplicate-rate estimate —
+    the one-stop report a training-data release ships alongside the data.
+
+    ONE pass over the corpus: every metric is a conditional/partial
+    aggregate in the same map-side-combined groupBy, so a 100 TB corpus
+    is scanned once and the shuffle carries only (stratum, partial-state)
+    rows.  The duplicate-rate uses ``approx_count_distinct`` over the
+    text hash (HLL++, default rsd 5% — mergeable, one-pass) rather than
+    an exact distinct, which would shuffle the full text column; the
+    exact-dedup operator exists for when precision matters
+    (dedup.exact_dedup_keep_min).  Quantiles are ``approx_percentile``
+    (mergeable t-digest-style sketch), same trade.  The dominant
+    language and its share come from a second aggregate over the TINY
+    (stratum, lang) table — vocabulary-bounded, not corpus-bounded."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    base = df.select(
+        F.col(strata_col),
+        *( [F.col(lang_col)] if lang_col else [] ),
+        n_tok.alias("_n_tok"),
+        quality_score_expr(toks).alias("_q"),
+        F.xxhash64(F.col(text_col)).alias("_th"),
+    )
+    per = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("n_tokens"),
+        F.round(F.avg("_n_tok"), 6).alias("avg_tokens"),
+        F.percentile_approx("_n_tok", 0.5).alias("p50_tokens"),
+        F.percentile_approx("_n_tok", 0.95).alias("p95_tokens"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+        F.approx_count_distinct("_th").alias("_approx_distinct"),
+    ).withColumn(
+        "dup_rate_est",
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1 - F.col("_approx_distinct") / F.col("n_docs")
+            ), 6,
+        ),
+    ).drop("_approx_distinct")
+    if lang_col:
+        lang_counts = base.groupBy(strata_col, lang_col).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        top_lang = (
+            lang_counts.groupBy(strata_col)
+            .agg(
+                F.max_by(F.col(lang_col), F.struct(F.col("_n"), F.col(lang_col))).alias("top_lang"),
+                F.max("_n").alias("_top_n"),
+                F.sum("_n").alias("_tot"),
+            )
+            .select(
+                strata_col,
+                "top_lang",
+                F.round(F.col("_top_n") / F.col("_tot"), 6).alias("top_lang_share"),
+            )
+        )
+        per = per.join(F.broadcast(top_lang), strata_col)
+    return per

@@ -243,3 +243,44 @@ def test_token_count_estimate_map_only_and_bounds(documents):
         if r.n_ws_tokens > 0:
             assert r.n_bpe_pieces >= r.n_ws_tokens
             assert r.n_bpe_pieces <= 4 * r.n_ws_tokens
+
+
+class TestCorpusReport:
+    def test_planted_profile(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.text import (
+            corpus_report,
+        )
+
+        text_a = "the quick brown fox jumps over the lazy dog today"  # 10 toks
+        rows = (
+            [(i, text_a, "en", "web") for i in range(8)]          # 8 copies
+            + [(8, "completely different words entirely here now", "en", "web")]
+            + [(9, "kurze deutsche zeile ohne bedeutung hier", "de", "web")]
+            + [(10 + i, f"book text number {i} with several plain words", "en", "books")
+               for i in range(5)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        rep = {r["source"]: r for r in corpus_report(df).collect()}
+        web, books = rep["web"], rep["books"]
+        assert web["n_docs"] == 10 and books["n_docs"] == 5
+        # 10 web docs, 3 distinct texts -> dup rate 0.7 (HLL exact at this size)
+        assert abs(web["dup_rate_est"] - 0.7) < 0.05
+        assert books["dup_rate_est"] == 0.0
+        assert web["top_lang"] == "en" and abs(web["top_lang_share"] - 0.9) < 1e-9
+        assert books["top_lang"] == "en" and books["top_lang_share"] == 1.0
+        assert web["n_tokens"] == 8 * 10 + 6 + 6
+        assert books["p50_tokens"] == 8
+
+    def test_one_corpus_scan(self, spark, documents):
+        from real_time_financial_data_pipeline_spark.operators.text import (
+            corpus_report,
+        )
+
+        rep = corpus_report(documents)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        # the corpus-grain aggregate appears once with a partial phase;
+        # the lang join is broadcast (no SMJ of the corpus against itself)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("FileScan") <= 2  # corpus + the tiny lang re-scan
+        rows = rep.collect()
+        assert rows and all(r["n_docs"] > 0 for r in rows)

@@ -458,6 +458,9 @@ def prepare_training_set(
     scrub: bool = False,
     perplexity_lm=None,
     max_perplexity: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_k: int = 16,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -469,6 +472,11 @@ def prepare_training_set(
     curation ladder (see ``curate_documents``).
 
     Output: (id_col, chunk_id, n_chunk_tokens, chunk_text, split).
+
+    ``embeddings`` (+ ``semantic_threshold``/``semantic_k``) forwards the
+    SemDedup stage into the curation ladder, so paraphrase-level
+    duplicates are also removed BEFORE the split — the same
+    no-train/test-leakage argument as the lexical dedup stages.
 
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
@@ -488,6 +496,8 @@ def prepare_training_set(
         docs, text_col, id_col, min_quality, langs, near_dup_threshold,
         repetition_gate=repetition_gate,
         perplexity_lm=perplexity_lm, max_perplexity=max_perplexity,
+        embeddings=embeddings,
+        semantic_threshold=semantic_threshold, semantic_k=semantic_k,
     )
     if benchmark is not None:
         curated = remove_contaminated(

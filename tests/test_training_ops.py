@@ -391,3 +391,27 @@ def test_curate_semantic_stage_drops_paraphrases(spark):
         ).collect()
     }
     assert kept == {1, 3, 4}  # paraphrase 2 dropped, embedding-less 4 kept
+
+
+def test_prepare_training_set_semantic_stage(spark):
+    """End-to-end: a paraphrase pair (lexically distinct, embedding-near)
+    yields chunks only for the min-id member when embeddings are passed."""
+    import numpy as np
+
+    rows = [
+        (1, " ".join(f"alpha{i} the of and" for i in range(20))),
+        (2, " ".join(f"beta{i} is on for" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=16)
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in v]),
+         (2, [float(x) for x in v + rng.normal(0, 1e-4, 16)])],
+        "vec_id long, embedding array<double>",
+    )
+    out = prepare_training_set(
+        docs, min_quality=0.0, chunk_tokens=16, overlap_tokens=0,
+        embeddings=emb, semantic_threshold=0.999, semantic_k=1,
+    )
+    assert {r.doc_id for r in out.collect()} == {1}

@@ -955,23 +955,65 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    keep: str = "min_id",
 ) -> DataFrame:
-    """Apply SemDedup: drop every vector that semantically duplicates a
-    lower-id vector in its cluster, keeping the minimum id per connected
-    component of the :func:`semdedup_pairs` graph.
+    """Apply SemDedup: keep ONE member per connected component of the
+    :func:`semdedup_pairs` graph, drop the rest.
 
-    The published heuristic keeps one arbitrary member per group; this
-    engine's dedup family convention is the DETERMINISTIC min-id survivor
-    (same as ``exact_dedup_keep_min`` / ``apply_dedup``), so batch reruns
-    and the streaming/batch twins agree on survivors.  The corpus streams
-    through one anti-join against the (tiny) non-canonical id set — only
-    the pair graph iterates (``resolve_dup_clusters``)."""
-    from .dedup import apply_dedup
+    ``keep`` picks the survivor rule:
 
+    * ``"min_id"`` (default) — the engine's dedup-family convention
+      (same as ``exact_dedup_keep_min`` / ``apply_dedup``): fully
+      deterministic, so batch reruns and streaming/batch twins agree.
+    * ``"far_from_centroid"`` — the published SemDedup heuristic (Abbas
+      et al. 2023 §3: keep the example with LOWEST cosine to its cluster
+      centroid, preferring the least-typical member to preserve
+      diversity).  Deterministic here too: ties on the 9-dp-rounded
+      centroid cosine break to the minimum id.
+
+    Either way the corpus streams through one anti-join against the
+    (tiny) non-survivor id set — only the pair graph iterates
+    (``resolve_dup_clusters``); the ``far_from_centroid`` variant adds
+    one argmin over the component-members table, which is pair-graph-
+    sized, not corpus-sized."""
+    from .dedup import apply_dedup, resolve_dup_clusters
+
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep rule {keep!r}")
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, k, id_col=id_col, vec_col=vec_col, seed=seed
+        )
     pairs = semdedup_pairs(
         corpus, threshold, k, id_col, vec_col, seed, centroids=centroids
     )
-    return apply_dedup(corpus, pairs, id_col=id_col)
+    if keep == "min_id":
+        return apply_dedup(corpus, pairs, id_col=id_col)
+    clusters = resolve_dup_clusters(pairs, id_col=id_col)
+    # centroid cosine for just the component members (pair-graph-sized)
+    member_vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_vec")
+    ).join(clusters, id_col)
+    assigned = cluster_assign(
+        member_vecs, k, id_col, "_vec", centroids=centroids, out_col="_cl"
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cent_rows, "_cl int, _centroid array<double>"
+    )
+    scored = assigned.join(F.broadcast(cent_df), "_cl").withColumn(
+        "_ccos", F.round(pairwise_cosine(F.col("_vec"), F.col("_centroid")), 9)
+    )
+    survivors = scored.groupBy("canonical_id").agg(
+        F.min_by(F.col(id_col), F.struct(F.col("_ccos"), F.col(id_col))).alias("_keep")
+    )
+    losers = (
+        scored.select(id_col, "canonical_id")
+        .join(survivors, "canonical_id")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
 
 
 def semdedup_pairs_between(

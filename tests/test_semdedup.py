@@ -203,3 +203,49 @@ class TestIncrementalSemdedup:
             for r in joint.filter((F.col("id_b") >= 2000) & (F.col("id_a") < 2000)).collect()
         }
         assert between == cross and between
+
+
+class TestKeepStrategies:
+    def test_far_from_centroid_keeps_least_typical(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semantic_dedup as sd,
+        )
+
+        # one dup group of 3; member 2 is pulled furthest from the topic
+        # direction (lowest centroid cosine) and must be the survivor
+        rng = np.random.default_rng(41)
+        topic = rng.normal(size=16)
+        topic /= np.linalg.norm(topic)
+        off = rng.normal(size=16)
+        off -= (off @ topic) * topic  # orthogonal component
+        off /= np.linalg.norm(off)
+        rows = [
+            (0, [float(x) for x in topic + 0.001 * off]),
+            (1, [float(x) for x in topic + 0.002 * off]),
+            (2, [float(x) for x in topic + 0.020 * off]),  # least typical
+        ] + [
+            (10 + i, [float(x) for x in topic + rng.normal(0, 0.3, 16)])
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = train_centroids(df, 1, sample_size=4096)
+        kept_min = {r.vec_id for r in sd(df, 0.999, 1, centroids=cents).collect()}
+        kept_far = {
+            r.vec_id
+            for r in sd(df, 0.999, 1, centroids=cents, keep="far_from_centroid").collect()
+        }
+        group = {0, 1, 2}
+        assert kept_min & group == {0}
+        assert kept_far & group == {2}
+        # non-duplicated vectors survive under both rules
+        assert {10 + i for i in range(20)} <= kept_min
+        assert {10 + i for i in range(20)} <= kept_far
+
+    def test_unknown_keep_raises(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semantic_dedup as sd,
+        )
+
+        df, _ = _planted(spark)
+        with pytest.raises(ValueError):
+            sd(df, keep="random")

@@ -112,7 +112,17 @@ def learn_bpe(
         .limit(max_words)
         .collect()
     )
-    words: list[tuple[list[str], int]] = [(list(r["word"]), int(r["n"])) for r in top]
+    return learn_from_counts({r["word"]: int(r["n"]) for r in top}, n_merges)
+
+
+def learn_from_counts(word_freqs: dict[str, int], n_merges: int) -> list[Merge]:
+    """The driver-side merge loop over a word-frequency table — exposed so
+    it is property-testable without a SparkSession and reusable when the
+    counts come from somewhere other than ``word_counts`` (a saved count
+    table, a sketch, another engine)."""
+    words: list[tuple[list[str], int]] = [
+        (list(w), n) for w, n in sorted(word_freqs.items())
+    ]
     merges: list[Merge] = []
     for _ in range(n_merges):
         counts_d = _pair_counts(words)

@@ -460,3 +460,40 @@ def test_indicator_recurrence_restarts_from_any_saved_state(xs, split):
     for (sa, ra), (sb, rb) in zip(resumed, full):
         assert sa == sb  # tuple equality = bitwise float equality
         assert (ra is None and rb is None) or ra == rb
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde ", min_size=1, max_size=12).map(str.strip).filter(bool),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_trainer_encoder_consistency(word_freqs, n_merges):
+    """For ANY word-frequency table: (1) rank-order encoding reproduces
+    the trainer's final segmentation of every training word — the classic
+    BPE trainer/encoder agreement property; (2) encoding is lossless;
+    (3) merge tables are deterministic under dict ordering."""
+    from real_time_financial_data_pipeline_spark.operators.bpe import (
+        _merge_word,
+        encode_word,
+        learn_from_counts,
+    )
+
+    merges = learn_from_counts(word_freqs, n_merges)
+    assert len(merges) <= n_merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    # trainer-side final segmentation: replay merges in order
+    for w in word_freqs:
+        syms = list(w)
+        for pair in merges:
+            syms = _merge_word(syms, pair)
+        enc = encode_word(w, ranks)
+        assert enc == syms, (w, merges)
+        assert "".join(enc) == w
+    # determinism under input ordering
+    shuffled = dict(reversed(list(word_freqs.items())))
+    assert learn_from_counts(shuffled, n_merges) == merges

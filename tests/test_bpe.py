@@ -224,3 +224,29 @@ class TestPersistence:
         a = bpe_encode(corpus_df, merges).collect()
         b = bpe_encode(corpus_df, loaded).collect()
         assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]
+
+
+class TestStreaming:
+    def test_encode_is_stream_legal(self, spark, corpus_df, tmp_path):
+        """bpe_encode/bpe_token_count are stateless projections, so they
+        run unchanged on a streaming frame (in-flight token accounting
+        with the production tokenizer)."""
+        merges = learn_bpe(corpus_df, n_merges=20)
+        src = tmp_path / "docs"
+        corpus_df.coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+        q = (
+            bpe_token_count(stream, merges)
+            .writeStream.format("memory")
+            .queryName("bpe_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in spark.table("bpe_stream").collect()}
+        exp = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(corpus_df, merges).collect()}
+        assert got == exp and len(got) == len(CORPUS)

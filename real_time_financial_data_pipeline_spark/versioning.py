@@ -1,0 +1,179 @@
+"""Snapshot-versioned tables: Delta/Iceberg-style time travel on plain
+parquet, sized down to this engine's file layout.
+
+The reference's lake (storage.py:17-27) has no history — every overwrite
+destroys the prior state.  Real analytics lakes version commits so
+readers can (a) time-travel for reproducibility ("train on the corpus
+exactly as it was last Tuesday"), (b) roll back a bad ingest without a
+restore-from-backup, and (c) audit what changed.  This module implements
+the standard manifest design:
+
+* Data is immutable: every commit writes its rows into a fresh
+  ``data/b{N}`` directory and never touches earlier ones.
+* A commit is ONE atomic manifest rename: ``_versions/v{N}.json`` lists
+  the data directories that make up that snapshot (parent's + new for
+  append; new only for overwrite).  Readers resolve a manifest, then
+  ``spark.read.parquet(*dirs)`` — a crashed writer leaves at most an
+  orphan data dir that no manifest references, invisible to every
+  reader and reclaimed by ``vacuum``.
+* Rollback is a NEW manifest pointing at the old version's directories
+  (Delta RESTORE semantics) — history is preserved, nothing is deleted.
+* ``vacuum(keep_last)`` deletes manifests beyond the retention window
+  and any data directory no retained manifest references.
+
+Scale posture: manifests list DIRECTORIES, so manifest size is
+O(commits since last overwrite), not O(files); time travel is pure
+metadata; the data path is still vanilla parquet so every scan
+optimization (pushdown, pruning, row-group stats) applies unchanged.
+Single-writer contract: commits are not safe to race from two drivers —
+the coordination layer (a real metastore/catalog) is out of scope, as
+it is for every single-cluster deployment of this pattern.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_versions"
+_DATA_DIR = "data"
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:06d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def versions(self) -> list[int]:
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first — version, mode, rows, dir count, time."""
+        out = []
+        for v in self.versions():
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "mode": m["mode"],
+                    "rows": m["rows"],
+                    "n_dirs": len(m["dirs"]),
+                    "committed_at": m["committed_at"],
+                }
+            )
+        return out
+
+    # -- write path ---------------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new snapshot and return its version number.
+
+        ``append`` stacks onto the parent snapshot; ``overwrite`` starts a
+        fresh file set (earlier versions stay readable).  The data write
+        happens BEFORE the manifest exists, and the manifest lands via
+        tmp-write + ``os.replace`` — so a crash anywhere leaves the prior
+        version intact and at worst one orphan data directory."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        parent = self.latest_version()
+        version = 0 if parent is None else parent + 1
+        rel_dir = f"{_DATA_DIR}/b{version:06d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("error").parquet(out_dir)
+        n_new = self.spark.read.parquet(out_dir).count()
+        if mode == "append" and parent is not None:
+            pm = self._read_manifest(parent)
+            dirs = pm["dirs"] + [rel_dir]
+            rows = pm["rows"] + n_new
+        else:
+            dirs, rows = [rel_dir], n_new
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "dirs": dirs,
+            "rows": rows,
+            "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(version))
+        return version
+
+    def rollback(self, version: int) -> int:
+        """RESTORE semantics: a new commit whose file set is exactly the
+        target version's — history keeps growing, nothing is deleted, and
+        the bad intermediate versions remain auditable."""
+        target = self._read_manifest(version)  # raises if unknown
+        parent = self.latest_version()
+        new_version = parent + 1
+        manifest = {
+            "version": new_version,
+            "mode": f"rollback({version})",
+            "dirs": target["dirs"],
+            "rows": target["rows"],
+            "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        tmp = self._manifest_path(new_version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(new_version))
+        return new_version
+
+    # -- read path ----------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """The snapshot as a DataFrame — latest by default, or any retained
+        version (time travel).  Pure metadata resolution, then a vanilla
+        multi-dir parquet scan."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        m = self._read_manifest(v)
+        paths = [os.path.join(self.path, d) for d in m["dirs"]]
+        return self.spark.read.parquet(*paths)
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Drop manifests beyond the last ``keep_last`` versions and every
+        data directory no retained manifest references (including orphans
+        from crashed commits).  O(commits + data dirs) metadata work; the
+        only data I/O is the directory deletes."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._read_manifest(v)["dirs"])
+        for v in drop:
+            os.remove(self._manifest_path(v))
+        data_root = os.path.join(self.path, _DATA_DIR)
+        removed = 0
+        for entry in sorted(os.listdir(data_root)):
+            rel = f"{_DATA_DIR}/{entry}"
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, entry))
+                removed += 1
+        return {"manifests_dropped": len(drop), "data_dirs_removed": removed}

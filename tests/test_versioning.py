@@ -1,0 +1,102 @@
+"""Snapshot-versioned tables (versioning.py): time travel, rollback,
+vacuum retention, crash-orphan invisibility, and append/overwrite
+lineage."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.versioning import VersionedTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+class TestVersioning:
+    def test_append_overwrite_time_travel(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        v0 = t.commit(_df(spark, 0, 10))            # 10 rows
+        v1 = t.commit(_df(spark, 10, 15))           # +5 -> 15
+        v2 = t.commit(_df(spark, 100, 102), mode="overwrite")  # fresh 2
+        v3 = t.commit(_df(spark, 102, 105))         # +3 -> 5
+        assert (v0, v1, v2, v3) == (0, 1, 2, 3)
+        assert t.read(0).count() == 10
+        assert t.read(1).count() == 15
+        assert t.read(2).count() == 2
+        assert t.read().count() == 5
+        assert {r.id for r in t.read(2).collect()} == {100, 101}
+        hist = t.history()
+        assert [h["rows"] for h in hist] == [10, 15, 2, 5]
+        assert hist[2]["mode"] == "overwrite"
+
+    def test_rollback_restores_without_deleting(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 0, 1), mode="overwrite")  # the "bad ingest"
+        v = t.rollback(0)
+        assert v == 2
+        assert t.read().count() == 10
+        # the bad version is still auditable
+        assert t.read(1).count() == 1
+        assert t.history()[-1]["mode"] == "rollback(0)"
+
+    def test_vacuum_keeps_referenced_dirs(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        t.commit(_df(spark, 50, 52), mode="overwrite")
+        t.commit(_df(spark, 52, 55))
+        out = t.vacuum(keep_last=2)
+        # versions 0/1 dropped; their b000000/b000001 dirs are unreferenced
+        assert out == {"manifests_dropped": 2, "data_dirs_removed": 2}
+        assert t.versions() == [2, 3]
+        assert t.read(3).count() == 5 and t.read(2).count() == 2
+        with pytest.raises(FileNotFoundError):
+            t.read(0)
+
+    def test_vacuum_shared_dirs_survive(self, spark, tmp_path):
+        """An appended snapshot shares its parent's dirs — vacuuming away
+        the parent manifest must NOT remove dirs the child still needs."""
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        t.vacuum(keep_last=1)
+        assert t.versions() == [1]
+        assert t.read().count() == 20  # both dirs still present
+
+    def test_crash_orphan_invisible_and_vacuumed(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        # simulate a writer that died after the data write, before the
+        # manifest: orphan dir exists, readers never see it
+        orphan = str(tmp_path / "t" / "data" / "b000042")
+        _df(spark, 900, 999).write.parquet(orphan)
+        assert t.read().count() == 10
+        out = t.vacuum(keep_last=1)
+        assert out["data_dirs_removed"] == 1
+        assert not os.path.isdir(orphan)
+        assert t.read().count() == 10
+
+    def test_read_empty_table_raises(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        with pytest.raises(FileNotFoundError):
+            t.read()
+
+    def test_bad_args(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError):
+            t.commit(_df(spark, 0, 1), mode="merge")
+        t.commit(_df(spark, 0, 1))
+        with pytest.raises(ValueError):
+            t.vacuum(keep_last=0)
+
+    def test_schema_and_values_round_trip(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 5))
+        t.commit(_df(spark, 5, 8))
+        got = sorted((r.id, r.v) for r in t.read().collect())
+        assert got == [(i, 2 * i) for i in range(8)]

@@ -177,3 +177,30 @@ class VersionedTable:
                 shutil.rmtree(os.path.join(data_root, entry))
                 removed += 1
         return {"manifests_dropped": len(drop), "data_dirs_removed": removed}
+
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental consumption (CDC-lite for append-only lineages):
+        the rows added AFTER ``from_version`` up to ``to_version``
+        (latest by default) — resolved as the set difference of the two
+        manifests' directory lists, so the scan touches ONLY the new
+        commits' files.  This is what lets a downstream pipeline (dedup
+        of a new batch against the standing corpus, incremental indicator
+        refresh, index append) process deltas instead of re-reading the
+        table.  Raises if any commit in the range rewrote history (an
+        overwrite/rollback), because a directory diff is no longer the
+        row-level change set there."""
+        to_v = self.latest_version() if to_version is None else to_version
+        if to_v is None or from_version > to_v:
+            raise ValueError(f"bad version range [{from_version}, {to_v}]")
+        for v in range(from_version + 1, to_v + 1):
+            if self._read_manifest(v)["mode"] != "append":
+                raise ValueError(
+                    f"version {v} is {self._read_manifest(v)['mode']!r}: the "
+                    "directory diff is not an append delta; re-read the snapshot"
+                )
+        base = set(self._read_manifest(from_version)["dirs"])
+        new = [d for d in self._read_manifest(to_v)["dirs"] if d not in base]
+        if not new:
+            return self.read(to_v).limit(0)
+        return self.spark.read.parquet(*[os.path.join(self.path, d) for d in new])

@@ -100,3 +100,49 @@ class TestVersioning:
         t.commit(_df(spark, 5, 8))
         got = sorted((r.id, r.v) for r in t.read().collect())
         assert got == [(i, 2 * i) for i in range(8)]
+
+
+class TestIncrementalConsumption:
+    def test_read_changes_returns_only_new_rows(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        v0 = t.commit(_df(spark, 0, 10))
+        v1 = t.commit(_df(spark, 10, 15))
+        v2 = t.commit(_df(spark, 15, 18))
+        assert {r.id for r in t.read_changes(v0).collect()} == set(range(10, 18))
+        assert {r.id for r in t.read_changes(v0, v1).collect()} == set(range(10, 15))
+        assert {r.id for r in t.read_changes(v1, v2).collect()} == set(range(15, 18))
+        assert t.read_changes(v2, v2).count() == 0
+
+    def test_read_changes_refuses_rewrites(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        v0 = t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 0, 2), mode="overwrite")
+        with pytest.raises(ValueError, match="overwrite"):
+            t.read_changes(v0)
+
+    def test_streaming_commits_and_delta_consumption(self, spark, tmp_path):
+        """Deployment composition: micro-batches land as versioned commits
+        (foreachBatch), then a downstream incremental job consumes exactly
+        the delta since the version it last processed."""
+        src = tmp_path / "src"
+        _df(spark, 0, 40).coalesce(1).write.parquet(str(src / "f1"))
+        _df(spark, 40, 70).coalesce(1).write.parquet(str(src / "f2"))
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        schema = spark.read.parquet(str(src / "f1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda bdf, bid: t.commit(bdf))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(t.versions()) == 2
+        assert t.read().count() == 70
+        # downstream job processed v0, now consumes the delta only
+        delta = t.read_changes(0)
+        assert {r.id for r in delta.collect()} == set(range(40, 70))

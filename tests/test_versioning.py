@@ -146,3 +146,33 @@ class TestIncrementalConsumption:
         # downstream job processed v0, now consumes the delta only
         delta = t.read_changes(0)
         assert {r.id for r in delta.collect()} == set(range(40, 70))
+
+    def test_delta_feeds_incremental_dedup(self, spark, tmp_path, documents):
+        """The nightly incremental-curation chain: corpus lands as
+        versioned commits; the new batch (read_changes) is deduped against
+        the STANDING corpus (earlier version) before being committed —
+        planted clones of existing docs never reach the curated table."""
+        from real_time_financial_data_pipeline_spark.operators.dedup import (
+            incremental_dedup,
+        )
+
+        docs = documents.select("doc_id", "text").limit(100).cache()
+        t = VersionedTable(spark, str(tmp_path / "corpus"))
+        v0 = t.commit(docs)
+        # new batch: 5 genuinely novel docs + 3 verbatim clones of corpus docs
+        fresh = spark.createDataFrame(
+            [
+                (10_000 + i, " ".join(f"novel{i}tok{j} unseen phrase" for j in range(30)))
+                for i in range(5)
+            ],
+            "doc_id long, text string",
+        )
+        clones = docs.limit(3).select(
+            (F.col("doc_id") + 20_000).alias("doc_id"), F.col("text")
+        )
+        t.commit(fresh.unionByName(clones))
+        new_batch = t.read_changes(v0)
+        standing = t.read(v0)
+        kept = incremental_dedup(new_batch, standing, threshold=0.9)
+        ids = {r.doc_id for r in kept.collect()}
+        assert ids == {10_000 + i for i in range(5)}

@@ -109,6 +109,16 @@ class DataLake:
     def read(self, name: str, layer: str = "bronze") -> DataFrame:
         return self.spark.read.parquet(self._path(layer, name))
 
+    def versioned(self, name: str, layer: str = "bronze"):
+        """Snapshot-versioned handle for a dataset slot (versioning.py:
+        VersionedTable) — time travel, rollback, vacuum, and CDC-lite
+        delta reads over the same validated lake path.  Versioned and
+        plain datasets are distinct layouts: pick one per name (the
+        manifest dir makes a versioned table self-identifying)."""
+        from .versioning import VersionedTable
+
+        return VersionedTable(self.spark, self._path(layer, name))
+
     # -- C1: list datasets (helpers.py:66-81, storage.py:29-49) ------------
     def list_datasets(self, layer: str | None = None) -> dict[str, list[str]]:
         layers = [layer] if layer else list(LAYERS)

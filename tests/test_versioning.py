@@ -176,3 +176,16 @@ class TestIncrementalConsumption:
         kept = incremental_dedup(new_batch, standing, threshold=0.9)
         ids = {r.doc_id for r in kept.collect()}
         assert ids == {10_000 + i for i in range(5)}
+
+
+def test_lake_versioned_accessor(spark, tmp_path):
+    """DataLake.versioned routes through the same validated path logic
+    (traversal-safe) and yields a working VersionedTable."""
+    from real_time_financial_data_pipeline_spark.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    t = lake.versioned("yahoo_stock_20240101", layer="silver")
+    t.commit(_df(spark, 0, 7))
+    assert lake.versioned("yahoo_stock_20240101", "silver").read().count() == 7
+    with pytest.raises(ValueError):
+        lake.versioned("../escape", "silver")

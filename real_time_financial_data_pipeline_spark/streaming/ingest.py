@@ -151,3 +151,87 @@ def ingest_to_bronze(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def split_by_rules(df: DataFrame, rules) -> tuple[DataFrame, DataFrame]:
+    """Partition a frame by a rule set (operators.quality.Rule): rows
+    passing EVERY predicate, and rows failing any — the failing side
+    tagged with a ``_violations`` array naming each failed rule.  A
+    predicate evaluating to null counts as a violation, matching
+    ``quality.check``.  One projection, two filters — no shuffle."""
+    markers = [
+        F.when(
+            ~F.coalesce(F.expr(r.predicate), F.lit(False)), F.lit(r.name)
+        )
+        for r in rules
+    ]
+    tagged = df.withColumn("_violations", F.array_compact(F.array(*markers)))
+    good = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    bad = tagged.filter(F.size("_violations") > 0)
+    return good, bad
+
+
+def make_quarantine_writer(
+    good_path: str,
+    quarantine_path: str,
+    rules,
+    exactly_once: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for validated ingest with a dead-letter table:
+    every micro-batch splits on the rule set; passing rows land in the
+    good table, violating rows land in quarantine WITH their
+    ``_violations`` labels — nothing is silently dropped, and the
+    quarantine table is re-processable once the upstream bug is fixed
+    (the standard dead-letter-queue pattern).
+
+    ``exactly_once=True`` applies the same batch-id-keyed dynamic
+    partition overwrite as ``make_batch_writer`` to BOTH tables, so a
+    replayed micro-batch rewrites its own partitions idempotently on both
+    sides.  The micro-batch is persisted for the two writes (each side is
+    a filter of the same scan)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good, bad = split_by_rules(batch_df, rules)
+            for out, path in ((good, good_path), (bad, quarantine_path)):
+                if exactly_once:
+                    (
+                        out.withColumn("_batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_batch_id")
+                        .parquet(path)
+                    )
+                else:
+                    out.write.mode("append").parquet(path)
+        finally:
+            batch_df.unpersist()
+
+    return write_batch
+
+
+def ingest_with_quarantine(
+    stream: DataFrame,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    rules,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+    exactly_once: bool = False,
+) -> StreamingQuery:
+    """T1 + data-quality gate: validated streaming ingest where violating
+    rows are quarantined with rule labels instead of poisoning the bronze
+    table (see ``make_quarantine_writer``)."""
+    write_batch = make_quarantine_writer(
+        good_path, quarantine_path, rules, exactly_once
+    )
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

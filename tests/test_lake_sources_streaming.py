@@ -515,3 +515,63 @@ def test_tumbling_vwap_batch_parity(spark, events, tmp_path):
         assert gv[3:] == ev[3:], k  # counts/high/low exact
         for g, e in zip(gv[:3], ev[:3]):
             assert (g is None and e is None) or abs(g - e) < 1e-9, k
+
+
+def test_quarantine_ingest_routes_and_labels(spark, tmp_path):
+    """Validated streaming ingest: bad rows land in quarantine with the
+    names of every failed rule; good rows land clean; replay of the same
+    batch id is idempotent under exactly_once."""
+    from real_time_financial_data_pipeline_spark.operators.quality import (
+        in_range,
+        not_null,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.ingest import (
+        file_stream,
+        ingest_with_quarantine,
+        make_quarantine_writer,
+        split_by_rules,
+    )
+
+    rows = [
+        (1, 10.0, "click"),
+        (2, None, "view"),          # value_not_null fails
+        (3, -5.0, "purchase"),      # value_in_range fails
+        (4, 1e9, None),             # value_in_range + event_type_not_null fail
+        (5, 42.0, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    rules = [not_null("value"), in_range("value", 0, 1000), not_null("event_type")]
+
+    good, bad = split_by_rules(df, rules)
+    assert {r.event_id for r in good.collect()} == {1, 5}
+    labels = {r.event_id: set(r._violations) for r in bad.collect()}
+    assert labels[2] == {"value_not_null", "value_in_range"}
+    assert labels[3] == {"value_in_range"}
+    assert labels[4] == {"value_in_range", "event_type_not_null"}
+
+    # end-to-end streaming run
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = file_stream(spark, str(src), spark.read.parquet(str(src)).schema)
+    q = ingest_with_quarantine(
+        stream,
+        str(tmp_path / "good"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+        rules,
+        trigger_available_now=True,
+        exactly_once=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == 3 and "_violations" in dlq.columns
+
+    # replaying the same batch id must not duplicate either side
+    writer = make_quarantine_writer(
+        str(tmp_path / "good"), str(tmp_path / "dlq"), rules, exactly_once=True
+    )
+    writer(df, 0)
+    writer(df, 0)
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "dlq")).count() == 3

@@ -204,3 +204,61 @@ class VersionedTable:
         if not new:
             return self.read(to_v).limit(0)
         return self.spark.read.parquet(*[os.path.join(self.path, d) for d in new])
+
+
+    def read_merged(self, version: int | None = None) -> DataFrame:
+        """Snapshot read with schema evolution: commits may have added
+        columns over time; ``mergeSchema`` unions the per-commit parquet
+        schemas (missing columns read as null).  Costs a footer read per
+        file — use plain ``read`` when the schema never evolved."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        m = self._read_manifest(v)
+        paths = [os.path.join(self.path, d) for d in m["dirs"]]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def commit_checked(self, df: DataFrame, rules, mode: str = "append") -> int:
+        """Commit gated on a quality rule set (operators.quality.Rule) —
+        Delta-style CHECK constraints at the table boundary: the data is
+        written first (commits must not double-scan an expensive upstream
+        frame), then validated with the ONE-pass ``quality.check`` over
+        the landed files; any violation aborts BEFORE the manifest
+        exists, removes the data directory, and raises with the per-rule
+        violation counts.  Readers never see a version that failed its
+        constraints."""
+        from .operators.quality import check
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        parent = self.latest_version()
+        version = 0 if parent is None else parent + 1
+        rel_dir = f"{_DATA_DIR}/b{version:06d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("error").parquet(out_dir)
+        landed = self.spark.read.parquet(out_dir)
+        report = check(landed, rules).collect()
+        failed = [r for r in report if not r["passed"]]
+        if failed:
+            shutil.rmtree(out_dir)
+            detail = ", ".join(f"{r['rule']}={r['violations']}" for r in failed)
+            raise ValueError(f"commit rejected by constraints: {detail}")
+        n_new = landed.count()
+        if mode == "append" and parent is not None:
+            pm = self._read_manifest(parent)
+            dirs = pm["dirs"] + [rel_dir]
+            rows = pm["rows"] + n_new
+        else:
+            dirs, rows = [rel_dir], n_new
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "dirs": dirs,
+            "rows": rows,
+            "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(version))
+        return version

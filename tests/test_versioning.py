@@ -189,3 +189,35 @@ def test_lake_versioned_accessor(spark, tmp_path):
     assert lake.versioned("yahoo_stock_20240101", "silver").read().count() == 7
     with pytest.raises(ValueError):
         lake.versioned("../escape", "silver")
+
+
+class TestEvolutionAndConstraints:
+    def test_schema_evolution_read_merged(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 5))
+        t.commit(_df(spark, 5, 8).withColumn("extra", F.lit("x")))
+        merged = t.read_merged()
+        assert set(merged.columns) == {"id", "v", "extra"}
+        vals = {r.id: r.extra for r in merged.collect()}
+        assert vals[0] is None and vals[7] == "x"
+        assert merged.count() == 8
+
+    def test_commit_checked_rejects_and_leaves_no_version(self, spark, tmp_path):
+        from real_time_financial_data_pipeline_spark.operators.quality import (
+            in_range,
+            not_null,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        rules = [not_null("v"), in_range("id", 0, 100)]
+        v0 = t.commit_checked(_df(spark, 0, 10), rules)
+        assert v0 == 0 and t.read().count() == 10
+        bad = _df(spark, 200, 205)  # id out of range
+        with pytest.raises(ValueError, match="id_in_range=5"):
+            t.commit_checked(bad, rules)
+        # no new version, no orphan data dir
+        assert t.versions() == [0]
+        data_dirs = os.listdir(str(tmp_path / "t" / "data"))
+        assert data_dirs == ["b000000"]
+        # table still readable and unchanged
+        assert t.read().count() == 10

@@ -262,3 +262,39 @@ class VersionedTable:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(version))
         return version
+
+
+    def merge_upsert(self, updates: DataFrame, key_cols: list[str]) -> int:
+        """MERGE (upsert) by key: rows in ``updates`` replace same-key rows
+        in the latest snapshot; new keys append — committed as ONE new
+        overwrite version, so the operation is atomic and time travel
+        keeps the pre-merge state.
+
+        This is whole-snapshot copy-on-write (read latest, anti-join the
+        touched keys, union the updates, rewrite): the correct baseline
+        semantics, with the well-known scale refinement being
+        partition-level CoW — rewrite only the partitions holding touched
+        keys — which this layout supports by committing per-partition
+        tables; a full file-skipping MERGE is a real table format's job.
+        The anti-join broadcasts the distinct update keys when small."""
+        if not key_cols:
+            raise ValueError("merge_upsert requires key columns")
+        current = self.read()
+        missing = [c for c in key_cols if c not in current.columns]
+        if missing:
+            raise ValueError(f"key columns missing from table: {missing}")
+        kept = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = kept.unionByName(updates)
+        return self.commit(merged, mode="overwrite")
+
+    def compact(self) -> dict:
+        """Version-aware small-files compaction: rewrite the latest
+        snapshot as ONE new overwrite commit (single data dir), leaving
+        every historical version readable — readers pinned to old
+        manifests are untouched, and ``vacuum`` reclaims the old dirs
+        once they age out of retention.  Returns the dir counts."""
+        before = len(self._read_manifest(self.latest_version())["dirs"])
+        v = self.commit(self.read(), mode="overwrite")
+        return {"version": v, "dirs_before": before, "dirs_after": 1}

@@ -221,3 +221,36 @@ class TestEvolutionAndConstraints:
         assert data_dirs == ["b000000"]
         # table still readable and unchanged
         assert t.read().count() == 10
+
+
+class TestMergeAndCompact:
+    def test_merge_upsert(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 10))
+        updates = spark.createDataFrame(
+            [(3, 999), (4, 888), (100, 777)], "id long, v long"
+        )
+        v = t.merge_upsert(updates, ["id"])
+        got = {r.id: r.v for r in t.read(v).collect()}
+        assert got[3] == 999 and got[4] == 888 and got[100] == 777
+        assert got[5] == 10 and len(got) == 11
+        # pre-merge state still readable (time travel)
+        pre = {r.id: r.v for r in t.read(v - 1).collect()}
+        assert pre[3] == 6 and 100 not in pre
+        with pytest.raises(ValueError):
+            t.merge_upsert(updates, [])
+        with pytest.raises(ValueError, match="missing"):
+            t.merge_upsert(updates, ["nope"])
+
+    def test_compact_preserves_history(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        for i in range(4):
+            t.commit(_df(spark, i * 5, (i + 1) * 5))
+        out = t.compact()
+        assert out["dirs_before"] == 4 and out["dirs_after"] == 1
+        assert t.read().count() == 20
+        assert sorted(r.id for r in t.read().collect()) == list(range(20))
+        # pinned reader on the pre-compaction version still works
+        assert t.read(out["version"] - 1).count() == 20
+        # vacuum now reclaims the four pre-compaction dirs
+        assert t.vacuum(keep_last=1)["data_dirs_removed"] == 4

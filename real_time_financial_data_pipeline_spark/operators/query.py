@@ -265,3 +265,95 @@ def percentiles(
         for p in ps
     ]
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def _misra_gries(values, capacity: int) -> dict:
+    """Misra-Gries summary of an iterable: at most ``capacity`` counters;
+    guarantees every item with true frequency > n/(capacity+1) survives,
+    and each kept count underestimates truth by at most n/(capacity+1)."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dead = [k for k in counters if counters[k] == 1]
+            for k in counters:
+                counters[k] -= 1
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Top-k heavy hitters over a potentially unbounded-cardinality column
+    with BOUNDED memory — the frequent-items member of the sketch family
+    (alongside the HLL distinct and percentile sketches).
+
+    A plain ``groupBy(col).count()`` shuffles one row per DISTINCT value;
+    over a 100 TB user-id or URL column that intermediate is itself huge.
+    This operator runs Misra-Gries per partition (state ≤ ``capacity``
+    counters, default ``8k``) via ``mapInPandas``, so the shuffle carries
+    at most partitions × capacity candidate rows.  MG summaries merge by
+    summation: any item with true frequency > n/(capacity+1) per
+    partition is guaranteed to surface as a candidate (the classic bound;
+    misses are only ever items BELOW the guarantee line).
+
+    ``exact=True`` adds the standard second pass: re-count ONLY the
+    candidate set with one broadcast-semi-join aggregate, so reported
+    counts are exact and the result is provably the true top-k whenever
+    the k-th item clears the guarantee threshold.  ``exact=False`` skips
+    the second scan and returns MG lower-bound counts."""
+    import pandas as pd
+
+    capacity = capacity or 8 * k
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} < k {k}")
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+                # fold down to capacity with the MG decrement whenever the
+                # working set overflows (value_counts pre-aggregates the
+                # batch, so decrements happen on compact data)
+            while len(counters) > capacity:
+                dead = [key for key, n in counters.items() if n <= 1]
+                if not dead:
+                    m = min(counters.values())
+                    counters = {key: n - m for key, n in counters.items() if n > m}
+                else:
+                    counters = {key: n - 1 for key, n in counters.items() if n > 1}
+        if counters:
+            yield pd.DataFrame({col: list(counters), "_mg": list(counters.values())})
+
+    out_schema = df.select(col).withColumn("_mg", F.lit(0).cast("long")).schema
+    candidates = (
+        df.select(col)
+        .mapInPandas(summarize, out_schema)
+        .groupBy(col)
+        .agg(F.sum("_mg").alias("_mg_count"))
+        .orderBy(F.desc("_mg_count"), F.asc(col))
+        .limit(capacity)
+    )
+    if not exact:
+        return candidates.select(
+            col, F.col("_mg_count").alias("approx_count")
+        ).limit(k)
+    exact_counts = (
+        df.select(col)
+        .join(F.broadcast(candidates.select(col)), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc(col))
+        .limit(k)
+    )
+    return exact_counts

@@ -384,3 +384,63 @@ def test_scd2_apply_versions_only_real_changes(spark):
         scd2_apply(dim, null_eff, ["k"], ["tier"])
     with pytest.raises(ValueError):
         scd2_apply(dim, updates, ["k"], [])
+
+
+class TestFrequentItems:
+    def _zipf_df(self, spark, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # 5 planted heavy hitters over a long uniform tail
+        heavy = [f"hh{i}" for i in range(5)]
+        rows = [(h,) for i, h in enumerate(heavy) for _ in range(500 - 50 * i)]
+        rows += [(f"tail{int(x)}",) for x in rng.integers(0, 5000, 4000)]
+        rng.shuffle(rows)
+        return spark.createDataFrame(rows, "item string")
+
+    def test_exact_matches_full_groupby(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.query import (
+            frequent_items,
+        )
+
+        df = self._zipf_df(spark).repartition(8)
+        got = [(r.item, r["count"]) for r in frequent_items(df, "item", k=5, capacity=64).collect()]
+        exp = [
+            (r.item, r.n)
+            for r in df.groupBy("item").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("item")).limit(5).collect()
+        ]
+        assert got == exp
+        assert [i for i, _ in got] == [f"hh{i}" for i in range(5)]
+
+    def test_approx_counts_are_lower_bounds(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.query import (
+            frequent_items,
+        )
+
+        df = self._zipf_df(spark).repartition(8)
+        n = df.count()
+        capacity = 64
+        true = {
+            r.item: r.n
+            for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+        }
+        approx = {
+            r.item: r.approx_count
+            for r in frequent_items(df, "item", k=5, capacity=capacity, exact=False).collect()
+        }
+        assert approx  # heavy hitters surface
+        for item, c in approx.items():
+            assert c <= true[item]
+            assert c >= true[item] - n / (capacity + 1)
+
+    def test_capacity_guard(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.query import (
+            frequent_items,
+        )
+
+        df = self._zipf_df(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            frequent_items(df, "item", k=10, capacity=5)

@@ -567,7 +567,9 @@ def portfolio_returns(
     Missing symbols in ``weights`` are excluded (weight 0); a day where a
     held symbol has no prior close contributes nothing for that symbol
     (its first bar has no return), mirroring how a backtest treats the
-    inception bar.  Weights are injected as a literal CASE map — no join,
+    inception bar.  Weights may lever or short; a day losing >= 100%
+    zeroes ``cum_growth`` permanently (sticky wipe-out) rather than
+    silently skipping the unrepresentable log term.  Weights are injected as a literal CASE map — no join,
     no broadcast table; the plan is one shuffle on the series keys for
     the lag, one day-grain aggregate, and a final single-partition
     running product over the (days)-sized result, which is the
@@ -588,10 +590,17 @@ def portfolio_returns(
         F.sum("_wr").alias("portfolio_return")
     )
     run = Window.orderBy(day_col).rowsBetween(Window.unboundedPreceding, 0)
+    growth = 1 + F.coalesce(F.col("portfolio_return"), F.lit(0.0))
+    # weights may lever or short (no validation by design), so a day can
+    # lose >= 100%: growth <= 0 has no log, and letting F.sum skip the
+    # null would silently report a healthy curve for a bankrupt
+    # portfolio.  Sticky wipe-out instead: once min(growth) over the
+    # running window hits <= 0, cum_growth is 0 from that day on.
+    wiped = F.min(growth).over(run) <= 0
     return daily.select(
         day_col,
         "portfolio_return",
-        F.exp(
-            F.sum(F.log(1 + F.coalesce(F.col("portfolio_return"), F.lit(0.0)))).over(run)
-        ).alias("cum_growth"),
+        F.when(wiped, F.lit(0.0))
+        .otherwise(F.exp(F.sum(F.log(growth)).over(run)))
+        .alias("cum_growth"),
     )

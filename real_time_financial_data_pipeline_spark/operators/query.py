@@ -267,25 +267,6 @@ def percentiles(
     return df.groupBy(*key_cols).agg(*aggs)
 
 
-def _misra_gries(values, capacity: int) -> dict:
-    """Misra-Gries summary of an iterable: at most ``capacity`` counters;
-    guarantees every item with true frequency > n/(capacity+1) survives,
-    and each kept count underestimates truth by at most n/(capacity+1)."""
-    counters: dict = {}
-    for v in values:
-        if v in counters:
-            counters[v] += 1
-        elif len(counters) < capacity:
-            counters[v] = 1
-        else:
-            dead = [k for k in counters if counters[k] == 1]
-            for k in counters:
-                counters[k] -= 1
-            for k in dead:
-                del counters[k]
-    return counters
-
-
 def frequent_items(
     df: DataFrame,
     col: str,
@@ -310,12 +291,18 @@ def frequent_items(
     candidate set with one broadcast-semi-join aggregate, so reported
     counts are exact and the result is provably the true top-k whenever
     the k-th item clears the guarantee threshold.  ``exact=False`` skips
-    the second scan and returns MG lower-bound counts."""
+    the second scan and returns MG lower-bound counts.
+
+    Nulls are excluded up front (sketch convention: null is the absence
+    of an item, not a value competing for top-k — pandas ``value_counts``
+    would drop it silently and the exact-pass semi-join can't match it;
+    count nulls with one ``filter(isNull).count()`` if needed)."""
     import pandas as pd
 
     capacity = capacity or 8 * k
     if capacity < k:
         raise ValueError(f"capacity {capacity} < k {k}")
+    df = df.filter(F.col(col).isNotNull())
 
     def summarize(batches):
         counters: dict = {}

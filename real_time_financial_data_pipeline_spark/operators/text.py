@@ -581,22 +581,25 @@ def corpus_report(
     quantiles, mean quality score, and an exact-duplicate-rate estimate —
     the one-stop report a training-data release ships alongside the data.
 
-    ONE pass over the corpus: every metric is a conditional/partial
-    aggregate in the same map-side-combined groupBy, so a 100 TB corpus
-    is scanned once and the shuffle carries only (stratum, partial-state)
-    rows.  The duplicate-rate uses ``approx_count_distinct`` over the
-    text hash (HLL++, default rsd 5% — mergeable, one-pass) rather than
-    an exact distinct, which would shuffle the full text column; the
-    exact-dedup operator exists for when precision matters
-    (dedup.exact_dedup_keep_min).  Quantiles are ``approx_percentile``
-    (mergeable t-digest-style sketch), same trade.  The dominant
-    language and its share come from a second aggregate over the TINY
-    (stratum, lang) table — vocabulary-bounded, not corpus-bounded."""
+    One FULL-WIDTH pass over the corpus: every numeric metric is a
+    conditional/partial aggregate in the same map-side-combined groupBy,
+    so the expensive work (tokenize, quality, hash) runs once and the
+    shuffle carries only (stratum, partial-state) rows.  The duplicate-
+    rate uses ``approx_count_distinct`` over the text hash (HLL++,
+    default rsd 5% — mergeable, one-pass) rather than an exact distinct,
+    which would shuffle the full text column; the exact-dedup operator
+    exists for when precision matters (dedup.exact_dedup_keep_min).
+    Quantiles are ``approx_percentile`` (mergeable sketch), same trade.
+    The dominant language adds a SECOND scan, but over a two-column
+    projection only (``strata_col``, ``lang_col`` — column pruning
+    reaches the parquet reader, no tokenization): sketch partials can't
+    be re-merged through the DataFrame API, so folding the lang argmax
+    into the first aggregate would force the full-width work into both.
+    A null stratum is a real group and is reported (null-safe join)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks).cast("long")
     base = df.select(
         F.col(strata_col),
-        *( [F.col(lang_col)] if lang_col else [] ),
         n_tok.alias("_n_tok"),
         quality_score_expr(toks).alias("_q"),
         F.xxhash64(F.col(text_col)).alias("_th"),
@@ -618,9 +621,10 @@ def corpus_report(
         ),
     ).drop("_approx_distinct")
     if lang_col:
-        lang_counts = base.groupBy(strata_col, lang_col).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        # narrow two-column projection — pruning keeps the second scan cheap
+        lang_counts = df.select(strata_col, lang_col).groupBy(
+            strata_col, lang_col
+        ).agg(F.count(F.lit(1)).alias("_n"))
         top_lang = (
             lang_counts.groupBy(strata_col)
             .agg(
@@ -629,10 +633,15 @@ def corpus_report(
                 F.sum("_n").alias("_tot"),
             )
             .select(
-                strata_col,
+                F.col(strata_col).alias("_tl_stratum"),
                 "top_lang",
                 F.round(F.col("_top_n") / F.col("_tot"), 6).alias("top_lang_share"),
             )
         )
-        per = per.join(F.broadcast(top_lang), strata_col)
+        # eqNullSafe: a null stratum is a real group — a plain equi-join
+        # would silently drop its row from the report
+        per = per.join(
+            F.broadcast(top_lang),
+            per[strata_col].eqNullSafe(top_lang["_tl_stratum"]),
+        ).drop("_tl_stratum")
     return per

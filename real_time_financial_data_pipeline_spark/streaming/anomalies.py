@@ -112,11 +112,22 @@ def _make_update(z_window: int, z_threshold: float, stale_min_run: int):
                 day_us = int(day.value // 1_000)
                 if last_us is not None and day_us <= last_us:
                     continue  # out-of-order bar: dropped (see module doc)
-                x = float(close)
-                r = None if prev_close is None else math.log(x / prev_close)
-                z = _z_score(rets, r)
-                run = run + 1 if prev_close is not None and x == prev_close else 1
-                spike = None if z is None else abs(z) >= z_threshold
+                # batch null semantics: a null close yields null
+                # return/z/spike, CONTINUES the current stale run (the
+                # gaps-and-islands change marker's `c != lag(c)` is null
+                # -> otherwise(0)), and the following bar starts a new
+                # run with a null return (lag is null -> marker 1).
+                # Folding NaN into prev_close instead would poison every
+                # later comparison in the partition.
+                x = None if close is None or pd.isna(close) else float(close)
+                if x is None:
+                    r = z = spike = None
+                    run = run + 1 if prev_close is not None else 1
+                else:
+                    r = None if prev_close is None else math.log(x / prev_close)
+                    z = _z_score(rets, r)
+                    run = run + 1 if prev_close is not None and x == prev_close else 1
+                    spike = None if z is None else abs(z) >= z_threshold
                 out.append(
                     (key[0], day, x, r, z, run, spike, run >= stale_min_run)
                 )

@@ -181,10 +181,18 @@ def _make_vwap_update(anchor_us_len: int):
                 a = (ts_us // anchor_us_len) * anchor_us_len
                 if anchor_us is None or a > anchor_us:
                     anchor_us, notional, volume = a, 0.0, 0.0
-                p = float(price)
-                s = 0.0 if size is None or pd.isna(size) else float(size)
-                notional += p * s
-                volume += s
+                # batch null semantics: a null price skips the notional
+                # term (F.sum drops the null product) but its size still
+                # accumulates into run_volume; a null size contributes to
+                # neither sum.  Matching exactly keeps the twins equal —
+                # one NaN folded into the running notional would poison
+                # every later tick of the anchor period.
+                p = None if price is None or pd.isna(price) else float(price)
+                s = None if size is None or pd.isna(size) else float(size)
+                if s is not None:
+                    volume += s
+                    if p is not None:
+                        notional += p * s
                 vwap = (notional / volume) if volume > 0 else None
                 out.append((key[0], ts, p, s, vwap))
                 last_us = ts_us

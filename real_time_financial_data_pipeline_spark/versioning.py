@@ -87,28 +87,8 @@ class VersionedTable:
         return out
 
     # -- write path ---------------------------------------------------------
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
-        """Write ``df`` as a new snapshot and return its version number.
-
-        ``append`` stacks onto the parent snapshot; ``overwrite`` starts a
-        fresh file set (earlier versions stay readable).  The data write
-        happens BEFORE the manifest exists, and the manifest lands via
-        tmp-write + ``os.replace`` — so a crash anywhere leaves the prior
-        version intact and at worst one orphan data directory."""
-        if mode not in ("append", "overwrite"):
-            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        parent = self.latest_version()
-        version = 0 if parent is None else parent + 1
-        rel_dir = f"{_DATA_DIR}/b{version:06d}"
-        out_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("error").parquet(out_dir)
-        n_new = self.spark.read.parquet(out_dir).count()
-        if mode == "append" and parent is not None:
-            pm = self._read_manifest(parent)
-            dirs = pm["dirs"] + [rel_dir]
-            rows = pm["rows"] + n_new
-        else:
-            dirs, rows = [rel_dir], n_new
+    def _write_manifest(self, version: int, mode: str, dirs: list[str], rows: int) -> None:
+        """The atomic half of every commit: tmp-write + ``os.replace``."""
         manifest = {
             "version": version,
             "mode": mode,
@@ -120,6 +100,44 @@ class VersionedTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(version))
+
+    def _write_data_dir(self, version: int, df: DataFrame) -> tuple[str, int]:
+        """Write a commit's rows into its ``data/b{N}`` dir and return
+        (rel_dir, row count).  A pre-existing dir at this version number
+        is by construction an ORPHAN — its manifest was never written, or
+        ``latest_version`` would exceed ``version`` — left by a writer
+        that crashed between data write and manifest rename; it is
+        removed so the retried commit isn't permanently blocked by
+        parquet's ``mode('error')``."""
+        rel_dir = f"{_DATA_DIR}/b{version:06d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        df.write.mode("error").parquet(out_dir)
+        return rel_dir, self.spark.read.parquet(out_dir).count()
+
+    def _lineage(self, parent: int | None, mode: str, rel_dir: str, n_new: int) -> tuple[list[str], int]:
+        if mode == "append" and parent is not None:
+            pm = self._read_manifest(parent)
+            return pm["dirs"] + [rel_dir], pm["rows"] + n_new
+        return [rel_dir], n_new
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new snapshot and return its version number.
+
+        ``append`` stacks onto the parent snapshot; ``overwrite`` starts a
+        fresh file set (earlier versions stay readable).  The data write
+        happens BEFORE the manifest exists, and the manifest lands via
+        tmp-write + ``os.replace`` — so a crash anywhere leaves the prior
+        version intact and at worst one orphan data directory, which the
+        next commit at that version number (or ``vacuum``) clears."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        parent = self.latest_version()
+        version = 0 if parent is None else parent + 1
+        rel_dir, n_new = self._write_data_dir(version, df)
+        dirs, rows = self._lineage(parent, mode, rel_dir, n_new)
+        self._write_manifest(version, mode, dirs, rows)
         return version
 
     def rollback(self, version: int) -> int:
@@ -127,19 +145,10 @@ class VersionedTable:
         target version's — history keeps growing, nothing is deleted, and
         the bad intermediate versions remain auditable."""
         target = self._read_manifest(version)  # raises if unknown
-        parent = self.latest_version()
-        new_version = parent + 1
-        manifest = {
-            "version": new_version,
-            "mode": f"rollback({version})",
-            "dirs": target["dirs"],
-            "rows": target["rows"],
-            "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
-        }
-        tmp = self._manifest_path(new_version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(new_version))
+        new_version = self.latest_version() + 1
+        self._write_manifest(
+            new_version, f"rollback({version})", target["dirs"], target["rows"]
+        )
         return new_version
 
     # -- read path ----------------------------------------------------------
@@ -233,34 +242,16 @@ class VersionedTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
-        rel_dir = f"{_DATA_DIR}/b{version:06d}"
+        rel_dir, n_new = self._write_data_dir(version, df)
         out_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("error").parquet(out_dir)
-        landed = self.spark.read.parquet(out_dir)
-        report = check(landed, rules).collect()
+        report = check(self.spark.read.parquet(out_dir), rules).collect()
         failed = [r for r in report if not r["passed"]]
         if failed:
             shutil.rmtree(out_dir)
             detail = ", ".join(f"{r['rule']}={r['violations']}" for r in failed)
             raise ValueError(f"commit rejected by constraints: {detail}")
-        n_new = landed.count()
-        if mode == "append" and parent is not None:
-            pm = self._read_manifest(parent)
-            dirs = pm["dirs"] + [rel_dir]
-            rows = pm["rows"] + n_new
-        else:
-            dirs, rows = [rel_dir], n_new
-        manifest = {
-            "version": version,
-            "mode": mode,
-            "dirs": dirs,
-            "rows": rows,
-            "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
-        }
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(version))
+        dirs, rows = self._lineage(parent, mode, rel_dir, n_new)
+        self._write_manifest(version, mode, dirs, rows)
         return version
 
 

@@ -839,3 +839,19 @@ class TestPortfolioReturns:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    def test_wipeout_day_zeroes_equity_permanently(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            portfolio_returns,
+        )
+
+        # 2x levered long: day 2 drops 60% -> levered return -120% (wiped);
+        # the recovery day must NOT resurrect the curve
+        bars = _bars_df(spark, {"A": [100.0, 40.0, 80.0]})
+        got = (
+            portfolio_returns(bars, {"A": 2.0})
+            .toPandas().sort_values("day", ignore_index=True)
+        )
+        assert got["portfolio_return"].iloc[1] == pytest.approx(-1.2)
+        assert got["cum_growth"].iloc[1] == 0.0
+        assert got["cum_growth"].iloc[2] == 0.0

@@ -444,3 +444,13 @@ class TestFrequentItems:
 
         with _pytest.raises(ValueError):
             frequent_items(df, "item", k=10, capacity=5)
+
+    def test_nulls_excluded_by_contract(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.query import (
+            frequent_items,
+        )
+
+        rows = [(None,)] * 50 + [("a",)] * 10 + [("b",)] * 5
+        df = spark.createDataFrame(rows, "item string")
+        got = [(r.item, r["count"]) for r in frequent_items(df, "item", k=2, capacity=8).collect()]
+        assert got == [("a", 10), ("b", 5)]  # null never competes

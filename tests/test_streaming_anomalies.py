@@ -198,3 +198,80 @@ class TestStreamAnchoredVwap:
             first = got[(got.sym == sym) & (got.ts >= cut)].iloc[0]
             if first["size"] > 0:
                 assert first["vwap"] == first["price"]
+
+    def test_null_price_and_size_match_batch(self, spark, tmp_path):
+        """A null price must not poison the running notional (batch skips
+        the null product but still counts the size into volume); a null
+        size contributes to neither sum."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            anchored_vwap,
+        )
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_anchored_vwap,
+        )
+
+        d = dt.datetime(2024, 3, 1, 9, 0)
+        rows = [
+            ("A", d, 10.0, 5.0),
+            ("A", d + dt.timedelta(minutes=1), None, 3.0),   # null price
+            ("A", d + dt.timedelta(minutes=2), 12.0, None),  # null size
+            ("A", d + dt.timedelta(minutes=3), 11.0, 2.0),
+        ]
+        ticks = spark.createDataFrame(
+            rows, "sym string, ts timestamp, price double, size double"
+        )
+        batch = (
+            anchored_vwap(ticks, "ts", "price", "size", ["sym"], anchor="D")
+            .toPandas().sort_values("ts", ignore_index=True)
+        )
+        src = tmp_path / "ticks"
+        ticks.coalesce(1).write.parquet(str(src / "f1"))
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src / "f1")).schema
+        ).parquet(str(src / "*"))
+        q = (
+            stream_anchored_vwap(stream, key_col="sym")
+            .writeStream.format("memory").queryName("vwap_null_stream")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("vwap_null_stream").toPandas().sort_values("ts", ignore_index=True)
+        bv = batch["vwap"].to_numpy(dtype=float)
+        gv = got["vwap"].to_numpy(dtype=float)
+        assert ((bv == gv) | (np.isnan(bv) & np.isnan(gv))).all()
+        # sanity: the null-price tick's size DID move the denominator
+        assert got["vwap"].iloc[1] == (10.0 * 5.0) / 8.0
+
+
+class TestNullClose:
+    def test_null_close_matches_batch(self, spark, tmp_path):
+        """A null close must not poison the recurrence: null return/z,
+        stale run continues through the gap, next bar starts a fresh run
+        — exactly the batch window pass's null semantics."""
+        series_days = [10.0, 10.0, None, 10.0, 11.0, 11.0, 11.0]
+        d = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", d + dt.timedelta(days=i), v) for i, v in enumerate(series_days)
+        ]
+        bars = spark.createDataFrame(rows, "sym string, day timestamp, close double")
+        batch = (
+            detect_price_anomalies(bars, ["sym"], z_window=5, stale_min_run=3)
+            .toPandas().sort_values("day", ignore_index=True)
+        )
+        got = _run_stream(
+            spark, tmp_path, bars, dt.datetime(2024, 1, 4),
+            z_window=5, stale_min_run=3,
+        ).sort_values("day", ignore_index=True)
+        assert (got["stale_run"] == batch["stale_run"]).all()
+        for c in ("log_return", "z_score"):
+            bv = batch[c].to_numpy(dtype=float)
+            gv = got[c].to_numpy(dtype=float)
+            assert ((bv == gv) | (np.isnan(bv) & np.isnan(gv))).all(), c
+        assert (got["is_stale"] == batch["is_stale"]).all()
+        bs, gs = batch["is_spike"], got["is_spike"]
+        assert ((bs == gs) | (bs.isna() & gs.isna())).all()
+        # the stale run survives the gap: [1,2,3,1,1,2,3] per the batch rule
+        assert got["stale_run"].tolist() == [1, 2, 3, 1, 1, 2, 3]

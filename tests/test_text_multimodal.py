@@ -284,3 +284,23 @@ class TestCorpusReport:
         assert plan.count("FileScan") <= 2  # corpus + the tiny lang re-scan
         rows = rep.collect()
         assert rows and all(r["n_docs"] > 0 for r in rows)
+
+    def test_null_stratum_reported(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.text import (
+            corpus_report,
+        )
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon", "en", None),
+            (1, "one two three four five six", "en", None),
+            (2, "sieben acht neun zehn elf", "de", "web"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        rep = {r["source"]: r for r in corpus_report(df).collect()}
+        assert None in rep and rep[None]["n_docs"] == 2
+        assert rep[None]["top_lang"] == "en"
+        assert rep["web"]["n_docs"] == 1
+        # totals across strata cover the whole corpus
+        assert sum(r["n_docs"] for r in rep.values()) == 3

@@ -254,3 +254,17 @@ class TestMergeAndCompact:
         assert t.read(out["version"] - 1).count() == 20
         # vacuum now reclaims the four pre-compaction dirs
         assert t.vacuum(keep_last=1)["data_dirs_removed"] == 4
+
+
+def test_crashed_commit_retry_not_blocked(spark, tmp_path):
+    """A writer that died between data write and manifest rename leaves an
+    orphan dir at the NEXT version number; the retried commit must clear
+    it and succeed instead of failing on parquet mode('error')."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10))
+    # simulate the crash: data for v1 landed, manifest never written
+    _df(spark, 500, 503).write.parquet(str(tmp_path / "t" / "data" / "b000001"))
+    v = t.commit(_df(spark, 10, 15))  # retry lands as v1
+    assert v == 1
+    assert t.read().count() == 15
+    assert {r.id for r in t.read_changes(0).collect()} == set(range(10, 15))

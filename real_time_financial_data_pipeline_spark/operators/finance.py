@@ -604,3 +604,57 @@ def portfolio_returns(
         .otherwise(F.exp(F.sum(F.log(growth)).over(run)))
         .alias("cum_growth"),
     )
+
+
+def adjust_prices(
+    prices: DataFrame,
+    actions: DataFrame,
+    key_col: str = "sym",
+    time_col: str = "ts",
+    price_cols: list[str] | None = None,
+    action_time_col: str = "effective_date",
+    factor_col: str = "factor",
+    suffix: str = "_adj",
+) -> DataFrame:
+    """Back-adjust price series for corporate actions (splits/dividends):
+    every price strictly BEFORE an action's effective date is multiplied
+    by that action's factor, so the adjusted series is continuous through
+    the event and the LATEST prices are unchanged — the standard
+    convention charting and backtesting libraries apply.
+
+    A 4:1 split has factor 0.25; a cash dividend's factor is
+    (close − div) / close on the ex-date.  Factors COMPOUND: a price
+    before two actions is scaled by both.
+
+    Execution: the actions table is tiny at any scale (thousands of rows
+    for a whole market) and is BROADCAST; each price row left-joins its
+    symbol's later-dated actions and one map-side-combined groupBy takes
+    the product of their factors — cost |prices| × avg-actions-per-symbol
+    rows in the pre-aggregation, shuffle bounded by |prices|.  Rows of
+    symbols with no actions (or none later) get factor 1 exactly."""
+    price_cols = price_cols or ["close"]
+    group_keys = [c for c in prices.columns]
+    acts = F.broadcast(
+        actions.select(
+            F.col(key_col).alias("_a_key"),
+            F.col(action_time_col).alias("_a_ts"),
+            F.col(factor_col).cast("double").alias("_a_factor"),
+        )
+    )
+    joined = prices.join(
+        acts,
+        (F.col(key_col) == F.col("_a_key"))
+        & (F.col(time_col) < F.col("_a_ts")),
+        "left",
+    )
+    adj = joined.groupBy(*group_keys).agg(
+        F.coalesce(
+            F.product("_a_factor"), F.lit(1.0)
+        ).alias("_cum_factor")
+    )
+    out_cols = [F.col(c) for c in prices.columns]
+    out_cols += [
+        F.round(F.col(c) * F.col("_cum_factor"), 6).alias(f"{c}{suffix}")
+        for c in price_cols
+    ]
+    return adj.select(*out_cols, F.round("_cum_factor", 9).alias("adj_factor"))

@@ -855,3 +855,104 @@ class TestPortfolioReturns:
         assert got["portfolio_return"].iloc[1] == pytest.approx(-1.2)
         assert got["cum_growth"].iloc[1] == 0.0
         assert got["cum_growth"].iloc[2] == 0.0
+
+
+class TestAdjustPrices:
+    def _data(self, spark):
+        """Raw prices SIMULATE the splits: underlying value v=100+i is
+        smooth; the quoted (raw) price is v / (product of factors of
+        FUTURE actions), so the raw series jumps 4x at day 3 and 2x at
+        day 7 — back-adjustment must recover the smooth series."""
+        d = dt.datetime(2024, 1, 1)
+
+        def raw(i):
+            f = 1.0
+            if i < 3:
+                f *= 0.25
+            if i < 7:
+                f *= 0.5
+            return (100.0 + i) / f
+
+        prices = spark.createDataFrame(
+            [("A", d + dt.timedelta(days=i), raw(i)) for i in range(10)]
+            + [("B", d + dt.timedelta(days=i), 50.0 + i) for i in range(10)],
+            "sym string, ts timestamp, close double",
+        )
+        actions = spark.createDataFrame(
+            [
+                ("A", d + dt.timedelta(days=3), 0.25),   # 4:1 split
+                ("A", d + dt.timedelta(days=7), 0.5),    # 2:1 split
+            ],
+            "sym string, effective_date timestamp, factor double",
+        )
+        return prices, actions
+
+    def test_back_adjustment_compounds(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            adjust_prices,
+        )
+
+        prices, actions = self._data(spark)
+        got = {
+            (r.sym, r.ts.day): (r.close_adj, r.adj_factor)
+            for r in adjust_prices(prices, actions).collect()
+        }
+        # back-adjustment recovers the smooth underlying 100+i everywhere
+        for day in range(1, 11):
+            assert got[("A", day)] == (100.0 + day - 1, got[("A", day)][1])
+        # factor regimes: both (0.125), later only (0.5), none (1.0)
+        assert got[("A", 1)][1] == 0.125 and got[("A", 3)][1] == 0.125
+        assert got[("A", 4)][1] == 0.5
+        assert got[("A", 8)][1] == 1.0 and got[("A", 10)][1] == 1.0
+        # symbol with no actions: identity
+        assert got[("B", 1)] == (50.0, 1.0)
+
+    def test_row_count_and_continuity(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            adjust_prices,
+        )
+
+        prices, actions = self._data(spark)
+        out = adjust_prices(prices, actions)
+        assert out.count() == prices.count()
+        # the adjusted series has no split-sized jump: max abs daily move
+        # of A's adjusted closes stays ~1 (the raw daily drift)
+        a = (
+            out.filter(F.col("sym") == "A")
+            .orderBy("ts")
+            .select("close_adj")
+            .toPandas()["close_adj"]
+        )
+        # the RAW series jumps 4x at the split; adjusted is the smooth
+        # 1-per-day drift
+        assert a.diff().abs().max() == 1.0
+
+    def test_duckdb_oracle(self, spark):
+        import duckdb
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            adjust_prices,
+        )
+
+        prices, actions = self._data(spark)
+        got = (
+            adjust_prices(prices, actions)
+            .toPandas().sort_values(["sym", "ts"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("p", prices.toPandas())
+        con.register("a", actions.toPandas())
+        exp = con.execute(
+            """
+            SELECT p.sym, p.ts, p.close,
+                   round(p.close * coalesce(product(a.factor), 1.0), 6) AS close_adj,
+                   round(coalesce(product(a.factor), 1.0), 9) AS adj_factor
+            FROM p LEFT JOIN a ON p.sym = a.sym AND p.ts < a.effective_date
+            GROUP BY p.sym, p.ts, p.close
+            ORDER BY p.sym, p.ts
+            """
+        ).df()
+        import numpy as np
+
+        np.testing.assert_allclose(got["close_adj"], exp["close_adj"], rtol=1e-12)
+        np.testing.assert_allclose(got["adj_factor"], exp["adj_factor"], rtol=1e-12)

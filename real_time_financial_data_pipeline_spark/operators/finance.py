@@ -658,3 +658,46 @@ def adjust_prices(
         for c in price_cols
     ]
     return adj.select(*out_cols, F.round("_cum_factor", 9).alias("adj_factor"))
+
+
+def convert_currency(
+    df: DataFrame,
+    rates: DataFrame,
+    value_cols: list[str],
+    currency_col: str = "currency",
+    time_col: str = "ts",
+    rate_currency_col: str = "from_currency",
+    rate_time_col: str = "timestamp",
+    rate_col: str = "rate",
+    suffix: str = "_conv",
+) -> DataFrame:
+    """Convert monetary columns with the most recent FX rate AT OR BEFORE
+    each row's own timestamp (as-of semantics — the only correct join for
+    rates: an equi-join on date misses weekends/holidays, and joining the
+    LATEST rate repricess history with today's rate).
+
+    The reference ingests forex rate series as first-class data
+    (alphavantage.py:131-154) but never applies them; this operator
+    closes that loop over the engine's as-of machinery
+    (operators/asof.py:asof_join — one shuffle on the currency key, union
+    + forward-fill, no range explosion).  Rows whose currency has no rate
+    at or before their time get NULL conversions (asof_rate is null) —
+    surfaced, never silently dropped."""
+    from .asof import asof_join
+
+    r = rates.select(
+        F.col(rate_currency_col).alias(currency_col),
+        F.col(rate_time_col).alias(time_col),
+        F.col(rate_col).cast("double").alias("_fx_rate"),
+    )
+    joined = asof_join(
+        df, r, [currency_col], time_col, ["_fx_rate"], right_ts_out="rate_ts"
+    )
+    out_cols = [F.col(c) for c in df.columns]
+    out_cols += [
+        F.round(F.col(c) * F.col("_fx_rate_asof"), 6).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    return joined.select(
+        *out_cols, F.col("_fx_rate_asof").alias("asof_rate"), "rate_ts"
+    )

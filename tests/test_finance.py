@@ -956,3 +956,41 @@ class TestAdjustPrices:
 
         np.testing.assert_allclose(got["close_adj"], exp["close_adj"], rtol=1e-12)
         np.testing.assert_allclose(got["adj_factor"], exp["adj_factor"], rtol=1e-12)
+
+
+class TestConvertCurrency:
+    def test_asof_rate_applied(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            convert_currency,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+        trades = spark.createDataFrame(
+            [
+                ("EUR", d + dt.timedelta(days=1, hours=3), 100.0),
+                ("EUR", d + dt.timedelta(days=5), 200.0),   # weekend gap -> friday rate
+                ("GBP", d + dt.timedelta(days=2), 50.0),
+                ("JPY", d + dt.timedelta(days=2), 1000.0),  # no rate history
+                ("EUR", d, 10.0),                           # before any rate
+            ],
+            "currency string, ts timestamp, amount double",
+        )
+        rates = spark.createDataFrame(
+            [
+                ("EUR", d + dt.timedelta(days=1), 1.10),
+                ("EUR", d + dt.timedelta(days=3), 1.20),
+                ("GBP", d + dt.timedelta(days=2), 1.30),
+            ],
+            "from_currency string, timestamp timestamp, rate double",
+        )
+        got = {
+            (r.currency, r.ts): (r.amount_conv, r.asof_rate)
+            for r in convert_currency(trades, rates, ["amount"]).collect()
+        }
+        assert got[("EUR", d + dt.timedelta(days=1, hours=3))] == (110.0, 1.10)
+        assert got[("EUR", d + dt.timedelta(days=5))] == (240.0, 1.20)
+        assert got[("GBP", d + dt.timedelta(days=2))] == (65.0, 1.30)
+        # no history / pre-history rows surface as NULL, never dropped
+        assert got[("JPY", d + dt.timedelta(days=2))] == (None, None)
+        assert got[("EUR", d)] == (None, None)
+        assert len(got) == 5

@@ -701,3 +701,93 @@ def convert_currency(
     return joined.select(
         *out_cols, F.col("_fx_rate_asof").alias("asof_rate"), "rate_ts"
     )
+
+
+def tick_rule_signs(
+    ticks: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    price_col: str = "price",
+    out_col: str = "trade_sign",
+) -> DataFrame:
+    """Classify each trade as buyer- (+1) or seller-initiated (−1) by the
+    tick rule (the quote-free half of Lee-Ready): up-tick ⇒ +1, down-tick
+    ⇒ −1, zero-tick carries the PREVIOUS sign forward; a series' first
+    trade (no prior print) gets sign 0.
+
+    One window pass on the series keys: the carry-forward is
+    ``last(sign, ignorenulls)`` over the unbounded-preceding frame — the
+    same forward-fill shape as gap_fill, no Python, no second shuffle."""
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    p, prev = F.col(price_col), F.lag(F.col(price_col)).over(w)
+    raw = F.when(p > prev, F.lit(1)).when(p < prev, F.lit(-1))  # null on zero/first
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ticks.withColumn(
+        out_col,
+        F.coalesce(F.last(raw, ignorenulls=True).over(run), F.lit(0)).cast("int"),
+    )
+
+
+def order_flow_imbalance(
+    ticks: DataFrame,
+    time_period: str = "D",
+    key_cols: list[str] | None = None,
+    time_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "size",
+    bucket_col: str = "period",
+) -> DataFrame:
+    """Order-flow imbalance per (keys, calendar period): signed volume
+    over total volume, OFI = Σ(sign·size)/Σ(size) ∈ [−1, 1] — the
+    standard pressure gauge built on :func:`tick_rule_signs`.
+
+    Execution: the tick-rule window pass (one shuffle on the keys), then
+    the same map-side-combined calendar hash aggregate as
+    :func:`vwap_bars`; zero total volume yields NULL OFI."""
+    from .aggregate import FREQ_TO_TRUNC
+
+    key_cols = key_cols or ["event_type"]
+    unit = FREQ_TO_TRUNC.get(time_period.upper())
+    if unit is None:
+        raise ValueError(f"unsupported time_period {time_period!r}")
+    signed = tick_rule_signs(ticks, key_cols, time_col, price_col)
+    s = F.col(size_col).cast("double")
+    signed_vol = F.sum(F.col("trade_sign") * s)
+    volume = F.sum(s)
+    return signed.groupBy(
+        *key_cols, F.date_trunc(unit, F.col(time_col)).alias(bucket_col)
+    ).agg(
+        F.when(volume > 0, signed_vol / volume).alias("ofi"),
+        signed_vol.alias("signed_volume"),
+        volume.alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+def amihud_illiquidity(
+    bars: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    close_col: str = "close",
+    volume_col: str = "volume",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Amihud (2002) illiquidity per series: mean over days of
+    |daily return| / dollar volume, scaled by ``scale`` — the classic
+    price-impact proxy computable from daily bars alone.
+
+    Days with zero/null dollar volume or no prior close are excluded from
+    the mean (the published convention).  One window pass for returns +
+    one hash aggregate; output rows = series."""
+    w = Window.partitionBy(*key_cols).orderBy(day_col)
+    c = F.col(close_col)
+    ret = c / F.lag(c).over(w) - 1
+    dollar_vol = c * F.col(volume_col)
+    staged = bars.select(
+        *key_cols,
+        F.when(dollar_vol > 0, F.abs(ret) / dollar_vol).alias("_impact"),
+    )
+    return staged.groupBy(*key_cols).agg(
+        F.round(F.avg("_impact") * F.lit(scale), 9).alias("amihud"),
+        F.count("_impact").alias("n_days"),
+    )

@@ -994,3 +994,101 @@ class TestConvertCurrency:
         assert got[("JPY", d + dt.timedelta(days=2))] == (None, None)
         assert got[("EUR", d)] == (None, None)
         assert len(got) == 5
+
+
+class TestMicrostructure:
+    def test_tick_rule_known_sequence(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            tick_rule_signs,
+        )
+
+        d = dt.datetime(2024, 1, 1, 9, 30)
+        prices = [10.0, 10.1, 10.1, 10.0, 10.0, 10.2]
+        #         first  up    zero  down  zero  up
+        expected = [0, 1, 1, -1, -1, 1]
+        df = spark.createDataFrame(
+            [("A", d + dt.timedelta(seconds=i), p) for i, p in enumerate(prices)],
+            "sym string, ts timestamp, price double",
+        )
+        got = (
+            tick_rule_signs(df, ["sym"])
+            .orderBy("ts").select("trade_sign").toPandas()["trade_sign"].tolist()
+        )
+        assert got == expected
+
+    def test_ofi_and_duckdb_oracle(self, spark):
+        import duckdb
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            order_flow_imbalance,
+        )
+
+        rng = np.random.default_rng(3)
+        d = dt.datetime(2024, 1, 1, 9, 30)
+        rows = []
+        for sym in ("A", "B"):
+            for i in range(200):
+                rows.append(
+                    (sym, d + dt.timedelta(seconds=i),
+                     float(100 + rng.normal(0, 0.5)), float(rng.integers(1, 50)))
+                )
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        got = (
+            order_flow_imbalance(ticks, "D")
+            .toPandas().sort_values("event_type", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", ticks.toPandas())
+        exp = con.execute(
+            """
+            WITH raw AS (
+                SELECT event_type, ts, size,
+                       CASE WHEN price > lag(price) OVER w THEN 1
+                            WHEN price < lag(price) OVER w THEN -1 END AS s
+                FROM t WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ), filled AS (
+                SELECT event_type, ts, size,
+                       coalesce(last_value(s IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING), 0) AS sign
+                FROM raw
+            )
+            SELECT event_type,
+                   sum(sign * size) / sum(size) AS ofi,
+                   sum(sign * size) AS signed_volume,
+                   sum(size) AS volume,
+                   count(*) AS n_trades
+            FROM filled GROUP BY event_type ORDER BY event_type
+            """
+        ).df()
+        np.testing.assert_allclose(got["ofi"], exp["ofi"], rtol=1e-12)
+        np.testing.assert_allclose(got["signed_volume"], exp["signed_volume"], rtol=1e-12)
+        assert (got["n_trades"] == exp["n_trades"]).all()
+        assert (got["ofi"].abs() <= 1).all()
+
+    def test_amihud(self, spark):
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            amihud_illiquidity,
+        )
+
+        d = dt.date(2024, 1, 1)
+        closes = [100.0, 102.0, 101.0, 101.0]
+        vols = [1000.0, 500.0, 0.0, 800.0]  # zero-volume day excluded
+        bars = spark.createDataFrame(
+            [("A", d + dt.timedelta(days=i), c, v)
+             for i, (c, v) in enumerate(zip(closes, vols))],
+            "sym string, day date, close double, volume double",
+        )
+        row = amihud_illiquidity(bars, ["sym"]).collect()[0]
+        impacts = [
+            abs(102.0 / 100.0 - 1) / (102.0 * 500.0),
+            abs(101.0 / 101.0 - 1) / (101.0 * 800.0),
+        ]
+        # day 3 (zero volume) and day 1 (no prior close) excluded
+        assert row["n_days"] == 2
+        assert row["amihud"] == pytest.approx(np.mean(impacts) * 1e6, rel=1e-6)

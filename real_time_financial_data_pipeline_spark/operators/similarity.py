@@ -1076,3 +1076,71 @@ def incremental_semantic_dedup(
         new_vecs, corpus, threshold, k, id_col, vec_col, seed, centroids
     ).select(F.col("id_new").alias(id_col)).distinct()
     return new_vecs.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_cols: tuple[str, str] = ("max_bench_cos", "is_contaminated"),
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: tag every corpus vector
+    with its MAXIMUM cosine to any benchmark vector and a flag at
+    ``threshold`` — the semantic complement of the n-gram
+    ``training.flag_contaminated`` (verbatim overlap can be paraphrased
+    away; embedding proximity can't).
+
+    Scale shape: the benchmark set is small by definition (eval suites
+    are thousands of items), so its full matrix BROADCASTS and the corpus
+    streams through one Arrow-batched numpy matmul per batch — map-only,
+    no shuffle, no candidate generation needed (unlike in-corpus SemDedup
+    where both sides are 100 TB).  Scores snap to 9 dp before the
+    threshold (engine guard band)."""
+    score_col, flag_col = out_cols
+    b_rows = benchmark.select(vec_col).collect()
+    if not b_rows:
+        return corpus.withColumn(score_col, F.lit(None).cast("double")).withColumn(
+            flag_col, F.lit(False)
+        )
+    B = np.asarray([list(r[0]) for r in b_rows], dtype=np.float64)
+    bn = np.linalg.norm(B, axis=1)
+    bb = corpus.sparkSession.sparkContext.broadcast((B, bn))
+
+    out_schema = corpus.select(id_col).withColumn(
+        "_max_cos", F.lit(0.0)
+    ).schema
+
+    def _score(batches):
+        Bm, bnorm = bb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack_f64(pdf[vec_col])
+            cn = np.linalg.norm(C, axis=1)
+            S = (C @ Bm.T) / (cn[:, None] * bnorm[None, :])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "_max_cos": S.max(axis=1)}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    scored = scored.select(
+        id_col, F.round(F.round("_max_cos", 9), 6).alias(score_col)
+    ).withColumn(flag_col, F.round(F.col(score_col), 6) >= threshold)
+    return corpus.join(scored, id_col)
+
+
+def remove_semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop corpus vectors semantically too close to the benchmark —
+    ``semantic_contamination`` + one filter, original columns only."""
+    flagged = semantic_contamination(
+        corpus, benchmark, threshold, id_col, vec_col
+    )
+    return flagged.filter(~F.col("is_contaminated")).select(*corpus.columns)

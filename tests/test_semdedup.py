@@ -249,3 +249,75 @@ class TestKeepStrategies:
         df, _ = _planted(spark)
         with pytest.raises(ValueError):
             sd(df, keep="random")
+
+
+class TestSemanticContamination:
+    def test_flags_near_benchmark_vectors(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            remove_semantic_contamination,
+            semantic_contamination,
+        )
+
+        rng = np.random.default_rng(51)
+        bench_vecs = rng.normal(size=(5, 16))
+        corpus_rows = []
+        # ids 0-4: jittered copies of benchmark items (contaminated)
+        for i in range(5):
+            v = bench_vecs[i] + rng.normal(0, 1e-4, 16)
+            corpus_rows.append((i, [float(x) for x in v]))
+        # ids 100+: random directions (clean with overwhelming probability)
+        for i in range(30):
+            corpus_rows.append((100 + i, [float(x) for x in rng.normal(size=16)]))
+        corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+        bench = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        flagged = semantic_contamination(corpus, bench, threshold=0.99)
+        by_id = {r.vec_id: r for r in flagged.collect()}
+        assert len(by_id) == 35
+        for i in range(5):
+            assert by_id[i].is_contaminated and by_id[i].max_bench_cos > 0.999
+        assert not any(by_id[100 + i].is_contaminated for i in range(30))
+        kept = remove_semantic_contamination(corpus, bench, threshold=0.99)
+        assert {r.vec_id for r in kept.collect()} == {100 + i for i in range(30)}
+        assert kept.columns == corpus.columns
+
+    def test_max_cos_matches_numpy(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        rng = np.random.default_rng(52)
+        C = rng.normal(size=(40, 8))
+        B = rng.normal(size=(7, 8))
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(C)],
+            "vec_id long, embedding array<double>",
+        )
+        bench = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(B)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: r.max_bench_cos
+            for r in semantic_contamination(corpus, bench, 0.5).collect()
+        }
+        S = (C @ B.T) / (
+            np.linalg.norm(C, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+        )
+        exp = np.round(np.round(S.max(axis=1), 9), 6)
+        for i in range(40):
+            assert got[i] == exp[i]
+
+    def test_empty_benchmark_is_identity(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        df, _ = _planted(spark, n_topics=1, per_topic=5, dup_groups=0)
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        out = semantic_contamination(df, empty)
+        rows = out.collect()
+        assert len(rows) == 5
+        assert all(not r.is_contaminated and r.max_bench_cos is None for r in rows)

@@ -627,13 +627,15 @@ def adjust_prices(
     before two actions is scaled by both.
 
     Execution: the actions table is tiny at any scale (thousands of rows
-    for a whole market) and is BROADCAST; each price row left-joins its
-    symbol's later-dated actions and one map-side-combined groupBy takes
-    the product of their factors — cost |prices| × avg-actions-per-symbol
-    rows in the pre-aggregation, shuffle bounded by |prices|.  Rows of
-    symbols with no actions (or none later) get factor 1 exactly."""
+    for a whole market) and is BROADCAST; the factor product is computed
+    once per DISTINCT (key, time) — not per row, and never by grouping on
+    every column, which would silently merge genuinely duplicate ticks —
+    then joined back, so duplicate prints each carry their factor.  Cost:
+    one distinct + one map-side-combined product over
+    |distinct (key, ts)| × avg-actions-per-symbol rows, one (key, ts)
+    shuffle join back.  Rows of symbols with no actions (or none later)
+    get factor 1 exactly."""
     price_cols = price_cols or ["close"]
-    group_keys = [c for c in prices.columns]
     acts = F.broadcast(
         actions.select(
             F.col(key_col).alias("_a_key"),
@@ -641,17 +643,19 @@ def adjust_prices(
             F.col(factor_col).cast("double").alias("_a_factor"),
         )
     )
-    joined = prices.join(
-        acts,
-        (F.col(key_col) == F.col("_a_key"))
-        & (F.col(time_col) < F.col("_a_ts")),
-        "left",
+    factors = (
+        prices.select(key_col, time_col)
+        .distinct()
+        .join(
+            acts,
+            (F.col(key_col) == F.col("_a_key"))
+            & (F.col(time_col) < F.col("_a_ts")),
+            "left",
+        )
+        .groupBy(key_col, time_col)
+        .agg(F.coalesce(F.product("_a_factor"), F.lit(1.0)).alias("_cum_factor"))
     )
-    adj = joined.groupBy(*group_keys).agg(
-        F.coalesce(
-            F.product("_a_factor"), F.lit(1.0)
-        ).alias("_cum_factor")
-    )
+    adj = prices.join(factors, [key_col, time_col])
     out_cols = [F.col(c) for c in prices.columns]
     out_cols += [
         F.round(F.col(c) * F.col("_cum_factor"), 6).alias(f"{c}{suffix}")

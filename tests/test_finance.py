@@ -927,6 +927,29 @@ class TestAdjustPrices:
         # 1-per-day drift
         assert a.diff().abs().max() == 1.0
 
+    def test_duplicate_ticks_each_adjusted(self, spark):
+        """Two identical prints at the same (sym, ts) are distinct trades:
+        both rows must survive with the same factor (a groupBy over every
+        column would silently merge them)."""
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            adjust_prices,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+        prices = spark.createDataFrame(
+            [("A", d, 400.0), ("A", d, 400.0), ("A", d + dt.timedelta(days=2), 105.0)],
+            "sym string, ts timestamp, close double",
+        )
+        actions = spark.createDataFrame(
+            [("A", d + dt.timedelta(days=1), 0.25)],
+            "sym string, effective_date timestamp, factor double",
+        )
+        out = adjust_prices(prices, actions).collect()
+        assert len(out) == 3
+        dup = [r for r in out if r.ts == d]
+        assert len(dup) == 2 and all(r.close_adj == 100.0 for r in dup)
+
+
     def test_duckdb_oracle(self, spark):
         import duckdb
 

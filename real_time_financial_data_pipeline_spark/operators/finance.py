@@ -655,7 +655,12 @@ def adjust_prices(
         .groupBy(key_col, time_col)
         .agg(F.coalesce(F.product("_a_factor"), F.lit(1.0)).alias("_cum_factor"))
     )
-    adj = prices.join(factors, [key_col, time_col])
+    # LEFT join + coalesce: a null key/timestamp row can't equi-match its
+    # own factor group (nulls never equal), but it must pass through with
+    # factor 1, not vanish — the operator preserves row count always
+    adj = prices.join(factors, [key_col, time_col], "left").withColumn(
+        "_cum_factor", F.coalesce(F.col("_cum_factor"), F.lit(1.0))
+    )
     out_cols = [F.col(c) for c in prices.columns]
     out_cols += [
         F.round(F.col(c) * F.col("_cum_factor"), 6).alias(f"{c}{suffix}")
@@ -674,6 +679,8 @@ def convert_currency(
     rate_time_col: str = "timestamp",
     rate_col: str = "rate",
     suffix: str = "_conv",
+    to_currency: str | None = None,
+    rate_to_currency_col: str = "to_currency",
 ) -> DataFrame:
     """Convert monetary columns with the most recent FX rate AT OR BEFORE
     each row's own timestamp (as-of semantics — the only correct join for
@@ -686,9 +693,30 @@ def convert_currency(
     (operators/asof.py:asof_join — one shuffle on the currency key, union
     + forward-fill, no range explosion).  Rows whose currency has no rate
     at or before their time get NULL conversions (asof_rate is null) —
-    surfaced, never silently dropped."""
+    surfaced, never silently dropped.
+
+    A multi-pair rate table (the reference's ForexRate schema carries
+    BOTH ``from_currency`` and ``to_currency``, schema.py:24-29) MUST be
+    narrowed to one target: pass ``to_currency`` and the table is
+    filtered on ``rate_to_currency_col`` first — without it, a table
+    quoting EUR/USD and EUR/JPY would as-of-match whichever pair printed
+    last and misprice silently, so ambiguity raises instead."""
     from .asof import asof_join
 
+    if to_currency is not None:
+        if rate_to_currency_col not in rates.columns:
+            raise ValueError(
+                f"to_currency given but rates has no {rate_to_currency_col!r} column"
+            )
+        rates = rates.filter(F.col(rate_to_currency_col) == to_currency)
+    elif rate_to_currency_col in rates.columns:
+        n_targets = rates.select(rate_to_currency_col).distinct().count()
+        if n_targets > 1:
+            raise ValueError(
+                f"rates table quotes {n_targets} target currencies; pass "
+                "to_currency to pick one (as-of matching across pairs "
+                "would misprice silently)"
+            )
     r = rates.select(
         F.col(rate_currency_col).alias(currency_col),
         F.col(rate_time_col).alias(time_col),
@@ -713,6 +741,7 @@ def tick_rule_signs(
     time_col: str = "ts",
     price_col: str = "price",
     out_col: str = "trade_sign",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Classify each trade as buyer- (+1) or seller-initiated (−1) by the
     tick rule (the quote-free half of Lee-Ready): up-tick ⇒ +1, down-tick
@@ -721,8 +750,19 @@ def tick_rule_signs(
 
     One window pass on the series keys: the carry-forward is
     ``last(sign, ignorenulls)`` over the unbounded-preceding frame — the
-    same forward-fill shape as gap_fill, no Python, no second shuffle."""
-    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    same forward-fill shape as gap_fill, no Python, no second shuffle.
+
+    Tied timestamps (constant in real tick data at second granularity)
+    order by price as a secondary key, which makes the SIGN sequence
+    layout-independent: equal-(ts, price) rows are interchangeable for
+    the rule (one takes the earlier print's tick, the rest are zero-ticks
+    carrying the same sign).  Pass ``tiebreak_col`` (a unique trade id)
+    when rows must additionally keep a stable per-row identity — the
+    same contract as ``asof_join(right_tiebreak_col=)``."""
+    order = [F.col(time_col), F.col(price_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     p, prev = F.col(price_col), F.lag(F.col(price_col)).over(w)
     raw = F.when(p > prev, F.lit(1)).when(p < prev, F.lit(-1))  # null on zero/first
     run = w.rowsBetween(Window.unboundedPreceding, 0)

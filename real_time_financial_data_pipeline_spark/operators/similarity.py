@@ -1100,17 +1100,24 @@ def semantic_contamination(
     threshold (engine guard band)."""
     score_col, flag_col = out_cols
     b_rows = benchmark.select(vec_col).collect()
-    if not b_rows:
+    if b_rows:
+        B = np.asarray([list(r[0]) for r in b_rows], dtype=np.float64)
+        bn = np.linalg.norm(B, axis=1)
+        # zero-norm benchmark vectors have no cosine to anything — drop
+        # them at the driver so they can't NaN every corpus row's max
+        B, bn = B[bn > 0], bn[bn > 0]
+    else:
+        B = np.empty((0, 0))
+    if len(B) == 0:
         return corpus.withColumn(score_col, F.lit(None).cast("double")).withColumn(
             flag_col, F.lit(False)
         )
-    B = np.asarray([list(r[0]) for r in b_rows], dtype=np.float64)
-    bn = np.linalg.norm(B, axis=1)
     bb = corpus.sparkSession.sparkContext.broadcast((B, bn))
 
-    out_schema = corpus.select(id_col).withColumn(
-        "_max_cos", F.lit(0.0)
-    ).schema
+    # nullable score column: a zero-norm corpus vector has an undefined
+    # cosine and must surface as null, not NaN (Arrow ships NaN as null
+    # and a non-nullable schema then kills the job JVM-side)
+    out_schema = corpus.withColumn("_max_cos", F.lit(None).cast("double")).schema
 
     def _score(batches):
         Bm, bnorm = bb.value
@@ -1119,16 +1126,26 @@ def semantic_contamination(
                 continue
             C = _stack_f64(pdf[vec_col])
             cn = np.linalg.norm(C, axis=1)
-            S = (C @ Bm.T) / (cn[:, None] * bnorm[None, :])
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "_max_cos": S.max(axis=1)}
-            )
+            safe = cn > 0
+            scores = np.full(len(pdf), np.nan)
+            if safe.any():
+                S = (C[safe] @ Bm.T) / (cn[safe, None] * bnorm[None, :])
+                scores[safe] = S.max(axis=1)
+            # carry the corpus columns through (map-only: no re-join, no
+            # second corpus scan) and hand Arrow None, not NaN
+            yield pdf.assign(_max_cos=pd.Series(scores).astype(object).where(
+                pd.notna(scores), None
+            ))
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
-    scored = scored.select(
-        id_col, F.round(F.round("_max_cos", 9), 6).alias(score_col)
-    ).withColumn(flag_col, F.round(F.col(score_col), 6) >= threshold)
-    return corpus.join(scored, id_col)
+    scored = corpus.mapInPandas(_score, out_schema)
+    # 9-dp guard band FIRST, threshold on the 9-dp value (the engine
+    # convention — semdedup_pairs does the same), 6 dp only for display
+    cos9 = F.round("_max_cos", 9)
+    return scored.select(
+        *corpus.columns,
+        F.round(cos9, 6).alias(score_col),
+        F.coalesce(cos9 >= threshold, F.lit(False)).alias(flag_col),
+    )
 
 
 def remove_semantic_contamination(

@@ -1115,3 +1115,87 @@ class TestMicrostructure:
         # day 3 (zero volume) and day 1 (no prior close) excluded
         assert row["n_days"] == 2
         assert row["amihud"] == pytest.approx(np.mean(impacts) * 1e6, rel=1e-6)
+
+
+class TestReviewRegressions:
+    def test_adjust_prices_null_key_rows_survive(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            adjust_prices,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+        prices = spark.createDataFrame(
+            [("A", d, 100.0), (None, d, 7.0), ("A", None, 9.0)],
+            "sym string, ts timestamp, close double",
+        )
+        actions = spark.createDataFrame(
+            [("A", d + dt.timedelta(days=1), 0.5)],
+            "sym string, effective_date timestamp, factor double",
+        )
+        out = adjust_prices(prices, actions).collect()
+        assert len(out) == 3  # nothing dropped
+        by_close = {r.close: (r.close_adj, r.adj_factor) for r in out}
+        assert by_close[100.0] == (50.0, 0.5)
+        assert by_close[7.0] == (7.0, 1.0)   # null sym: untouched
+        assert by_close[9.0] == (9.0, 1.0)   # null ts: untouched
+
+    def test_convert_currency_multi_pair_guard(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            convert_currency,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+        trades = spark.createDataFrame(
+            [("EUR", d + dt.timedelta(days=3), 100.0)],
+            "currency string, ts timestamp, amount double",
+        )
+        rates = spark.createDataFrame(
+            [
+                ("EUR", "USD", d + dt.timedelta(days=1), 1.10),
+                ("EUR", "JPY", d + dt.timedelta(days=2), 160.2),
+            ],
+            "from_currency string, to_currency string, timestamp timestamp, rate double",
+        )
+        # ambiguous multi-pair table without a target: refuse loudly
+        with pytest.raises(ValueError, match="target currencies"):
+            convert_currency(trades, rates, ["amount"]).collect()
+        # explicit target picks the right pair even when the other printed later
+        usd = convert_currency(trades, rates, ["amount"], to_currency="USD").collect()[0]
+        assert usd.amount_conv == pytest.approx(110.0) and usd.asof_rate == 1.10
+        jpy = convert_currency(trades, rates, ["amount"], to_currency="JPY").collect()[0]
+        assert jpy.amount_conv == pytest.approx(16020.0)
+        with pytest.raises(ValueError, match="no 'missing_col' column"):
+            convert_currency(
+                trades, rates, ["amount"], to_currency="USD",
+                rate_to_currency_col="missing_col",
+            )
+
+    def test_tick_rule_tied_timestamps_layout_independent(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            tick_rule_signs,
+        )
+
+        d = dt.datetime(2024, 1, 1, 9, 30)
+        rows = [
+            ("A", d, 10.0, 1),
+            ("A", d + dt.timedelta(seconds=1), 10.2, 2),  # tie below
+            ("A", d + dt.timedelta(seconds=1), 10.1, 3),
+            ("A", d + dt.timedelta(seconds=2), 10.0, 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, price double, trade_id long"
+        )
+        s1 = sorted(
+            (r.trade_id, r.trade_sign)
+            for r in tick_rule_signs(df, ["sym"], tiebreak_col="trade_id").collect()
+        )
+        s2 = sorted(
+            (r.trade_id, r.trade_sign)
+            for r in tick_rule_signs(
+                df.repartition(5), ["sym"], tiebreak_col="trade_id"
+            ).collect()
+        )
+        assert s1 == s2
+        # tie orders by price: 10.1 (up from 10.0) then 10.2 (up) — both +1;
+        # final 10.0 is a down-tick
+        assert dict(s1) == {1: 0, 2: 1, 3: 1, 4: -1}

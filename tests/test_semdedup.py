@@ -321,3 +321,42 @@ class TestSemanticContamination:
         rows = out.collect()
         assert len(rows) == 5
         assert all(not r.is_contaminated and r.max_bench_cos is None for r in rows)
+
+    def test_zero_norm_vectors_dont_crash(self, spark):
+        """A degenerate all-zeros embedding (corpus OR benchmark side)
+        must surface as a null score, not NaN-poison or a JVM crash."""
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        rng = np.random.default_rng(53)
+        v = rng.normal(size=8)
+        corpus = spark.createDataFrame(
+            [
+                (0, [float(x) for x in v]),
+                (1, [0.0] * 8),                       # zero corpus vector
+                (2, [float(x) for x in v + rng.normal(0, 1e-4, 8)]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        bench = spark.createDataFrame(
+            [(0, [float(x) for x in v]), (1, [0.0] * 8)],  # zero bench vector
+            "vec_id long, embedding array<double>",
+        )
+        by_id = {r.vec_id: r for r in semantic_contamination(corpus, bench, 0.99).collect()}
+        assert len(by_id) == 3
+        assert by_id[1].max_bench_cos is None and not by_id[1].is_contaminated
+        assert by_id[0].is_contaminated and by_id[2].is_contaminated
+
+    def test_no_shuffle_single_scan_plan(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        df, _ = _planted(spark, n_topics=1, per_topic=10, dup_groups=0)
+        bench = df.limit(2)
+        plan = (
+            semantic_contamination(df, bench, 0.9)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan

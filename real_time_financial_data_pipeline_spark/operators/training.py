@@ -557,3 +557,70 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def assign_time_folds(
+    df: DataFrame,
+    time_col: str,
+    n_folds: int = 5,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Contiguous time-block fold assignment for time-series cross
+    validation: fold k holds the rows between the k-th and (k+1)-th
+    time quantiles, so folds are temporally ordered, near-equal-sized
+    blocks — the prerequisite for walk-forward evaluation (a hash/random
+    split would leak future information into every training set).
+
+    The boundaries come from ONE ``approx_percentile`` aggregate
+    (mergeable sketch) collected driver-side; assignment is then a pure
+    map-only projection against the broadcast boundary literals — no
+    sort, no ntile window (a global ntile would single-partition the
+    table).  Deterministic given the data."""
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    probs = [i / n_folds for i in range(1, n_folds)]
+    bounds = df.select(
+        F.percentile_approx(F.col(time_col).cast("double"), probs).alias("b")
+    ).first()["b"]
+    expr = F.lit(n_folds - 1)
+    for i in reversed(range(n_folds - 1)):
+        expr = F.when(
+            F.col(time_col).cast("double") <= F.lit(bounds[i]), F.lit(i)
+        ).otherwise(expr)
+    return df.withColumn(out_col, expr.cast("int"))
+
+
+def walk_forward_split(
+    df: DataFrame,
+    fold: int,
+    time_col: str,
+    n_folds: int = 5,
+    embargo: str | None = None,
+    fold_col: str = "fold",
+) -> tuple[DataFrame, DataFrame]:
+    """Walk-forward train/test for one fold: test = fold ``fold``'s time
+    block, train = ALL data strictly before it, minus an optional
+    ``embargo`` interval (e.g. ``'2 days'``) immediately preceding the
+    test block — the Prado-style guard that keeps overlapping-horizon
+    features (returns computed over windows that straddle the boundary)
+    from leaking label information across the split.
+
+    Fold 0 has no training past — callers iterate folds 1..n_folds-1.
+    Both frames are filters over the assigned table: map-only, pushdown-
+    friendly, no shuffle."""
+    if not 1 <= fold < n_folds:
+        raise ValueError(f"fold must be in [1, {n_folds - 1}], got {fold}")
+    assigned = (
+        df if fold_col in df.columns else assign_time_folds(df, time_col, n_folds, fold_col)
+    )
+    test = assigned.filter(F.col(fold_col) == fold)
+    test_start = test.agg(F.min(time_col)).first()[0]
+    if test_start is None:
+        return assigned.limit(0), test
+    cutoff = F.lit(test_start)
+    if embargo is not None:
+        cutoff = cutoff - F.expr(f"INTERVAL {embargo}")
+    train = assigned.filter(
+        (F.col(fold_col) < fold) & (F.col(time_col) < cutoff)
+    )
+    return train, test

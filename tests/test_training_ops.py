@@ -415,3 +415,76 @@ def test_prepare_training_set_semantic_stage(spark):
         embeddings=emb, semantic_threshold=0.999, semantic_k=1,
     )
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+class TestWalkForward:
+    def _events(self, spark):
+        import datetime as dt
+
+        d = dt.datetime(2024, 1, 1)
+        rows = [(i, d + dt.timedelta(hours=i)) for i in range(500)]
+        return spark.createDataFrame(rows, "id long, ts timestamp")
+
+    def test_folds_are_contiguous_time_blocks(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            assign_time_folds,
+        )
+
+        df = assign_time_folds(self._events(spark), "ts", n_folds=5)
+        pdf = df.toPandas().sort_values("ts", ignore_index=True)
+        # fold ids are non-decreasing in time and cover 0..4
+        assert (pdf["fold"].diff().fillna(0) >= 0).all()
+        assert set(pdf["fold"]) == set(range(5))
+        # near-equal block sizes (approx_percentile boundaries)
+        sizes = pdf.groupby("fold").size()
+        assert sizes.min() > 500 / 5 * 0.7
+
+    def test_no_leakage_and_embargo(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            walk_forward_split,
+        )
+
+        df = self._events(spark)
+        for k in (1, 3, 4):
+            train, test = walk_forward_split(df, k, "ts", n_folds=5)
+            t_max = train.agg(F.max("ts")).first()[0]
+            s_min = test.agg(F.min("ts")).first()[0]
+            assert t_max < s_min
+        # embargo: the last 24h before the test block is excluded
+        tr_e, te = walk_forward_split(df, 3, "ts", n_folds=5, embargo="24 hours")
+        t_max = tr_e.agg(F.max("ts")).first()[0]
+        s_min = te.agg(F.min("ts")).first()[0]
+        assert (s_min - t_max).total_seconds() > 24 * 3600
+
+    def test_train_grows_with_fold(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            walk_forward_split,
+        )
+
+        df = self._events(spark)
+        counts = [walk_forward_split(df, k, "ts", n_folds=5)[0].count() for k in (1, 2, 3, 4)]
+        assert counts == sorted(counts) and counts[0] > 0
+
+    def test_layout_independent(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            assign_time_folds,
+        )
+
+        df = self._events(spark)
+        a = {r.id: r.fold for r in assign_time_folds(df, "ts", 4).collect()}
+        b = {r.id: r.fold for r in assign_time_folds(df.repartition(7), "ts", 4).collect()}
+        assert a == b
+
+    def test_bad_args(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            assign_time_folds,
+            walk_forward_split,
+        )
+
+        df = self._events(spark)
+        with pytest.raises(ValueError):
+            assign_time_folds(df, "ts", 1)
+        with pytest.raises(ValueError):
+            walk_forward_split(df, 0, "ts", n_folds=5)
+        with pytest.raises(ValueError):
+            walk_forward_split(df, 5, "ts", n_folds=5)

@@ -268,3 +268,56 @@ def test_crashed_commit_retry_not_blocked(spark, tmp_path):
     assert v == 1
     assert t.read().count() == 15
     assert {r.id for r in t.read_changes(0).collect()} == set(range(10, 15))
+
+
+def test_quarantined_versioned_ingest_chain(spark, tmp_path):
+    """Deployment chain tying the round's two ingest features: each
+    micro-batch splits on the rule set (split_by_rules) and BOTH sides
+    land as versioned commits — good rows queryable with time travel,
+    quarantine auditable with its violation labels, and the downstream
+    incremental consumer reads only the good delta."""
+    from real_time_financial_data_pipeline_spark.operators.quality import (
+        in_range,
+        not_null,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.ingest import (
+        split_by_rules,
+    )
+
+    rules = [not_null("v"), in_range("id", 0, 999)]
+    src = tmp_path / "src"
+    good1 = [(i, i * 2) for i in range(20)]
+    bad1 = [(2000, 1), (3000, None)]
+    good2 = [(i, i * 2) for i in range(20, 30)]
+    schema = "id long, v long"
+    spark.createDataFrame(good1 + bad1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(good2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    good_t = VersionedTable(spark, str(tmp_path / "good"))
+    dlq_t = VersionedTable(spark, str(tmp_path / "dlq"))
+
+    def route(batch_df, batch_id):
+        good, bad = split_by_rules(batch_df, rules)
+        good_t.commit(good)
+        dlq_t.commit(bad)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert good_t.read().count() == 30
+    assert good_t.read(0).count() == 20  # time travel to the first trigger
+    dlq = dlq_t.read().toPandas()
+    assert len(dlq) == 2 and "_violations" in dlq.columns
+    # incremental consumer: only the second trigger's good rows
+    delta = good_t.read_changes(0)
+    assert {r.id for r in delta.collect()} == set(range(20, 30))

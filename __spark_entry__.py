@@ -322,6 +322,35 @@ def _gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill(daily, "event_type", "period", ["avg_value"])
 
 
+def _portfolio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted portfolio return series + equity curve over the per-type
+    daily close bars (operators/finance.py:portfolio_returns): literal
+    CASE weights, one key shuffle for the lag returns, one day-grain
+    aggregate, running log-sum product over the output-sized day table;
+    a >= 100% loss day zeroes the curve permanently (sticky wipe-out) —
+    every branch re-derived in DuckDB window SQL."""
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        portfolio_returns,
+    )
+
+    bars = daily_close_bars(load_table(spark, sf_dir, "events"))
+    out = portfolio_returns(
+        bars, {"purchase": 0.5, "click": 0.3, "view": 0.2},
+        key_col="event_type", day_col="day",
+    )
+    # the equity curve is hash-compared in LOG scale: the synthetic
+    # series compounds to ~1e10, where round(x, 6) cannot absorb the
+    # 1-ulp JVM-vs-libm exp/ln differences; ln(curve) is O(10) and
+    # round-6-stable.  Wiped-out (curve = 0) days surface as NULL.
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("portfolio_return", 6).alias("portfolio_return"),
+        F.round(
+            F.when(F.col("cum_growth") > 0, F.log("cum_growth")), 6
+        ).alias("cum_log_growth"),
+    )
+
+
 def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 merge: customer as a versioned dimension, one synthetic
     deterministic update batch (every custkey % 10 == 0 gets +100 balance,
@@ -660,6 +689,7 @@ BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlcv_monthly": _ohlcv_query("M"),
     "quality_score": _quality_score,
     "moving_average_7": _moving_average,
+    "gap_fill_daily": _gap_fill_daily,
 }
 
 
@@ -1188,7 +1218,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       stays oracle-checked via ann_cosine_topk; tests
       test_semdedup.py::test_k1_equals_brute_force pins the brute twin)
       -> semdedup_pairs IN (cluster-bounded candidate generation +
-      assignment + scoring all re-derived in DuckDB)."""
+      assignment + scoring all re-derived in DuckDB).
+
+    Round-8 fifth rotation:
+
+    - gap_fill_daily OUT (its forward-fill kernel — last(ignorenulls)
+      over the per-key calendar — is the same fill shape the
+      asof_purchase_click oracle row checks against DuckDB's native ASOF
+      JOIN every round; the calendar generator stays pytest-anchored by
+      test_asof_gapfill.py, and the query stays on the frozen bench
+      headline via BENCH_OVERRIDES)
+      -> portfolio_daily IN (weighted portfolio return series + sticky-
+      wipe-out equity curve, every branch re-derived in DuckDB window
+      SQL; the curve is hash-compared in log scale because the synthetic
+      series compounds to ~1e10 where 6-dp rounding cannot absorb
+      JVM-vs-libm 1-ulp exp/ln drift)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1218,7 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quality_report": _events_quality_report,
         "top_terms_by_source": _top_terms_by_source,
         "asof_purchase_click": _asof_purchase_click,
-        "gap_fill_daily": _gap_fill_daily,
+        "portfolio_daily": _portfolio_daily,
         "user_retention_cohorts": _user_retention_cohorts,
         "scd2_customer_dim": _scd2_customer_dim,
         "revenue_rollup": _revenue_rollup,
@@ -1679,24 +1723,34 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases l
         ASOF LEFT JOIN clicks r ON l.user_id = r.user_id AND l.ts >= r.ts
     """
-    sqls["gap_fill_daily"] = """
-        WITH d AS (
+    # portfolio_daily: lag returns, literal CASE weights, day-grain sum,
+    # running log-sum equity curve with the sticky wipe-out branch — the
+    # whole operator is window SQL
+    sqls["portfolio_daily"] = """
+        WITH bars AS (
             SELECT event_type,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
-                   round(avg(value), 6) AS avg_value
-            FROM events WHERE day(ts) % 3 <> 0
-            GROUP BY 1, 2
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
         ),
-        b AS (SELECT event_type, min(period) AS mn, max(period) AS mx FROM d GROUP BY 1),
-        cal AS (
-            SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS period
-            FROM b
-        )
-        SELECT c.event_type, c.period,
-               last_value(d.avg_value IGNORE NULLS) OVER (
-                   PARTITION BY c.event_type ORDER BY c.period
-                   ROWS UNBOUNDED PRECEDING) AS avg_value_ff
-        FROM cal c LEFT JOIN d ON c.event_type = d.event_type AND c.period = d.period
+        r AS (
+            SELECT day,
+                   close / lag(close) OVER (PARTITION BY event_type ORDER BY day) - 1 AS ret,
+                   CASE event_type WHEN 'purchase' THEN 0.5
+                                   WHEN 'click' THEN 0.3
+                                   WHEN 'view' THEN 0.2 END AS w
+            FROM bars WHERE event_type IN ('purchase', 'click', 'view')
+        ),
+        d AS (SELECT day, sum(w * ret) AS pr FROM r GROUP BY day)
+        SELECT day,
+               round(pr, 6) AS portfolio_return,
+               CASE WHEN min(coalesce(1 + pr, 1.0)) OVER (
+                        ORDER BY day ROWS UNBOUNDED PRECEDING) <= 0
+                    THEN NULL
+                    ELSE round(sum(ln(1 + coalesce(pr, 0.0))) OVER (
+                        ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+               END AS cum_log_growth
+        FROM d
     """
     sqls["scd2_customer_dim"] = """
         WITH dim AS (

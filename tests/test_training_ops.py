@@ -488,3 +488,37 @@ class TestWalkForward:
             walk_forward_split(df, 0, "ts", n_folds=5)
         with pytest.raises(ValueError):
             walk_forward_split(df, 5, "ts", n_folds=5)
+
+    def test_duckdb_reassigns_folds_from_boundaries(self, spark):
+        """Staged-boundary oracle (in-test): DuckDB re-derives every row's
+        fold from the SAME boundary literals Spark computed — the map-only
+        assignment projection, the part that touches all the data, is
+        engine-independently confirmed."""
+        import duckdb
+
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            assign_time_folds,
+        )
+
+        df = self._events(spark)
+        assigned = assign_time_folds(df, "ts", n_folds=4).toPandas()
+        bounds = (
+            df.select(
+                F.percentile_approx(F.col("ts").cast("double"), [0.25, 0.5, 0.75]).alias("b")
+            ).first()["b"]
+        )
+        con = duckdb.connect()
+        con.register("a", assigned)
+        mismatches = con.execute(
+            f"""
+            SELECT count(*) FROM (
+                SELECT fold,
+                       CASE WHEN epoch(ts) <= {bounds[0]} THEN 0
+                            WHEN epoch(ts) <= {bounds[1]} THEN 1
+                            WHEN epoch(ts) <= {bounds[2]} THEN 2
+                            ELSE 3 END AS fold_oracle
+                FROM a
+            ) WHERE fold <> fold_oracle
+            """
+        ).fetchone()[0]
+        assert mismatches == 0

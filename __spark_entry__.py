@@ -351,6 +351,36 @@ def _portfolio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ofi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow imbalance per (event_type, day) over tick-rule trade
+    signs (operators/finance.py:order_flow_imbalance): up/down-tick ±1
+    with zero-tick forward-fill, then signed volume over total volume —
+    sign classification AND the calendar aggregate re-derived in DuckDB
+    window SQL.  Size = the JSON ``k`` prop, as in vwap_daily; the events
+    table's (event_type, ts) pairs are unique at this SF so the sign
+    sequence is tie-free and engine-independent."""
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        order_flow_imbalance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        "event_type",
+        "ts",
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("size"),
+    )
+    out = order_flow_imbalance(ticks, "D", ["event_type"])
+    return out.select(
+        "event_type",
+        "period",
+        F.round("ofi", 6).alias("ofi"),
+        F.round("signed_volume", 6).alias("signed_volume"),
+        F.round("volume", 6).alias("volume"),
+        "n_trades",
+    )
+
+
 def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 merge: customer as a versioned dimension, one synthetic
     deterministic update batch (every custkey % 10 == 0 gets +100 balance,
@@ -1232,7 +1262,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       wipe-out equity curve, every branch re-derived in DuckDB window
       SQL; the curve is hash-compared in log scale because the synthetic
       series compounds to ~1e10 where 6-dp rounding cannot absorb
-      JVM-vs-libm 1-ulp exp/ln drift)."""
+      JVM-vs-libm 1-ulp exp/ln drift);
+    - top_terms_by_source OUT (its explode→count vocabulary aggregate is
+      the tf half of the (doc, term, tf) recomputation the
+      tfidf_top_docs oracle performs every round;
+      test_top_terms_ranks_and_excludes_stopwords pins ranking and the
+      stopword gate)
+      -> ofi_daily IN (tick-rule sign classification — lag compare +
+      last-ignore-nulls forward fill — and the signed-volume calendar
+      aggregate, all re-derived in DuckDB window SQL)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1260,7 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": _order_priority,
         "value_percentiles": _value_percentiles,
         "events_quality_report": _events_quality_report,
-        "top_terms_by_source": _top_terms_by_source,
+        "ofi_daily": _ofi_daily,
         "asof_purchase_click": _asof_purchase_click,
         "portfolio_daily": _portfolio_daily,
         "user_retention_cohorts": _user_retention_cohorts,
@@ -1668,23 +1706,35 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.99), 6) AS p99
         FROM events GROUP BY 1
     """
-    sqls["top_terms_by_source"] = """
-        WITH toks AS (
-            SELECT source, unnest(string_split(lower(text), ' ')) AS term
-            FROM documents
+    # ofi_daily: tick-rule signs (lag compare + last-ignore-nulls forward
+    # fill) and the signed-volume calendar aggregate, all window SQL
+    sqls["ofi_daily"] = """
+        WITH ticks AS (
+            SELECT event_type, ts, value AS price,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
+            FROM events
         ),
-        counts AS (
-            SELECT source, term, count(*) AS n
-            FROM toks
-            WHERE term != ''
-              AND term NOT IN ('the','a','and','of','to','in','is','on','for','as')
-            GROUP BY 1, 2
+        raw AS (
+            SELECT event_type, ts, size, price,
+                   CASE WHEN price > lag(price) OVER w THEN 1
+                        WHEN price < lag(price) OVER w THEN -1 END AS s
+            FROM ticks WINDOW w AS (PARTITION BY event_type ORDER BY ts, price)
+        ),
+        signed AS (
+            SELECT event_type, ts, size,
+                   coalesce(last_value(s IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY ts, price
+                       ROWS UNBOUNDED PRECEDING), 0) AS sign
+            FROM raw
         )
-        SELECT source, term, CAST(n AS BIGINT) AS n, rank FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY source ORDER BY n DESC, term) AS rank
-            FROM counts
-        ) WHERE rank <= 5
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+               round(CASE WHEN sum(size) > 0
+                     THEN sum(sign * size) / sum(size) END, 6) AS ofi,
+               round(sum(sign * size), 6) AS signed_volume,
+               round(sum(size), 6) AS volume,
+               count(*) AS n_trades
+        FROM signed GROUP BY 1, 2
     """
     # the same rule predicates, evaluated engine-side in DuckDB (violation =
     # predicate false OR null, exactly as Q.check counts them)

@@ -835,3 +835,147 @@ def amihud_illiquidity(
         F.round(F.avg("_impact") * F.lit(scale), 9).alias("amihud"),
         F.count("_impact").alias("n_days"),
     )
+
+
+def activity_bars(
+    ticks: DataFrame,
+    threshold: float,
+    by: str = "volume",
+    key_cols: list[str] | None = None,
+    time_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "size",
+    bar_col: str = "bar_id",
+) -> DataFrame:
+    """Activity-clock bars (López de Prado, AFML ch. 2): resample ticks by
+    cumulative VOLUME (``by='volume'``) or DOLLAR value (``by='dollar'``)
+    instead of wall time — bar k holds the ticks whose running activity
+    total lies in [k·threshold, (k+1)·threshold).  Time bars undersample
+    busy regimes and oversample quiet ones; activity bars equalize
+    information per bar, which is why the microstructure literature
+    prefers them for downstream ML.
+
+    Output: per (keys, bar_id) OHLC + VWAP + volume + tick count + the
+    bar's open/close times.  Execution: ONE running-sum window per key
+    (the same one-shuffle prefix shape as ``anchored_vwap``) to assign
+    ``bar_id = floor(cum_activity / threshold)``, then the standard
+    map-side-combined bar aggregate — no Python, no second shuffle on the
+    tick table (the agg reuses the key partitioning).  Null sizes count
+    as zero activity; null prices join their bar but contribute no
+    OHLC/VWAP term (same null contract as ``vwap_bars``)."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if by not in ("volume", "dollar"):
+        raise ValueError(f"by must be volume|dollar, got {by!r}")
+    key_cols = key_cols or ["event_type"]
+    s = F.coalesce(F.col(size_col).cast("double"), F.lit(0.0))
+    activity = s if by == "volume" else s * F.col(price_col)
+    activity = F.coalesce(activity, F.lit(0.0))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(time_col), F.col(price_col), F.col(size_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bar of a tick = bars completed BEFORE it (activity sum over strictly
+    # preceding ticks), so a bar closes exactly when its threshold fills
+    cum_before = F.coalesce(F.sum(activity).over(w), F.lit(0.0))
+    tagged = ticks.withColumn(
+        bar_col, F.floor(cum_before / F.lit(float(threshold))).cast("long")
+    )
+    p = F.col(price_col)
+    sz = F.col(size_col).cast("double")
+    notional = F.sum(p * sz)
+    volume = F.sum(sz)
+    return tagged.groupBy(*key_cols, bar_col).agg(
+        F.min_by(p, F.col(time_col)).alias("open"),
+        F.max(p).alias("high"),
+        F.min(p).alias("low"),
+        F.max_by(p, F.col(time_col)).alias("close"),
+        F.when(volume > 0, notional / volume).alias("vwap"),
+        volume.alias("volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min(time_col).alias("open_ts"),
+        F.max(time_col).alias("close_ts"),
+    )
+
+
+def range_volatility(
+    bars: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    window: int = 20,
+    annualize: float = ANNUALIZE_DAILY,
+) -> DataFrame:
+    """Range-based volatility estimators over OHLC bars — Parkinson (1980,
+    high/low range) and Garman-Klass (1980, range + open/close), both ~5-7×
+    more efficient than close-to-close on the same sample:
+
+    * ``parkinson_var``  = mean over the window of ln(H/L)² / (4·ln 2)
+    * ``gk_var``         = mean of 0.5·ln(H/L)² − (2·ln 2 − 1)·ln(C/O)²
+    * ``parkinson_vol`` / ``gk_vol`` = sqrt(var) × ``annualize``
+
+    One trailing-frame window pass on the series keys — the same
+    single-shuffle shape as :func:`window_indicators`; bars with any
+    missing OHLC leg yield null terms that drop out of the mean."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    ln2 = math.log(2.0)
+    hl2 = F.pow(F.log(F.col("high") / F.col("low")), 2)
+    co2 = F.pow(F.log(F.col("close") / F.col("open")), 2)
+    pk_term = hl2 / F.lit(4.0 * ln2)
+    gk_term = F.lit(0.5) * hl2 - F.lit(2.0 * ln2 - 1.0) * co2
+    out = bars.withColumn("_pk", pk_term).withColumn("_gk", gk_term)
+    pk_var = F.avg("_pk").over(w)
+    gk_var = F.avg("_gk").over(w)
+    return out.select(
+        *key_cols,
+        F.col(day_col),
+        "open", "high", "low", "close",
+        pk_var.alias("parkinson_var"),
+        F.sqrt(pk_var).alias("_pk_sd"),
+        gk_var.alias("gk_var"),
+    ).select(
+        *key_cols,
+        day_col,
+        "open", "high", "low", "close",
+        "parkinson_var",
+        (F.col("_pk_sd") * F.lit(annualize)).alias("parkinson_vol"),
+        "gk_var",
+        (F.sqrt(F.greatest(F.col("gk_var"), F.lit(0.0))) * F.lit(annualize)).alias("gk_vol"),
+    )
+
+
+def kyle_lambda(
+    ticks: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "size",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Kyle's lambda per series: the OLS slope of per-tick price changes on
+    signed volume (tick-rule signs), λ = cov(Δp, q·v) / var(q·v) — the
+    classic price-impact coefficient (price moves λ per unit of net order
+    flow).
+
+    One window pass for Δp and the tick-rule sign (shared sort), then one
+    map-side-combined ``covar_samp``/``var_samp`` aggregate per series —
+    no regression library, no driver math.  Ticks with no previous print
+    (Δp undefined) drop out of the moments."""
+    signed = tick_rule_signs(
+        ticks, key_cols, time_col, price_col, tiebreak_col=tiebreak_col
+    )
+    order = [F.col(time_col), F.col(price_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    dp = F.col(price_col) - F.lag(price_col).over(w)
+    sv = F.col("trade_sign") * F.col(size_col).cast("double")
+    staged = signed.select(*key_cols, dp.alias("_dp"), sv.alias("_sv"))
+    return staged.groupBy(*key_cols).agg(
+        (F.covar_samp("_dp", "_sv") / F.var_samp("_sv")).alias("kyle_lambda"),
+        F.count("_dp").alias("n_ticks"),
+    )

@@ -1199,3 +1199,158 @@ class TestReviewRegressions:
         # tie orders by price: 10.1 (up from 10.0) then 10.2 (up) — both +1;
         # final 10.0 is a down-tick
         assert dict(s1) == {1: 0, 2: 1, 3: 1, 4: -1}
+
+
+class TestActivityBars:
+    def test_volume_bars_partition_by_threshold(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+        )
+
+        d = dt.datetime(2024, 1, 1, 9, 30)
+        # sizes: 3,4,5 | 6 | 2,3,8 -> cum-before: 0,3,7 | 12 | 18,20,23
+        sizes = [3, 4, 5, 6, 2, 3, 8]
+        prices = [10.0, 11.0, 9.0, 12.0, 10.5, 10.6, 10.0]
+        rows = [
+            ("A", d + dt.timedelta(seconds=i), p, float(s))
+            for i, (p, s) in enumerate(zip(prices, sizes))
+        ]
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        out = {r.bar_id: r for r in activity_bars(ticks, 10.0, "volume").collect()}
+        # bar 0: cum-before 0,3,7 (<10): ticks 0-2; bar 1: 12,18 -> ticks 3,4; bar 2: 20,23
+        assert sorted(out) == [0, 1, 2]
+        assert out[0].n_ticks == 3 and out[0].open == 10.0 and out[0].close == 9.0
+        assert out[0].high == 11.0 and out[0].low == 9.0
+        assert out[1].n_ticks == 2 and out[1].volume == 8.0
+        assert out[2].n_ticks == 2
+        # total volume conserved
+        assert sum(r.volume for r in out.values()) == float(sum(sizes))
+
+    def test_dollar_bars_and_duckdb_oracle(self, spark):
+        import duckdb
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+        )
+
+        rng = np.random.default_rng(9)
+        d = dt.datetime(2024, 1, 2, 9, 30)
+        rows = []
+        for sym in ("A", "B"):
+            for i in range(120):
+                rows.append(
+                    (sym, d + dt.timedelta(seconds=i),
+                     float(50 + rng.normal(0, 1)), float(rng.integers(1, 20)))
+                )
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        got = (
+            activity_bars(ticks, 5000.0, "dollar")
+            .toPandas().sort_values(["event_type", "bar_id"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", ticks.toPandas())
+        exp = con.execute(
+            """
+            WITH cum AS (
+                SELECT *, coalesce(sum(price * size) OVER (
+                    PARTITION BY event_type ORDER BY ts, price, size
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                FROM t
+            )
+            SELECT event_type, CAST(floor(cb / 5000.0) AS BIGINT) AS bar_id,
+                   arg_min(price, ts) AS open, max(price) AS high,
+                   min(price) AS low, arg_max(price, ts) AS close,
+                   sum(price * size) / sum(size) AS vwap,
+                   sum(size) AS volume, count(*) AS n_ticks
+            FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).df()
+        assert (got["bar_id"] == exp["bar_id"]).all()
+        for c in ("open", "high", "low", "close", "vwap", "volume"):
+            np.testing.assert_allclose(got[c], exp[c], rtol=1e-12, err_msg=c)
+        assert (got["n_ticks"] == exp["n_ticks"]).all()
+
+    def test_bad_args(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+        )
+
+        ticks = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0, 1.0)],
+            "event_type string, ts timestamp, price double, size double",
+        )
+        with pytest.raises(ValueError):
+            activity_bars(ticks, 0)
+        with pytest.raises(ValueError):
+            activity_bars(ticks, 10, by="trades")
+
+
+class TestRangeVolAndKyle:
+    def test_range_vol_matches_formulas(self, spark):
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            ANNUALIZE_DAILY,
+            range_volatility,
+        )
+
+        rng = np.random.default_rng(15)
+        d = dt.date(2024, 1, 1)
+        rows = []
+        closes = 100 + np.cumsum(rng.normal(0, 1, 30))
+        for i, c in enumerate(closes):
+            o = c + rng.normal(0, 0.5)
+            h = max(o, c) + abs(rng.normal(0, 0.5))
+            l = min(o, c) - abs(rng.normal(0, 0.5))
+            rows.append(("A", d + dt.timedelta(days=i), float(o), float(h), float(l), float(c)))
+        bars = spark.createDataFrame(
+            rows, "sym string, day date, open double, high double, low double, close double"
+        )
+        got = (
+            range_volatility(bars, ["sym"], window=10)
+            .toPandas().sort_values("day", ignore_index=True)
+        )
+        import pandas as pd
+
+        pdf = bars.toPandas().sort_values("day", ignore_index=True)
+        pk = (np.log(pdf.high / pdf.low) ** 2) / (4 * np.log(2))
+        gk = 0.5 * np.log(pdf.high / pdf.low) ** 2 - (2 * np.log(2) - 1) * np.log(pdf.close / pdf.open) ** 2
+        exp_pk = pk.rolling(10, min_periods=1).mean()
+        exp_gk = gk.rolling(10, min_periods=1).mean()
+        np.testing.assert_allclose(got["parkinson_var"], exp_pk, rtol=1e-12)
+        np.testing.assert_allclose(got["gk_var"], exp_gk, rtol=1e-12)
+        np.testing.assert_allclose(
+            got["parkinson_vol"], np.sqrt(exp_pk) * ANNUALIZE_DAILY, rtol=1e-12
+        )
+
+    def test_kyle_lambda_recovers_planted_impact(self, spark):
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            kyle_lambda,
+        )
+
+        rng = np.random.default_rng(33)
+        d = dt.datetime(2024, 1, 1, 9, 30)
+        lam = 0.003
+        price = 100.0
+        rows = []
+        for i in range(800):
+            q = 1 if rng.random() < 0.5 else -1
+            v = float(rng.integers(1, 100))
+            # planted linear impact: the NEXT price moves by lam * q * v
+            price = price + lam * q * v + rng.normal(0, 0.01)
+            rows.append(("A", d + dt.timedelta(seconds=i), float(price), v))
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        row = kyle_lambda(ticks, ["event_type"]).collect()[0]
+        # tick-rule signs recover the trade direction (impact dominates
+        # noise), so the regression slope lands near the planted lambda
+        assert row["kyle_lambda"] == pytest.approx(lam, rel=0.15)
+        assert row["n_ticks"] == 799

@@ -241,3 +241,147 @@ def stream_anchored_vwap(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+STREAM_BAR_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("bar_id", LongType(), True),
+        StructField("open", DoubleType(), True),
+        StructField("high", DoubleType(), True),
+        StructField("low", DoubleType(), True),
+        StructField("close", DoubleType(), True),
+        StructField("vwap", DoubleType(), True),
+        StructField("volume", DoubleType(), True),
+        StructField("n_ticks", LongType(), True),
+        StructField("open_ts", TimestampType(), True),
+        StructField("close_ts", TimestampType(), True),
+    ]
+)
+
+_BAR_STATE_SCHEMA = StructType(
+    [
+        StructField("cum_activity", DoubleType(), True),
+        StructField("bar_id", LongType(), True),
+        StructField("open", DoubleType(), True),
+        StructField("high", DoubleType(), True),
+        StructField("low", DoubleType(), True),
+        StructField("close", DoubleType(), True),
+        StructField("notional", DoubleType(), True),
+        StructField("volume", DoubleType(), True),
+        StructField("n_ticks", LongType(), True),
+        StructField("open_ts_us", LongType(), True),
+        StructField("close_ts_us", LongType(), True),
+        StructField("last_ts_us", LongType(), True),
+    ]
+)
+
+
+def _make_bar_update(threshold: float, by_dollar: bool):
+    import datetime as _dt
+
+    def _us_to_ts(us):
+        return pd.Timestamp(us, unit="us")
+
+    def _update(key, pdfs, state):
+        if state.exists:
+            (cum, bar_id, o, h, l, c, notional, volume, n,
+             open_us, close_us, last_us) = state.get
+        else:
+            cum, bar_id, last_us = 0.0, None, None
+            o = h = l = c = notional = volume = None
+            n = open_us = close_us = 0
+        out = []
+
+        def flush():
+            # vwap None when the bar saw no valid price (batch: SUM over
+            # all-null products is null) or no volume
+            vwap = (
+                notional / volume
+                if volume and volume > 0 and o is not None
+                else None
+            )
+            out.append((key[0], bar_id, o, h, l, c, vwap,
+                        volume, n, _us_to_ts(open_us), _us_to_ts(close_us)))
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "price", "size"], ignore_index=True
+            )
+            for ts, price, size in zip(pdf["ts"], pdf["price"], pdf["size"]):
+                ts_us = int(ts.value // 1_000)
+                if last_us is not None and ts_us <= last_us:
+                    continue  # out-of-order tick: dropped (indicator contract)
+                p = None if price is None or pd.isna(price) else float(price)
+                s = 0.0 if size is None or pd.isna(size) else float(size)
+                this_bar = int(cum // threshold)
+                if bar_id is not None and this_bar > bar_id:
+                    flush()  # the previous bar's threshold filled: emit it
+                    bar_id = None
+                if bar_id is None:
+                    bar_id = this_bar
+                    o = h = l = c = None
+                    notional, volume, n = 0.0, 0.0, 0
+                    open_us = ts_us
+                if p is not None:
+                    if o is None:
+                        o = p
+                    h = p if h is None else max(h, p)
+                    l = p if l is None else min(l, p)
+                    c = p
+                    notional += p * s
+                volume += s
+                n += 1
+                close_us = ts_us
+                activity = (p * s) if by_dollar else s
+                if by_dollar and p is None:
+                    activity = 0.0
+                cum += activity
+                last_us = ts_us
+        state.update((cum, bar_id, o, h, l, c, notional, volume, n,
+                      open_us, close_us, last_us))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in STREAM_BAR_SCHEMA.fields])
+
+    return _update
+
+
+def stream_activity_bars(
+    ticks: DataFrame,
+    threshold: float,
+    by: str = "volume",
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    price_col: str = "price",
+    size_col: str = "size",
+) -> DataFrame:
+    """Real-time activity-clock bars — the streaming twin of
+    ``operators.finance.activity_bars``: per-key state holds the running
+    activity total plus ONE in-progress bar's accumulators (~10 scalars),
+    and a bar is emitted the moment a tick lands beyond its threshold.
+    CLOSED bars match the batch operator's output exactly (batch-parity
+    test: stream over a drained backlog ≡ batch bars minus each key's
+    final, still-open bar); the open bar stays in state until its
+    threshold fills — an activity clock has no wall-clock deadline, so
+    there is nothing to watermark.
+
+    Same ordering contract as the other tick-state ops: per key
+    non-decreasing event time, in-batch rows sorted, late ticks dropped."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    if by not in ("volume", "dollar"):
+        raise ValueError(f"by must be volume|dollar, got {by!r}")
+    normalized = ticks.selectExpr(
+        f"CAST({key_col} AS string) AS key",
+        f"CAST({time_col} AS timestamp) AS ts",
+        f"CAST({price_col} AS double) AS price",
+        f"CAST({size_col} AS double) AS size",
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _make_bar_update(float(threshold), by == "dollar"),
+        outputStructType=STREAM_BAR_SCHEMA,
+        stateStructType=_BAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -275,3 +275,87 @@ class TestNullClose:
         assert ((bs == gs) | (bs.isna() & gs.isna())).all()
         # the stale run survives the gap: [1,2,3,1,1,2,3] per the batch rule
         assert got["stale_run"].tolist() == [1, 2, 3, 1, 1, 2, 3]
+
+
+class TestStreamActivityBars:
+    def test_closed_bars_match_batch(self, spark, tmp_path):
+        """Drained-backlog parity: every CLOSED streaming bar equals the
+        batch activity_bars row; each key's final (still-open) bar stays
+        in state."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+        )
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_activity_bars,
+        )
+
+        rng = np.random.default_rng(7)
+        d = dt.datetime(2024, 2, 1, 9, 30)
+        rows = []
+        for sym in ("A", "B"):
+            for i in range(150):
+                rows.append(
+                    (sym, d + dt.timedelta(seconds=i),
+                     float(100 + rng.normal(0, 1)), float(rng.integers(1, 30)))
+                )
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        batch = (
+            activity_bars(ticks, 300.0, "volume")
+            .toPandas().sort_values(["event_type", "bar_id"], ignore_index=True)
+        )
+        src = tmp_path / "ticks"
+        cut = d + dt.timedelta(seconds=75)
+        ticks.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(str(src / "f1"))
+        ticks.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(str(src / "f2"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_activity_bars(stream, 300.0, "volume")
+            .writeStream.format("memory").queryName("bars_stream")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table("bars_stream").toPandas()
+            .rename(columns={"key": "event_type"})
+            .sort_values(["event_type", "bar_id"], ignore_index=True)
+        )
+        # stream emits every batch bar except each key's final open one
+        for sym in ("A", "B"):
+            b = batch[batch.event_type == sym].reset_index(drop=True)
+            g = got[got.event_type == sym].reset_index(drop=True)
+            assert len(g) == len(b) - 1
+            for col in ("bar_id", "n_ticks"):
+                assert (g[col] == b[col].iloc[:-1].to_numpy()).all(), col
+            for col in ("open", "high", "low", "close", "vwap", "volume"):
+                np.testing.assert_allclose(
+                    g[col].to_numpy(dtype=float),
+                    b[col].iloc[:-1].to_numpy(dtype=float),
+                    rtol=1e-12, err_msg=col,
+                )
+            assert (g["open_ts"] == b["open_ts"].iloc[:-1].to_numpy()).all()
+            assert (g["close_ts"] == b["close_ts"].iloc[:-1].to_numpy()).all()
+
+    def test_bad_args(self, spark):
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_activity_bars,
+        )
+
+        stream = spark.readStream.format("rate").load().selectExpr(
+            "'A' AS event_type", "timestamp AS ts",
+            "CAST(value AS double) AS price", "1.0 AS size"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            stream_activity_bars(stream, 0)
+        with _pytest.raises(ValueError):
+            stream_activity_bars(stream, 10, by="trades")

@@ -886,11 +886,18 @@ def activity_bars(
     sz = F.col(size_col).cast("double")
     notional = F.sum(p * sz)
     volume = F.sum(sz)
+    # open/close = first/last NON-NULL price in the bar's total order
+    # (ts, price, size): the struct ordering key (masked to null for
+    # null-price rows so min_by/max_by skip them) both excludes bad
+    # boundary prints AND breaks timestamp ties deterministically — a
+    # bare min_by(p, ts) returns an ARBITRARY member of a tie and the
+    # null price of a bad first print
+    order_key = F.when(p.isNotNull(), F.struct(F.col(time_col), p, sz))
     return tagged.groupBy(*key_cols, bar_col).agg(
-        F.min_by(p, F.col(time_col)).alias("open"),
+        F.min_by(p, order_key).alias("open"),
         F.max(p).alias("high"),
         F.min(p).alias("low"),
-        F.max_by(p, F.col(time_col)).alias("close"),
+        F.max_by(p, order_key).alias("close"),
         F.when(volume > 0, notional / volume).alias("vwap"),
         volume.alias("volume"),
         F.count(F.lit(1)).alias("n_ticks"),
@@ -974,7 +981,12 @@ def kyle_lambda(
     w = Window.partitionBy(*key_cols).orderBy(*order)
     dp = F.col(price_col) - F.lag(price_col).over(w)
     sv = F.col("trade_sign") * F.col(size_col).cast("double")
-    staged = signed.select(*key_cols, dp.alias("_dp"), sv.alias("_sv"))
+    # both moments must run over the SAME sample: covar_samp silently
+    # skips null-dp rows but var_samp would keep them, biasing the slope
+    # — filter the undefined first tick out of BOTH
+    staged = signed.select(*key_cols, dp.alias("_dp"), sv.alias("_sv")).filter(
+        F.col("_dp").isNotNull()
+    )
     return staged.groupBy(*key_cols).agg(
         (F.covar_samp("_dp", "_sv") / F.var_samp("_sv")).alias("kyle_lambda"),
         F.count("_dp").alias("n_ticks"),

@@ -268,37 +268,55 @@ _BAR_STATE_SCHEMA = StructType(
         StructField("low", DoubleType(), True),
         StructField("close", DoubleType(), True),
         StructField("notional", DoubleType(), True),
+        StructField("n_prod", LongType(), True),   # valid (price,size) products
         StructField("volume", DoubleType(), True),
         StructField("n_ticks", LongType(), True),
         StructField("open_ts_us", LongType(), True),
         StructField("close_ts_us", LongType(), True),
+        # last processed tick as the FULL sort tuple, so tied timestamps
+        # (constant in real tick data) are processed, not mis-dropped:
+        # only a tick at or before the last (ts, price, size) is late
         StructField("last_ts_us", LongType(), True),
+        StructField("last_price", DoubleType(), True),
+        StructField("last_size", DoubleType(), True),
     ]
 )
 
 
 def _make_bar_update(threshold: float, by_dollar: bool):
-    import datetime as _dt
+    NEG_INF = float("-inf")
 
     def _us_to_ts(us):
         return pd.Timestamp(us, unit="us")
 
+    def _key(ts_us, price, size):
+        # Spark window order (ts, price, size) with nulls FIRST — encode
+        # null as -inf so the cross-batch late check agrees with the
+        # in-batch sort below
+        return (
+            ts_us,
+            NEG_INF if price is None or pd.isna(price) else float(price),
+            NEG_INF if size is None or pd.isna(size) else float(size),
+        )
+
     def _update(key, pdfs, state):
         if state.exists:
-            (cum, bar_id, o, h, l, c, notional, volume, n,
-             open_us, close_us, last_us) = state.get
+            (cum, bar_id, o, h, l, c, notional, n_prod, volume, n,
+             open_us, close_us, last_us, last_p, last_s) = state.get
+            last_key = None if last_us is None else _key(last_us, last_p, last_s)
         else:
-            cum, bar_id, last_us = 0.0, None, None
-            o = h = l = c = notional = volume = None
-            n = open_us = close_us = 0
+            cum, bar_id, last_key = 0.0, None, None
+            o = h = l = c = None
+            notional = volume = None
+            n_prod = n = open_us = close_us = 0
         out = []
 
         def flush():
-            # vwap None when the bar saw no valid price (batch: SUM over
-            # all-null products is null) or no volume
+            # vwap None when the bar saw no valid (price, size) product
+            # (batch: SUM over all-null products is null) or no volume
             vwap = (
                 notional / volume
-                if volume and volume > 0 and o is not None
+                if volume and volume > 0 and n_prod > 0
                 else None
             )
             out.append((key[0], bar_id, o, h, l, c, vwap,
@@ -307,14 +325,15 @@ def _make_bar_update(threshold: float, by_dollar: bool):
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "price", "size"], ignore_index=True
+                ["ts", "price", "size"], ignore_index=True, na_position="first"
             )
             for ts, price, size in zip(pdf["ts"], pdf["price"], pdf["size"]):
                 ts_us = int(ts.value // 1_000)
-                if last_us is not None and ts_us <= last_us:
-                    continue  # out-of-order tick: dropped (indicator contract)
+                k = _key(ts_us, price, size)
+                if last_key is not None and k <= last_key:
+                    continue  # late/duplicate tick: dropped (see docstring)
                 p = None if price is None or pd.isna(price) else float(price)
-                s = 0.0 if size is None or pd.isna(size) else float(size)
+                sz = 0.0 if size is None or pd.isna(size) else float(size)
                 this_bar = int(cum // threshold)
                 if bar_id is not None and this_bar > bar_id:
                     flush()  # the previous bar's threshold filled: emit it
@@ -322,7 +341,7 @@ def _make_bar_update(threshold: float, by_dollar: bool):
                 if bar_id is None:
                     bar_id = this_bar
                     o = h = l = c = None
-                    notional, volume, n = 0.0, 0.0, 0
+                    notional, n_prod, volume, n = 0.0, 0, 0.0, 0
                     open_us = ts_us
                 if p is not None:
                     if o is None:
@@ -330,17 +349,22 @@ def _make_bar_update(threshold: float, by_dollar: bool):
                     h = p if h is None else max(h, p)
                     l = p if l is None else min(l, p)
                     c = p
-                    notional += p * s
-                volume += s
+                    if size is not None and not pd.isna(size):
+                        notional += p * sz
+                        n_prod += 1
+                volume += sz
                 n += 1
                 close_us = ts_us
-                activity = (p * s) if by_dollar else s
+                activity = (p * sz) if by_dollar else sz
                 if by_dollar and p is None:
                     activity = 0.0
                 cum += activity
-                last_us = ts_us
-        state.update((cum, bar_id, o, h, l, c, notional, volume, n,
-                      open_us, close_us, last_us))
+                last_key = k
+        lp = None if last_key is None or last_key[1] == NEG_INF else last_key[1]
+        ls = None if last_key is None or last_key[2] == NEG_INF else last_key[2]
+        state.update((cum, bar_id, o, h, l, c, notional, n_prod, volume, n,
+                      open_us, close_us,
+                      None if last_key is None else last_key[0], lp, ls))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in STREAM_BAR_SCHEMA.fields])
 
@@ -366,8 +390,13 @@ def stream_activity_bars(
     threshold fills — an activity clock has no wall-clock deadline, so
     there is nothing to watermark.
 
-    Same ordering contract as the other tick-state ops: per key
-    non-decreasing event time, in-batch rows sorted, late ticks dropped."""
+    Ordering contract: late ticks are dropped by comparing the FULL
+    (ts, price, size) sort tuple (nulls first, matching the batch window
+    order), so tied timestamps — constant in real tick feeds — are
+    processed, not mis-dropped; only an exact duplicate print (same
+    tuple) is treated as a replay.  Feeds carrying genuinely duplicate
+    prints need a unique trade id upstream, the same contract as
+    ``tick_rule_signs(tiebreak_col=)``/``asof_join``."""
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
     if by not in ("volume", "dollar"):

@@ -1354,3 +1354,49 @@ class TestRangeVolAndKyle:
         # noise), so the regression slope lands near the planted lambda
         assert row["kyle_lambda"] == pytest.approx(lam, rel=0.15)
         assert row["n_ticks"] == 799
+
+    def test_kyle_lambda_moments_share_one_sample(self, spark):
+        """Regression (review): the first tick's undefined dP must drop
+        out of BOTH moments — 3-tick series where keeping the spurious
+        sv=0 row in the variance halves the slope."""
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            kyle_lambda,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+        ticks = spark.createDataFrame(
+            [("A", d, 100.0, 10.0),
+             ("A", d + dt.timedelta(seconds=1), 101.0, 10.0),
+             ("A", d + dt.timedelta(seconds=2), 103.0, 20.0)],
+            "event_type string, ts timestamp, price double, size double",
+        )
+        row = kyle_lambda(ticks, ["event_type"]).collect()[0]
+        # valid pairs: (dp, sv) = (1, 10), (2, 20) -> exact OLS slope 0.1
+        assert row["kyle_lambda"] == pytest.approx(0.1, rel=1e-12)
+        assert row["n_ticks"] == 2
+
+
+class TestActivityBarsNulls:
+    def test_null_boundary_prints(self, spark):
+        """Regression (review): a bar whose FIRST/LAST tick has a null
+        price must take open/close from the nearest valid print, and the
+        null print's size still counts toward volume/activity."""
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+        )
+
+        d = dt.datetime(2024, 1, 1, 9, 30)
+        rows = [
+            ("A", d, None, 3.0),                          # bad boundary print
+            ("A", d + dt.timedelta(seconds=1), 10.0, 4.0),
+            ("A", d + dt.timedelta(seconds=2), 11.0, 2.0),
+            ("A", d + dt.timedelta(seconds=3), None, 1.0),  # bad closing print
+        ]
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        bar = activity_bars(ticks, 100.0, "volume").collect()[0]
+        assert bar.open == 10.0 and bar.close == 11.0
+        assert bar.high == 11.0 and bar.low == 10.0
+        assert bar.volume == 10.0 and bar.n_ticks == 4
+        assert bar.vwap == pytest.approx((10.0 * 4 + 11.0 * 2) / 10.0)

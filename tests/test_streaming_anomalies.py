@@ -359,3 +359,50 @@ class TestStreamActivityBars:
             stream_activity_bars(stream, 0)
         with _pytest.raises(ValueError):
             stream_activity_bars(stream, 10, by="trades")
+
+    def test_tied_timestamps_processed_not_dropped(self, spark, tmp_path):
+        """Regression (review): ticks tied on the timestamp must all fold
+        into the bars (only an exact duplicate (ts, price, size) print is
+        a replay) — parity with batch on a tie-heavy feed."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+        )
+        from real_time_financial_data_pipeline_spark.streaming.indicators import (
+            stream_activity_bars,
+        )
+
+        d = dt.datetime(2024, 2, 1, 9, 30)
+        rows = []
+        rng = np.random.default_rng(3)
+        for i in range(40):
+            ts = d + dt.timedelta(seconds=i // 2)  # every timestamp tied twice
+            rows.append(("A", ts, float(100 + rng.normal(0, 1)), float(rng.integers(1, 10))))
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        )
+        batch = (
+            activity_bars(ticks, 40.0, "volume")
+            .toPandas().sort_values("bar_id", ignore_index=True)
+        )
+        src = tmp_path / "ticks"
+        ticks.coalesce(1).write.parquet(str(src / "f1"))
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src / "f1")).schema
+        ).parquet(str(src / "*"))
+        q = (
+            stream_activity_bars(stream, 40.0, "volume")
+            .writeStream.format("memory").queryName("tied_bars")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("tied_bars").toPandas().sort_values("bar_id", ignore_index=True)
+        assert len(got) == len(batch) - 1  # all closed bars present
+        assert int(got["n_ticks"].sum()) + int(batch["n_ticks"].iloc[-1]) == 40
+        for col in ("volume", "open", "close"):
+            np.testing.assert_allclose(
+                got[col].to_numpy(dtype=float),
+                batch[col].iloc[:-1].to_numpy(dtype=float), rtol=1e-12, err_msg=col,
+            )

@@ -39,7 +39,10 @@ CHECKS = {
     "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True,
                           pre_agg_key="l_orderkey"),
     "simhash_pairs_docs": dict(no_cartesian=True),
-    "top_terms_by_source": dict(partial_agg=True, no_cartesian=True),
+    # OFI: tick-rule window pass + calendar aggregate — partial agg, keyed
+    "ofi_daily": dict(partial_agg=True, no_cartesian=True),
+    # portfolio: lag window + day aggregate + output-sized running window
+    "portfolio_daily": dict(partial_agg=True, no_cartesian=True),
     # repetition metrics must stay a narrow scan: only (doc_id, text) read
     "repetition_docs": dict(pruned_cols="text", no_cartesian=True),
     "domain_mix_docs": dict(partial_agg=True, no_cartesian=True),

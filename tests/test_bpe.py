@@ -250,3 +250,60 @@ class TestStreaming:
         got = {r["doc_id"]: r["n_bpe_tokens"] for r in spark.table("bpe_stream").collect()}
         exp = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(corpus_df, merges).collect()}
         assert got == exp and len(got) == len(CORPUS)
+
+
+class TestBpeChunking:
+    def test_byte_exact_reconstruction(self, spark, corpus_df):
+        from real_time_financial_data_pipeline_spark.operators.bpe import (
+            chunk_documents_bpe,
+        )
+
+        merges = learn_bpe(corpus_df, n_merges=30)
+        ranks = {p: i for i, p in enumerate(merges)}
+        chunks = (
+            chunk_documents_bpe(corpus_df, merges, chunk_tokens=12, overlap_tokens=3)
+            .toPandas().sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        )
+        for doc_id, text in enumerate(CORPUS):
+            rows = chunks[chunks.doc_id == doc_id]
+            assert len(rows) > 0
+            # each chunk is the exact concat of its subword window; drop
+            # each later chunk's 3-subword overlap prefix and concat ->
+            # byte-exact document
+            pieces = [s for p in PY_PRETOKEN_RE.findall(text) for s in encode_word(p, ranks)]
+            rebuilt = ""
+            for _, r in rows.iterrows():
+                start = int(r.chunk_id) * (12 - 3)
+                toks = pieces[start : start + 12]
+                assert "".join(toks) == r.chunk_text
+                rebuilt += "".join(toks[3:] if r.chunk_id > 0 else toks)
+            assert rebuilt == text
+
+    def test_budget_and_overlap_bounds(self, spark, corpus_df):
+        from real_time_financial_data_pipeline_spark.operators.bpe import (
+            chunk_documents_bpe,
+        )
+
+        merges = learn_bpe(corpus_df, n_merges=30)
+        rows = chunk_documents_bpe(corpus_df, merges, 10, 2).collect()
+        assert rows and all(r.n_chunk_tokens <= 10 for r in rows)
+        # every chunk except possibly a doc's last is exactly full
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_rows in by_doc.values():
+            doc_rows.sort(key=lambda r: r.chunk_id)
+            for r in doc_rows[:-1]:
+                assert r.n_chunk_tokens == 10
+
+    def test_no_exchange_plan(self, spark, corpus_df):
+        from real_time_financial_data_pipeline_spark.operators.bpe import (
+            chunk_documents_bpe,
+        )
+
+        merges = learn_bpe(corpus_df, n_merges=10)
+        plan = (
+            chunk_documents_bpe(corpus_df, merges)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan

@@ -461,6 +461,7 @@ def prepare_training_set(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
+    tokenizer_merges: list | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -477,6 +478,11 @@ def prepare_training_set(
     SemDedup stage into the curation ladder, so paraphrase-level
     duplicates are also removed BEFORE the split — the same
     no-train/test-leakage argument as the lexical dedup stages.
+
+    ``tokenizer_merges`` (a learned ``bpe.learn_bpe`` merge table)
+    switches chunking to REAL-subword budgets (``bpe.
+    chunk_documents_bpe``) — chunk/overlap sizes then mean model tokens,
+    not whitespace words.
 
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
@@ -503,7 +509,15 @@ def prepare_training_set(
         curated = remove_contaminated(
             curated, benchmark, text_col, id_col, n=decontam_ngram
         )
-    chunks = chunk_documents(curated, text_col, id_col, chunk_tokens, overlap_tokens)
+    if tokenizer_merges is not None:
+        from .bpe import chunk_documents_bpe
+
+        chunks = chunk_documents_bpe(
+            curated, tokenizer_merges, chunk_tokens, overlap_tokens,
+            text_col, id_col,
+        )
+    else:
+        chunks = chunk_documents(curated, text_col, id_col, chunk_tokens, overlap_tokens)
     return assign_split(chunks, id_col, weights, salt)
 
 

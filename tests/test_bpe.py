@@ -307,3 +307,23 @@ class TestBpeChunking:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPipelineIntegration:
+    def test_prepare_training_set_with_tokenizer(self, spark, corpus_df):
+        from real_time_financial_data_pipeline_spark.operators.training import (
+            prepare_training_set,
+        )
+
+        merges = learn_bpe(corpus_df, n_merges=30)
+        out = prepare_training_set(
+            corpus_df, min_quality=0.0, chunk_tokens=12, overlap_tokens=2,
+            tokenizer_merges=merges,
+        ).collect()
+        assert out and all(r.n_chunk_tokens <= 12 for r in out)
+        # budgets are SUBWORD counts: re-encoding each chunk hits the bound
+        ranks = {p: i for i, p in enumerate(merges)}
+        for r in out:
+            n = len([s for p in PY_PRETOKEN_RE.findall(r.chunk_text)
+                     for s in encode_word(p, ranks)])
+            assert n == r.n_chunk_tokens

@@ -237,17 +237,19 @@ def load_bpe(spark, path: str) -> list[Merge]:
 def chunk_documents_bpe(
     df: DataFrame,
     merges: list[Merge],
-    chunk_tokens: int = 256,
-    overlap_tokens: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
     pattern: str = BPE_PRETOKEN_RE,
 ) -> DataFrame:
     """Token-window chunking budgeted in REAL learned-tokenizer tokens —
     the upgrade of ``training.chunk_documents`` once a tokenizer exists:
     whitespace-word windows over- or under-fill a model's context by the
     word/subword ratio (30-60% on web text), while these windows hold
-    exactly ``chunk_tokens`` subwords.
+    exactly ``chunk_tokens`` subwords.  Parameter order matches the
+    whitespace twin's tail (text_col, id_col, sizes) so switching between
+    them can't silently misbind positionals.
 
     Output matches the whitespace chunker's contract: (``id_col``,
     chunk_id, n_chunk_tokens, chunk_text); chunk k starts at subword
@@ -259,38 +261,19 @@ def chunk_documents_bpe(
     chunker's token-stream identity (tests assert it).
 
     Plan shape: the Arrow-batched encode (map-only, ranks broadcast in
-    the closure) replaces the JVM split; everything after — ``sequence``
-    -> ``posexplode`` -> ``slice`` -> ``array_join('')`` — is the same
-    zero-shuffle codegen ladder as the whitespace chunker."""
+    the closure) replaces the JVM split; the window ladder itself is the
+    SHARED ``training.chunk_token_windows`` implementation — one set of
+    boundary semantics for every token source."""
+    from .training import chunk_token_windows
+
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError(
             f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
         )
-    stride = chunk_tokens - overlap_tokens
     encoded = bpe_encode(df, merges, text_col, "_bpe_toks", pattern)
-    n = F.size(F.col("_bpe_toks"))
-    starts = F.when(
-        n > 0,
-        F.sequence(
-            F.lit(0),
-            F.greatest(n - F.lit(overlap_tokens + 1), F.lit(0)),
-            F.lit(stride),
-        ),
-    ).otherwise(F.lit(None).cast("array<int>"))
-    chunk = F.slice(F.col("_bpe_toks"), F.col("_start") + 1, chunk_tokens)
-    return (
-        encoded.select(F.col(id_col), F.col("_bpe_toks"))
-        .select(
-            F.col(id_col),
-            F.col("_bpe_toks"),
-            F.posexplode(starts).alias("chunk_id", "_start"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("chunk_id"),
-            F.size(chunk).alias("n_chunk_tokens"),
-            F.array_join(chunk, "").alias("chunk_text"),
-        )
+    return chunk_token_windows(
+        encoded.select(F.col(id_col), F.col("_bpe_toks")),
+        id_col, chunk_tokens, overlap_tokens, separator="", tokens_col="_bpe_toks",
     )

@@ -513,8 +513,8 @@ def prepare_training_set(
         from .bpe import chunk_documents_bpe
 
         chunks = chunk_documents_bpe(
-            curated, tokenizer_merges, chunk_tokens, overlap_tokens,
-            text_col, id_col,
+            curated, tokenizer_merges, text_col, id_col,
+            chunk_tokens, overlap_tokens,
         )
     else:
         chunks = chunk_documents(curated, text_col, id_col, chunk_tokens, overlap_tokens)
@@ -548,9 +548,28 @@ def chunk_documents(
         raise ValueError(
             f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
         )
-    stride = chunk_tokens - overlap_tokens
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    n = F.size(F.col("_toks"))
+    return chunk_token_windows(
+        df.select(F.col(id_col), toks.alias("_toks")),
+        id_col, chunk_tokens, overlap_tokens, separator=" ",
+    )
+
+
+def chunk_token_windows(
+    tokenized: DataFrame,
+    id_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int,
+    separator: str,
+    tokens_col: str = "_toks",
+) -> DataFrame:
+    """The shared window ladder behind every chunker (whitespace words
+    here, learned subwords in ``bpe.chunk_documents_bpe``): start-index
+    ``sequence`` -> ``posexplode`` -> ``slice`` -> ``array_join`` over a
+    pre-tokenized (``id_col``, token array) frame — one implementation so
+    the boundary semantics can never diverge between token sources."""
+    stride = chunk_tokens - overlap_tokens
+    n = F.size(F.col(tokens_col))
     # starts while start < n - overlap (every chunk contributes >= 1 new
     # token); empty docs produce zero chunks (sequence would otherwise
     # count DOWN when its stop < start)
@@ -560,15 +579,15 @@ def chunk_documents(
             F.lit(0), F.greatest(n - F.lit(overlap_tokens + 1), F.lit(0)), F.lit(stride)
         ),
     ).otherwise(F.lit(None).cast("array<int>"))
-    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    chunk = F.slice(F.col(tokens_col), F.col("_start") + 1, chunk_tokens)
     return (
-        df.select(F.col(id_col), toks.alias("_toks"))
-        .select(F.col(id_col), F.col("_toks"), F.posexplode(starts).alias("chunk_id", "_start"))
+        tokenized
+        .select(F.col(id_col), F.col(tokens_col), F.posexplode(starts).alias("chunk_id", "_start"))
         .select(
             F.col(id_col),
             F.col("chunk_id"),
             F.size(chunk).alias("n_chunk_tokens"),
-            F.array_join(chunk, " ").alias("chunk_text"),
+            F.array_join(chunk, separator).alias("chunk_text"),
         )
     )
 

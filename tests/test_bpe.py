@@ -285,16 +285,24 @@ class TestBpeChunking:
         )
 
         merges = learn_bpe(corpus_df, n_merges=30)
-        rows = chunk_documents_bpe(corpus_df, merges, 10, 2).collect()
+        rows = chunk_documents_bpe(corpus_df, merges, chunk_tokens=10, overlap_tokens=2).collect()
         assert rows and all(r.n_chunk_tokens <= 10 for r in rows)
         # every chunk except possibly a doc's last is exactly full
         by_doc = {}
         for r in rows:
             by_doc.setdefault(r.doc_id, []).append(r)
+        merges_ranks = {p_: i for i, p_ in enumerate(merges)}
         for doc_rows in by_doc.values():
             doc_rows.sort(key=lambda r: r.chunk_id)
             for r in doc_rows[:-1]:
                 assert r.n_chunk_tokens == 10
+            # consecutive chunks share EXACTLY overlap_tokens subwords
+            def subwords(txt):
+                return [s for p_ in PY_PRETOKEN_RE.findall(txt)
+                        for s in encode_word(p_, merges_ranks)]
+            for a, b in zip(doc_rows, doc_rows[1:]):
+                ta, tb = subwords(a.chunk_text), subwords(b.chunk_text)
+                assert ta[-2:] == tb[:2]
 
     def test_no_exchange_plan(self, spark, corpus_df):
         from real_time_financial_data_pipeline_spark.operators.bpe import (

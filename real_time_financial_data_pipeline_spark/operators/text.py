@@ -645,3 +645,49 @@ def corpus_report(
             per[strata_col].eqNullSafe(top_lang["_tl_stratum"]),
         ).drop("_tl_stratum")
     return per
+
+
+def corpus_report_drift(
+    before: DataFrame,
+    after: DataFrame,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Dataset drift between two :func:`corpus_report` outputs (e.g. two
+    snapshots of a versioned corpus table): per stratum, the before/after
+    doc and token counts with deltas, mean-quality and duplicate-rate
+    shifts, and a flag for strata that appeared or vanished — the
+    number-one thing a data-quality review wants to see between releases.
+
+    Pure report-table math: both inputs are stratum-sized (rows =
+    strata), the join is null-safe full-outer so a null stratum and
+    appearing/vanishing strata all surface, and nothing here touches the
+    corpus — run `corpus_report` once per snapshot (one scan each) and
+    diff the results forever."""
+    b = before.select(
+        F.col(strata_col).alias("_ks"),
+        F.col("n_docs").alias("n_docs_before"),
+        F.col("n_tokens").alias("n_tokens_before"),
+        F.col("mean_quality").alias("mean_quality_before"),
+        F.col("dup_rate_est").alias("dup_rate_before"),
+    )
+    a = after.select(
+        F.col(strata_col).alias("_ka"),
+        F.col("n_docs").alias("n_docs_after"),
+        F.col("n_tokens").alias("n_tokens_after"),
+        F.col("mean_quality").alias("mean_quality_after"),
+        F.col("dup_rate_est").alias("dup_rate_after"),
+    )
+    j = b.join(a, b["_ks"].eqNullSafe(a["_ka"]), "full_outer")
+    return j.select(
+        F.coalesce(F.col("_ks"), F.col("_ka")).alias(strata_col),
+        "n_docs_before",
+        "n_docs_after",
+        (F.coalesce("n_docs_after", F.lit(0)) - F.coalesce("n_docs_before", F.lit(0))).alias("n_docs_delta"),
+        "n_tokens_before",
+        "n_tokens_after",
+        (F.coalesce("n_tokens_after", F.lit(0)) - F.coalesce("n_tokens_before", F.lit(0))).alias("n_tokens_delta"),
+        F.round(F.col("mean_quality_after") - F.col("mean_quality_before"), 6).alias("mean_quality_delta"),
+        F.round(F.col("dup_rate_after") - F.col("dup_rate_before"), 6).alias("dup_rate_delta"),
+        F.col("n_docs_before").isNull().alias("is_new_stratum"),
+        F.col("n_docs_after").isNull().alias("is_vanished_stratum"),
+    )

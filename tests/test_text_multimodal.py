@@ -304,3 +304,39 @@ class TestCorpusReport:
         assert rep["web"]["n_docs"] == 1
         # totals across strata cover the whole corpus
         assert sum(r["n_docs"] for r in rep.values()) == 3
+
+    def test_drift_between_snapshots(self, spark, tmp_path):
+        """Versioned-corpus drift chain: corpus_report per snapshot,
+        corpus_report_drift across them — mix shifts, new and vanished
+        strata all surface."""
+        from real_time_financial_data_pipeline_spark.operators.text import (
+            corpus_report,
+            corpus_report_drift,
+        )
+        from real_time_financial_data_pipeline_spark.versioning import (
+            VersionedTable,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "corpus"))
+        v0_rows = (
+            [(i, f"web text number {i} with plain words", "en", "web") for i in range(10)]
+            + [(100 + i, f"book text {i} longer prose here", "en", "books") for i in range(4)]
+        )
+        schema = "doc_id long, text string, lang string, source string"
+        t.commit(spark.createDataFrame(v0_rows, schema))
+        v1_rows = [(200 + i, f"fresh crawl item {i} words", "en", "web") for i in range(6)] + [
+            (300, "brand new code snippet lang", "en", "code")
+        ]
+        t.commit(spark.createDataFrame(v1_rows, schema))
+
+        before = corpus_report(t.read(0))
+        after = corpus_report(t.read(1))
+        drift = {r[ "source"]: r for r in corpus_report_drift(before, after).collect()}
+        assert drift["web"]["n_docs_delta"] == 6
+        assert drift["books"]["n_docs_delta"] == 0
+        assert drift["code"]["is_new_stratum"] and drift["code"]["n_docs_after"] == 1
+        assert not drift["web"]["is_vanished_stratum"]
+        # a stratum only in BEFORE surfaces as vanished
+        shrunk = corpus_report(t.read(1).filter(F.col("source") != "books"))
+        d2 = {r["source"]: r for r in corpus_report_drift(after, shrunk).collect()}
+        assert d2["books"]["is_vanished_stratum"]

@@ -15,6 +15,7 @@ Determinism policy (so Spark and the DuckDB oracle hash-match):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -363,14 +364,7 @@ def _ofi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_flow_imbalance,
     )
 
-    ev = load_table(spark, sf_dir, "events")
-    ticks = ev.select(
-        "event_type",
-        "ts",
-        F.col("value").alias("price"),
-        F.get_json_object("props", "$.k").cast("double").alias("size"),
-    )
-    out = order_flow_imbalance(ticks, "D", ["event_type"])
+    out = order_flow_imbalance(_tick_frame(spark, sf_dir), "D", ["event_type"])
     return out.select(
         "event_type",
         "period",
@@ -378,6 +372,92 @@ def _ofi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("signed_volume", 6).alias("signed_volume"),
         F.round("volume", 6).alias("volume"),
         "n_trades",
+    )
+
+
+def _tick_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared tick projection of the finance oracle family (vwap/ofi/
+    kyle/activity): price = value, size = the JSON ``k`` prop.  The events
+    table's (event_type, ts) pairs are unique at every test SF, so the
+    per-key tick order is tie-free and engine-independent."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("size"),
+    )
+
+
+def _range_volatility_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson + Garman-Klass range volatility over the daily OHLC bars
+    (operators/finance.py:range_volatility): the closed-form per-bar terms
+    and the 20-bar trailing means are all re-derived in DuckDB window SQL
+    with the same explicit float64 constants; the OHLC legs pass through
+    unrounded (min_by/max_by picks of raw values — bit-identical)."""
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        range_volatility,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv(ev, "D", "ts", "value", ["event_type"]).withColumnRenamed(
+        "period", "day"
+    )
+    out = range_volatility(bars, ["event_type"], "day", window=20)
+    return out.select(
+        "event_type",
+        "day",
+        "open", "high", "low", "close",
+        F.round("parkinson_var", 6).alias("parkinson_var"),
+        F.round("parkinson_vol", 6).alias("parkinson_vol"),
+        F.round("gk_var", 6).alias("gk_var"),
+        F.round("gk_vol", 6).alias("gk_vol"),
+    )
+
+
+def _kyle_lambda_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's price-impact lambda per series
+    (operators/finance.py:kyle_lambda): tick-rule signs (lag compare +
+    forward fill), per-tick price changes, and the covar_samp/var_samp
+    moment ratio — every stage re-derived in DuckDB window SQL over the
+    identical (dp non-null) sample."""
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        kyle_lambda,
+    )
+
+    out = kyle_lambda(_tick_frame(spark, sf_dir), ["event_type"])
+    return out.select(
+        "event_type",
+        F.round("kyle_lambda", 9).alias("kyle_lambda"),
+        "n_ticks",
+    )
+
+
+def _activity_bars_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-clock bars (operators/finance.py:activity_bars): the strictly
+    preceding running activity sum, the floor(cum/threshold) bar
+    assignment, and the per-bar OHLC/VWAP aggregate are all re-derived in
+    DuckDB window SQL.  Both engines fold the running sum left-to-right in
+    the same tie-free (ts) order, so the bar boundaries agree exactly;
+    sizes are integral at every test SF so cum sums are exact in float64.
+    Threshold 2000 yields a few bars per key at sf0.001 and hundreds at
+    sf0.1 — the same query scales across the SF ladder."""
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        activity_bars,
+    )
+
+    out = activity_bars(
+        _tick_frame(spark, sf_dir), threshold=2000.0, by="volume",
+        key_cols=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        "bar_id",
+        "open", "high", "low", "close",
+        F.round("vwap", 6).alias("vwap"),
+        F.round("volume", 6).alias("volume"),
+        "n_ticks",
+        "open_ts",
+        "close_ts",
     )
 
 
@@ -1283,9 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "events_pruned_week": _events_pruned_week,
         "bucketed_order_revenue": _bucketed_order_revenue,
-        "stream_running_stats": _stream_running_stats,
+        "range_volatility_daily": _range_volatility_daily,
         "pipeline_gold_daily": _pipeline_gold_daily,
-        "fingerprint_docs": _fingerprint_docs,
+        "kyle_lambda_ticks": _kyle_lambda_ticks,
         "clean_events": _clean_events,
         "ema_macd_daily": _ema_macd_daily,
         "vwap_daily": _vwap_daily,
@@ -1311,7 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _dedup_exact_docs,
         "repetition_docs": _repetition_docs,
         "domain_mix_docs": _domain_mix_docs,
-        "cluster_docs": _cluster_docs,
+        "activity_bars_ticks": _activity_bars_ticks,
         "ann_cosine_topk": _ann_cosine_topk,
         # staged-candidate oracles (candidate set staged, downstream recomputed)
         "minhash_pairs": _minhash_pairs,
@@ -1527,29 +1607,6 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
                 FROM per
             """,
-            # staged-centroid clustering oracle: the quantizer FIT is seeded
-            # numpy (not SQL), but the assignment projection — the part that
-            # touches every vector — is recomputed per vector as argmax
-            # cosine over the staged centroid matrix, ties to lowest index
-            "cluster_docs": f"""
-                WITH c AS (
-                    SELECT cluster_id, centroid
-                    FROM read_parquet('{_STAGED_CENTROIDS_DIR}/*.parquet')
-                ),
-                v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-                scored AS (
-                    SELECT v.vec_id, c.cluster_id,
-                           round(list_dot_product(v.e, c.centroid)
-                           / (sqrt(list_dot_product(v.e, v.e))
-                              * sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS score
-                    FROM v CROSS JOIN c
-                )
-                SELECT vec_id, cluster_id FROM (
-                    SELECT vec_id, cluster_id,
-                           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
-                    FROM scored
-                ) WHERE rn = 1
-            """,
             "dedup_exact_docs": """
                 SELECT text,
                        min(doc_id) AS doc_id,
@@ -1736,6 +1793,97 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_trades
         FROM signed GROUP BY 1, 2
     """
+    # range_volatility_daily: daily OHLC bars, then the Parkinson /
+    # Garman-Klass closed forms and their 20-bar trailing means — plain
+    # window SQL with the Python-side float64 constants injected verbatim
+    # (repr round-trips exactly), so both engines evaluate the same
+    # expression tree; round(.., 6) absorbs window-accumulation-order ulps.
+    _inv4ln2 = repr(4.0 * math.log(2.0))
+    _gk_c = repr(2.0 * math.log(2.0) - 1.0)
+    _ann = repr(math.sqrt(252.0))
+    sqls["range_volatility_daily"] = f"""
+        WITH bars AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   arg_min(value, ts) AS "open", max(value) AS high,
+                   min(value) AS low, arg_max(value, ts) AS "close"
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT *,
+                   pow(ln(high / low), 2) / {_inv4ln2} AS pk,
+                   0.5 * pow(ln(high / low), 2)
+                       - {_gk_c} * pow(ln("close" / "open"), 2) AS gk
+            FROM bars
+        ), w AS (
+            SELECT event_type, day, "open", high, low, "close",
+                   avg(pk) OVER f AS pk_var, avg(gk) OVER f AS gk_var
+            FROM t WINDOW f AS (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, "open", high, low, "close",
+               round(pk_var, 6) AS parkinson_var,
+               round(sqrt(pk_var) * {_ann}, 6) AS parkinson_vol,
+               round(gk_var, 6) AS gk_var,
+               round(sqrt(greatest(gk_var, 0.0)) * {_ann}, 6) AS gk_vol
+        FROM w
+    """
+    # kyle_lambda_ticks: tick-rule signs (the ofi_daily kernel), per-tick
+    # price changes, then cov/var over the identical dp-non-null sample
+    sqls["kyle_lambda_ticks"] = """
+        WITH ticks AS (
+            SELECT event_type, ts, value AS price,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
+            FROM events
+        ),
+        raw AS (
+            SELECT event_type, ts, price, size,
+                   CASE WHEN price > lag(price) OVER w THEN 1
+                        WHEN price < lag(price) OVER w THEN -1 END AS s,
+                   price - lag(price) OVER w AS dp
+            FROM ticks WINDOW w AS (PARTITION BY event_type ORDER BY ts, price)
+        ),
+        signed AS (
+            SELECT event_type, dp,
+                   coalesce(last_value(s IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY ts, price
+                       ROWS UNBOUNDED PRECEDING), 0) * size AS sv
+            FROM raw
+        )
+        SELECT event_type,
+               round(covar_samp(dp, sv) / var_samp(sv), 9) AS kyle_lambda,
+               count(dp) AS n_ticks
+        FROM signed WHERE dp IS NOT NULL GROUP BY 1
+    """
+    # activity_bars_ticks: strictly-preceding running activity sum (both
+    # engines fold it in the same tie-free ts order -> bitwise-equal
+    # boundaries on the integral sizes), floor bar assignment, per-bar
+    # OHLC/VWAP aggregate
+    sqls["activity_bars_ticks"] = """
+        WITH ticks AS (
+            SELECT event_type, ts, value AS price,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
+            FROM events
+        ),
+        tagged AS (
+            SELECT *,
+                   CAST(floor(coalesce(sum(coalesce(size, 0.0)) OVER (
+                       PARTITION BY event_type ORDER BY ts, price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0.0) / 2000.0) AS BIGINT) AS bar_id
+            FROM ticks
+        )
+        SELECT event_type, bar_id,
+               arg_min(price, ts) FILTER (price IS NOT NULL) AS "open",
+               max(price) AS high,
+               min(price) AS low,
+               arg_max(price, ts) FILTER (price IS NOT NULL) AS "close",
+               round(CASE WHEN sum(size) > 0
+                     THEN sum(price * size) / sum(size) END, 6) AS vwap,
+               round(sum(size), 6) AS volume,
+               count(*) AS n_ticks,
+               min(ts) AS open_ts,
+               max(ts) AS close_ts
+        FROM tagged GROUP BY 1, 2
+    """
     # the same rule predicates, evaluated engine-side in DuckDB (violation =
     # predicate false OR null, exactly as Q.check counts them)
     sqls["events_quality_report"] = """
@@ -1876,20 +2024,6 @@ def oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value,
                count(event_id) AS n_events
         FROM cleaned GROUP BY 1, 2
-    """
-    # fingerprint-induced partition == normalized-token-stream partition
-    # (see _fingerprint_docs: the hash isn't SQL-reproducible, the
-    # equivalence classes it induces are)
-    sqls["fingerprint_docs"] = """
-        SELECT min(doc_id) AS doc_id, count(*) AS n_docs
-        FROM (
-            SELECT doc_id,
-                   array_to_string(
-                       list_filter(string_split(lower(text), ' '), x -> x != ''),
-                       ' ') AS norm
-            FROM documents
-        )
-        GROUP BY norm
     """
     sqls["bucketed_order_revenue"] = """
         SELECT c_mktsegment AS mktsegment,
@@ -2136,15 +2270,6 @@ def oracle_sql() -> dict[str, str]:
                     ELSE round(sqrt(list_sum(list_transform(bytes, x -> (CAST(x AS DOUBLE) - mean_b) ^ 2)) / n), 6)
                END AS feat_std
         FROM m
-    """
-    sqls["stream_running_stats"] = """
-        SELECT event_type AS key,
-               count(*) AS n_events,
-               round(sum(value), 6) AS total,
-               round(sum(value) / count(*), 6) AS mean,
-               max(value) AS max_value,
-               max(ts) AS last_ts
-        FROM events GROUP BY 1
     """
     sqls["stream_tumbling_daily"] = _OHLCV_SQL.format(unit="day")
     sqls["stream_purchase_click_join"] = """

@@ -831,6 +831,36 @@ def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, sig_df=staged)
 
 
+def _paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (operators/dedup.py:paragraph_dedup).
+    The documents table ships single-line texts, so the query first derives
+    a deterministic multi-paragraph layout — every 4th token-separating
+    space becomes a newline (one regexp_replace, identical leftmost-first
+    semantics on Java regex and RE2) and a shared boilerplate footer line
+    is appended to every document.  paragraph_dedup then removes every
+    paragraph occurring >= 2 times corpus-wide except the smallest
+    (doc_id, idx) occurrence; the footer survives only in the first
+    document, and 4-token lines collide naturally across the synthetic
+    vocabulary.  The oracle re-derives the layout, the duplicate-paragraph
+    closure, keep-first selection, and the per-document text rebuild
+    entirely in DuckDB SQL (content-keyed where Spark hashes — xxhash64
+    is collision-free at this paragraph count), and the non-text columns
+    pass through byte-identical."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){3}\S+) ", "$1\n"),
+            F.lit("\n-- footer --"),
+        ),
+    )
+    return paragraph_dedup(wrapped, min_count=2)
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (text.py repetition_stats) — the
     whole kernel family is re-derived in DuckDB: duplicate-line fractions
@@ -1390,7 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "dedup_exact_docs": _dedup_exact_docs,
         "repetition_docs": _repetition_docs,
-        "domain_mix_docs": _domain_mix_docs,
+        "paragraph_dedup_docs": _paragraph_dedup_docs,
         "activity_bars_ticks": _activity_bars_ticks,
         "ann_cosine_topk": _ann_cosine_topk,
         # staged-candidate oracles (candidate set staged, downstream recomputed)
@@ -1595,17 +1625,6 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN top2 t2 USING (doc_id)
                 LEFT JOIN top3 t3 USING (doc_id)
                 LEFT JOIN d5 USING (doc_id)
-            """,
-            "domain_mix_docs": """
-                WITH per AS (
-                    SELECT source, count(*) AS n_docs,
-                           CAST(sum(len(list_filter(string_split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS n_tokens
-                    FROM documents GROUP BY source
-                )
-                SELECT source, n_docs, n_tokens,
-                       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
-                       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
-                FROM per
             """,
             "dedup_exact_docs": """
                 SELECT text,
@@ -2024,6 +2043,49 @@ def oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value,
                count(event_id) AS n_events
         FROM cleaned GROUP BY 1, 2
+    """
+    # paragraph_dedup_docs: the derived layout (4-token lines + shared
+    # footer), the duplicate-paragraph stats, keep-first selection, and the
+    # per-doc rebuild — all replayed in SQL.  Content IS the key here
+    # (Spark's xxhash64 grouping induces the same partition, collision-free
+    # at this paragraph count); empty/whitespace-only paragraphs are
+    # structural and always survive in place.
+    sqls["paragraph_dedup_docs"] = r"""
+        WITH wrapped AS (
+            SELECT doc_id, lang, source, n_chars,
+                   regexp_replace(text, '((?:\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+                       || chr(10) || '-- footer --' AS text
+            FROM documents
+        ),
+        parts AS (SELECT doc_id, text, string_split(text, chr(10)) AS ps FROM wrapped),
+        paras AS (
+            SELECT doc_id, g.i - 1 AS idx, ps[g.i] AS para,
+                   regexp_replace(ps[g.i], '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS trimmed
+            FROM parts CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(ps))) AS i) g
+        ),
+        keyed AS (
+            SELECT doc_id, idx, para,
+                   CASE WHEN trimmed != '' THEN trimmed END AS key
+            FROM paras
+        ),
+        dup AS (
+            SELECT key, min(struct_pack(id := doc_id, idx := idx)) AS first
+            FROM keyed WHERE key IS NOT NULL
+            GROUP BY key HAVING count(*) >= 2
+        ),
+        surviving AS (
+            SELECT k.doc_id, k.idx, k.para
+            FROM keyed k LEFT JOIN dup d ON k.key = d.key
+            WHERE d.key IS NULL
+               OR (d.first.id = k.doc_id AND d.first.idx = k.idx)
+        ),
+        rebuilt AS (
+            SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
+            FROM surviving GROUP BY doc_id
+        )
+        SELECT w.doc_id, coalesce(r.text, '') AS text, w.lang, w.source, w.n_chars
+        FROM wrapped w LEFT JOIN rebuilt r USING (doc_id)
     """
     sqls["bucketed_order_revenue"] = """
         SELECT c_mktsegment AS mktsegment,

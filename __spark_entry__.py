@@ -1034,6 +1034,32 @@ def _perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _perplexity_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram perplexity — the actually
+    CCNet-shaped variant of the LM filter (operators/lm.py:
+    train_trigram_lm/perplexity_trigram).  Same 20-token vocab cap as the
+    bigram row so the UNK path fires; the oracle replays the ENTIRE
+    train+score loop in SQL: double-BOS padding, vocab selection, OOV
+    mapping, all three count tables as marginals of one trigram table,
+    and the l1/l2/l3 add-k mixture with the identical float64 expression
+    tree."""
+    from real_time_financial_data_pipeline_spark.operators.lm import (
+        perplexity_trigram,
+        train_trigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_trigram_lm(
+        docs, vocab_size=20, add_k=0.5, lambdas=(0.1, 0.3, 0.6)
+    )
+    out = perplexity_trigram(docs, lm)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("log_prob", 6).alias("log_prob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary(load_table(spark, sf_dir, "documents"))
@@ -1391,7 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": _ann_int8_topk,
         "tech_indicators_daily": _tech_indicators_daily,
         "multimodal_features": _multimodal_features,
-        "events_pruned_week": _events_pruned_week,
+        "perplexity_trigram_docs": _perplexity_trigram_docs,
         "bucketed_order_revenue": _bucketed_order_revenue,
         "range_volatility_daily": _range_volatility_daily,
         "pipeline_gold_daily": _pipeline_gold_daily,
@@ -2094,15 +2120,6 @@ def oracle_sql() -> dict[str, str]:
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     """
-    sqls["events_pruned_week"] = """
-        SELECT event_type,
-               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ingest_date,
-               count(*) AS n_events,
-               round(sum(value), 6) AS sum_value
-        FROM events
-        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
-        GROUP BY 1, 2
-    """
     # semdedup_pairs: staged-centroid oracle (same pattern as cluster_docs)
     # — DuckDB re-derives every vector's argmax-cosine cluster assignment
     # from the staged fit, then recomputes every WITHIN-cluster pair's
@@ -2302,6 +2319,75 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                count(*) AS n_bigrams,
+               round(sum(logp), 6) AS log_prob,
+               round(exp(-sum(logp)/count(*)), 6) AS perplexity
+        FROM scored GROUP BY doc_id
+    """
+    # perplexity_trigram_docs: the full JM-interpolated trigram train+score
+    # loop in SQL — double-BOS pad, top-20 vocab (count desc, token asc),
+    # OOV->UNK with sentinel passthrough, unigram/bigram tables as
+    # marginals of the ONE trigram count table (so every order's
+    # denominator counts the same prediction events, like the Spark
+    # trainer), and the l3*p3 + l2*p2 + l1*p1 add-k mixture with the same
+    # left-associated float64 expression tree.  v_pred = |vocab| + 2 and
+    # n_tokens = total prediction events, both derived from the data.
+    sqls["perplexity_trigram_docs"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+            FROM documents
+        ), seq AS (
+            SELECT doc_id,
+                   list_concat(list_concat(['<s>', '<s>'], t), ['</s>']) AS s
+            FROM toks
+        ), trips AS (
+            SELECT doc_id, s[i] AS w1r, s[i+1] AS w2r, s[i+2] AS w3r
+            FROM seq CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(s)-2)) AS i) g
+        ), vocab AS (
+            SELECT tok FROM (SELECT unnest(t) AS tok FROM toks)
+            GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 20
+        ), mapped AS (
+            SELECT doc_id,
+                   CASE WHEN w1r = '<s>' THEN '<s>'
+                        ELSE coalesce(v1.tok, '<unk>') END AS w1,
+                   CASE WHEN w2r = '<s>' THEN '<s>'
+                        ELSE coalesce(v2.tok, '<unk>') END AS w2,
+                   CASE WHEN w3r = '</s>' THEN '</s>'
+                        ELSE coalesce(v3.tok, '<unk>') END AS w3
+            FROM trips
+            LEFT JOIN vocab v1 ON trips.w1r = v1.tok
+            LEFT JOIN vocab v2 ON trips.w2r = v2.tok
+            LEFT JOIN vocab v3 ON trips.w3r = v3.tok
+        ), tri AS (
+            SELECT w1, w2, w3, count(*) AS cnt FROM mapped GROUP BY 1, 2, 3
+        ), tctx AS (
+            SELECT w1, w2, sum(cnt) AS c FROM tri GROUP BY 1, 2
+        ), bi AS (
+            SELECT w2 AS w1, w3 AS w2, sum(cnt) AS cnt FROM tri GROUP BY 1, 2
+        ), bctx AS (
+            SELECT w1, sum(cnt) AS c FROM bi GROUP BY 1
+        ), uni AS (
+            SELECT w3 AS w, sum(cnt) AS cnt FROM tri GROUP BY 1
+        ), vs AS (
+            SELECT CAST(count(*) + 2 AS DOUBLE) AS v FROM vocab
+        ), nt AS (
+            SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni
+        ), scored AS (
+            SELECT m.doc_id,
+                   ln(0.6 * ((coalesce(t.cnt, 0) + 0.5) / (coalesce(tc.c, 0) + 0.5 * vs.v))
+                    + 0.3 * ((coalesce(b.cnt, 0) + 0.5) / (coalesce(bc.c, 0) + 0.5 * vs.v))
+                    + 0.1 * ((coalesce(u.cnt, 0) + 0.5) / (nt.n + 0.5 * vs.v))) AS logp
+            FROM mapped m
+            LEFT JOIN tri t ON m.w1 = t.w1 AND m.w2 = t.w2 AND m.w3 = t.w3
+            LEFT JOIN tctx tc ON m.w1 = tc.w1 AND m.w2 = tc.w2
+            LEFT JOIN bi b ON m.w2 = b.w1 AND m.w3 = b.w2
+            LEFT JOIN bctx bc ON m.w2 = bc.w1
+            LEFT JOIN uni u ON m.w3 = u.w
+            CROSS JOIN vs CROSS JOIN nt
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
                round(sum(logp), 6) AS log_prob,
                round(exp(-sum(logp)/count(*)), 6) AS perplexity
         FROM scored GROUP BY doc_id

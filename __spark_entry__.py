@@ -722,6 +722,36 @@ def _ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_q8(staged, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+_STAGED_BPE_DIR = "/root/repo/spark-warehouse/staged/bpe_merges"
+
+
+def _bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact learned-tokenizer token counts (operators/bpe.py): a BPE
+    merge table is trained on the corpus (deterministic — count-desc /
+    lexicographic tiebreaks end to end), STAGED as (rank, a, b) parquet,
+    and every document is encoded with it.  The oracle replays the encode
+    from raw text: RE2 re-derives the GPT-2 pre-token pieces (the
+    lookahead branch of the Java pattern can't fire on this fabric — an
+    error() guard enforces that), then a rank-ordered recursive CTE
+    applies each merge to chr(31)-delimited symbol strings, where SQL
+    replace() reproduces the left-to-right non-overlapping merge pass.
+    For a LEARNED table, rank-sequential application is equivalent to the
+    lowest-rank-first encode loop (a merge's output symbol only occurs in
+    strictly later-ranked pairs), so the oracle token counts are exact,
+    not a bound."""
+    from real_time_financial_data_pipeline_spark.operators.bpe import (
+        bpe_token_count,
+        learn_bpe,
+        save_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=50)
+    save_bpe(spark, merges, _STAGED_BPE_DIR)
+    out = bpe_token_count(docs, merges)
+    return out.select("doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
+
+
 def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above a cosine threshold within
     a bounded id window (brute force here; the LSH-bucketed path is
@@ -800,6 +830,7 @@ BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _quality_score,
     "moving_average_7": _moving_average,
     "gap_fill_daily": _gap_fill_daily,
+    "ann_cosine_topk": _ann_cosine_topk,
 }
 
 
@@ -1448,7 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _repetition_docs,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "activity_bars_ticks": _activity_bars_ticks,
-        "ann_cosine_topk": _ann_cosine_topk,
+        "bpe_token_count_docs": _bpe_token_count_docs,
         # staged-candidate oracles (candidate set staged, downstream recomputed)
         "minhash_pairs": _minhash_pairs,
         "dedup_apply_docs": _dedup_apply_docs,
@@ -1660,27 +1691,6 @@ def oracle_sql() -> dict[str, str]:
                        arg_min(source, doc_id) AS source,
                        arg_min(n_chars, doc_id) AS n_chars
                 FROM documents GROUP BY text
-            """,
-            "ann_cosine_topk": """
-                WITH c AS (
-                    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings
-                ),
-                q AS (
-                    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id < 5
-                ),
-                scored AS (
-                    SELECT query_id, neighbor_id,
-                           round(round(list_dot_product(v, qv)
-                                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS score
-                    FROM c, q WHERE neighbor_id != query_id
-                )
-                SELECT query_id, neighbor_id, score, rank FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-                    FROM scored
-                ) WHERE rank <= 10
             """,
             # staged-pairs oracles (see _STAGED_PAIRS_DIR): DuckDB re-derives
             # the exact trigram Jaccard of every LSH-surfaced pair from raw
@@ -2322,6 +2332,55 @@ def oracle_sql() -> dict[str, str]:
                round(sum(logp), 6) AS log_prob,
                round(exp(-sum(logp)/count(*)), 6) AS perplexity
         FROM scored GROUP BY doc_id
+    """
+    # bpe_token_count_docs: full encode replay from the staged (rank, a, b)
+    # merge table.  Each distinct pre-token piece is seeded as a
+    # chr(31)-delimited symbol string ("\x1f k \x1f e \x1f y \x1f" shape);
+    # step k replaces every non-overlapping SEP||a||SEP||b||SEP occurrence
+    # with SEP||ab||SEP — exactly bpe.py:_merge_word's left-to-right pass —
+    # and rank-sequential application == the lowest-rank-first encode for a
+    # learned table.  The error() guard pins the no-multi-whitespace fabric
+    # assumption that lets RE2 (no lookahead) reproduce the Java pre-token
+    # regex verbatim.
+    sqls["bpe_token_count_docs"] = f"""
+        WITH RECURSIVE m AS (
+            SELECT rank, a, b FROM read_parquet('{_STAGED_BPE_DIR}/*.parquet')
+        ),
+        pieces AS (
+            SELECT doc_id, unnest(regexp_extract_all(
+                CASE WHEN regexp_matches(text, '\\s\\s')
+                     THEN error('bpe oracle assumes no multi-whitespace runs (RE2 lacks the lookahead branch); the data fabric changed')
+                     ELSE text END,
+                '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+            )) AS piece
+            FROM documents
+        ),
+        words AS (SELECT DISTINCT piece FROM pieces),
+        rec AS (
+            SELECT piece,
+                   chr(31) || array_to_string(
+                       list_transform(range(1, len(piece) + 1), i -> piece[i]),
+                       chr(31)) || chr(31) AS s,
+                   0 AS k
+            FROM words
+            UNION ALL
+            SELECT r.piece,
+                   replace(r.s,
+                           chr(31) || m.a || chr(31) || m.b || chr(31),
+                           chr(31) || m.a || m.b || chr(31)),
+                   r.k + 1
+            FROM rec r JOIN m ON m.rank = r.k
+        ),
+        done AS (
+            SELECT piece, len(string_split(s, chr(31))) - 2 AS n
+            FROM rec WHERE k = (SELECT count(*) FROM m)
+        ),
+        counts AS (
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+            FROM pieces JOIN done USING (piece) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(c.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN counts c USING (doc_id)
     """
     # perplexity_trigram_docs: the full JM-interpolated trigram train+score
     # loop in SQL — double-BOS pad, top-20 vocab (count desc, token asc),

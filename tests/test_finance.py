@@ -1278,6 +1278,7 @@ class TestActivityBars:
     def test_bad_args(self, spark):
         from real_time_financial_data_pipeline_spark.operators.finance import (
             activity_bars,
+            activity_bars_sliced,
         )
 
         ticks = spark.createDataFrame(
@@ -1288,6 +1289,50 @@ class TestActivityBars:
             activity_bars(ticks, 0)
         with pytest.raises(ValueError):
             activity_bars(ticks, 10, by="trades")
+        with pytest.raises(ValueError):
+            activity_bars_sliced(ticks, 0)
+        with pytest.raises(ValueError):
+            activity_bars_sliced(ticks, 10, by="trades")
+
+    def test_activity_bars_sliced_equals_monolithic(self, spark):
+        """The two-phase prefix-sum variant must be ROW-IDENTICAL to the
+        monolithic window on integral sizes — including bars that span
+        slice boundaries (multi-day hot symbol, ticks deliberately dense
+        enough that most bars cross midnight) and a cold symbol whose
+        slices are sparse."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            activity_bars,
+            activity_bars_sliced,
+        )
+
+        rng = np.random.default_rng(17)
+        d = dt.datetime(2024, 1, 1)
+        rows = []
+        # hot symbol: 2000 ticks over 5 days; cold: 40 ticks over 20 days
+        for i in range(2000):
+            rows.append(
+                ("HOT", d + dt.timedelta(minutes=int(i * 3.6)),
+                 float(50 + rng.normal(0, 1)), float(rng.integers(1, 30)))
+            )
+        for i in range(40):
+            rows.append(
+                ("COLD", d + dt.timedelta(hours=i * 12),
+                 float(20 + rng.normal(0, 1)), float(rng.integers(1, 30)))
+            )
+        ticks = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, price double, size double"
+        ).repartition(7)
+        for by, thr in (("volume", 500.0), ("dollar", 20000.0)):
+            mono = sorted(
+                map(tuple, activity_bars(ticks, thr, by).collect())
+            )
+            sliced = sorted(
+                map(tuple, activity_bars_sliced(ticks, thr, by).collect())
+            )
+            assert mono == sliced, (by, thr)
+            assert len(mono) > 10  # real bar structure, not one bucket
 
 
 class TestRangeVolAndKyle:

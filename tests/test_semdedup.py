@@ -90,6 +90,55 @@ class TestSemdedupPairs:
         }
         assert semantic <= brute
 
+    def test_recall_floor_vs_brute_force(self, spark):
+        """Quantified recall gate for the cluster-bounded candidate
+        generation — the same convention as the LSH/IVF recall floors
+        (test_dedup_similarity.py::test_ann_recall_floors): measured
+        numbers locked in, and the k lever must behave monotonically.
+
+        Ground truth is the exact numpy all-pairs scan of the sf0.01
+        embeddings at the oracle row's threshold (0.3).  Measured
+        2026-08-14: recall k=4 0.480, k=8 0.352, k=16 0.243 (sf0.1,
+        n=2000: k=8 0.287, k=16 0.216, k=32 0.161 — recorded in
+        BASELINE.md).  The synthetic embeddings are near-random, so
+        absolute recall is governed by how weakly 0.3-pairs correlate
+        with cluster assignment; the gates lock in (a) floors, (b) that
+        recall decays as k grows (the cost knob), and (c) that
+        clustering beats the 1/k random-collision baseline by >= 1.5x.
+        Precision is structural: every emitted pair must be a true
+        >= threshold pair (exact within-cluster scores)."""
+        import pyarrow.parquet as pq
+
+        from real_time_financial_data_pipeline_spark.catalog import load_table
+
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in t.embedding])
+        ids = t.vec_id.to_numpy()
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = np.round(Xn @ Xn.T, 9)
+        iu = np.triu_indices(len(X), 1)
+        hit = C[iu] >= 0.3
+        brute = set(zip(ids[iu[0][hit]].tolist(), ids[iu[1][hit]].tolist()))
+        assert len(brute) > 500  # non-degenerate ground truth
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+        emb.count()
+        recall = {}
+        for k in (8, 16):
+            got = {
+                (r.id_a, r.id_b)
+                for r in semdedup_pairs(emb, threshold=0.3, k=k).collect()
+            }
+            assert got <= brute, f"k={k}: false pair emitted"
+            recall[k] = len(got & brute) / len(brute)
+        print(f"semdedup recall vs brute: {recall}")
+        assert recall[8] >= 0.28   # measured 0.352
+        assert recall[16] >= 0.18  # measured 0.243
+        assert recall[8] > recall[16]  # k is the recall-for-cost knob
+        for k, r in recall.items():
+            assert r >= 1.5 / k  # beats random cluster collision
+        emb.unpersist()
+
     def test_layout_independent(self, spark):
         df, _ = _planted(spark)
         cents = train_centroids(df, 4, sample_size=4096)

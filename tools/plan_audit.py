@@ -46,6 +46,20 @@ CHECKS = {
     # repetition metrics must stay a narrow scan: only (doc_id, text) read
     "repetition_docs": dict(pruned_cols="text", no_cartesian=True),
     "domain_mix_docs": dict(partial_agg=True, no_cartesian=True),
+    # range volatility: bar-aggregate exchange + ONE series shuffle for the
+    # chained trailing windows (same contract as the indicator ladders)
+    "range_volatility_daily": dict(max_exchange=2, partial_agg=True, no_cartesian=True),
+    # kyle lambda: tick-rule window pass, then the moment aggregate —
+    # partial (map-side) covar/var phases must survive
+    "kyle_lambda_ticks": dict(partial_agg=True, no_cartesian=True),
+    # activity bars: ONE running-sum window exchange + the bar aggregate
+    "activity_bars_ticks": dict(max_exchange=2, partial_agg=True, no_cartesian=True),
+    "paragraph_dedup_docs": dict(partial_agg=True, no_cartesian=True),
+    # BPE encode is map-only: zero exchanges, (doc_id, text) scan only
+    "bpe_token_count_docs": dict(max_exchange=0, no_cartesian=True, pruned_cols="text"),
+    # trigram scoring: all five model tables broadcast onto the corpus
+    "perplexity_trigram_docs": dict(broadcast_min=5, partial_agg=True, no_cartesian=True),
+    "ann_ivfpq_topk": dict(no_cartesian=True),
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "latest_per_user": dict(partial_agg=True),
@@ -124,7 +138,15 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    # registry + bench overrides + retired-but-still-product-surface
+    # callables (oracle rotation removes a query from the 50-slot registry,
+    # not from the engine — its plan contract stays audited here)
+    qs = {
+        **entrymod.queries(),
+        **entrymod.BENCH_OVERRIDES,
+        "domain_mix_docs": entrymod._domain_mix_docs,
+        "events_pruned_week": entrymod._events_pruned_week,
+    }
     failures = 0
     for name, spec in CHECKS.items():
         plan = plan_of(qs[name](spark, sf_dir))

@@ -119,22 +119,74 @@ def learn_from_counts(word_freqs: dict[str, int], n_merges: int) -> list[Merge]:
     """The driver-side merge loop over a word-frequency table — exposed so
     it is property-testable without a SparkSession and reusable when the
     counts come from somewhere other than ``word_counts`` (a saved count
-    table, a sketch, another engine)."""
+    table, a sketch, another engine).
+
+    Incremental formulation (the Sennrich reference algorithm's index
+    structure): pair counts and a pair->words inverted index are built
+    once, each round pops the (count desc, pair asc) best pair from a
+    lazy max-heap (stale entries — superseded counts — are skipped on
+    pop; every count change pushes a fresh entry), and only the words
+    that actually CONTAIN the merged pair are re-segmented, with exact
+    count deltas applied to their old/new adjacent-pair multisets.  Cost
+    is O(touched-word symbols + changed-pair log-heap) per merge instead
+    of the naive O(all words) rescan — the difference between 100 and
+    30k merges being feasible (measured in BASELINE.md: 16k merges over
+    a 50k-word Zipf table in seconds, where the naive rescan
+    extrapolates to hours).  Semantics are byte-identical to the naive
+    loop: same (count desc, lexicographically-smallest) selection, same
+    left-to-right non-overlapping merge, same stop when no pair repeats
+    (tests/test_properties.py pins equivalence on randomized tables)."""
+    import heapq
+
     words: list[tuple[list[str], int]] = [
         (list(w), n) for w, n in sorted(word_freqs.items())
     ]
+    counts: dict[Merge, int] = {}
+    index: dict[Merge, set[int]] = {}
+    for wi, (syms, n) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + n
+            index.setdefault(p, set()).add(wi)
+    heap: list[tuple[int, Merge]] = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[Merge] = []
-    for _ in range(n_merges):
-        counts_d = _pair_counts(words)
-        if not counts_d:
-            break
-        # highest count, then lexicographically smallest (a, b)
-        best_count = max(counts_d.values())
-        if best_count < 2:
-            break
-        best_pair = min(p for p, c in counts_d.items() if c == best_count)
-        merges.append(best_pair)
-        words = [(_merge_word(s, best_pair), n) for s, n in words]
+    while len(merges) < n_merges and heap:
+        neg_c, pair = heapq.heappop(heap)
+        cur = counts.get(pair, 0)
+        if cur != -neg_c:
+            continue  # stale entry — a fresh one is deeper in the heap
+        if cur < 2:
+            break  # the GLOBAL max no longer repeats — same stop as naive
+        merges.append(pair)
+        for wi in index.get(pair, ()):
+            syms, n = words[wi]
+            new_syms = _merge_word(syms, pair)
+            if len(new_syms) == len(syms):
+                continue
+            old_p: dict[Merge, int] = {}
+            for p in zip(syms, syms[1:]):
+                old_p[p] = old_p.get(p, 0) + 1
+            new_p: dict[Merge, int] = {}
+            for p in zip(new_syms, new_syms[1:]):
+                new_p[p] = new_p.get(p, 0) + 1
+            words[wi] = (new_syms, n)
+            for p in old_p.keys() | new_p.keys():
+                delta = (new_p.get(p, 0) - old_p.get(p, 0)) * n
+                if delta:
+                    nc = counts.get(p, 0) + delta
+                    if nc <= 0:
+                        counts.pop(p, None)
+                    else:
+                        counts[p] = nc
+                        heapq.heappush(heap, (-nc, p))
+                if new_p.get(p, 0) > 0:
+                    index.setdefault(p, set()).add(wi)
+                elif old_p.get(p, 0) > 0 and p != pair:
+                    s = index.get(p)
+                    if s is not None:
+                        s.discard(wi)
+        counts.pop(pair, None)
+        index.pop(pair, None)
     return merges
 
 

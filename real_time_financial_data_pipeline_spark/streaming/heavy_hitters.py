@@ -19,8 +19,20 @@ re-count, the same batch-refines-stream split as the MinHash/SemDedup
 dedup family.
 
 State schema is (keys array<string>, counts array<long>, n long): a few
-KB per group at the default capacity, watermark-free (heavy-hitter state
-is deliberately permanent — evicting a group forgets its history).
+KB per group at the default capacity.
+
+DEPLOYMENT PRECONDITION — bounded group cardinality: state is permanent
+per GROUP (no watermark; evicting a group forgets its history), so
+total state is O(groups x capacity).  Run this operator on group keys
+with a known bound (symbols, event types, tenants — thousands to
+millions), never on unbounded keys (session ids, URLs).  For
+high-cardinality groups pass ``idle_ttl_ms``: groups idle longer than
+the TTL are evicted via a processing-time timeout — the
+least-recently-ACTIVE groups go first, which is exactly the
+evict-least-n policy a bounded-memory deployment wants — at the
+documented cost that a returning group restarts its counts from zero
+(its history is forgotten, and the nightly batch re-count over the
+landed bronze table remains the exact source of truth).
 """
 
 from __future__ import annotations
@@ -75,10 +87,15 @@ def _mg_fold(counters: dict[str, int], batch_counts: dict[str, int], capacity: i
     return counters
 
 
-def _make_update(k: int, capacity: int):
+def _make_update(k: int, capacity: int, idle_ttl_ms: int | None = None):
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-TTL eviction (the bounded-groups guard): forget this
+            # group's summary — if it returns, counts restart from zero
+            state.remove()
+            return
         if state.exists:
             items, counts, n = state.get
             counters = dict(zip(items, counts))
@@ -91,6 +108,8 @@ def _make_update(k: int, capacity: int):
             n += int(vc.sum())
             counters = _mg_fold(counters, vc.to_dict(), capacity)
         state.update((list(counters), [int(v) for v in counters.values()], n))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(idle_ttl_ms)
         top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         if top:
             yield pd.DataFrame(
@@ -112,23 +131,33 @@ def stream_heavy_hitters(
     item_col: str,
     k: int = 10,
     capacity: int | None = None,
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Current top-k frequent items per group, re-emitted each trigger
     (update mode) with MG lower-bound counts and the group's exact total
-    ``n_total`` — see the module docstring for the bound and the
-    batch-exact-recount deployment split.  Nulls are not items (same
-    contract as the batch twin)."""
+    ``n_total`` — see the module docstring for the bound, the
+    batch-exact-recount deployment split, and the GROUP-CARDINALITY
+    precondition.  Nulls are not items (same contract as the batch
+    twin).  ``idle_ttl_ms`` arms the bounded-groups guard: a group with
+    no arrivals for that long is evicted (processing-time timeout) and
+    restarts from zero if it returns."""
     capacity = capacity or 8 * k
     if capacity < k:
         raise ValueError(f"capacity {capacity} < k {k}")
+    if idle_ttl_ms is not None and idle_ttl_ms <= 0:
+        raise ValueError(f"idle_ttl_ms must be positive, got {idle_ttl_ms}")
     normalized = stream.selectExpr(
         f"CAST({group_col} AS string) AS group",
         f"CAST({item_col} AS string) AS item",
     )
     return normalized.groupBy("group").applyInPandasWithState(
-        _make_update(k, capacity),
+        _make_update(k, capacity, idle_ttl_ms),
         outputStructType=STREAM_HH_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

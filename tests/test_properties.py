@@ -497,3 +497,45 @@ def test_bpe_trainer_encoder_consistency(word_freqs, n_merges):
     # determinism under input ordering
     shuffled = dict(reversed(list(word_freqs.items())))
     assert learn_from_counts(shuffled, n_merges) == merges
+
+
+@given(
+    st.dictionaries(
+        # tiny alphabets force overlap-heavy words ("aaaa") — the cases
+        # where incremental delta bookkeeping is easiest to get wrong
+        st.text(alphabet="ab", min_size=1, max_size=10),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_incremental_equals_naive_rescan(word_freqs, n_merges):
+    """learn_from_counts' incremental pair-count/heap formulation must be
+    byte-identical to the naive every-round full rescan it replaced
+    (round 9): same (count desc, lex asc) pair selection, same stop
+    condition, same merges — on ANY table, including degenerate
+    single-letter repeats."""
+    from real_time_financial_data_pipeline_spark.operators.bpe import (
+        _merge_word,
+        _pair_counts,
+        learn_from_counts,
+    )
+
+    def naive(wf, nm):
+        words = [(list(w), n) for w, n in sorted(wf.items())]
+        out = []
+        for _ in range(nm):
+            counts = _pair_counts(words)
+            if not counts:
+                break
+            best = max(counts.values())
+            if best < 2:
+                break
+            pair = min(p for p, c in counts.items() if c == best)
+            out.append(pair)
+            words = [(_merge_word(s, pair), n) for s, n in words]
+        return out
+
+    assert learn_from_counts(word_freqs, n_merges) == naive(word_freqs, n_merges)

@@ -90,3 +90,102 @@ class TestStream:
         )
         with pytest.raises(ValueError):
             stream_heavy_hitters(df, "grp", "item", k=10, capacity=3)
+        with pytest.raises(ValueError):
+            stream_heavy_hitters(df, "grp", "item", k=10, idle_ttl_ms=0)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the update function's
+    eviction branch deterministically."""
+
+    def __init__(self):
+        self._s = None
+        self.removed = False
+        self.timeout_set = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._s is not None
+
+    @property
+    def get(self):
+        return self._s
+
+    def update(self, t):
+        self._s = t
+
+    def remove(self):
+        self._s, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+class TestIdleTtlGuard:
+    """The bounded-groups guard (idle-TTL eviction): the update function
+    must re-arm the timeout on every active batch, evict silently when
+    the timeout fires, and restart a returning group from zero."""
+
+    def test_timeout_armed_evicted_and_restarted(self):
+        import pandas as pd
+
+        from real_time_financial_data_pipeline_spark.streaming.heavy_hitters import (
+            _make_update,
+        )
+
+        upd = _make_update(k=3, capacity=8, idle_ttl_ms=60_000)
+        st = _FakeState()
+        batch = [pd.DataFrame({"item": ["a", "a", "b"]})]
+        out = list(upd(("g",), iter(batch), st))
+        assert st.timeout_set == 60_000  # armed on activity
+        assert st.exists and st._s[2] == 3
+        assert len(out) == 1 and int(out[0].n_total.iloc[0]) == 3
+
+        # idle: the timeout fires — state removed, nothing emitted
+        st.hasTimedOut = True
+        out = list(upd(("g",), iter([]), st))
+        assert out == [] and st.removed and not st.exists
+
+        # the group returns: counts restart from zero (documented cost)
+        st.hasTimedOut = False
+        out = list(upd(("g",), iter([pd.DataFrame({"item": ["a"]})]), st))
+        assert int(out[0].n_total.iloc[0]) == 1
+
+    def test_no_ttl_means_no_timeout_arming(self):
+        import pandas as pd
+
+        from real_time_financial_data_pipeline_spark.streaming.heavy_hitters import (
+            _make_update,
+        )
+
+        upd = _make_update(k=3, capacity=8)
+        st = _FakeState()
+        list(upd(("g",), iter([pd.DataFrame({"item": ["a"]})]), st))
+        assert st.timeout_set is None
+
+    def test_ttl_stream_runs_end_to_end(self, spark, tmp_path):
+        """Live smoke: the ProcessingTimeTimeout configuration must be
+        accepted by a real streaming query (a long TTL so nothing evicts
+        inside the drain — eviction logic is pinned by the fake-state
+        tests above)."""
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [("g1", "x")] * 10, "grp string, item string"
+        ).coalesce(1).write.parquet(str(src / "f1"))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(src / "f1")).schema)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_heavy_hitters(stream, "grp", "item", k=3, idle_ttl_ms=3_600_000)
+            .writeStream.format("memory")
+            .queryName("hh_ttl_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table("hh_ttl_stream").toPandas()
+        assert int(out[out.group == "g1"].approx_count.max()) == 10

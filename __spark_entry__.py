@@ -886,6 +886,20 @@ def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, sig_df=staged)
 
 
+def _corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (operators/text.py:corpus_report) in
+    its exact sketch-twin mode (the registry convention for sketch
+    operators): doc/token counts, interpolated token-length percentiles,
+    the composite quality mean, the exact duplicate-rate, and the
+    dominant language + share — every column re-derived end-to-end from
+    raw documents in DuckDB SQL."""
+    from real_time_financial_data_pipeline_spark.operators.text import (
+        corpus_report,
+    )
+
+    return corpus_report(load_table(spark, sf_dir, "documents"), exact=True)
+
+
 def _paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level paragraph dedup (operators/dedup.py:paragraph_dedup).
     The documents table ships single-line texts, so the query first derives
@@ -1507,7 +1521,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ADC gather-sums, the finalist cut, and the exact rerank; IVF
       recall stays gated by test_ann_recall_floors)
       -> ann_ivfpq_topk IN (staged-codebook oracle over the PQ codes +
-      LUT tables)."""
+      LUT tables);
+    - segment_stats OUT (grouped count + exact-decimal average — the
+      same kernel discipline pricing_summary and
+      bucketed_order_revenue oracle-check over far richer plans; the
+      exact DuckDB comparison the row performed moves in-test,
+      test_segment_stats_duckdb_oracle)
+      -> corpus_report_docs IN (the per-source data card in its exact
+      sketch-twin mode — tokenize, composite quality, interpolated
+      percentiles, exact dup rate, dominant language — re-derived
+      end-to-end from raw documents in SQL)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1531,7 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
         "top_customers": _top_customers,
-        "segment_stats": _segment_stats,
+        "corpus_report_docs": _corpus_report_docs,
         "order_priority_counts": _order_priority,
         "value_percentiles": _value_percentiles,
         "events_quality_report": _events_quality_report,
@@ -1651,11 +1674,56 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY revenue DESC, custkey ASC
                 LIMIT 10
             """,
-            "segment_stats": """
-                SELECT c_mktsegment AS mktsegment,
-                       count(*) AS n_customers,
-                       CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_acctbal
-                FROM customer GROUP BY 1
+            # corpus_report_docs (exact sketch-twin mode): the whole data
+            # card re-derived per source — tokenize, the composite quality
+            # formula, interpolated percentiles (quantile_cont == Spark's
+            # exact percentile), exact distinct-text dup rate (== the
+            # hash-keyed distinct, collision-free at this doc count), and
+            # the (count desc, lang desc) dominant-language pick
+            "corpus_report_docs": """
+                WITH scored AS (
+                    SELECT source, lang, text,
+                           len(toks) AS n_tok,
+                           round((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                               + (CASE WHEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                                            BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+                               + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+                                     ['the','a','and','of','to','in','is','on','for','as'], x))) AS DOUBLE)
+                                       / len(toks) > 0.0 THEN 0.3 ELSE 0.0 END), 6) AS q
+                    FROM (
+                        SELECT source, lang, text,
+                               list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                        FROM documents
+                    )
+                ), per AS (
+                    SELECT source,
+                           count(*) AS n_docs,
+                           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                           round(avg(n_tok), 6) AS avg_tokens,
+                           round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+                           round(quantile_cont(n_tok, 0.95), 6) AS p95_tokens,
+                           round(avg(q), 6) AS mean_quality,
+                           count(DISTINCT text) AS nd
+                    FROM scored GROUP BY source
+                ), langs AS (
+                    SELECT source, lang, count(*) AS n
+                    FROM documents GROUP BY 1, 2
+                ), top AS (
+                    SELECT source, lang AS top_lang,
+                           round(CAST(n AS DOUBLE) / tot, 6) AS top_lang_share
+                    FROM (
+                        SELECT source, lang, n,
+                               sum(n) OVER (PARTITION BY source) AS tot,
+                               row_number() OVER (
+                                   PARTITION BY source ORDER BY n DESC, lang DESC) AS rn
+                        FROM langs
+                    ) WHERE rn = 1
+                )
+                SELECT p.source, p.n_docs, p.n_tokens, p.avg_tokens,
+                       p.p50_tokens, p.p95_tokens, p.mean_quality,
+                       round(greatest(0.0, 1 - CAST(p.nd AS DOUBLE) / p.n_docs), 6) AS dup_rate_est,
+                       t.top_lang, t.top_lang_share
+                FROM per p JOIN top t USING (source)
             """,
             "order_priority_counts": """
                 SELECT o_orderpriority AS orderpriority, count(*) AS order_count

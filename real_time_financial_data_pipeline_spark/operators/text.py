@@ -576,6 +576,7 @@ def corpus_report(
     text_col: str = "text",
     strata_col: str = "source",
     lang_col: str | None = "lang",
+    exact: bool = False,
 ) -> DataFrame:
     """Dataset-card profile per stratum: doc/token counts, token-length
     quantiles, mean quality score, and an exact-duplicate-rate estimate —
@@ -595,7 +596,14 @@ def corpus_report(
     reaches the parquet reader, no tokenization): sketch partials can't
     be re-merged through the DataFrame API, so folding the lang argmax
     into the first aggregate would force the full-width work into both.
-    A null stratum is a real group and is reported (null-safe join)."""
+    A null stratum is a real group and is reported (null-safe join).
+
+    ``exact=True`` is the oracle/precision twin (the engine's standard
+    sketch-twin convention, cf. ``query.percentiles``): interpolated
+    exact percentiles instead of the sketch, exact distinct instead of
+    HLL — same plan shape, the distinct now shuffles the hash column.
+    The default stays approximate because at 100 TB that is the
+    one-pass mergeable form."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks).cast("long")
     base = df.select(
@@ -604,14 +612,22 @@ def corpus_report(
         quality_score_expr(toks).alias("_q"),
         F.xxhash64(F.col(text_col)).alias("_th"),
     )
+    if exact:
+        p50 = F.round(F.percentile("_n_tok", F.lit(0.5)), 6)
+        p95 = F.round(F.percentile("_n_tok", F.lit(0.95)), 6)
+        n_distinct = F.count_distinct("_th")
+    else:
+        p50 = F.percentile_approx("_n_tok", 0.5)
+        p95 = F.percentile_approx("_n_tok", 0.95)
+        n_distinct = F.approx_count_distinct("_th")
     per = base.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n_tok").alias("n_tokens"),
         F.round(F.avg("_n_tok"), 6).alias("avg_tokens"),
-        F.percentile_approx("_n_tok", 0.5).alias("p50_tokens"),
-        F.percentile_approx("_n_tok", 0.95).alias("p95_tokens"),
+        p50.alias("p50_tokens"),
+        p95.alias("p95_tokens"),
         F.round(F.avg("_q"), 6).alias("mean_quality"),
-        F.approx_count_distinct("_th").alias("_approx_distinct"),
+        n_distinct.alias("_approx_distinct"),
     ).withColumn(
         "dup_rate_est",
         F.round(

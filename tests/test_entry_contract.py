@@ -34,6 +34,34 @@ def test_each_query_runs_at_smallest_sf(spark, name):
     assert df.count() >= 0 and len(df.columns) > 0
 
 
+def test_segment_stats_duckdb_oracle(spark):
+    """Retirement anchor for the segment_stats oracle row (rotated out in
+    round 9 for corpus_report_docs): the grouped count + exact-decimal
+    average stays DuckDB-checked in-test — same comparison the driver
+    row performed, at sf0.001."""
+    import duckdb
+
+    got = {
+        tuple(r)
+        for r in entrymod._segment_stats(spark, SF)
+        .selectExpr("mktsegment", "n_customers", "round(avg_acctbal, 6)")
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT c_mktsegment AS mktsegment, count(*) AS n_customers,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
+                         / count(*), 6) AS avg_acctbal
+            FROM read_parquet('{SF}/customer.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) >= 3
+
+
 def test_partitioned_scan_equivalence(spark):
     """Retirement anchor for the events_pruned_week oracle row (rotated
     out in round 9): the ingest_date-partitioned lake scan must return

@@ -60,6 +60,9 @@ CHECKS = {
     # trigram scoring: all five model tables broadcast onto the corpus
     "perplexity_trigram_docs": dict(broadcast_min=5, partial_agg=True, no_cartesian=True),
     "ann_ivfpq_topk": dict(no_cartesian=True),
+    # data card: one full-width partial-agg pass + the broadcast lang join
+    "corpus_report_docs": dict(broadcast_min=1, partial_agg=True, no_cartesian=True),
+    "segment_stats": dict(partial_agg=True, no_cartesian=True),
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "latest_per_user": dict(partial_agg=True),
@@ -146,6 +149,7 @@ def main() -> None:
         **entrymod.BENCH_OVERRIDES,
         "domain_mix_docs": entrymod._domain_mix_docs,
         "events_pruned_week": entrymod._events_pruned_week,
+        "segment_stats": entrymod._segment_stats,
     }
     failures = 0
     for name, spec in CHECKS.items():

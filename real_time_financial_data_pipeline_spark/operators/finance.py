@@ -772,6 +772,106 @@ def tick_rule_signs(
     )
 
 
+def tick_rule_signs_sliced(
+    ticks: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    price_col: str = "price",
+    out_col: str = "trade_sign",
+    tiebreak_col: str | None = None,
+    slice_unit: str = "day",
+    prev_col: str | None = None,
+) -> DataFrame:
+    """:func:`tick_rule_signs` with a BOUNDED per-task sort — the same
+    two-phase slicing story as :func:`activity_bars_sliced`, applied to
+    the sign carry-forward (a last-non-null prefix fold instead of a
+    sum).  Row-identical to the monolithic window
+    (test_finance.py::test_tick_rule_sliced_equals_monolithic, including
+    zero-tick runs and all-zero-tick slices crossing slice boundaries).
+
+    Decomposition: a tick's sign is the last non-null raw tick (+1/-1)
+    at or before it.  Within a slice that is one bounded window pass;
+    across slices it is the cascade of each earlier slice's LAST
+    non-null raw sign — a per-(keys, slice) aggregate (tiny, map-side
+    combined) cascaded by a second last-non-null window over the slice
+    summary table, joined back on (keys, slice) where the tick side
+    already hashes.  The only cross-slice price dependency is the FIRST
+    tick of each slice (its raw sign compares against the previous
+    slice's closing print), carried on the same summary table.
+
+    ``prev_col`` additionally emits the previous-print price each row's
+    raw sign compared against — :func:`kyle_lambda`'s ``sliced=True``
+    mode consumes it for the price-change series so the whole impact
+    regression runs task-bounded.  ``time_col`` must be non-null.
+
+    When to engage it (measured, tools/skew_bench.py): this twin is the
+    MEMORY-CEILING escape hatch, not a latency optimization — on the
+    90%-hot-key table at 2.4M local ticks it is ~1.6x SLOWER than the
+    monolithic window (it pays a second tick-table pass for the slice
+    summaries plus two co-partitioned joins, while a 2M-row single-task
+    sort is still cheap in-memory).  Engage it when the hottest key's
+    history stops fitting a task — past the spill cliff the monolithic
+    form degrades unboundedly while this one's tasks stay symbol-day
+    sized.  Contrast ``activity_bars_sliced`` (one extra aggregate, no
+    prev-price machinery), which is already faster at this size."""
+    order = [F.col(time_col), F.col(price_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    staged = ticks.withColumn("_slice", F.date_trunc(slice_unit, F.col(time_col)))
+    w_in = Window.partitionBy(*key_cols, "_slice").orderBy(*order)
+    p = F.col(price_col)
+    order_key = F.struct(*order)
+    # per-slice boundary summary: the slice's closing PRINT (last row's
+    # price, null included — struct-wrap so max_by can't skip null
+    # prices) — the raw-sign fold below adds the slice's last non-null
+    # raw sign once boundary-corrected raws exist
+    bounds = staged.groupBy(*key_cols, "_slice").agg(
+        F.max_by(F.struct(p.alias("p")), order_key)["p"].alias("_close_px")
+    )
+    w_sl = Window.partitionBy(*key_cols).orderBy("_slice")
+    bounds = bounds.withColumn("_prev_close", F.lag("_close_px").over(w_sl)).select(
+        *key_cols, "_slice", "_prev_close"
+    )
+    with_prev = (
+        staged.withColumn("_rn", F.row_number().over(w_in))
+        .withColumn("_lag_in", F.lag(p).over(w_in))
+        .join(bounds, [*key_cols, "_slice"])
+        .withColumn(
+            "_prev_px",
+            F.when(F.col("_rn") == 1, F.col("_prev_close")).otherwise(F.col("_lag_in")),
+        )
+    )
+    raw = (
+        F.when(p > F.col("_prev_px"), F.lit(1))
+        .when(p < F.col("_prev_px"), F.lit(-1))
+    )
+    run_in = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    scored = with_prev.withColumn("_raw", raw).withColumn(
+        "_run_in", F.last(F.col("_raw"), ignorenulls=True).over(run_in)
+    )
+    # slice's last non-null raw sign (masked order key skips null raws),
+    # cascaded per key over earlier slices
+    sl_last = scored.groupBy(*key_cols, "_slice").agg(
+        F.max_by(F.col("_raw"), F.when(F.col("_raw").isNotNull(), order_key)).alias(
+            "_sl_last"
+        )
+    )
+    carry = sl_last.withColumn(
+        "_carry",
+        F.last(F.col("_sl_last"), ignorenulls=True).over(
+            w_sl.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(*key_cols, "_slice", "_carry")
+    out = scored.join(carry, [*key_cols, "_slice"]).withColumn(
+        out_col,
+        F.coalesce(F.col("_run_in"), F.col("_carry"), F.lit(0)).cast("int"),
+    )
+    keep = list(ticks.columns) + [out_col] + ([prev_col] if prev_col else [])
+    if prev_col:
+        out = out.withColumn(prev_col, F.col("_prev_px"))
+    return out.select(*keep)
+
+
 def order_flow_imbalance(
     ticks: DataFrame,
     time_period: str = "D",
@@ -780,6 +880,7 @@ def order_flow_imbalance(
     price_col: str = "price",
     size_col: str = "size",
     bucket_col: str = "period",
+    sliced: bool = False,
 ) -> DataFrame:
     """Order-flow imbalance per (keys, calendar period): signed volume
     over total volume, OFI = Σ(sign·size)/Σ(size) ∈ [−1, 1] — the
@@ -787,14 +888,20 @@ def order_flow_imbalance(
 
     Execution: the tick-rule window pass (one shuffle on the keys), then
     the same map-side-combined calendar hash aggregate as
-    :func:`vwap_bars`; zero total volume yields NULL OFI."""
+    :func:`vwap_bars`; zero total volume yields NULL OFI.
+    ``sliced=True`` swaps in :func:`tick_rule_signs_sliced` (identical
+    result, task size bounded at the hottest symbol-day) — the hot-key
+    escape hatch."""
     from .aggregate import FREQ_TO_TRUNC
 
     key_cols = key_cols or ["event_type"]
     unit = FREQ_TO_TRUNC.get(time_period.upper())
     if unit is None:
         raise ValueError(f"unsupported time_period {time_period!r}")
-    signed = tick_rule_signs(ticks, key_cols, time_col, price_col)
+    if sliced:
+        signed = tick_rule_signs_sliced(ticks, key_cols, time_col, price_col)
+    else:
+        signed = tick_rule_signs(ticks, key_cols, time_col, price_col)
     s = F.col(size_col).cast("double")
     signed_vol = F.sum(F.col("trade_sign") * s)
     volume = F.sum(s)
@@ -963,15 +1070,20 @@ def activity_bars_sliced(
     function of the window order, which is what makes phase-1-then-offset
     equal to the monolithic prefix.  With integral sizes (exactly
     representable in float64) the regrouped additions are exact, so the
-    result is row-identical to :func:`activity_bars`
+    BAR ASSIGNMENT is row-identical to :func:`activity_bars`
     (test_finance.py::test_activity_bars_sliced_equals_monolithic); with
-    fractional float sizes the two can differ by an ulp at bar
-    boundaries.  ``time_col`` must be non-null.  The same two-phase shape
-    applies to any per-key prefix fold over ticks — ``anchored_vwap``'s
-    running sums verbatim, ``tick_rule_signs``'s carry-forward as a
-    last-non-null fold; their real-time overflow path is the stateful
-    streaming twin (streaming/indicators.py), which never re-sorts
-    history at all."""
+    fractional activities (dollar bars) a boundary can shift by an ulp.
+    The per-bar vwap, an aggregate SUM, matches to ~1 ulp rather than
+    bitwise — true of ANY Spark sum under a different partition layout,
+    not a slicing artifact.  ``time_col`` must be non-null.  The same
+    two-phase shape covers the family's other prefix folds:
+    ``anchored_vwap`` is already anchor-partitioned (skew-free by
+    construction), and ``tick_rule_signs`` has its own sliced twin
+    (:func:`tick_rule_signs_sliced`, a last-non-null fold with a
+    boundary-print carry) that ``order_flow_imbalance(sliced=True)`` and
+    ``kyle_lambda(sliced=True)`` consume; the real-time overflow path is
+    the stateful streaming twin (streaming/indicators.py), which never
+    re-sorts history at all."""
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
     if by not in ("volume", "dollar"):
@@ -1072,6 +1184,7 @@ def kyle_lambda(
     price_col: str = "price",
     size_col: str = "size",
     tiebreak_col: str | None = None,
+    sliced: bool = False,
 ) -> DataFrame:
     """Kyle's lambda per series: the OLS slope of per-tick price changes on
     signed volume (tick-rule signs), λ = cov(Δp, q·v) / var(q·v) — the
@@ -1081,15 +1194,26 @@ def kyle_lambda(
     One window pass for Δp and the tick-rule sign (shared sort), then one
     map-side-combined ``covar_samp``/``var_samp`` aggregate per series —
     no regression library, no driver math.  Ticks with no previous print
-    (Δp undefined) drop out of the moments."""
-    signed = tick_rule_signs(
-        ticks, key_cols, time_col, price_col, tiebreak_col=tiebreak_col
-    )
-    order = [F.col(time_col), F.col(price_col)] + (
-        [F.col(tiebreak_col)] if tiebreak_col else []
-    )
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    dp = F.col(price_col) - F.lag(price_col).over(w)
+    (Δp undefined) drop out of the moments.  ``sliced=True`` runs BOTH
+    the sign rule and the Δp series through
+    :func:`tick_rule_signs_sliced` (its ``prev_col`` output is exactly
+    the previous print the monolithic lag reads), bounding task size at
+    the hottest symbol-day — identical result, test-pinned."""
+    if sliced:
+        signed = tick_rule_signs_sliced(
+            ticks, key_cols, time_col, price_col,
+            tiebreak_col=tiebreak_col, prev_col="_prev_px",
+        )
+        dp = F.col(price_col) - F.col("_prev_px")
+    else:
+        signed = tick_rule_signs(
+            ticks, key_cols, time_col, price_col, tiebreak_col=tiebreak_col
+        )
+        order = [F.col(time_col), F.col(price_col)] + (
+            [F.col(tiebreak_col)] if tiebreak_col else []
+        )
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        dp = F.col(price_col) - F.lag(price_col).over(w)
     sv = F.col("trade_sign") * F.col(size_col).cast("double")
     # both moments must run over the SAME sample: covar_samp silently
     # skips null-dp rows but var_samp would keep them, biasing the slope

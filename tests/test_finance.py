@@ -1294,6 +1294,76 @@ class TestActivityBars:
         with pytest.raises(ValueError):
             activity_bars_sliced(ticks, 10, by="trades")
 
+    def test_tick_rule_sliced_equals_monolithic(self, spark):
+        """The sliced tick-rule twin must be ROW-IDENTICAL to the
+        monolithic window across every boundary shape: a first tick of a
+        slice whose raw sign depends on the PREVIOUS slice's closing
+        print (up/down/zero), zero-tick runs crossing midnight, whole
+        slices of only zero-ticks (the carry must pass through them),
+        null prices, and the cold start before any price move."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            kyle_lambda,
+            order_flow_imbalance,
+            tick_rule_signs,
+            tick_rule_signs_sliced,
+        )
+
+        rng = np.random.default_rng(23)
+        d = dt.datetime(2024, 3, 1)
+        rows = []
+        # HOT: 1200 ticks over 4 days from a SMALL price grid (many exact
+        # repeats -> long zero-tick runs, some spanning slice boundaries)
+        for i in range(1200):
+            px = float(rng.choice([10.0, 10.0, 10.0, 10.5, 11.0]))
+            if rng.random() < 0.02:
+                px = None  # bad prints
+            rows.append(("HOT", d + dt.timedelta(minutes=int(i * 4.8)), px,
+                         float(rng.integers(1, 9))))
+        # FLAT: day 1 has moves, day 2 is ALL zero-ticks (constant price),
+        # day 3 opens equal to day 2's close (zero-tick across midnight)
+        flat = (
+            [("FLAT", d + dt.timedelta(minutes=m), p, 1.0)
+             for m, p in [(0, 5.0), (30, 6.0), (60, 6.0)]]
+            + [("FLAT", d + dt.timedelta(days=1, minutes=m), 6.0, 1.0)
+               for m in range(0, 120, 30)]
+            + [("FLAT", d + dt.timedelta(days=2, minutes=m), p, 1.0)
+               for m, p in [(0, 6.0), (30, 5.0)]]
+        )
+        # COLD-START: constant price forever -> every sign must be 0
+        cold = [("ZERO", d + dt.timedelta(hours=h * 13), 7.0, 2.0) for h in range(8)]
+        ticks = spark.createDataFrame(
+            rows + flat + cold,
+            "event_type string, ts timestamp, price double, size double",
+        ).repartition(9)
+
+        mono = sorted(
+            map(tuple, tick_rule_signs(ticks, ["event_type"]).collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        sliced = sorted(
+            map(tuple, tick_rule_signs_sliced(ticks, ["event_type"]).collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert mono == sliced
+        signs = {(r[0], r[1]): r[4] for r in mono}
+        assert all(signs[k] == 0 for k in signs if k[0] == "ZERO")
+        # day-2 FLAT rows carry day-1's +1 across the all-zero-tick slice
+        assert signs[("FLAT", d + dt.timedelta(days=1, minutes=90))] == 1
+        assert signs[("FLAT", d + dt.timedelta(days=2, minutes=30))] == -1
+
+        # the composed operators agree between kernels too
+        for df_pair in (
+            (order_flow_imbalance(ticks, "D", ["event_type"]),
+             order_flow_imbalance(ticks, "D", ["event_type"], sliced=True)),
+            (kyle_lambda(ticks, ["event_type"]),
+             kyle_lambda(ticks, ["event_type"], sliced=True)),
+        ):
+            a = sorted(map(tuple, df_pair[0].collect()))
+            b = sorted(map(tuple, df_pair[1].collect()))
+            assert a == b
+
     def test_activity_bars_sliced_equals_monolithic(self, spark):
         """The two-phase prefix-sum variant must be ROW-IDENTICAL to the
         monolithic window on integral sizes — including bars that span
@@ -1324,6 +1394,8 @@ class TestActivityBars:
         ticks = spark.createDataFrame(
             rows, "event_type string, ts timestamp, price double, size double"
         ).repartition(7)
+        import math
+
         for by, thr in (("volume", 500.0), ("dollar", 20000.0)):
             mono = sorted(
                 map(tuple, activity_bars(ticks, thr, by).collect())
@@ -1331,7 +1403,15 @@ class TestActivityBars:
             sliced = sorted(
                 map(tuple, activity_bars_sliced(ticks, thr, by).collect())
             )
-            assert mono == sliced, (by, thr)
+            # bar ASSIGNMENT and every pick/count column must be exact;
+            # vwap = notional/volume is an aggregate SUM whose fold order
+            # is layout-dependent on both plans, so it matches to 1 ulp,
+            # not bitwise (same caveat as any Spark re-partitioned sum)
+            assert len(mono) == len(sliced), (by, thr)
+            for m, s in zip(mono, sliced):
+                assert m[:6] == s[:6], (by, thr, m, s)      # keys..close
+                assert m[7:] == s[7:], (by, thr, m, s)      # volume..ts
+                assert math.isclose(m[6], s[6], rel_tol=1e-12), (by, thr, m, s)
             assert len(mono) > 10  # real bar structure, not one bucket
 
 

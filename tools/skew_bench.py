@@ -130,6 +130,21 @@ def main() -> None:
     assert n_mono == n_sliced, (n_mono, n_sliced)
     results["activity_bars_hot_monolithic"] = median_of(lambda: run_bars(activity_bars))
     results["activity_bars_hot_sliced"] = median_of(lambda: run_bars(activity_bars_sliced))
+
+    # same hot table through the tick-rule family: kyle_lambda sorts the
+    # hot key's whole tape for signs+dp in the monolithic form; sliced=True
+    # runs both through the day-bounded tick_rule_signs_sliced kernel
+    from real_time_financial_data_pipeline_spark.operators.finance import (
+        kyle_lambda,
+    )
+
+    def run_kyle(sliced):
+        kyle_lambda(ticks, ["event_type"], sliced=sliced).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    results["kyle_lambda_hot_monolithic"] = median_of(lambda: run_kyle(False))
+    results["kyle_lambda_hot_sliced"] = median_of(lambda: run_kyle(True))
     ticks.unpersist()
 
     big.unpersist()

@@ -2298,7 +2298,8 @@ def oracle_sql() -> dict[str, str]:
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     """
-    # semdedup_pairs: staged-centroid oracle (same pattern as cluster_docs)
+    # semdedup_pairs: staged-centroid oracle (the pattern the retired
+    # cluster_docs row used — its assignment kernel lives on here)
     # — DuckDB re-derives every vector's argmax-cosine cluster assignment
     # from the staged fit, then recomputes every WITHIN-cluster pair's
     # cosine from the raw embeddings.  Both halves of the operator (the

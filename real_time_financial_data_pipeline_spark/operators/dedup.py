@@ -131,6 +131,197 @@ def paragraph_dedup(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    window_tokens: int = 50,
+    stride: int = 1,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Duplicated-substring spans — the windowed-hash form of ExactSubstr
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499): every ``window_tokens``-token
+    window whose content occurs ``min_count``+ times corpus-wide marks
+    its positions; overlapping marked windows merge into MAXIMAL
+    ``(span_start, span_end)`` token spans per document (end exclusive).
+    This is the sub-paragraph rung of the dedup ladder — it catches the
+    50-token boilerplate passage embedded mid-document that
+    paragraph-level and document-level dedup both miss.
+
+    ``keep_first``: each distinct window's smallest-(doc, start)
+    occurrence is not marked, so one copy of every duplicated passage
+    survives (the published policy).  A kept occurrence can still lose
+    tokens to a DIFFERENT overlapping duplicated window's span — the
+    same caveat the suffix-array implementation carries.
+
+    Spark-first shape vs the paper's suffix array (a single-machine,
+    memory-resident structure that cannot shard a 100 TB corpus): token
+    windows explode map-side, the only shuffle is ONE hash aggregate on
+    the 64-bit window hash (map-side combine collapses within-partition
+    repeats — boilerplate is exactly what combines well), and only
+    MARKED positions (bounded by |duplicate windows|, not the corpus)
+    flow back to the per-doc interval merge, a higher-order fold over
+    each doc's sorted marked-position array.
+
+    Cost knob: hashing every window at ``stride=1`` materializes
+    O(tokens x window) characters map-side.  ``stride`` s > 1 keeps
+    ~1/s of window starts — but CONTENT-ANCHORED (a start is kept when
+    its first token's hash ≡ 0 mod s), NOT arithmetic: an arithmetic
+    stride samples positions relative to each DOCUMENT, so two
+    occurrences of the same passage at different alignments mod s would
+    never hash the same window and cross-document duplicates could
+    evade at ANY length.  Anchoring on content makes every occurrence
+    of a passage sample the SAME relative positions by construction;
+    a duplicate is then caught whenever any of its first
+    (length - window + 1) token positions is an anchor — miss
+    probability (1 - 1/s)^(length - window + 1) under content hashing,
+    vanishing fast for passages meaningfully longer than the window.
+    (A pathological anchor-free passage can evade; winnowing-style
+    neighborhood-min selection would close that at O(s) extra cost per
+    token.)  The paper's 50-token threshold with stride 1 is exact.
+
+    Returns (id, span_start, span_end), one row per maximal span."""
+    if window_tokens < 2:
+        raise ValueError(f"window_tokens must be >= 2, got {window_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks_e = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    w = F.lit(window_tokens)
+    tokenized = df.select(
+        F.col(id_col).alias("_id"), toks_e.alias("_toks")
+    ).filter(F.size("_toks") >= window_tokens)
+    all_starts = F.sequence(F.lit(0), F.size("_toks") - w)
+    if stride > 1:
+        # content-anchored sampling: keep a start iff its first token's
+        # hash ≡ 0 (mod stride) — occurrence-alignment-independent
+        starts = F.filter(
+            all_starts,
+            lambda i: F.pmod(
+                F.xxhash64(F.element_at(F.col("_toks"), (i + 1).cast("int"))),
+                F.lit(stride),
+            )
+            == 0,
+        )
+    else:
+        starts = all_starts
+    staged = tokenized.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, window_tokens))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select("_id", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
+    dup = (
+        staged.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("_id").alias("id"), F.col("_pos").alias("pos"))).alias("_first"),
+        )
+        .filter(F.col("_n") >= min_count)
+    )
+    marked = staged.join(dup, "_h")
+    if keep_first:
+        marked = marked.filter(
+            (F.col("_first.id") != F.col("_id")) | (F.col("_first.pos") != F.col("_pos"))
+        )
+    # per-doc maximal-interval merge: fold the sorted marked positions,
+    # extending the open span while the next window starts inside it
+    span_t = "array<struct<s:long,e:long>>"
+    merged = (
+        marked.groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_pos")).alias("_ps"))
+        .withColumn(
+            "_spans",
+            F.aggregate(
+                F.col("_ps"),
+                F.expr(f"CAST(array() AS {span_t})"),
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0)
+                    & (p <= F.element_at(acc, -1)["e"]),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"], p + w
+                                ).cast("long").alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.cast("long").alias("s"),
+                                (p + w).cast("long").alias("e"),
+                            )
+                        ),
+                    )
+                ),
+            ),
+        )
+    )
+    return merged.select(
+        F.col("_id").alias(id_col), F.explode("_spans").alias("_sp")
+    ).select(
+        id_col,
+        F.col("_sp.s").alias("span_start"),
+        F.col("_sp.e").alias("span_end"),
+    )
+
+
+def apply_substring_dedup(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the marked spans out of each document: tokens covered by any
+    (span_start, span_end) interval are dropped, survivors rejoin with
+    single spaces in original order (the same indexed higher-order
+    rebuild as ``paragraph_dedup`` — documents with no spans pass
+    through byte-identical, no split/rejoin round trip).  Non-text
+    columns pass through unchanged.  Note the rebuild normalizes
+    whitespace WITHIN changed documents (token-level surgery cannot
+    preserve the original separators around removed tokens)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_cut")
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    rebuilt = F.array_join(
+        F.filter(
+            toks,
+            lambda x, i: ~F.exists(
+                F.col("_cut"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+            ),
+        ),
+        " ",
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_cut").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .select(*df.columns)
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two string-array columns (as distinct sets)."""
     inter = F.size(F.array_intersect(a, b))

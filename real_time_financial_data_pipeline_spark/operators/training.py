@@ -360,6 +360,7 @@ def curate_documents(
     near_dup_threshold: float = 0.7,
     repetition_gate: bool = False,
     dedup_paragraphs: bool = False,
+    dedup_substrings: int | None = None,
     perplexity_lm=None,
     max_perplexity: float | None = None,
     embeddings: DataFrame | None = None,
@@ -377,6 +378,13 @@ def curate_documents(
     corpus-wide boilerplate paragraphs are stripped before quality scoring
     (a nav-bar-heavy page should be judged on its real prose) and before
     any fingerprint/MinHash signature is computed over the text.
+    ``dedup_substrings`` (a window size, e.g. the paper's 50) inserts
+    ExactSubstr-style duplicated-PASSAGE removal
+    (``dedup.substring_dup_spans`` + ``apply_substring_dedup``) right
+    after it — the rung between paragraph-keyed and whole-document
+    dedup, catching the shared passage embedded mid-prose that neither
+    neighbor stage can see.  Both sub-document stages precede scoring
+    for the same reason.
 
     Ordering matters for cost: the cheap codegen'd quality/language filters
     shrink the corpus BEFORE the shuffle-bearing dedup stages, and exact
@@ -408,6 +416,13 @@ def curate_documents(
 
     if dedup_paragraphs:
         docs = _paragraph_dedup(docs, text_col, id_col)
+    if dedup_substrings is not None:
+        from .dedup import apply_substring_dedup, substring_dup_spans
+
+        spans = substring_dup_spans(
+            docs, window_tokens=dedup_substrings, text_col=text_col, id_col=id_col
+        )
+        docs = apply_substring_dedup(docs, spans, text_col, id_col)
     kept = quality_score(docs, text_col).filter(
         F.col("quality_score") >= F.lit(min_quality)
     ).drop("quality_score")

@@ -1364,6 +1364,48 @@ class TestActivityBars:
             b = sorted(map(tuple, df_pair[1].collect()))
             assert a == b
 
+    def test_tick_rule_sliced_randomized_equivalence(self, spark):
+        """Randomized adversarial tables (beyond the hand-built boundary
+        cases): heavy price repetition, null prints, ragged multi-key
+        multi-day layouts, and BOTH slice units — the sliced kernel must
+        equal the monolithic window on every one."""
+        import numpy as np
+
+        from real_time_financial_data_pipeline_spark.operators.finance import (
+            tick_rule_signs,
+            tick_rule_signs_sliced,
+        )
+
+        d = dt.datetime(2024, 5, 1)
+        for seed, unit in ((3, "day"), (4, "hour"), (5, "day")):
+            rng = np.random.default_rng(seed)
+            rows = []
+            for sym in ("A", "B", "C"):
+                n = int(rng.integers(30, 300))
+                t = 0
+                for _ in range(n):
+                    t += int(rng.integers(1, 600))  # ragged gaps, minutes
+                    px = float(rng.choice([1.0, 1.0, 2.0, 3.0]))
+                    if rng.random() < 0.05:
+                        px = None
+                    rows.append((sym, d + dt.timedelta(minutes=t), px,
+                                 float(rng.integers(1, 5))))
+            ticks = spark.createDataFrame(
+                rows, "event_type string, ts timestamp, price double, size double"
+            ).repartition(int(rng.integers(2, 11)))
+            mono = sorted(
+                map(tuple, tick_rule_signs(ticks, ["event_type"]).collect())
+            )
+            sliced = sorted(
+                map(
+                    tuple,
+                    tick_rule_signs_sliced(
+                        ticks, ["event_type"], slice_unit=unit
+                    ).collect(),
+                )
+            )
+            assert mono == sliced, (seed, unit)
+
     def test_activity_bars_sliced_equals_monolithic(self, spark):
         """The two-phase prefix-sum variant must be ROW-IDENTICAL to the
         monolithic window on integral sizes — including bars that span

@@ -88,6 +88,48 @@ def sample_by_hash(
     return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
 
 
+def sample_exact_k(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, picked by content
+    hash — the fixed-budget companion to the fractional samplers
+    (``sample_by_hash`` gives a RATE; eval-set construction and per-domain
+    caps need a COUNT: "2,000 docs per domain, same 2,000 on any cluster,
+    any day").
+
+    Selection = the k smallest ``xxhash64(key, salt)`` values per
+    stratum (ties on the full 64-bit hash broken by the key itself), so
+    the sample is a pure function of row content + salt: layout- and
+    retry-independent, and DISJOINT samples come from different salts.
+    Unlike the fractional samplers it is not nested across k — growing k
+    keeps the previous k rows as a PREFIX (rank is stable), which is the
+    useful monotonicity: the 1,000-per-domain eval set is the first half
+    of the 2,000-per-domain one.
+
+    Execution: one hash-partitioned window sort per stratum
+    (``row_number`` ≤ k).  At 100 TB the sort input can be pre-shrunk
+    with a cheap ``sample_by_hash`` pre-filter at a few × k/|stratum|
+    when stratum sizes are known — documented escape hatch, not done
+    implicitly (a wrong size estimate would silently under-fill)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    h = F.xxhash64(F.col(key_col), F.lit(salt))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_cols: list[str], seed: int = 0
 ) -> DataFrame:

@@ -83,6 +83,34 @@ def test_sample_by_hash_nested_and_deterministic(documents):
         sample_by_hash(documents, "doc_id", 1.5)
 
 
+def test_sample_exact_k_counts_prefix_and_disjoint_salts(documents):
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        sample_exact_k,
+    )
+
+    sizes = {r["source"]: r["n"] for r in documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    k = 7
+    got = sample_exact_k(documents, ["source"], k)
+    per = {r["source"]: r["n"] for r in got.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # EXACTLY min(k, |stratum|) per stratum
+    assert per == {s: min(k, n) for s, n in sizes.items()}
+    # layout independence: repartitioned input yields the identical set
+    again = sample_exact_k(documents.repartition(13), ["source"], k)
+    assert {r.doc_id for r in got.collect()} == {r.doc_id for r in again.collect()}
+    # growing k keeps the smaller sample as a prefix
+    bigger = {r.doc_id for r in sample_exact_k(documents, ["source"], 2 * k).collect()}
+    assert {r.doc_id for r in got.collect()} <= bigger
+    # different salts draw (near-)independent samples
+    other = {r.doc_id for r in sample_exact_k(documents, ["source"], k, salt="b").collect()}
+    assert other != {r.doc_id for r in got.collect()}
+    with pytest.raises(ValueError):
+        sample_exact_k(documents, ["source"], 0)
+    with pytest.raises(ValueError):
+        sample_exact_k(documents, [], 3)
+
+
 def _chunk_rows(spark, texts, chunk_tokens, overlap_tokens):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

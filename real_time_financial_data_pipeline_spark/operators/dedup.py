@@ -139,6 +139,7 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_first: bool = True,
+    sampling: str = "anchor",
 ) -> DataFrame:
     """Duplicated-substring spans — the windowed-hash form of ExactSubstr
     dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -178,9 +179,18 @@ def substring_dup_spans(
     (length - window + 1) token positions is an anchor — miss
     probability (1 - 1/s)^(length - window + 1) under content hashing,
     vanishing fast for passages meaningfully longer than the window.
-    (A pathological anchor-free passage can evade; winnowing-style
-    neighborhood-min selection would close that at O(s) extra cost per
-    token.)  The paper's 50-token threshold with stride 1 is exact.
+    A pathological anchor-free passage can evade the anchor mode;
+    ``sampling="winnow"`` closes that deterministically with classic
+    winnowing (Schleimer et al. 2003): each length-s neighborhood of
+    start positions keeps its leftmost-minimum token-hash position, so
+    (a) every run of s consecutive starts contributes >= 1 sampled
+    window (guaranteed density — no evasion at any content), and (b)
+    the selection for a neighborhood fully inside a shared passage
+    depends only on passage content, so any duplicate of length >=
+    window + s - 1 tokens shares a sampled window across ALL
+    occurrences — the deterministic recall bound, at O(s) extra
+    comparisons per position.  The paper's 50-token threshold with
+    stride 1 is exact under either mode.
 
     Returns (id, span_start, span_end), one row per maximal span."""
     if window_tokens < 2:
@@ -194,8 +204,13 @@ def substring_dup_spans(
     tokenized = df.select(
         F.col(id_col).alias("_id"), toks_e.alias("_toks")
     ).filter(F.size("_toks") >= window_tokens)
-    all_starts = F.sequence(F.lit(0), F.size("_toks") - w)
-    if stride > 1:
+    if sampling not in ("anchor", "winnow"):
+        raise ValueError(f"sampling must be anchor|winnow, got {sampling!r}")
+    last_start = F.size("_toks") - w  # inclusive
+    all_starts = F.sequence(F.lit(0), last_start)
+    if stride <= 1:
+        starts = all_starts
+    elif sampling == "anchor":
         # content-anchored sampling: keep a start iff its first token's
         # hash ≡ 0 (mod stride) — occurrence-alignment-independent
         starts = F.filter(
@@ -207,7 +222,37 @@ def substring_dup_spans(
             == 0,
         )
     else:
-        starts = all_starts
+        # winnowing: each length-stride neighborhood of starts keeps its
+        # leftmost-minimum token-hash position — guaranteed density AND
+        # content-determined interior selection (see docstring)
+        th = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+
+        def _pick(j):
+            idxs = F.sequence(j, F.least(j + stride - 1, last_start))
+            init = F.struct(
+                F.lit(None).cast("bigint").alias("h"),
+                F.lit(-1).cast("bigint").alias("i"),
+            )
+            best = F.aggregate(
+                idxs,
+                init,
+                lambda acc, i: F.when(
+                    acc["h"].isNull()
+                    | (F.element_at(th, (i + 1).cast("int")) < acc["h"]),
+                    F.struct(
+                        F.element_at(th, (i + 1).cast("int")).alias("h"),
+                        i.cast("bigint").alias("i"),
+                    ),
+                ).otherwise(acc),
+            )
+            return best["i"]
+
+        starts = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(last_start - stride + 1, F.lit(0))),
+                _pick,
+            )
+        )
     staged = tokenized.select(
         "_id",
         F.explode(

@@ -86,6 +86,50 @@ class TestSpans:
         # dense mode marks doc 1's whole copy as one maximal span
         assert (1, 2, 82) in m1
 
+    def test_winnow_catches_anchor_free_passage(self, spark):
+        """The winnowing sampler's deterministic guarantee: a passage
+        built EXCLUSIVELY from non-anchor tokens (every token hash != 0
+        mod stride — the pathological content that evades the anchor
+        sampler entirely) is still caught across occurrences at
+        adversarial alignments, because every length-s start
+        neighborhood keeps its content-determined leftmost-min
+        position."""
+        rng = np.random.default_rng(31)
+        s = 3
+        # mine non-anchor tokens with a throwaway Spark query
+        pool = spark.createDataFrame(
+            [(f"t{i}",) for i in range(400)], "tok string"
+        ).select(
+            "tok", F.pmod(F.xxhash64("tok"), F.lit(s)).alias("m")
+        )
+        non_anchors = [r.tok for r in pool.filter(F.col("m") != 0).collect()]
+        assert len(non_anchors) >= 60
+        passage = non_anchors[:60]  # 60 >= 50 + 3 - 1
+        rows = [
+            (0, _doc(_rand_words(rng, 1, "x") + passage + _rand_words(rng, 5, "y"))),
+            (1, _doc(_rand_words(rng, 2, "m") + passage + _rand_words(rng, 3, "n"))),
+        ]
+        anchor = substring_dup_spans(
+            _mk(spark, rows), window_tokens=50, stride=s, sampling="anchor"
+        ).collect()
+        assert anchor == []  # the evasion is real
+        winnow = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_dup_spans(
+                _mk(spark, rows), window_tokens=50, stride=s, sampling="winnow"
+            ).collect()
+        }
+        assert any(d == 1 and st >= 2 and e <= 62 for d, st, e in winnow), winnow
+
+    def test_winnow_dense_equivalence_at_stride_1(self, spark):
+        passage = [f"e{i}" for i in range(25)]
+        rows = [(0, _doc(passage)), (1, _doc(passage))]
+        a = sorted(map(tuple, substring_dup_spans(
+            _mk(spark, rows), window_tokens=25, stride=1, sampling="winnow").collect()))
+        b = sorted(map(tuple, substring_dup_spans(
+            _mk(spark, rows), window_tokens=25, stride=1).collect()))
+        assert a == b == [(1, 0, 25)]
+
     def test_bad_args(self, spark):
         df = _mk(spark, [(0, "a b")])
         with pytest.raises(ValueError):
@@ -94,6 +138,8 @@ class TestSpans:
             substring_dup_spans(df, stride=0)
         with pytest.raises(ValueError):
             substring_dup_spans(df, min_count=1)
+        with pytest.raises(ValueError):
+            substring_dup_spans(df, sampling="every-other")
 
     def test_duckdb_span_oracle(self, spark):
         """Content-keyed DuckDB replay of the whole operator on a random

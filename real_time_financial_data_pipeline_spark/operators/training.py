@@ -513,6 +513,8 @@ def prepare_training_set(
     decontam_ngram: int = 8,
     repetition_gate: bool = False,
     scrub: bool = False,
+    dedup_paragraphs: bool = False,
+    dedup_substrings: int | None = None,
     perplexity_lm=None,
     max_perplexity: float | None = None,
     embeddings: DataFrame | None = None,
@@ -525,7 +527,10 @@ def prepare_training_set(
     LM-perplexity/exact-dup/near-dup) -> decontaminate -> chunk -> split.
     ``scrub`` masks emails/IPv4s/phones BEFORE any token-derived stage so
     quality scores, fingerprints, and chunks all see the masked text (and
-    the streaming twin orders identically).  ``perplexity_lm`` +
+    the streaming twin orders identically).  ``dedup_paragraphs`` /
+    ``dedup_substrings`` forward the sub-document dedup rungs into the
+    curation ladder (boilerplate paragraphs and embedded duplicated
+    passages vanish before scoring, fingerprinting, or any chunk exists).  ``perplexity_lm`` +
     ``max_perplexity`` enable the CCNet-style LM quality gate inside the
     curation ladder (see ``curate_documents``).
 
@@ -558,6 +563,7 @@ def prepare_training_set(
     curated = curate_documents(
         docs, text_col, id_col, min_quality, langs, near_dup_threshold,
         repetition_gate=repetition_gate,
+        dedup_paragraphs=dedup_paragraphs, dedup_substrings=dedup_substrings,
         perplexity_lm=perplexity_lm, max_perplexity=max_perplexity,
         embeddings=embeddings,
         semantic_threshold=semantic_threshold, semantic_k=semantic_k,

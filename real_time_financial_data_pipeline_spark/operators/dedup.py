@@ -193,19 +193,47 @@ def substring_dup_spans(
     stride 1 is exact under either mode.
 
     Returns (id, span_start, span_end), one row per maximal span."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    staged = _substring_windows(df, window_tokens, stride, text_col, id_col, sampling)
+    dup = (
+        staged.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("_id").alias("id"), F.col("_pos").alias("pos"))).alias("_first"),
+        )
+        .filter(F.col("_n") >= min_count)
+    )
+    marked = staged.join(dup, "_h")
+    if keep_first:
+        marked = marked.filter(
+            (F.col("_first.id") != F.col("_id")) | (F.col("_first.pos") != F.col("_pos"))
+        )
+    return _merge_spans(marked, window_tokens, id_col)
+
+
+def _substring_windows(
+    df: DataFrame,
+    window_tokens: int,
+    stride: int,
+    text_col: str,
+    id_col: str,
+    sampling: str,
+) -> DataFrame:
+    """(_id, _pos, _h) sampled window occurrences — the shared map-side
+    front half of the batch and incremental substring-dedup forms (both
+    MUST hash/sample identically or cross-form marks drift)."""
     if window_tokens < 2:
         raise ValueError(f"window_tokens must be >= 2, got {window_tokens}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    if min_count < 2:
-        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if sampling not in ("anchor", "winnow"):
+        raise ValueError(f"sampling must be anchor|winnow, got {sampling!r}")
     toks_e = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     w = F.lit(window_tokens)
     tokenized = df.select(
         F.col(id_col).alias("_id"), toks_e.alias("_toks")
     ).filter(F.size("_toks") >= window_tokens)
-    if sampling not in ("anchor", "winnow"):
-        raise ValueError(f"sampling must be anchor|winnow, got {sampling!r}")
     last_start = F.size("_toks") - w  # inclusive
     all_starts = F.sequence(F.lit(0), last_start)
     if stride <= 1:
@@ -253,7 +281,7 @@ def substring_dup_spans(
                 _pick,
             )
         )
-    staged = tokenized.select(
+    return tokenized.select(
         "_id",
         F.explode(
             F.transform(
@@ -267,21 +295,13 @@ def substring_dup_spans(
             )
         ).alias("_w"),
     ).select("_id", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
-    dup = (
-        staged.groupBy("_h")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(F.struct(F.col("_id").alias("id"), F.col("_pos").alias("pos"))).alias("_first"),
-        )
-        .filter(F.col("_n") >= min_count)
-    )
-    marked = staged.join(dup, "_h")
-    if keep_first:
-        marked = marked.filter(
-            (F.col("_first.id") != F.col("_id")) | (F.col("_first.pos") != F.col("_pos"))
-        )
-    # per-doc maximal-interval merge: fold the sorted marked positions,
-    # extending the open span while the next window starts inside it
+
+
+def _merge_spans(marked: DataFrame, window_tokens: int, id_col: str) -> DataFrame:
+    """(_id, _pos) marked window starts -> maximal (span_start, span_end)
+    intervals per doc: fold the sorted positions, extending the open span
+    while the next window starts inside it."""
+    w = F.lit(window_tokens)
     span_t = "array<struct<s:long,e:long>>"
     merged = (
         marked.groupBy("_id")
@@ -365,6 +385,72 @@ def apply_substring_dedup(
         )
         .select(*df.columns)
     )
+
+
+def substring_window_index(
+    df: DataFrame,
+    window_tokens: int = 50,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sampling: str = "anchor",
+) -> DataFrame:
+    """The standing corpus's distinct sampled-window hash set
+    (``window_hash``) — persist this once (KB-to-GB scale, a tiny
+    fraction of corpus bytes) and hand it to
+    :func:`substring_dup_spans_between` so nightly index builds amortize
+    across every incoming batch, the same persisted-index split as
+    ``minhash_pairs_between``.  Build and query MUST share
+    window/stride/sampling parameters or hashes won't align."""
+    return (
+        _substring_windows(df, window_tokens, stride, text_col, id_col, sampling)
+        .select(F.col("_h").alias("window_hash"))
+        .distinct()
+    )
+
+
+def substring_dup_spans_between(
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    window_tokens: int = 50,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sampling: str = "anchor",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-batch substring dedup — the incremental mirror of
+    :func:`substring_dup_spans` (same family split as
+    ``minhash_pairs_between`` / ``semdedup_pairs_between``): maximal
+    spans in the NEW batch whose windows already occur in the standing
+    corpus.  The corpus always wins (no keep-first bookkeeping — a new
+    occurrence of corpus content is by definition the later one), so a
+    landed batch can be span-cut before ingestion without rescanning
+    corpus text.
+
+    Pass either ``corpus`` (its window set is derived on the fly) or a
+    precomputed ``corpus_index`` from :func:`substring_window_index`
+    (the persisted nightly-build path).  Execution: the new batch's
+    windows explode map-side and ONE left-semi join against the hash
+    index marks them — |new| x sampled-window rows probe the index; the
+    corpus text is never touched.  Within-batch duplicates are NOT
+    handled here — run the batch form on the batch for that (or rely on
+    the next index rebuild)."""
+    if (corpus is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus / corpus_index")
+    new_w = _substring_windows(
+        new_docs, window_tokens, stride, text_col, id_col, sampling
+    )
+    if corpus_index is None:
+        corpus_index = substring_window_index(
+            corpus, window_tokens, stride, text_col, id_col, sampling
+        )
+    marked = new_w.join(
+        corpus_index.select(F.col("window_hash").alias("_h")).distinct(),
+        "_h",
+        "left_semi",
+    )
+    return _merge_spans(marked, window_tokens, id_col)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -204,6 +204,59 @@ class TestSpans:
         assert got == exp and len(got) >= 3
 
 
+class TestIncremental:
+    def test_new_batch_vs_corpus_and_persisted_index(self, spark):
+        """The incremental form: a new doc repeating a corpus passage is
+        span-cut (corpus wins, no keep-first), new-only content passes;
+        querying a precomputed substring_window_index gives the identical
+        spans as deriving the corpus windows on the fly; and the batch
+        form run on corpus+new agrees on the new doc's span."""
+        from real_time_financial_data_pipeline_spark.operators.dedup import (
+            substring_dup_spans_between,
+            substring_window_index,
+        )
+
+        rng = np.random.default_rng(41)
+        passage = [f"g{i}" for i in range(30)]
+        corpus = _mk(spark, [
+            (0, _doc(_rand_words(rng, 8, "a") + passage + _rand_words(rng, 5, "b"))),
+            (1, _doc(_rand_words(rng, 40, "c"))),
+        ])
+        new = _mk(spark, [
+            (100, _doc(_rand_words(rng, 3, "x") + passage + _rand_words(rng, 4, "y"))),
+            (101, _doc(_rand_words(rng, 35, "z"))),
+        ])
+        live = sorted(map(tuple, substring_dup_spans_between(
+            new, corpus, window_tokens=30).collect()))
+        assert live == [(100, 3, 33)]
+        idx = substring_window_index(corpus, window_tokens=30)
+        via_idx = sorted(map(tuple, substring_dup_spans_between(
+            new, corpus_index=idx, window_tokens=30).collect()))
+        assert via_idx == live
+        # batch form over the union marks the same new-doc span (and the
+        # corpus occurrence survives as canonical there)
+        batch = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in __import__(
+                "real_time_financial_data_pipeline_spark.operators.dedup",
+                fromlist=["substring_dup_spans"],
+            ).substring_dup_spans(corpus.union(new), window_tokens=30).collect()
+        }
+        assert (100, 3, 33) in batch and not any(d == 0 for d, *_ in batch)
+
+    def test_requires_exactly_one_corpus_side(self, spark):
+        from real_time_financial_data_pipeline_spark.operators.dedup import (
+            substring_dup_spans_between,
+        )
+
+        df = _mk(spark, [(0, "a b c")])
+        with pytest.raises(ValueError):
+            substring_dup_spans_between(df)
+        with pytest.raises(ValueError):
+            substring_dup_spans_between(df, df, corpus_index=df.selectExpr(
+                "CAST(doc_id AS bigint) AS window_hash"))
+
+
 class TestApply:
     def test_cut_and_passthrough(self, spark):
         rng = np.random.default_rng(3)

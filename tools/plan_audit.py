@@ -63,6 +63,9 @@ CHECKS = {
     # data card: one full-width partial-agg pass + the broadcast lang join
     "corpus_report_docs": dict(broadcast_min=1, partial_agg=True, no_cartesian=True),
     "segment_stats": dict(partial_agg=True, no_cartesian=True),
+    # substring dedup: windows explode map-side off a (doc_id, text) scan;
+    # the dup aggregate keeps its map-side partial phase
+    "substring_dup_spans": dict(partial_agg=True, no_cartesian=True, pruned_cols="text"),
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "latest_per_user": dict(partial_agg=True),
@@ -137,6 +140,17 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
     return problems
 
 
+def _substring_dup_spans_query(spark, sf_dir):
+    from real_time_financial_data_pipeline_spark.catalog import load_table
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    return substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), window_tokens=20
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -150,6 +164,7 @@ def main() -> None:
         "domain_mix_docs": entrymod._domain_mix_docs,
         "events_pruned_week": entrymod._events_pruned_week,
         "segment_stats": entrymod._segment_stats,
+        "substring_dup_spans": _substring_dup_spans_query,
     }
     failures = 0
     for name, spec in CHECKS.items():

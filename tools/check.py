@@ -5,6 +5,13 @@ DuckDB at a given SF dir, then compares row count, sorted column names, and
 order-insensitive values (floats exactly — both sides are expected to round).
 
 Usage: python tools/check.py [sf_dir] [query ...]
+       python tools/check.py ladder [query ...]
+
+``ladder`` runs the named queries (or all 50) at every SF in one Spark
+session, deliberately ordered sf0.001 -> sf0.1 -> sf0.01 LAST so the
+staged-oracle parquet always ends up written at the driver's
+correctness SF (see the staged-queries note in
+.claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations
@@ -78,10 +85,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
     return ok
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check")
+def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int]:
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
@@ -111,6 +115,27 @@ def main() -> None:
         else:
             print(f"FAIL {name}")
             n_fail += 1
+    return n_pass, n_fail
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    spark = get_spark("check")
+    if args and args[0] == "ladder":
+        only = set(args[1:])
+        total_fail = 0
+        # sf0.01 LAST: the staged-oracle parquet must end up at the
+        # driver's correctness SF
+        for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1",
+                       "/root/testdata/sf0.01"):
+            print(f"=== {sf_dir} ===")
+            n_pass, n_fail = run_gate(spark, sf_dir, only)
+            print(f"{sf_dir}: {n_pass} passed, {n_fail} failed\n")
+            total_fail += n_fail
+        sys.exit(1 if total_fail else 0)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    n_pass, n_fail = run_gate(spark, sf_dir, only)
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 

@@ -1,0 +1,130 @@
+"""JSONL document-corpus ingestion — the LLM-pipeline interchange format
+(one JSON object per line: Dolma, RedPajama, FineWeb, OSCAR dumps all
+ship this way), validated into the engine's ``documents`` schema.
+
+The reference ingests only finance payloads (connectors) and CSV
+(csv_loader.py); a training-data pipeline's raw input is JSONL document
+dumps, so this is the documents-table counterpart of
+``csv_source.load_stock_csv`` — with the same defensive posture:
+
+* explicit schema (NEVER inferred — schema inference reads the data
+  twice and silently widens types between dumps);
+* malformed lines survive as rows via PERMISSIVE mode's corrupt-record
+  column instead of killing the job (one bad line in a 100 TB dump must
+  not fail the ingest);
+* field-name synonyms are normalized (``content``/``body`` -> ``text``,
+  ``id``/``document_id`` -> ``doc_id``, ``language`` -> ``lang``,
+  ``url``/``domain``/``subset`` -> ``source``) — the same synonym-table
+  idea as the CSV loader's header auto-detection;
+* rows are VALIDATED, not trusted: the quality-rule machinery
+  (operators.quality.Rule + streaming.ingest.split_by_rules) routes
+  violating rows to a quarantine frame tagged with the violated rule
+  names, re-processable once upstream is fixed — never silently
+  dropped, never poisoning the good table.
+
+Scale shape: ``spark.read.json`` with an explicit schema is a streaming
+line scan (splittable on uncompressed/zstd-seekable files); everything
+after it is a projection plus the two rule filters — no shuffle in the
+whole ingest.  Missing ids are derived as ``xxhash64(text)`` (content-
+addressed, deterministic, layout-independent) rather than
+``monotonically_increasing_id`` (partition-layout-dependent — two runs
+of the same dump would disagree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from real_time_financial_data_pipeline_spark.operators.quality import Rule
+
+# accepted input spellings per canonical documents column, first match wins
+FIELD_SYNONYMS: dict[str, list[str]] = {
+    "doc_id": ["doc_id", "id", "document_id"],
+    "text": ["text", "content", "body"],
+    "lang": ["lang", "language"],
+    "source": ["source", "url", "domain", "subset"],
+}
+
+_CORRUPT = "_corrupt_record"
+
+# the raw-read schema: every synonym as a permissive string (plus long
+# doc_id spellings), so one explicit schema covers every known dump shape
+_RAW_FIELDS = [
+    StructField("doc_id", LongType()),
+    StructField("id", LongType()),
+    StructField("document_id", LongType()),
+    StructField("text", StringType()),
+    StructField("content", StringType()),
+    StructField("body", StringType()),
+    StructField("lang", StringType()),
+    StructField("language", StringType()),
+    StructField("source", StringType()),
+    StructField("url", StringType()),
+    StructField("domain", StringType()),
+    StructField("subset", StringType()),
+    StructField(_CORRUPT, StringType()),
+]
+
+
+def default_document_rules(min_chars: int = 1, max_chars: int = 10_000_000) -> list[Rule]:
+    """The baseline expectations every corpus ingest should gate on."""
+    return [
+        Rule("text_not_null", "text IS NOT NULL"),
+        Rule(
+            "text_length_band",
+            f"length(text) >= {min_chars} AND length(text) <= {max_chars}",
+        ),
+        Rule("doc_id_not_null", "doc_id IS NOT NULL"),
+    ]
+
+
+def load_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    rules: list[Rule] | None = None,
+    derive_missing_ids: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL document dump into the canonical ``documents`` shape
+    (doc_id long, text, lang, source, n_chars long) and split it into
+    (good, quarantine).
+
+    The quarantine frame carries the raw row plus ``_violations`` (the
+    failed rule names; malformed JSON lines appear with the
+    ``well_formed_json`` violation and their raw line preserved in
+    ``_corrupt_record``).  ``derive_missing_ids`` content-addresses rows
+    whose dump carries no id (``xxhash64(text)``) — deterministic across
+    runs and layouts; ids then collide exactly when texts are identical,
+    which the exact-dedup stage removes anyway."""
+    raw = spark.read.schema(StructType(_RAW_FIELDS)).option("mode", "PERMISSIVE").json(path)
+
+    def first_of(names: list[str], cast: str | None = None):
+        cols = [F.col(n) for n in names if n in raw.columns]
+        c = F.coalesce(*cols) if len(cols) > 1 else cols[0]
+        return c.cast(cast) if cast else c
+
+    normalized = raw.select(
+        first_of(FIELD_SYNONYMS["doc_id"], "long").alias("doc_id"),
+        first_of(FIELD_SYNONYMS["text"]).alias("text"),
+        first_of(FIELD_SYNONYMS["lang"]).alias("lang"),
+        first_of(FIELD_SYNONYMS["source"]).alias("source"),
+        F.col(_CORRUPT),
+    )
+    if derive_missing_ids:
+        normalized = normalized.withColumn(
+            "doc_id",
+            F.coalesce(F.col("doc_id"), F.xxhash64(F.col("text"))),
+        )
+    from real_time_financial_data_pipeline_spark.streaming.ingest import (
+        split_by_rules,
+    )
+
+    all_rules = [Rule("well_formed_json", f"{_CORRUPT} IS NULL")] + (
+        rules if rules is not None else default_document_rules()
+    )
+    good, bad = split_by_rules(normalized, all_rules)
+    good = good.drop(_CORRUPT).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    return good, bad

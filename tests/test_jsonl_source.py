@@ -1,0 +1,112 @@
+"""JSONL document ingestion (sources/jsonl_source.py): synonym
+normalization, content-addressed missing ids, malformed-line quarantine
+with raw preservation, rule routing, and the downstream-operators
+round trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.quality import Rule
+from real_time_financial_data_pipeline_spark.sources.jsonl_source import (
+    default_document_rules,
+    load_documents_jsonl,
+)
+
+
+def _write(tmp_path, lines, name="dump.jsonl"):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+class TestLoad:
+    def test_synonyms_and_schema(self, spark, tmp_path):
+        path = _write(tmp_path, [
+            '{"id": 1, "content": "alpha beta", "language": "en", "url": "web"}',
+            '{"doc_id": 2, "text": "gamma", "lang": "fr", "source": "books"}',
+            '{"document_id": 3, "body": "delta epsilon zeta", "subset": "code"}',
+        ])
+        good, bad = load_documents_jsonl(spark, path)
+        assert bad.count() == 0
+        rows = {r.doc_id: r for r in good.collect()}
+        assert good.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+        assert rows[1].text == "alpha beta" and rows[1].lang == "en" and rows[1].source == "web"
+        assert rows[2].source == "books"
+        assert rows[3].text == "delta epsilon zeta" and rows[3].source == "code"
+        assert rows[3].lang is None  # absent optional field stays null
+        assert rows[1].n_chars == 10
+
+    def test_missing_ids_content_addressed(self, spark, tmp_path):
+        path = _write(tmp_path, [
+            '{"text": "same text"}',
+            '{"text": "same text"}',
+            '{"text": "other text"}',
+        ])
+        good, bad = load_documents_jsonl(spark, path)
+        ids = [r.doc_id for r in good.collect()]
+        assert bad.count() == 0
+        assert len(set(ids)) == 2  # identical texts collide BY DESIGN
+        again, _ = load_documents_jsonl(spark, path)
+        assert sorted(ids) == sorted(r.doc_id for r in again.collect())
+
+    def test_malformed_lines_quarantined_with_raw(self, spark, tmp_path):
+        path = _write(tmp_path, [
+            '{"doc_id": 1, "text": "fine"}',
+            'this is not json at all',
+            '{"doc_id": 3, "text": "also fine"}',
+        ])
+        good, bad = load_documents_jsonl(spark, path)
+        assert {r.doc_id for r in good.collect()} == {1, 3}
+        brows = bad.collect()
+        assert len(brows) == 1
+        assert "well_formed_json" in brows[0]._violations
+        assert "not json" in brows[0]._corrupt_record
+
+    def test_rule_routing_not_dropping(self, spark, tmp_path):
+        path = _write(tmp_path, [
+            '{"doc_id": 1, "text": "ok doc"}',
+            '{"doc_id": 2, "text": ""}',          # fails the length band
+            '{"doc_id": 3}',                       # no text at all
+        ])
+        good, bad = load_documents_jsonl(spark, path)
+        assert {r.doc_id for r in good.collect()} == {1}
+        viol = {r.doc_id: set(r._violations) for r in bad.collect()}
+        assert viol[2] == {"text_length_band"}
+        assert "text_not_null" in viol[3]
+        # counts conserve: nothing silently dropped
+        assert good.count() + bad.count() == 3
+
+    def test_custom_rules(self, spark, tmp_path):
+        path = _write(tmp_path, [
+            '{"doc_id": 1, "text": "short", "lang": "en"}',
+            '{"doc_id": 2, "text": "short", "lang": "xx"}',
+        ])
+        rules = default_document_rules() + [
+            Rule("lang_known", "lang IN ('en', 'fr')")
+        ]
+        good, bad = load_documents_jsonl(spark, path, rules=rules)
+        assert [r.doc_id for r in good.collect()] == [1]
+        assert {r.doc_id for r in bad.collect()} == {2}
+
+    def test_feeds_downstream_operators(self, spark, tmp_path):
+        """The ingested frame is a drop-in documents table: token stats
+        and exact dedup run unmodified on it."""
+        from real_time_financial_data_pipeline_spark.operators.dedup import (
+            exact_dedup_keep_min,
+        )
+        from real_time_financial_data_pipeline_spark.operators.text import (
+            token_stats,
+        )
+
+        path = _write(tmp_path, [
+            '{"doc_id": 10, "text": "the quick brown fox", "lang": "en", "source": "a"}',
+            '{"doc_id": 11, "text": "the quick brown fox", "lang": "en", "source": "a"}',
+            '{"doc_id": 12, "text": "lazy dog", "lang": "en", "source": "b"}',
+        ])
+        good, _ = load_documents_jsonl(spark, path)
+        stats = {r.doc_id: r for r in token_stats(good).collect()}
+        assert stats[10].n_tokens == 4
+        deduped = exact_dedup_keep_min(good, "text", "doc_id")
+        assert {r.doc_id for r in deduped.collect()} == {10, 12}

@@ -98,7 +98,16 @@ def load_documents_jsonl(
     runs and layouts; ids then collide exactly when texts are identical,
     which the exact-dedup stage removes anyway."""
     raw = spark.read.schema(StructType(_RAW_FIELDS)).option("mode", "PERMISSIVE").json(path)
+    normalized = _normalize(raw, derive_missing_ids)
+    from real_time_financial_data_pipeline_spark.streaming.ingest import (
+        split_by_rules,
+    )
 
+    good, bad = split_by_rules(normalized, _all_rules(rules))
+    return _finalize_good(good), bad
+
+
+def _normalize(raw: DataFrame, derive_missing_ids: bool) -> DataFrame:
     def first_of(names: list[str], cast: str | None = None):
         cols = [F.col(n) for n in names if n in raw.columns]
         c = F.coalesce(*cols) if len(cols) > 1 else cols[0]
@@ -116,15 +125,67 @@ def load_documents_jsonl(
             "doc_id",
             F.coalesce(F.col("doc_id"), F.xxhash64(F.col("text"))),
         )
+    return normalized
+
+
+def _all_rules(rules: list[Rule] | None) -> list[Rule]:
+    return [Rule("well_formed_json", f"{_CORRUPT} IS NULL")] + (
+        rules if rules is not None else default_document_rules()
+    )
+
+
+def _finalize_good(good: DataFrame) -> DataFrame:
+    return (
+        good.drop(_CORRUPT)
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def stream_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    rules: list[Rule] | None = None,
+    derive_missing_ids: bool = True,
+    trigger_available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """The streaming twin of :func:`load_documents_jsonl` — a JSONL drop
+    directory continuously validated into the documents table with the
+    same normalization, id derivation, and quarantine routing (the
+    family's batch ≡ stream contract is test-pinned).  Each micro-batch
+    splits on the rule set inside ``foreachBatch``: passing rows append
+    to ``good_path`` in the canonical documents shape, violating rows
+    (malformed lines included) append to ``quarantine_path`` with their
+    ``_violations`` labels — the same dead-letter pattern as
+    ``ingest_with_quarantine``.  Returns the started StreamingQuery."""
     from real_time_financial_data_pipeline_spark.streaming.ingest import (
         split_by_rules,
     )
 
-    all_rules = [Rule("well_formed_json", f"{_CORRUPT} IS NULL")] + (
-        rules if rules is not None else default_document_rules()
+    reader = spark.readStream.schema(StructType(_RAW_FIELDS)).option(
+        "mode", "PERMISSIVE"
     )
-    good, bad = split_by_rules(normalized, all_rules)
-    good = good.drop(_CORRUPT).withColumn(
-        "n_chars", F.length("text").cast("long")
-    ).select("doc_id", "text", "lang", "source", "n_chars")
-    return good, bad
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    normalized = _normalize(reader.json(path), derive_missing_ids)
+    all_rules = _all_rules(rules)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good, bad = split_by_rules(batch_df, all_rules)
+            _finalize_good(good).write.mode("append").parquet(good_path)
+            bad.write.mode("append").parquet(quarantine_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = normalized.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

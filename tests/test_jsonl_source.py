@@ -90,6 +90,57 @@ class TestLoad:
         assert [r.doc_id for r in good.collect()] == [1]
         assert {r.doc_id for r in bad.collect()} == {2}
 
+    def test_gzipped_dump(self, spark, tmp_path):
+        """Corpus dumps ship compressed; the loader must read .jsonl.gz
+        transparently (Spark's json source decompresses by extension)."""
+        import gzip
+
+        p = tmp_path / "dump.jsonl.gz"
+        with gzip.open(p, "wt") as f:
+            f.write('{"doc_id": 1, "text": "zipped doc"}\n')
+            f.write('{"doc_id": 2, "text": "another one"}\n')
+        good, bad = load_documents_jsonl(spark, str(p))
+        assert bad.count() == 0
+        assert {r.text for r in good.collect()} == {"zipped doc", "another one"}
+
+    def test_stream_twin_equals_batch(self, spark, tmp_path):
+        """stream_documents_jsonl over two micro-batches lands exactly the
+        batch loader's (good, quarantine) split of the same files — the
+        family's batch ≡ stream contract."""
+        from real_time_financial_data_pipeline_spark.sources.jsonl_source import (
+            stream_documents_jsonl,
+        )
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        (src / "f1.jsonl").write_text(
+            '{"doc_id": 1, "text": "first doc"}\n'
+            "garbage line\n"
+        )
+        (src / "f2.jsonl").write_text(
+            '{"doc_id": 2, "text": "second doc"}\n'
+            '{"doc_id": 3, "text": ""}\n'
+        )
+        q = stream_documents_jsonl(
+            spark, str(src), str(tmp_path / "good"), str(tmp_path / "quar"),
+            str(tmp_path / "ckpt"), trigger_available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        got_good = {
+            tuple(r) for r in spark.read.parquet(str(tmp_path / "good")).collect()
+        }
+        got_bad = {
+            (r.doc_id, tuple(sorted(r._violations)))
+            for r in spark.read.parquet(str(tmp_path / "quar")).collect()
+        }
+        bg, bb = load_documents_jsonl(spark, str(src / "*.jsonl"))
+        assert got_good == {tuple(r) for r in bg.collect()}
+        assert got_bad == {
+            (r.doc_id, tuple(sorted(r._violations))) for r in bb.collect()
+        }
+        assert len(got_good) == 2 and len(got_bad) == 2
+
     def test_feeds_downstream_operators(self, spark, tmp_path):
         """The ingested frame is a drop-in documents table: token stats
         and exact dedup run unmodified on it."""

@@ -4,14 +4,20 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at a given SF dir, then compares row count, sorted column names, and
 order-insensitive values (floats exactly — both sides are expected to round).
 
-Usage: python tools/check.py [sf_dir] [query ...]
-       python tools/check.py ladder [query ...]
+Usage: python tools/check.py [--vanilla] [sf_dir] [query ...]
+       python tools/check.py [--vanilla] ladder [query ...]
 
 ``ladder`` runs the named queries (or all 50) at every SF in one Spark
 session, deliberately ordered sf0.001 -> sf0.1 -> sf0.01 LAST so the
 staged-oracle parquet always ends up written at the driver's
 correctness SF (see the staged-queries note in
 .claude/skills/verify/SKILL.md).
+
+``--vanilla`` builds a bare ``SparkSession.builder.master('local[8]')``
+with NONE of session.py's configs — exactly the session the DRIVER runs
+queries under (default 200 shuffle partitions, no UTC pin, nothing).
+Every registry query must pass in this mode too; catalog.load_table's
+defensive runtime confs are what make that hold.
 """
 
 from __future__ import annotations
@@ -120,7 +126,13 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> tuple[int, int]:
 
 def main() -> None:
     args = sys.argv[1:]
-    spark = get_spark("check")
+    if args and args[0] == "--vanilla":
+        from pyspark.sql import SparkSession
+
+        args = args[1:]
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("check")
     if args and args[0] == "ladder":
         only = set(args[1:])
         total_fail = 0

@@ -114,7 +114,11 @@ def sample_exact_k(
     (``row_number`` ≤ k).  At 100 TB the sort input can be pre-shrunk
     with a cheap ``sample_by_hash`` pre-filter at a few × k/|stratum|
     when stratum sizes are known — documented escape hatch, not done
-    implicitly (a wrong size estimate would silently under-fill)."""
+    implicitly (a wrong size estimate would silently under-fill).
+    ``key_col`` must identify rows uniquely within a stratum — rows
+    sharing a key tie on both the hash and the tie-break, and which of
+    them crosses the rank-k boundary would be layout-dependent (the
+    same uniqueness contract as ``deterministic_shuffle``)."""
     from pyspark.sql import Window
 
     if k < 1:

@@ -192,6 +192,15 @@ def substring_dup_spans(
     comparisons per position.  The paper's 50-token threshold with
     stride 1 is exact under either mode.
 
+    Measured densities (sf0.1 documents, window 20): winnowing tracks
+    its structural 2/(s+1) bound — 0.489/0.386/0.206 at s=3/4/8 vs
+    0.500/0.400/0.222 — while anchor density equals the anchor tokens'
+    share of token MASS, which is ~1/s only under hash-uniform mass
+    (0.465 at s=3 here because this tiny synthetic vocabulary's anchor
+    tokens happen to be frequent).  On a real corpus's heavy-tailed
+    vocabulary, check the anchor density before relying on the 1/s cost
+    estimate; winnowing's density is content-independent.
+
     Returns (id, span_start, span_end), one row per maximal span."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")

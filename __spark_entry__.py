@@ -2505,12 +2505,18 @@ def oracle_sql() -> dict[str, str]:
     # bpe_token_count_docs: full encode replay from the staged (rank, a, b)
     # merge table.  Each distinct pre-token piece is seeded as a
     # chr(31)-delimited symbol string ("\x1f k \x1f e \x1f y \x1f" shape);
-    # step k replaces every non-overlapping SEP||a||SEP||b||SEP occurrence
-    # with SEP||ab||SEP — exactly bpe.py:_merge_word's left-to-right pass —
-    # and rank-sequential application == the lowest-rank-first encode for a
-    # learned table.  The error() guard pins the no-multi-whitespace fabric
-    # assumption that lets RE2 (no lookahead) reproduce the Java pre-token
-    # regex verbatim.
+    # step k replaces SEP||a||SEP||b||SEP occurrences with SEP||ab||SEP
+    # TO A FIXPOINT: one replace() pass misses back-to-back occurrences of
+    # the same pair because each match consumes the trailing separator the
+    # next occurrence needs as its leading separator ('abab' under merge
+    # (a,b) must yield 2 tokens, not 3), so k only advances once the
+    # pattern no longer occurs.  Merging the disjoint leftover occurrences
+    # of ONE pair commutes, so the fixpoint equals bpe.py:_merge_word's
+    # left-to-right pass; each replace with a match strictly shortens s,
+    # so the loop terminates.  Rank-sequential application == the
+    # lowest-rank-first encode for a learned table.  The error() guard
+    # pins the no-multi-whitespace fabric assumption that lets RE2 (no
+    # lookahead) reproduce the Java pre-token regex verbatim.
     sqls["bpe_token_count_docs"] = f"""
         WITH RECURSIVE m AS (
             SELECT rank, a, b FROM read_parquet('{_STAGED_BPE_DIR}/*.parquet')
@@ -2533,12 +2539,16 @@ def oracle_sql() -> dict[str, str]:
                    0 AS k
             FROM words
             UNION ALL
-            SELECT r.piece,
-                   replace(r.s,
-                           chr(31) || m.a || chr(31) || m.b || chr(31),
-                           chr(31) || m.a || m.b || chr(31)),
-                   r.k + 1
-            FROM rec r JOIN m ON m.rank = r.k
+            SELECT piece, s2,
+                   CASE WHEN contains(s2, pat) THEN k ELSE k + 1 END AS k
+            FROM (
+                SELECT r.piece,
+                       replace(r.s, chr(31) || m.a || chr(31) || m.b || chr(31),
+                               chr(31) || m.a || m.b || chr(31)) AS s2,
+                       chr(31) || m.a || chr(31) || m.b || chr(31) AS pat,
+                       r.k AS k
+                FROM rec r JOIN m ON m.rank = r.k
+            )
         ),
         done AS (
             SELECT piece, len(string_split(s, chr(31))) - 2 AS n

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from real_time_financial_data_pipeline_spark.operators.quality import Rule
 
@@ -49,12 +49,16 @@ FIELD_SYNONYMS: dict[str, list[str]] = {
 
 _CORRUPT = "_corrupt_record"
 
-# the raw-read schema: every synonym as a permissive string (plus long
-# doc_id spellings), so one explicit schema covers every known dump shape
+# the raw-read schema: every synonym as a permissive string — including
+# the id spellings, because real dump families (Dolma, FineWeb,
+# RedPajama) ship STRING ids; reading them as long would mark every such
+# record corrupt in PERMISSIVE mode and quarantine the whole dump.
+# Numeric ids survive via try_cast in _normalize; non-numeric ids are
+# content-addressed with xxhash64 (deterministic across runs/layouts).
 _RAW_FIELDS = [
-    StructField("doc_id", LongType()),
-    StructField("id", LongType()),
-    StructField("document_id", LongType()),
+    StructField("doc_id", StringType()),
+    StructField("id", StringType()),
+    StructField("document_id", StringType()),
     StructField("text", StringType()),
     StructField("content", StringType()),
     StructField("body", StringType()),
@@ -108,24 +112,31 @@ def load_documents_jsonl(
 
 
 def _normalize(raw: DataFrame, derive_missing_ids: bool) -> DataFrame:
-    def first_of(names: list[str], cast: str | None = None):
+    def first_of(names: list[str]):
         cols = [F.col(n) for n in names if n in raw.columns]
-        c = F.coalesce(*cols) if len(cols) > 1 else cols[0]
-        return c.cast(cast) if cast else c
+        return F.coalesce(*cols) if len(cols) > 1 else cols[0]
 
-    normalized = raw.select(
-        first_of(FIELD_SYNONYMS["doc_id"], "long").alias("doc_id"),
-        first_of(FIELD_SYNONYMS["text"]).alias("text"),
+    # id resolution ladder: numeric id strings pass through as their
+    # numeric value (try_cast — "42" and 42 agree across dumps);
+    # non-numeric string ids ("doc-abc...") are hashed with xxhash64
+    # (deterministic, layout-independent, so re-ingesting the same dump
+    # yields the same ids); rows with no id at all fall through to the
+    # content-addressed xxhash64(text) when derive_missing_ids is set.
+    id_raw = first_of(FIELD_SYNONYMS["doc_id"])
+    text_expr = first_of(FIELD_SYNONYMS["text"])
+    doc_id = F.coalesce(
+        id_raw.try_cast("long"),
+        F.when(id_raw.isNotNull(), F.xxhash64(id_raw)),
+    )
+    if derive_missing_ids:
+        doc_id = F.coalesce(doc_id, F.xxhash64(text_expr))
+    return raw.select(
+        doc_id.alias("doc_id"),
+        text_expr.alias("text"),
         first_of(FIELD_SYNONYMS["lang"]).alias("lang"),
         first_of(FIELD_SYNONYMS["source"]).alias("source"),
         F.col(_CORRUPT),
     )
-    if derive_missing_ids:
-        normalized = normalized.withColumn(
-            "doc_id",
-            F.coalesce(F.col("doc_id"), F.xxhash64(F.col("text"))),
-        )
-    return normalized
 
 
 def _all_rules(rules: list[Rule] | None) -> list[Rule]:
@@ -157,11 +168,20 @@ def stream_documents_jsonl(
     directory continuously validated into the documents table with the
     same normalization, id derivation, and quarantine routing (the
     family's batch ≡ stream contract is test-pinned).  Each micro-batch
-    splits on the rule set inside ``foreachBatch``: passing rows append
-    to ``good_path`` in the canonical documents shape, violating rows
-    (malformed lines included) append to ``quarantine_path`` with their
+    splits on the rule set inside ``foreachBatch``: passing rows land
+    under ``good_path`` in the canonical documents shape, violating rows
+    (malformed lines included) land under ``quarantine_path`` with their
     ``_violations`` labels — the same dead-letter pattern as
-    ``ingest_with_quarantine``.  Returns the started StreamingQuery."""
+    ``ingest_with_quarantine``.
+
+    Exactly-once contract: each micro-batch OVERWRITES its own
+    ``batch_id=N`` hive partition under both sinks instead of blind
+    appends, so a micro-batch retried after a mid-write failure replaces
+    its partial output rather than duplicating it (foreachBatch is
+    at-least-once; idempotent writes make the sink effectively-once).
+    Readers of the root path see one extra ``batch_id`` partition column
+    — drop it for the canonical shape, or prune on it for incremental
+    downstream reads.  Returns the started StreamingQuery."""
     from real_time_financial_data_pipeline_spark.streaming.ingest import (
         split_by_rules,
     )
@@ -178,8 +198,12 @@ def stream_documents_jsonl(
         batch_df.persist()
         try:
             good, bad = split_by_rules(batch_df, all_rules)
-            _finalize_good(good).write.mode("append").parquet(good_path)
-            bad.write.mode("append").parquet(quarantine_path)
+            _finalize_good(good).write.mode("overwrite").parquet(
+                f"{good_path}/batch_id={batch_id}"
+            )
+            bad.write.mode("overwrite").parquet(
+                f"{quarantine_path}/batch_id={batch_id}"
+            )
         finally:
             batch_df.unpersist()
 

@@ -335,3 +335,56 @@ class TestPipelineIntegration:
             n = len([s for p in PY_PRETOKEN_RE.findall(r.chunk_text)
                      for s in encode_word(p, ranks)])
             assert n == r.n_chunk_tokens
+
+
+class TestOracleMergeReplay:
+    def test_fixpoint_sql_replay_handles_adjacent_repeats(self):
+        """Twin of the bpe_token_count_docs oracle's rec CTE
+        (__spark_entry__.py): one replace() pass per rank MISSES
+        back-to-back occurrences of the same pair ('abab' under (a,b)
+        would count 3 tokens instead of 2, because each match consumes
+        the separator the next occurrence needs), so the oracle iterates
+        each rank's replace to a FIXPOINT.  This pins that loop against
+        the real encoder on exactly the adversarial shapes the one-pass
+        version got wrong."""
+        import duckdb
+
+        corpus = ["abab ababab abcabc aaaa baba abab"]
+        merges = _py_learn(corpus, 8)
+        assert merges, "fabric must learn at least one merge"
+        ranks = {p: i for i, p in enumerate(merges)}
+        pieces = sorted({p for t in corpus for p in PY_PRETOKEN_RE.findall(t)})
+        expected = {p: len(encode_word(p, ranks)) for p in pieces}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE m(rank INT, a TEXT, b TEXT)")
+        con.executemany(
+            "INSERT INTO m VALUES (?, ?, ?)",
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+        )
+        con.execute("CREATE TABLE words(piece TEXT)")
+        con.executemany("INSERT INTO words VALUES (?)", [(p,) for p in pieces])
+        got = dict(con.execute("""
+            WITH RECURSIVE rec AS (
+                SELECT piece,
+                       chr(31) || array_to_string(
+                           list_transform(range(1, len(piece) + 1), i -> piece[i]),
+                           chr(31)) || chr(31) AS s,
+                       0 AS k
+                FROM words
+                UNION ALL
+                SELECT piece, s2,
+                       CASE WHEN contains(s2, pat) THEN k ELSE k + 1 END AS k
+                FROM (
+                    SELECT r.piece,
+                           replace(r.s, chr(31) || m.a || chr(31) || m.b || chr(31),
+                                   chr(31) || m.a || m.b || chr(31)) AS s2,
+                           chr(31) || m.a || chr(31) || m.b || chr(31) AS pat,
+                           r.k AS k
+                    FROM rec r JOIN m ON m.rank = r.k
+                )
+            )
+            SELECT piece, len(string_split(s, chr(31))) - 2 AS n
+            FROM rec WHERE k = (SELECT count(*) FROM m)
+        """).fetchall())
+        assert got == expected

@@ -51,6 +51,26 @@ class TestLoad:
         again, _ = load_documents_jsonl(spark, path)
         assert sorted(ids) == sorted(r.doc_id for r in again.collect())
 
+    def test_string_ids_resolved_not_quarantined(self, spark, tmp_path):
+        """Dolma/FineWeb/RedPajama dumps ship STRING ids; the loader must
+        ingest them (numeric strings pass through as their value,
+        non-numeric ids are content-addressed via xxhash64) instead of
+        marking the records corrupt under the long-typed schema."""
+        path = _write(tmp_path, [
+            '{"id": "doc-abc-001", "text": "string id doc"}',
+            '{"id": "42", "text": "numeric string id"}',
+            '{"id": 7, "text": "plain numeric id"}',
+        ])
+        good, bad = load_documents_jsonl(spark, path)
+        assert bad.count() == 0
+        rows = {r.text: r.doc_id for r in good.collect()}
+        assert rows["numeric string id"] == 42  # "42" and 42 agree
+        assert rows["plain numeric id"] == 7
+        assert rows["string id doc"] is not None
+        # deterministic across runs: hashed ids are content-addressed
+        again, _ = load_documents_jsonl(spark, path)
+        assert rows == {r.text: r.doc_id for r in again.collect()}
+
     def test_malformed_lines_quarantined_with_raw(self, spark, tmp_path):
         path = _write(tmp_path, [
             '{"doc_id": 1, "text": "fine"}',
@@ -127,8 +147,13 @@ class TestLoad:
             max_files_per_trigger=1,
         )
         q.awaitTermination(120)
+        # the streaming sink partitions by batch_id for idempotent
+        # retries; drop it to compare against the batch loader's shape
         got_good = {
-            tuple(r) for r in spark.read.parquet(str(tmp_path / "good")).collect()
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "good"))
+            .drop("batch_id")
+            .collect()
         }
         got_bad = {
             (r.doc_id, tuple(sorted(r._violations)))
@@ -140,6 +165,30 @@ class TestLoad:
             (r.doc_id, tuple(sorted(r._violations))) for r in bb.collect()
         }
         assert len(got_good) == 2 and len(got_bad) == 2
+
+    def test_stream_rerun_is_idempotent(self, spark, tmp_path):
+        """Replaying the same input with a fresh checkpoint lands on the
+        same batch_id partitions and OVERWRITES them — row counts do not
+        grow, which is exactly the retry-after-partial-write guarantee
+        (foreachBatch is at-least-once; the per-batch overwrite makes the
+        sink effectively-once)."""
+        from real_time_financial_data_pipeline_spark.sources.jsonl_source import (
+            stream_documents_jsonl,
+        )
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        (src / "f1.jsonl").write_text('{"doc_id": 1, "text": "first doc"}\n')
+        (src / "f2.jsonl").write_text('{"doc_id": 2, "text": ""}\n')
+        for ckpt in ("ckpt_a", "ckpt_b"):  # second run simulates a replay
+            q = stream_documents_jsonl(
+                spark, str(src), str(tmp_path / "good"), str(tmp_path / "quar"),
+                str(tmp_path / ckpt), trigger_available_now=True,
+                max_files_per_trigger=1,
+            )
+            q.awaitTermination(120)
+        assert spark.read.parquet(str(tmp_path / "good")).count() == 1
+        assert spark.read.parquet(str(tmp_path / "quar")).count() == 1
 
     def test_feeds_downstream_operators(self, spark, tmp_path):
         """The ingested frame is a drop-in documents table: token stats

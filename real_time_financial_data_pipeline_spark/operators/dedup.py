@@ -410,12 +410,62 @@ def substring_window_index(
     :func:`substring_dup_spans_between` so nightly index builds amortize
     across every incoming batch, the same persisted-index split as
     ``minhash_pairs_between``.  Build and query MUST share
-    window/stride/sampling parameters or hashes won't align."""
+    window/stride/sampling parameters or hashes won't align — so the
+    build parameters ride along as ``window_hash`` column METADATA
+    (Spark persists field metadata through parquet write/read in its
+    footer schema, so the contract survives the round trip at zero
+    storage cost, the same artifact-carries-its-params idea as
+    ``save_bpe``) and :func:`substring_dup_spans_between` raises on a
+    mismatched query instead of silently under-detecting."""
+    meta = {
+        "window_tokens": window_tokens,
+        "stride": stride,
+        "sampling": sampling,
+    }
     return (
         _substring_windows(df, window_tokens, stride, text_col, id_col, sampling)
-        .select(F.col("_h").alias("window_hash"))
+        .select(F.col("_h").alias("window_hash", metadata=meta))
         .distinct()
     )
+
+
+def _check_index_params(
+    corpus_index: DataFrame, window_tokens: int, stride: int, sampling: str
+) -> None:
+    """Fail fast when a persisted window index is queried with different
+    parameters than it was built with (hashes would silently never align
+    and every duplicate would evade).  Indexes from before the metadata
+    contract carry no parameters — those get a warning, not a pass."""
+    field = next(
+        (f for f in corpus_index.schema.fields if f.name == "window_hash"), None
+    )
+    if field is None:
+        raise ValueError(
+            f"corpus_index must have a window_hash column, got {corpus_index.columns}"
+        )
+    md = dict(field.metadata or {})
+    expected = {
+        "window_tokens": window_tokens,
+        "stride": stride,
+        "sampling": sampling,
+    }
+    if not any(k in md for k in expected):
+        import warnings
+
+        warnings.warn(
+            "corpus_index carries no build-parameter metadata (pre-contract "
+            "index?); cannot verify it matches "
+            f"{expected} — rebuild with substring_window_index to enforce",
+            stacklevel=3,
+        )
+        return
+    got = {k: md.get(k) for k in expected}
+    if got != expected:
+        raise ValueError(
+            f"substring window index was built with {got} but queried with "
+            f"{expected}; window hashes would never align — rebuild the index "
+            "or query with the build parameters"
+        )
 
 
 def substring_dup_spans_between(
@@ -447,6 +497,8 @@ def substring_dup_spans_between(
     the next index rebuild)."""
     if (corpus is None) == (corpus_index is None):
         raise ValueError("pass exactly one of corpus / corpus_index")
+    if corpus_index is not None:
+        _check_index_params(corpus_index, window_tokens, stride, sampling)
     new_w = _substring_windows(
         new_docs, window_tokens, stride, text_col, id_col, sampling
     )

@@ -593,7 +593,9 @@ class TestPriceAnomalies:
             .sort_values("day", ignore_index=True)
         )
         assert bool(got["is_spike"].iloc[30])
-        assert not got["is_spike"].iloc[:30].infer_objects(copy=False).fillna(False).any()
+        # .eq(True) treats the nullable None as not-spike without the
+        # object-dtype fillna downcast pandas is deprecating
+        assert not got["is_spike"].iloc[:30].eq(True).any()
         assert got["stale_run"].iloc[30:34].tolist() == [1, 2, 3, 4]
         assert not got["is_stale"].iloc[30:32].any()
         assert got["is_stale"].iloc[32:34].all()

@@ -91,7 +91,7 @@ class TestStreamAnomalies:
             bv, gv = batch[c], got[c]
             assert ((bv == gv) | (bv.isna() & gv.isna())).all(), c
         # the planted anomalies actually fire on both paths
-        assert got[got.sym == "A"]["is_spike"].fillna(False).any()
+        assert got[got.sym == "A"]["is_spike"].eq(True).any()
         assert got[got.sym == "B"]["is_stale"].any()
 
     def test_out_of_order_bar_dropped(self, spark, tmp_path):

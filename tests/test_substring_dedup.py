@@ -244,6 +244,59 @@ class TestIncremental:
         }
         assert (100, 3, 33) in batch and not any(d == 0 for d, *_ in batch)
 
+    def test_index_param_contract_enforced(self, spark, tmp_path):
+        """The persisted index carries its (window_tokens, stride,
+        sampling) build parameters as window_hash column metadata; a
+        mismatched query raises instead of silently under-detecting, the
+        contract survives a parquet round trip, and a pre-contract index
+        (no metadata) warns rather than passing silently."""
+        from real_time_financial_data_pipeline_spark.operators.dedup import (
+            substring_dup_spans_between,
+            substring_window_index,
+        )
+
+        rng = np.random.default_rng(43)
+        # 40 tokens > window + stride - 1 = 31: above winnowing's
+        # deterministic recall bound, so the shared passage MUST be hit
+        passage = [f"h{i}" for i in range(40)]
+        corpus = _mk(spark, [(0, _doc(passage + _rand_words(rng, 5, "b")))])
+        new = _mk(spark, [(100, _doc(_rand_words(rng, 3, "x") + passage))])
+
+        idx_path = str(tmp_path / "widx")
+        substring_window_index(
+            corpus, window_tokens=30, stride=2, sampling="winnow"
+        ).write.parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+
+        # matched query works through the round trip: sampled marks land
+        # inside the planted passage (tokens 3..43 of doc 100)
+        got = substring_dup_spans_between(
+            new, corpus_index=idx, window_tokens=30, stride=2, sampling="winnow"
+        ).collect()
+        assert got
+        assert all(
+            r.doc_id == 100 and 3 <= r.span_start < r.span_end <= 43 for r in got
+        )
+
+        # any single mismatched parameter raises
+        for kw in (
+            {"window_tokens": 20, "stride": 2, "sampling": "winnow"},
+            {"window_tokens": 30, "stride": 3, "sampling": "winnow"},
+            {"window_tokens": 30, "stride": 2, "sampling": "anchor"},
+        ):
+            with pytest.raises(ValueError, match="built with"):
+                substring_dup_spans_between(new, corpus_index=idx, **kw)
+
+        # legacy index without metadata: warn, don't silently pass
+        # (plain select preserves metadata; alias with empty metadata
+        # simulates an index persisted before the contract existed)
+        legacy = idx.select(F.col("window_hash").alias("window_hash", metadata={}))
+        with pytest.warns(UserWarning, match="no build-parameter metadata"):
+            substring_dup_spans_between(
+                new, corpus_index=legacy, window_tokens=30, stride=2,
+                sampling="winnow",
+            ).collect()
+
     def test_requires_exactly_one_corpus_side(self, spark):
         from real_time_financial_data_pipeline_spark.operators.dedup import (
             substring_dup_spans_between,

@@ -855,6 +855,7 @@ BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_average_7": _moving_average,
     "gap_fill_daily": _gap_fill_daily,
     "ann_cosine_topk": _ann_cosine_topk,
+    "dedup_exact_docs": _dedup_exact_docs,
 }
 
 
@@ -930,6 +931,138 @@ def _paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(wrapped, min_count=2)
 
 
+def _substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span (ExactSubstr) dedup (operators/dedup.py:
+    substring_dup_spans) over the raw documents table at window 20,
+    stride 1 (the exact mode — every window hashed).  The synthetic
+    fabric naturally contains hundreds of duplicated 20-token runs, so
+    no layout derivation is needed.  The oracle replays the WHOLE
+    operator content-keyed in DuckDB (window CONTENT as the key where
+    Spark uses xxhash64 — collision-free at this window count): window
+    explode, >= 2 occurrence closure, keep-first (smallest (doc, start))
+    unmarking, and the maximal-interval merge via the gaps-and-islands
+    window form (equivalent to the Spark side's sorted higher-order
+    fold)."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_dup_spans(docs, window_tokens=20)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+def _jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validated JSONL corpus ingestion (sources/jsonl_source.py) —
+    end-to-end through a REAL file round trip: the documents table is
+    serialized to a JSONL dump whose shape varies deterministically per
+    row (doc_id%3 picks the field-synonym spelling — string-typed
+    id/content/language/url, document_id/body/subset with no lang, or
+    canonical; doc_id%31==0 rows are corrupted into non-JSON;
+    doc_id%29==1 rows carry an empty text that violates the length-band
+    rule), written to staging, and read back with load_documents_jsonl.
+    The query returns the GOOD table; the oracle re-derives the expected
+    good rows directly from the documents table (the dump construction
+    is a pure function of it), so any mis-parse, synonym miss,
+    id-ladder break (e.g. string ids quarantined wholesale), or
+    quarantine leak shows up as a row-count or value-hash mismatch.
+    The quarantine frame's per-rule labels stay pytest-anchored
+    (tests/test_jsonl_source.py)."""
+    from real_time_financial_data_pipeline_spark.sources.jsonl_source import (
+        load_documents_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v0 = F.to_json(
+        F.struct(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("text").alias("content"),
+            F.col("lang").alias("language"),
+            F.col("source").alias("url"),
+        )
+    )
+    v1 = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("document_id"),
+            F.col("text").alias("body"),
+            F.col("source").alias("subset"),
+        )
+    )
+    v2 = F.to_json(F.struct("doc_id", "text", "lang", "source"))
+    v2_empty = F.to_json(
+        F.struct(F.col("doc_id"), F.lit("").alias("text"), F.col("lang"), F.col("source"))
+    )
+    line = (
+        F.when(F.col("doc_id") % 31 == 0, F.concat(F.lit("{bad "), v2))
+        .when(F.col("doc_id") % 29 == 1, v2_empty)
+        .when(F.col("doc_id") % 3 == 0, v0)
+        .when(F.col("doc_id") % 3 == 1, v1)
+        .otherwise(v2)
+    )
+    docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
+        _STAGED_JSONL_DIR
+    )
+    good, _bad = load_documents_jsonl(spark, _STAGED_JSONL_DIR)
+    return good
+
+
+def _training_set_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM pipeline's pipeline_gold_daily: the END-TO-END
+    prepare_training_set composition (training.py) hash-checked as ONE
+    row — paragraph layout derivation (the paragraph_dedup_docs
+    convention) -> corpus paragraph dedup -> quality gate (min 0.8, a
+    real filter: ~1/5 of wrapped docs score 0.7) -> exact dedup
+    (keep-min) -> benchmark n-gram decontamination (every 20th wrapped
+    doc plays the benchmark) -> 32/8 token-window chunking -> split
+    assignment.  The MinHash/SemDedup stages are skipped
+    (near_dup_threshold=None — their candidate generation is
+    staged-oracle-checked by their own rows); every remaining stage is
+    re-derived content-keyed in DuckDB from the raw documents table.
+    The one non-SQL-expressible step — the xxhash64 split assignment —
+    is STAGED at doc grain and the oracle error()-enforces the same two
+    invariants as split_assignment_events (doc cohesion + key-fraction
+    tolerance) before joining it onto the recomputed chunk universe."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){3}\S+) ", "$1\n"),
+            F.lit("\n-- footer --"),
+        ),
+    )
+    bench = wrapped.filter(F.col("doc_id") % 20 == 0).select("text")
+    out = prepare_training_set(
+        wrapped,
+        min_quality=0.8,
+        near_dup_threshold=None,
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="tset",
+        chunk_tokens=32,
+        overlap_tokens=8,
+        benchmark=bench,
+        decontam_ngram=8,
+        dedup_paragraphs=True,
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+        "split",
+    )
+    out.select("doc_id", "split").distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_STAGED_TSET_DIR)
+    return out
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (text.py repetition_stats) — the
     whole kernel family is re-derived in DuckDB: duplicate-line fractions
@@ -950,6 +1083,8 @@ def _domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix(load_table(spark, sf_dir, "documents"))
 
 
+_STAGED_JSONL_DIR = "/root/repo/spark-warehouse/staged/jsonl_dump"
+_STAGED_TSET_DIR = "/root/repo/spark-warehouse/staged/training_set_split"
 _STAGED_CENTROIDS_DIR = "/root/repo/spark-warehouse/staged/cluster_centroids"
 
 
@@ -1530,7 +1665,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       -> corpus_report_docs IN (the per-source data card in its exact
       sketch-twin mode — tokenize, composite quality, interpolated
       percentiles, exact dup rate, dominant language — re-derived
-      end-to-end from raw documents in SQL)."""
+      end-to-end from raw documents in SQL).
+
+    Round-10 rotation — the round-9 families (substring-span dedup, JSONL
+    quarantine ingestion) get oracle rows and the LLM pipeline gets its
+    pipeline_gold_daily-style end-to-end composition row; three overlap
+    rows retire, every retiree's kernel transitively oracle-covered and
+    pytest-anchored:
+
+    - perplexity_docs OUT (the bigram LM is strictly subsumed by
+      perplexity_trigram_docs, whose oracle replays a SUPERSET of the
+      machinery — same tokenize/pad/vocab/UNK/add-k pipeline plus the JM
+      mixture; the bigram keeps its Python-reference parity suite in
+      tests/test_lm.py) -> substring_dedup_docs IN (window explode,
+      occurrence closure, keep-first, maximal-interval merge — all
+      content-keyed SQL over the raw documents table);
+    - range_volatility_daily OUT (Parkinson/Garman-Klass closed forms
+      over the same frame-window kernel the tech_indicators_daily row
+      oracle-checks; pandas-parity tests in test_finance.py pin the
+      formulas) -> jsonl_ingest_docs IN (a REAL file round trip:
+      documents -> deterministic multi-shape JSONL dump -> validated
+      ingest; the oracle re-derives the expected good table directly
+      from documents, catching synonym misses, id-ladder breaks, and
+      quarantine leaks);
+    - dedup_exact_docs OUT (its exact_dedup_keep_min kernel now runs
+      INSIDE the training_set_docs chain, re-derived content-keyed in
+      the same oracle; latest_per_user keeps keyed dedup oracle-anchored
+      and tests/test_dedup_similarity.py pins the operator)
+      -> training_set_docs IN (the whole prepare_training_set
+      composition — paragraph dedup -> quality gate -> exact dedup ->
+      n-gram decontam -> chunk -> split — hash-checked as ONE row, split
+      assignment staged at doc grain with error()-enforced cohesion +
+      fraction invariants)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1543,7 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "perplexity_trigram_docs": _perplexity_trigram_docs,
         "bucketed_order_revenue": _bucketed_order_revenue,
-        "range_volatility_daily": _range_volatility_daily,
+        "jsonl_ingest_docs": _jsonl_ingest_docs,
         "pipeline_gold_daily": _pipeline_gold_daily,
         "kyle_lambda_ticks": _kyle_lambda_ticks,
         "clean_events": _clean_events,
@@ -1568,7 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_stats": _dataset_stats,
         "semdedup_pairs": _semdedup_pairs,
         "token_stats": _token_stats,
-        "dedup_exact_docs": _dedup_exact_docs,
+        "substring_dedup_docs": _substring_dedup_docs,
         "repetition_docs": _repetition_docs,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
         "activity_bars_ticks": _activity_bars_ticks,
@@ -1582,7 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_purchase_click_join": _stream_purchase_click_join,
         "stream_session_stats": _stream_session_stats,
-        "perplexity_docs": _perplexity_docs,
+        "training_set_docs": _training_set_docs,
     }
     assert len(qs) == 50, f"registry must stay at 50 entries, got {len(qs)}"
     return qs
@@ -1821,15 +1987,6 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN top3 t3 USING (doc_id)
                 LEFT JOIN d5 USING (doc_id)
             """,
-            "dedup_exact_docs": """
-                SELECT text,
-                       min(doc_id) AS doc_id,
-                       count(*) AS n_copies,
-                       arg_min(lang, doc_id) AS lang,
-                       arg_min(source, doc_id) AS source,
-                       arg_min(n_chars, doc_id) AS n_chars
-                FROM documents GROUP BY text
-            """,
             # staged-pairs oracles (see _STAGED_PAIRS_DIR): DuckDB re-derives
             # the exact trigram Jaccard of every LSH-surfaced pair from raw
             # text — the verify kernel's VALUES are independently checked,
@@ -2015,39 +2172,6 @@ def oracle_sql() -> dict[str, str]:
                round(sum(size), 6) AS volume,
                count(*) AS n_trades
         FROM signed GROUP BY 1, 2
-    """
-    # range_volatility_daily: daily OHLC bars, then the Parkinson /
-    # Garman-Klass closed forms and their 20-bar trailing means — plain
-    # window SQL with the Python-side float64 constants injected verbatim
-    # (repr round-trips exactly), so both engines evaluate the same
-    # expression tree; round(.., 6) absorbs window-accumulation-order ulps.
-    _inv4ln2 = repr(4.0 * math.log(2.0))
-    _gk_c = repr(2.0 * math.log(2.0) - 1.0)
-    _ann = repr(math.sqrt(252.0))
-    sqls["range_volatility_daily"] = f"""
-        WITH bars AS (
-            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   arg_min(value, ts) AS "open", max(value) AS high,
-                   min(value) AS low, arg_max(value, ts) AS "close"
-            FROM events GROUP BY 1, 2
-        ), t AS (
-            SELECT *,
-                   pow(ln(high / low), 2) / {_inv4ln2} AS pk,
-                   0.5 * pow(ln(high / low), 2)
-                       - {_gk_c} * pow(ln("close" / "open"), 2) AS gk
-            FROM bars
-        ), w AS (
-            SELECT event_type, day, "open", high, low, "close",
-                   avg(pk) OVER f AS pk_var, avg(gk) OVER f AS gk_var
-            FROM t WINDOW f AS (PARTITION BY event_type ORDER BY day
-                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-        )
-        SELECT event_type, day, "open", high, low, "close",
-               round(pk_var, 6) AS parkinson_var,
-               round(sqrt(pk_var) * {_ann}, 6) AS parkinson_vol,
-               round(gk_var, 6) AS gk_var,
-               round(sqrt(greatest(gk_var, 0.0)) * {_ann}, 6) AS gk_vol
-        FROM w
     """
     # kyle_lambda_ticks: tick-rule signs (the ofi_daily kernel), per-tick
     # price changes, then cov/var over the identical dp-non-null sample
@@ -2453,54 +2577,63 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(100.0*avg_gain/(avg_gain + avg_loss), 6) END AS rsi
         FROM rec
     """
-    # perplexity_docs: the whole bigram-LM train+score loop in SQL —
-    # tokenize, BOS/EOS pad, vocab top-20 (count desc, token asc), OOV->
-    # <unk>, add-k smoothing with v_pred = |vocab| + 2 derived from the
-    # data like the Spark side does (operators/lm.py).
-    sqls["perplexity_docs"] = """
+    # substring_dedup_docs: the whole ExactSubstr operator content-keyed
+    # (window CONTENT as the key where Spark uses xxhash64 — collision-free
+    # at this window count): window explode, >=2 occurrence closure,
+    # keep-first (smallest (doc, start)) unmarking, then the maximal-
+    # interval merge via gaps-and-islands windows (equivalent to the Spark
+    # side's sorted higher-order fold: a window extends the open span when
+    # its start is <= the span's current end).
+    sqls["substring_dedup_docs"] = """
         WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
             FROM documents
+        ), wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[i : i + 19], ' ') AS content
+            FROM toks CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(t) - 19)) AS i) g
+            WHERE len(t) >= 20
+        ), dup AS (
+            SELECT content, min(struct_pack(id := doc_id, pos := pos)) AS first
+            FROM wins GROUP BY content HAVING count(*) >= 2
+        ), marked AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN dup d USING (content)
+            WHERE NOT (d.first.id = w.doc_id AND d.first.pos = w.pos)
         ), seq AS (
-            SELECT doc_id, list_concat(list_concat(['<s>'], t), ['</s>']) AS s
-            FROM toks
-        ), pairs AS (
-            SELECT doc_id, s[i] AS w1r, s[i+1] AS w2r
-            FROM seq CROSS JOIN LATERAL
-                (SELECT unnest(generate_series(1, len(s)-1)) AS i) g
-        ), vocab AS (
-            SELECT tok FROM (SELECT unnest(t) AS tok FROM toks)
-            GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 20
-        ), mapped AS (
-            SELECT doc_id,
-                   CASE WHEN w1r = '<s>' THEN '<s>'
-                        ELSE coalesce(v1.tok, '<unk>') END AS w1,
-                   CASE WHEN w2r = '</s>' THEN '</s>'
-                        ELSE coalesce(v2.tok, '<unk>') END AS w2
-            FROM pairs
-            LEFT JOIN vocab v1 ON pairs.w1r = v1.tok
-            LEFT JOIN vocab v2 ON pairs.w2r = v2.tok
-        ), bigrams AS (
-            SELECT w1, w2, count(*) AS cnt FROM mapped GROUP BY 1, 2
-        ), contexts AS (
-            SELECT w1, sum(cnt) AS ctx_count FROM bigrams GROUP BY 1
-        ), vsize AS (
-            SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab
-        ), scored AS (
-            SELECT m.doc_id,
-                   ln((coalesce(b.cnt, 0) + 0.5)
-                      / (coalesce(c.ctx_count, 0) + 0.5*(vs.v + 2.0))) AS logp
-            FROM mapped m
-            LEFT JOIN bigrams b ON m.w1 = b.w1 AND m.w2 = b.w2
-            LEFT JOIN contexts c ON m.w1 = c.w1
-            CROSS JOIN vsize vs
+            SELECT doc_id, pos,
+                   CASE WHEN pos <= max(pos + 20) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS brk
+            FROM marked
+        ), grp AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS g
+            FROM seq
         )
         SELECT doc_id,
-               count(*) AS n_bigrams,
-               round(sum(logp), 6) AS log_prob,
-               round(exp(-sum(logp)/count(*)), 6) AS perplexity
-        FROM scored GROUP BY doc_id
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 20 AS BIGINT) AS span_end
+        FROM grp GROUP BY doc_id, g
+    """
+    # jsonl_ingest_docs: the dump the Spark side writes is a PURE FUNCTION
+    # of the documents table (doc_id%31==0 corrupted, doc_id%29==1 empty
+    # text -> rule quarantine, doc_id%3 picks the field-synonym spelling,
+    # %3==1 carries no lang field), so the oracle skips the file entirely
+    # and derives the expected GOOD table directly — any JSON mis-parse,
+    # synonym miss, id-ladder break, or quarantine leak on the Spark path
+    # surfaces as a row-count or value-hash mismatch.
+    sqls["jsonl_ingest_docs"] = """
+        SELECT doc_id,
+               text,
+               CASE WHEN doc_id % 3 = 1 THEN NULL ELSE lang END AS lang,
+               source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id % 31 != 0 AND doc_id % 29 != 1
     """
     # bpe_token_count_docs: full encode replay from the staged (rank, a, b)
     # merge table.  Each distinct pre-token piece is seeded as a
@@ -2811,6 +2944,128 @@ def _training_family_oracles() -> dict[str, str]:
         FROM corpus c JOIN bench USING (gram)
         GROUP BY 1
         HAVING count(DISTINCT c.gram) >= 1
+    """
+    # training_set_docs: the END-TO-END prepare_training_set composition
+    # replayed stage by stage — paragraph layout + dedup (the
+    # paragraph_dedup_docs kernel), the composite quality gate at 0.8,
+    # exact keep-min dedup, benchmark 8-gram decontamination (benchmark =
+    # every 20th wrapped doc), and 32/8 chunking, all content-keyed from
+    # raw documents; ONLY the xxhash64 split assignment is taken from
+    # doc-grain staging, with the split row's invariants error()-enforced
+    # (doc cohesion + key-fraction tolerance) before it joins the
+    # recomputed chunk universe.  A doc the Spark chain kept but the
+    # replay dropped (or vice versa) breaks the row count; a text/chunk
+    # drift breaks the value hash.
+    sqls["training_set_docs"] = rf"""
+        WITH wrapped AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((?:\S+ ){{3}}\S+) ', '\1' || chr(10), 'g')
+                       || chr(10) || '-- footer --' AS text
+            FROM documents
+        ),
+        parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM wrapped),
+        paras AS (
+            SELECT doc_id, g.i - 1 AS idx, ps[g.i] AS para,
+                   regexp_replace(ps[g.i], '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS trimmed
+            FROM parts CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(ps))) AS i) g
+        ),
+        keyed AS (
+            SELECT doc_id, idx, para,
+                   CASE WHEN trimmed != '' THEN trimmed END AS key
+            FROM paras
+        ),
+        pdup AS (
+            SELECT key, min(struct_pack(id := doc_id, idx := idx)) AS first
+            FROM keyed WHERE key IS NOT NULL
+            GROUP BY key HAVING count(*) >= 2
+        ),
+        surviving AS (
+            SELECT k.doc_id, k.idx, k.para
+            FROM keyed k LEFT JOIN pdup d ON k.key = d.key
+            WHERE d.key IS NULL
+               OR (d.first.id = k.doc_id AND d.first.idx = k.idx)
+        ),
+        pdocs AS (
+            SELECT w.doc_id, coalesce(r.text, '') AS text
+            FROM wrapped w LEFT JOIN (
+                SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
+                FROM surviving GROUP BY doc_id
+            ) r USING (doc_id)
+        ),
+        q AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       round((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                           + (CASE WHEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                                        BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+                                 ['the','a','and','of','to','in','is','on','for','as'], x))) AS DOUBLE)
+                                   / len(toks) > 0.0 THEN 0.3 ELSE 0.0 END), 6) AS qs
+                FROM (SELECT doc_id, text,
+                             list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                      FROM pdocs)
+            ) WHERE qs >= 0.8
+        ),
+        ded AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS m FROM q
+            ) WHERE doc_id = m
+        ),
+        bgrams AS (
+            SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8 THEN
+                       [array_to_string(toks[i : i + 7], ' ')
+                        FOR i IN range(1, len(toks) - 6)]
+                   ELSE [] END) AS gram
+            FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                  FROM wrapped WHERE doc_id % 20 = 0)
+        ),
+        cgrams AS (
+            SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+                       [array_to_string(toks[i : i + 7], ' ')
+                        FOR i IN range(1, len(toks) - 6)]
+                   ELSE [] END) AS gram
+            FROM (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                  FROM ded)
+        ),
+        flagged AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (gram)),
+        clean AS (
+            SELECT * FROM ded
+            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(start // 24 AS BIGINT) AS chunk_id,
+                   toks[start + 1 : start + 32] AS chunk
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS start
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '), x -> x != '') AS toks
+                      FROM clean)
+                WHERE len(toks) > 0
+            )
+        ),
+        s AS (SELECT * FROM read_parquet('{_STAGED_TSET_DIR}/*.parquet')),
+        coh AS (SELECT count(*) - count(DISTINCT doc_id) AS dup FROM s),
+        fr AS (
+            SELECT max(abs(CAST(n AS DOUBLE) / tot
+                           - CASE split WHEN 'train' THEN 0.8 ELSE 0.1 END)) AS worst
+            FROM (
+                SELECT split, count(*) AS n, sum(count(*)) OVER () AS tot
+                FROM s GROUP BY split
+            )
+        )
+        SELECT c.doc_id, c.chunk_id,
+               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(chunk, ' ') AS chunk_text,
+               CASE WHEN (SELECT dup FROM coh) > 0
+                    THEN error('split staging violates doc cohesion')
+                    WHEN (SELECT worst FROM fr) > 0.15
+                    THEN error('split key fraction outside tolerance of its weight')
+                    ELSE s.split END AS split
+        FROM chunks c JOIN s USING (doc_id)
     """
     # staged packing: summary from staging, but the chunk SET is checked
     # against the independently recomputed chunk universe (full outer join:

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 # --- interpreted reference kernels (HOF fold; NOT the hot path) -----------
@@ -479,6 +479,29 @@ def nearest_list(vec: Column, centroids: np.ndarray) -> Column:
     return _assign(vec)
 
 
+def nearest_lists(vec: Column, centroids: np.ndarray, n_probe: int) -> Column:
+    """Multi-assignment coarse quantization: the ``n_probe`` highest-
+    cosine centroid indices per vector, (score desc, index asc) ordered —
+    the LSH-multiprobe analogue for cluster-bounded operators.  Same
+    9-dp snap and first-maximum tie rule as :func:`nearest_list`
+    (``n_probe=1`` selects exactly its assignment), one numpy
+    matmul + stable argsort per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+    n = min(n_probe, C.shape[0])
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = _stack_f64(vecs)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = np.round(Xn @ C.T, 9)
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n]
+        return pd.Series([r.astype(np.int64).tolist() for r in order])
+
+    return _assign(vec)
+
+
 def hash_sample(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -917,6 +940,7 @@ def semdedup_pairs(
     sample_size: int = 2048,
     iters: int = 8,
     centroids: np.ndarray | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     pairs via CLUSTER-BOUNDED pairwise cosine — cluster the embeddings
@@ -950,28 +974,59 @@ def semdedup_pairs(
     above these floors.  Cosines are snapped to 9 dp before the
     threshold (same guard band as the brute-force twin) so independent
     engines make identical keep/drop decisions away from ties.
+
+    ``n_probe`` > 1 enables MULTI-ASSIGNMENT (the LSH-multiprobe
+    analogue): every vector joins its ``n_probe`` nearest clusters, so a
+    pair is compared whenever the two share ANY of their assignments —
+    lifting exactly the cross-cluster-boundary misses the single-probe
+    recall caveat describes, at ~n_probe² the candidate cost (each
+    cluster's membership grows ~n_probe-fold).  Single-probe stays the
+    default (paper parity); measured recall/cost for n_probe=2 is in
+    BASELINE.md and gated in test_semdedup.py.  Output is identical in
+    shape; a pair sharing several clusters reports its smallest shared
+    cluster_id (deterministic).
     """
-    assigned = cluster_assign(
-        corpus, k, id_col, vec_col, seed, sample_size, iters, centroids,
-        out_col="_sem_cluster",
-    )
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if n_probe == 1:
+        assigned = cluster_assign(
+            corpus, k, id_col, vec_col, seed, sample_size, iters, centroids,
+            out_col="_sem_cluster",
+        )
+    else:
+        if centroids is None:
+            centroids = train_centroids(
+                corpus, k, id_col=id_col, vec_col=vec_col, seed=seed,
+                sample_size=sample_size, iters=iters,
+            )
+        assigned = corpus.withColumn(
+            "_sem_cluster",
+            F.explode(nearest_lists(F.col(vec_col), centroids, n_probe)),
+        )
     a = assigned.select(
         "_sem_cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )
     b = assigned.select(
         "_sem_cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
-    return (
+    scored = (
         a.join(b, "_sem_cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb")), 9))
         .filter(F.col("_cos9") >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("_sem_cluster").alias("cluster_id"),
-            F.round("_cos9", 6).alias("cos"),
+    )
+    if n_probe > 1:
+        # a pair sharing several of its probe clusters must emit ONCE:
+        # keep the smallest shared cluster id (cos is identical per pair)
+        scored = scored.groupBy("id_a", "id_b").agg(
+            F.min("_sem_cluster").alias("_sem_cluster"),
+            F.max("_cos9").alias("_cos9"),
         )
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.col("_sem_cluster").alias("cluster_id"),
+        F.round("_cos9", 6).alias("cos"),
     )
 
 

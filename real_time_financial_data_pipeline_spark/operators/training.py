@@ -403,7 +403,7 @@ def curate_documents(
     id_col: str = "doc_id",
     min_quality: float = 0.7,
     langs: list[str] | None = None,
-    near_dup_threshold: float = 0.7,
+    near_dup_threshold: float | None = 0.7,
     repetition_gate: bool = False,
     dedup_paragraphs: bool = False,
     dedup_substrings: int | None = None,
@@ -436,6 +436,9 @@ def curate_documents(
     shrink the corpus BEFORE the shuffle-bearing dedup stages, and exact
     dedup (one hash aggregate) runs before MinHash (signatures + banded
     self-join) so the expensive stage sees only distinct texts.
+    ``near_dup_threshold=None`` skips the MinHash stage entirely (the
+    reduced ladder for corpora where exact + sub-document dedup suffice,
+    or where near-dup runs separately at its own cadence).
     ``repetition_gate=True`` inserts the Gopher-style repetition filter
     (``text.repetition_filter``, table-A1 thresholds) after the language
     gate — still map-only, still ahead of every shuffle.
@@ -486,8 +489,14 @@ def curate_documents(
         )
         kept = kept.join(passing, id_col, "left_semi")
     kept = exact_dedup_keep_min(kept, text_col, id_col)
-    pairs = minhash_dedup_pairs(kept, text_col, id_col, threshold=near_dup_threshold)
-    kept = apply_dedup(kept, pairs, id_col)
+    # near_dup_threshold=None skips the MinHash stage — the reduced ladder
+    # for corpora where exact + sub-document dedup suffice (or where the
+    # near-dup pass runs separately at its own cadence)
+    if near_dup_threshold is not None:
+        pairs = minhash_dedup_pairs(
+            kept, text_col, id_col, threshold=near_dup_threshold
+        )
+        kept = apply_dedup(kept, pairs, id_col)
     if embeddings is not None:
         from .similarity import semdedup_pairs
 
@@ -508,7 +517,7 @@ def prepare_training_set(
     id_col: str = "doc_id",
     min_quality: float = 0.7,
     langs: list[str] | None = None,
-    near_dup_threshold: float = 0.7,
+    near_dup_threshold: float | None = 0.7,
     weights: dict[str, float] | None = None,
     salt: str = "",
     chunk_tokens: int = 256,

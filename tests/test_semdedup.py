@@ -90,6 +90,55 @@ class TestSemdedupPairs:
         }
         assert semantic <= brute
 
+    def test_multiprobe_lifts_recall(self, spark):
+        """The n_probe=2 multi-assignment knob (LSH-multiprobe analogue):
+        every vector joins its 2 nearest clusters, so (a) the
+        single-probe pair set is a STRUCTURAL SUBSET of the multiprobe
+        one (top-1 ⊆ top-2 memberships), (b) precision stays structural
+        (⊆ brute force), and (c) measured recall lifts — measured
+        2026-08-14: sf0.01 k=8 single 0.352 -> multiprobe 0.753 (2.1x);
+        sf0.1 k=16 n=2000 0.216 -> 0.530 (2.5x); candidate-pair cost
+        4.0x at both scales, the n_probe² prediction (recorded in
+        BASELINE.md)."""
+        import pyarrow.parquet as pq
+
+        from real_time_financial_data_pipeline_spark.catalog import load_table
+
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in t.embedding])
+        ids = t.vec_id.to_numpy()
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = np.round(Xn @ Xn.T, 9)
+        iu = np.triu_indices(len(X), 1)
+        hit = C[iu] >= 0.3
+        brute = set(zip(ids[iu[0][hit]].tolist(), ids[iu[1][hit]].tolist()))
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+        emb.count()
+        cents = train_centroids(emb, 8)
+        single = {
+            (r.id_a, r.id_b)
+            for r in semdedup_pairs(
+                emb, threshold=0.3, k=8, centroids=cents
+            ).collect()
+        }
+        multi = {
+            (r.id_a, r.id_b)
+            for r in semdedup_pairs(
+                emb, threshold=0.3, k=8, centroids=cents, n_probe=2
+            ).collect()
+        }
+        emb.unpersist()
+        assert single <= multi          # top-1 membership ⊆ top-2
+        assert multi <= brute           # precision stays structural
+        r1 = len(single & brute) / len(brute)
+        r2 = len(multi & brute) / len(brute)
+        print(f"semdedup multiprobe recall: single={r1:.3f} multi={r2:.3f}")
+        assert r2 > r1                  # the knob actually lifts recall
+        assert r2 >= 0.6                # measured 0.753
+        with pytest.raises(ValueError):
+            semdedup_pairs(emb, n_probe=0)
+
     def test_recall_floor_vs_brute_force(self, spark):
         """Quantified recall gate for the cluster-bounded candidate
         generation — the same convention as the LSH/IVF recall floors

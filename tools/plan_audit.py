@@ -65,7 +65,13 @@ CHECKS = {
     "segment_stats": dict(partial_agg=True, no_cartesian=True),
     # substring dedup: windows explode map-side off a (doc_id, text) scan;
     # the dup aggregate keeps its map-side partial phase
-    "substring_dup_spans": dict(partial_agg=True, no_cartesian=True, pruned_cols="text"),
+    "substring_dedup_docs": dict(partial_agg=True, no_cartesian=True, pruned_cols="text"),
+    # end-to-end training-set composition: the decontam benchmark gram set
+    # broadcasts, every aggregate keeps its partial phase, no products
+    "training_set_docs": dict(broadcast_min=1, partial_agg=True, no_cartesian=True),
+    # validated JSONL ingest is a zero-shuffle line scan + projection +
+    # rule filters — the whole ingest must stay exchange-free
+    "jsonl_ingest_docs": dict(max_exchange=0, no_cartesian=True),
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "latest_per_user": dict(partial_agg=True),
@@ -140,17 +146,6 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
     return problems
 
 
-def _substring_dup_spans_query(spark, sf_dir):
-    from real_time_financial_data_pipeline_spark.catalog import load_table
-    from real_time_financial_data_pipeline_spark.operators.dedup import (
-        substring_dup_spans,
-    )
-
-    return substring_dup_spans(
-        load_table(spark, sf_dir, "documents"), window_tokens=20
-    )
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -164,7 +159,8 @@ def main() -> None:
         "domain_mix_docs": entrymod._domain_mix_docs,
         "events_pruned_week": entrymod._events_pruned_week,
         "segment_stats": entrymod._segment_stats,
-        "substring_dup_spans": _substring_dup_spans_query,
+        "perplexity_docs": entrymod._perplexity_docs,
+        "range_volatility_daily": entrymod._range_volatility_daily,
     }
     failures = 0
     for name, spec in CHECKS.items():

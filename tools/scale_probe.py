@@ -93,35 +93,93 @@ def main() -> None:
             F.get_json_object("props", "$.k").cast("double").alias("size"),
         )
 
+    # relational fact replication for the join/rollup probe: lineitem and
+    # orders offset along the orderkey axis, dims untouched (a bigger fact
+    # against the same dimensions — exactly how the real table grows)
+    li1 = load_table(spark, sf_dir, "lineitem").persist()
+    od1 = load_table(spark, sf_dir, "orders").persist()
+    li1.count(), od1.count()
+    liN, odN = li1, od1
+    for i in range(1, rep):
+        off = F.lit(i * 100_000_000)
+        liN = liN.union(li1.withColumn("l_orderkey", F.col("l_orderkey") + off))
+        odN = odN.union(od1.withColumn("o_orderkey", F.col("o_orderkey") + off))
+    liN, odN = liN.persist(), odN.persist()
+    liN.count(), odN.count()
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    from real_time_financial_data_pipeline_spark.plans.relational import (
+        revenue_rollup,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.aggregates import (
+        run_stream_to_memory,
+        tumbling_ohlc,
+    )
+
+    # streaming probe: materialize each scale's events once (untimed), then
+    # time ONLY the availableNow drain of the watermarked tumbling agg
+    _seq = [0]
+
+    def stream_drain(path):
+        _seq[0] += 1
+        name = f"probe_tumbling_{_seq[0]}"
+        schema = spark.read.parquet(path).schema
+        raw = spark.readStream.schema(schema).parquet(path)
+        run_stream_to_memory(tumbling_ohlc(raw), name, "complete")
+        noop(spark.table(name))
+        spark.catalog.dropTempView(name)
+
+    stream_dirs = {}
+    for tag, df in (("1x", ev1), (f"{rep}x", evN)):
+        p = f"/tmp/scale_probe_events_{tag}"
+        df.write.mode("overwrite").parquet(p)
+        stream_dirs[tag] = p
+
+    # probe lambdas take (frame, scale); scale feeds the k∝n SemDedup knob
     probes = {
-        "minhash_pairs": lambda d: noop(minhash_dedup_pairs(d, threshold=0.5)),
-        "paragraph_dedup": lambda d: noop(paragraph_dedup(
+        "minhash_pairs": lambda d, s: noop(minhash_dedup_pairs(d, threshold=0.5)),
+        "paragraph_dedup": lambda d, s: noop(paragraph_dedup(
             d.withColumn("text", F.regexp_replace(F.col("text"), r"((?:\S+ ){3}\S+) ", "$1\n")))),
-        "substring_dedup": lambda d: noop(apply_substring_dedup(
+        "substring_dedup": lambda d, s: noop(apply_substring_dedup(
             d, substring_dup_spans(d, window_tokens=20))),
-        "corpus_report": lambda d: noop(corpus_report(d)),
-        "trigram_perplexity": lambda d: noop(
+        "corpus_report": lambda d, s: noop(corpus_report(d)),
+        "trigram_perplexity": lambda d, s: noop(
             perplexity_trigram(d, train_trigram_lm(d, vocab_size=20))),
     }
     emb_probes = {
-        "semdedup_pairs": lambda e: noop(semdedup_pairs(e, threshold=0.3, k=8)),
-        "ivf_pq_topk": lambda e: noop(
+        # fixed k: the documented super-linear shape (cluster sizes grow
+        # with the corpus, Σ|cluster|² grows quadratically per cluster)
+        "semdedup_pairs": lambda e, s: noop(semdedup_pairs(e, threshold=0.3, k=8)),
+        # k∝n: the scale posture — cluster count grows with the corpus so
+        # expected cluster SIZE (and the pair bound per cluster) stays flat
+        "semdedup_kprop": lambda e, s: noop(semdedup_pairs(e, threshold=0.3, k=8 * s)),
+        "ivf_pq_topk": lambda e, s: noop(
             ivf_pq_topk(e, e.filter(F.col("vec_id") < 5), k=10)),
     }
     ev_probes = {
-        "vwap_daily_bars": lambda e: noop(
+        "vwap_daily_bars": lambda e, s: noop(
             vwap_bars(ticks(e), "D", group_cols=["event_type"])),
-        "activity_bars": lambda e: noop(activity_bars(ticks(e), 2000.0, "volume")),
-        "kyle_lambda": lambda e: noop(kyle_lambda(ticks(e), ["event_type"])),
+        "activity_bars": lambda e, s: noop(activity_bars(ticks(e), 2000.0, "volume")),
+        "kyle_lambda": lambda e, s: noop(kyle_lambda(ticks(e), ["event_type"])),
     }
 
     results: dict[str, dict[str, float]] = {}
     for name, fn in probes.items():
-        results[name] = {"1x": median_of(lambda: fn(docs1)), f"{rep}x": median_of(lambda: fn(docsN))}
+        results[name] = {"1x": median_of(lambda: fn(docs1, 1)), f"{rep}x": median_of(lambda: fn(docsN, rep))}
     for name, fn in emb_probes.items():
-        results[name] = {"1x": median_of(lambda: fn(emb1)), f"{rep}x": median_of(lambda: fn(embN))}
+        results[name] = {"1x": median_of(lambda: fn(emb1, 1)), f"{rep}x": median_of(lambda: fn(embN, rep))}
     for name, fn in ev_probes.items():
-        results[name] = {"1x": median_of(lambda: fn(ev1)), f"{rep}x": median_of(lambda: fn(evN))}
+        results[name] = {"1x": median_of(lambda: fn(ev1, 1)), f"{rep}x": median_of(lambda: fn(evN, rep))}
+    results["revenue_rollup"] = {
+        "1x": median_of(lambda: noop(revenue_rollup(li1, od1, cust, nat, reg))),
+        f"{rep}x": median_of(lambda: noop(revenue_rollup(liN, odN, cust, nat, reg))),
+    }
+    results["stream_tumbling"] = {
+        "1x": median_of(lambda: stream_drain(stream_dirs["1x"])),
+        f"{rep}x": median_of(lambda: stream_drain(stream_dirs[f"{rep}x"])),
+    }
     for name, r in results.items():
         r["ratio"] = round(r[f"{rep}x"] / r["1x"], 2) if r["1x"] else None
 

@@ -147,6 +147,65 @@ def main() -> None:
     results["kyle_lambda_hot_sliced"] = median_of(lambda: run_kyle(True))
     ticks.unpersist()
 
+    # --- hot dup-hash groups in the dedup ladder -------------------------
+    # One boilerplate passage lands in 90% of documents (replicated 8x),
+    # making ONE group hot in paragraph_dedup's paragraph-hash aggregate
+    # and a handful of window hashes hot in substring_dup_spans.  The
+    # control corpus injects the same BYTES as unique-per-doc passages
+    # (same volume, no hot group).  Expectation: map-side combine absorbs
+    # the hot group — duplicate hashes combine perfectly within each map
+    # partition, so the reduce side sees <= n_partitions rows per hot key
+    # regardless of its multiplicity — so hot ~= uniform wall time.
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+        substring_dup_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docsN = docs
+    for i in range(1, 8):
+        docsN = docsN.union(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    boiler = " ".join(f"boiler{j}" for j in range(24))
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}x"), F.col("doc_id").cast("string")) for j in range(24)]
+    )
+    is_hot = F.pmod("doc_id", F.lit(10)) < 9
+    hot_docs = docsN.withColumn(
+        "text",
+        F.when(is_hot, F.concat(F.lit(boiler + " "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    ).persist()
+    cold_docs = docsN.withColumn(
+        "text",
+        F.when(is_hot, F.concat(uniq, F.lit(" "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    ).persist()
+    n_docs = hot_docs.count()
+    cold_docs.count()
+
+    layout = lambda d: d.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((?:\S+ ){3}\S+) ", "$1\n")
+    )
+
+    def run_para(d):
+        paragraph_dedup(layout(d)).write.format("noop").mode("overwrite").save()
+
+    def run_substr(d):
+        substring_dup_spans(d, window_tokens=20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results["paragraph_dedup_hot"] = median_of(lambda: run_para(hot_docs))
+    results["paragraph_dedup_uniform"] = median_of(lambda: run_para(cold_docs))
+    results["substring_spans_hot"] = median_of(lambda: run_substr(hot_docs))
+    results["substring_spans_uniform"] = median_of(lambda: run_substr(cold_docs))
+    hot_docs.unpersist()
+    cold_docs.unpersist()
+
     big.unpersist()
     small.unpersist()
     print(
@@ -157,6 +216,7 @@ def main() -> None:
                 "rows_joined": n_plain,
                 "hot_ticks": n_ticks,
                 "hot_bars": n_mono,
+                "hot_corpus_docs": n_docs,
                 "timings": results,
                 "sf_dir": sf_dir,
             }

@@ -66,14 +66,22 @@ def paragraph_dedup(
     remaining paragraphs keep their original order.
 
     Shuffle ledger at 100 TB — the corpus TEXT never shuffles:
-    paragraphs explode map-side; occurrence stats are ONE hash aggregate
-    keyed on a 64-bit paragraph hash (map-side combine collapses
-    within-partition repeats — boilerplate is exactly what combines
-    well), filtered to duplicated paragraphs; what flows back is only the
-    REMOVAL SET — (doc id, indices to drop), bounded by |duplicate
-    occurrences| — aggregated per doc and joined to the original frame,
-    where a single indexed higher-order filter rebuilds the text
-    map-side.  Documents with nothing to remove pass through
+    paragraphs explode map-side; occurrence stats are a two-stage HASH
+    aggregate ladder — (hash, doc) grain first (within-doc repeats
+    collapse map-side; the shuffle key varies by doc, so a boilerplate
+    paragraph in 90% of documents CANNOT make one reducer hot), then
+    (hash) grain with all-long min/min_by buffers picking the canonical
+    (smallest doc, smallest idx within it) occurrence.  min(struct)
+    would express that in one aggregate but forces the SortAggregate
+    fallback (no mutable hash buffer for struct types) — measured in
+    tools/skew_bench.py: the struct form pays a full per-partition sort
+    and runs 1.4x slower on a 90%-hot boilerplate corpus (2.73 s vs
+    1.97 s at 40k docs); min_by is deterministic here because doc ids
+    are unique per hash after the pre-agg.  Duplicated-paragraph stats
+    flow back as only the REMOVAL SET — (doc id, indices to drop),
+    bounded by |duplicate occurrences| — aggregated per doc and joined
+    to the original frame, where a single indexed higher-order filter
+    rebuilds the text map-side.  Documents with nothing to remove pass through
     byte-identical (no split/rejoin round trip at all).  Matching is by
     xxhash64 of the trimmed paragraph — at 64 bits a collision (~3e-4
     expected per 1e8 distinct) deletes one innocent paragraph, the
@@ -98,12 +106,27 @@ def paragraph_dedup(
             strip_line(F.col("_para")) != "", F.xxhash64(strip_line(F.col("_para")))
         ),
     )
+    # keep-first WITHOUT min(struct(id, idx)): min over a struct forces
+    # the corpus-sized aggregate into SortAggregate (no mutable hash
+    # buffer for struct types), which sorts the ENTIRE exploded paragraph
+    # table per partition — measured 2.3x slower on a boilerplate-hot
+    # corpus (tools/skew_bench.py) because sorting millions of equal keys
+    # degenerates.  Instead: pre-aggregate at (key, doc) grain (within-doc
+    # repeats collapse map-side), then one tiny (key)-grain aggregate
+    # where min_by(min_idx, doc) is DETERMINISTIC (doc ids are unique per
+    # key after the pre-agg) and every buffer field is a long — both
+    # stages stay real HashAggregates with map-side combine, and the
+    # (_fid, _fidx) pair equals the old lexicographic struct min exactly.
+    occ = paras.filter(F.col("_key").isNotNull())
+    per_doc = occ.groupBy("_key", id_col).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_idx").alias("_midx")
+    )
     dup_stats = (
-        paras.filter(F.col("_key").isNotNull())
-        .groupBy("_key")
+        per_doc.groupBy("_key")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(F.struct(F.col(id_col).alias("id"), F.col("_idx").alias("idx"))).alias("_first"),
+            F.sum("_c").alias("_n"),
+            F.min(id_col).alias("_fid"),
+            F.min_by("_midx", F.col(id_col)).alias("_fidx"),
         )
         .filter(F.col("_n") >= min_count)
     )
@@ -112,7 +135,7 @@ def paragraph_dedup(
     flagged = paras.join(dup_stats, "_key")
     if keep_first:
         flagged = flagged.filter(
-            (F.col("_first.id") != F.col(id_col)) | (F.col("_first.idx") != F.col("_idx"))
+            (F.col("_fid") != F.col(id_col)) | (F.col("_fidx") != F.col("_idx"))
         )
     removals = flagged.groupBy(id_col).agg(F.collect_set("_idx").alias("_drop"))
     rebuilt = F.array_join(
@@ -159,9 +182,12 @@ def substring_dup_spans(
 
     Spark-first shape vs the paper's suffix array (a single-machine,
     memory-resident structure that cannot shard a 100 TB corpus): token
-    windows explode map-side, the only shuffle is ONE hash aggregate on
-    the 64-bit window hash (map-side combine collapses within-partition
-    repeats — boilerplate is exactly what combines well), and only
+    windows explode map-side, the only shuffle is the two-stage hash
+    aggregate on the 64-bit window hash ((hash, doc) grain then (hash)
+    grain — the same SortAggregate-free keep-first ladder as
+    ``paragraph_dedup``, so a passage shared by 90% of documents keys
+    its big shuffle by (hash, doc) and cannot make one reducer hot;
+    measured hot ≈ spread-keys in tools/skew_bench.py), and only
     MARKED positions (bounded by |duplicate windows|, not the corpus)
     flow back to the per-doc interval merge, a higher-order fold over
     each doc's sorted marked-position array.
@@ -205,18 +231,29 @@ def substring_dup_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     staged = _substring_windows(df, window_tokens, stride, text_col, id_col, sampling)
+    # same hash-aggregatable keep-first ladder as paragraph_dedup:
+    # min(struct) would force the corpus-sized window aggregate into
+    # SortAggregate, so pre-aggregate at (hash, doc) grain (within-doc
+    # repeats collapse map-side) and pick the canonical occurrence with
+    # all-long min/min_by buffers at (hash) grain — min_by is
+    # deterministic here because doc ids are unique per hash after the
+    # pre-agg, and (_fid, _fpos) equals the lexicographic struct min
+    per_doc = staged.groupBy("_h", "_id").agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_pos").alias("_mpos")
+    )
     dup = (
-        staged.groupBy("_h")
+        per_doc.groupBy("_h")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(F.struct(F.col("_id").alias("id"), F.col("_pos").alias("pos"))).alias("_first"),
+            F.sum("_c").alias("_n"),
+            F.min("_id").alias("_fid"),
+            F.min_by("_mpos", F.col("_id")).alias("_fpos"),
         )
         .filter(F.col("_n") >= min_count)
     )
     marked = staged.join(dup, "_h")
     if keep_first:
         marked = marked.filter(
-            (F.col("_first.id") != F.col("_id")) | (F.col("_first.pos") != F.col("_pos"))
+            (F.col("_fid") != F.col("_id")) | (F.col("_fpos") != F.col("_pos"))
         )
     return _merge_spans(marked, window_tokens, id_col)
 

@@ -1039,9 +1039,11 @@ def semantic_dedup(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     keep: str = "min_id",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Apply SemDedup: keep ONE member per connected component of the
-    :func:`semdedup_pairs` graph, drop the rest.
+    :func:`semdedup_pairs` graph, drop the rest.  ``n_probe`` forwards
+    the multi-assignment recall knob into the pair generation.
 
     ``keep`` picks the survivor rule:
 
@@ -1068,7 +1070,8 @@ def semantic_dedup(
             corpus, k, id_col=id_col, vec_col=vec_col, seed=seed
         )
     pairs = semdedup_pairs(
-        corpus, threshold, k, id_col, vec_col, seed, centroids=centroids
+        corpus, threshold, k, id_col, vec_col, seed, centroids=centroids,
+        n_probe=n_probe,
     )
     if keep == "min_id":
         return apply_dedup(corpus, pairs, id_col=id_col)
@@ -1108,6 +1111,7 @@ def semdedup_pairs_between(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Cross-batch SemDedup: (id_new, id_corpus, cluster_id, cos) for
     every NEW vector semantically duplicating an EXISTING corpus vector —
@@ -1119,25 +1123,51 @@ def semdedup_pairs_between(
     vectors each new vector is compared against).  The join is new×corpus
     WITHIN cluster only: cost is |new| x avg_cluster_size, never
     |new| x |corpus|, and the corpus side can be a pre-assigned,
-    pre-partitioned table so only the (small) new batch shuffles."""
+    pre-partitioned table so only the (small) new batch shuffles.
+
+    ``n_probe`` > 1 multi-assigns the NEW side only (IVF-search
+    semantics: each new vector probes its n_probe nearest clusters
+    against the single-assigned standing corpus) — cross-boundary
+    recall lifts at ~n_probe× the probe cost while the corpus table's
+    partitioning stays byte-identical, so a persisted pre-assigned
+    corpus needs no rebuild when the knob changes."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if centroids is None:
         centroids = train_centroids(corpus, k, id_col=id_col, vec_col=vec_col, seed=seed)
-    a = cluster_assign(
-        new_vecs, k, id_col, vec_col, centroids=centroids, out_col="_sem_cluster"
-    ).select("_sem_cluster", F.col(id_col).alias("id_new"), F.col(vec_col).alias("_va"))
+    if n_probe == 1:
+        a = cluster_assign(
+            new_vecs, k, id_col, vec_col, centroids=centroids, out_col="_sem_cluster"
+        )
+    else:
+        a = new_vecs.withColumn(
+            "_sem_cluster",
+            F.explode(nearest_lists(F.col(vec_col), centroids, n_probe)),
+        )
+    a = a.select(
+        "_sem_cluster", F.col(id_col).alias("id_new"), F.col(vec_col).alias("_va")
+    )
     b = cluster_assign(
         corpus, k, id_col, vec_col, centroids=centroids, out_col="_sem_cluster"
     ).select("_sem_cluster", F.col(id_col).alias("id_corpus"), F.col(vec_col).alias("_vb"))
-    return (
+    scored = (
         a.join(b, "_sem_cluster")
         .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb")), 9))
         .filter(F.col("_cos9") >= threshold)
-        .select(
-            "id_new",
-            "id_corpus",
-            F.col("_sem_cluster").alias("cluster_id"),
-            F.round("_cos9", 6).alias("cos"),
+    )
+    if n_probe > 1:
+        # with one corpus-side assignment a (new, corpus) pair can only
+        # match in the corpus vector's single cluster — but dedup anyway
+        # so the contract survives any future corpus-side multi-assign
+        scored = scored.groupBy("id_new", "id_corpus").agg(
+            F.min("_sem_cluster").alias("_sem_cluster"),
+            F.max("_cos9").alias("_cos9"),
         )
+    return scored.select(
+        "id_new",
+        "id_corpus",
+        F.col("_sem_cluster").alias("cluster_id"),
+        F.round("_cos9", 6).alias("cos"),
     )
 
 

@@ -414,6 +414,7 @@ def curate_documents(
     vec_col: str = "embedding",
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
+    semantic_n_probe: int = 1,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
     quality gate -> (optional) language gate -> (optional) repetition gate
@@ -505,7 +506,7 @@ def curate_documents(
         ).join(kept.select(id_col), id_col, "left_semi")
         sem_pairs = semdedup_pairs(
             surviving_vecs, semantic_threshold, semantic_k,
-            id_col=id_col, vec_col="_vec",
+            id_col=id_col, vec_col="_vec", n_probe=semantic_n_probe,
         )
         kept = apply_dedup(kept, sem_pairs, id_col)
     return kept
@@ -533,6 +534,7 @@ def prepare_training_set(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
+    semantic_n_probe: int = 1,
     tokenizer_merges: list | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
@@ -580,6 +582,7 @@ def prepare_training_set(
         perplexity_lm=perplexity_lm, max_perplexity=max_perplexity,
         embeddings=embeddings,
         semantic_threshold=semantic_threshold, semantic_k=semantic_k,
+        semantic_n_probe=semantic_n_probe,
     )
     if benchmark is not None:
         curated = remove_contaminated(

@@ -272,6 +272,48 @@ class TestIncrementalSemdedup:
                 incremental_semantic_dedup(new, corpus, 0.999, 4, centroids=cents).collect()}
         assert kept == {1002}
 
+    def test_between_multiprobe_superset_and_precision(self, spark):
+        """n_probe=2 on the incremental form multi-assigns the NEW side
+        only (IVF-search semantics; the standing corpus's assignment is
+        untouched): single-probe cross pairs are a structural subset of
+        the multiprobe ones, and every emitted pair is a true
+        >= threshold cross pair (precision stays structural)."""
+        from real_time_financial_data_pipeline_spark.operators.similarity import (
+            semdedup_pairs_between,
+        )
+
+        df, _ = _planted(spark, seed=5)
+        corpus = df.filter(F.col("vec_id") % 2 == 0)
+        new = df.filter(F.col("vec_id") % 2 == 1)
+        cents = train_centroids(corpus, 4, sample_size=4096)
+
+        def pairs(n_probe):
+            return {
+                (r.id_new, r.id_corpus)
+                for r in semdedup_pairs_between(
+                    new, corpus, 0.9, 4, centroids=cents, n_probe=n_probe
+                ).collect()
+            }
+
+        p1, p2 = pairs(1), pairs(2)
+        a = new.select(F.col("vec_id").alias("id_new"), F.col("embedding").alias("va"))
+        b = corpus.select(
+            F.col("vec_id").alias("id_corpus"), F.col("embedding").alias("vb")
+        )
+        brute = {
+            (r.id_new, r.id_corpus)
+            # ids are disjoint (odd vs even) so the predicate keeps all
+            # pairs — same all-pairs-with-condition shape as the other
+            # brute-force twins in this file
+            for r in a.join(b, F.col("id_new") != F.col("id_corpus"))
+            .filter(F.round(pairwise_cosine(F.col("va"), F.col("vb")), 9) >= 0.9)
+            .collect()
+        }
+        assert p1 <= p2 <= brute
+        assert p1  # non-degenerate: the planted topics produce cross pairs
+        with pytest.raises(ValueError):
+            semdedup_pairs_between(new, corpus, n_probe=0)
+
     def test_shared_quantizer_consistency(self, spark):
         """pairs_between with the corpus quantizer finds exactly the
         within-cluster cross pairs that a joint semdedup_pairs run over

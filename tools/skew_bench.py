@@ -148,14 +148,20 @@ def main() -> None:
     ticks.unpersist()
 
     # --- hot dup-hash groups in the dedup ladder -------------------------
-    # One boilerplate passage lands in 90% of documents (replicated 8x),
-    # making ONE group hot in paragraph_dedup's paragraph-hash aggregate
-    # and a handful of window hashes hot in substring_dup_spans.  The
-    # control corpus injects the same BYTES as unique-per-doc passages
-    # (same volume, no hot group).  Expectation: map-side combine absorbs
-    # the hot group — duplicate hashes combine perfectly within each map
-    # partition, so the reduce side sees <= n_partitions rows per hot key
-    # regardless of its multiplicity — so hot ~= uniform wall time.
+    # Three corpora, same size (documents replicated 8x, a 24-token
+    # passage prepended to 90% of docs):
+    #   hot     — ONE shared passage: one paragraph-hash / a handful of
+    #             window hashes carry 0.9n occurrences (the skew shape);
+    #   spread  — the SAME duplicate volume over ~997 distinct passages
+    #             (each duplicated ~36x): identical removal/rebuild work,
+    #             no hot key — the skew CONTROL;
+    #   uniform — unique-per-doc passages: same bytes, no duplicates at
+    #             all (isolates the cost of dup work itself).
+    # Claim under test: hot ~= spread (map-side combine collapses the hot
+    # key's within-partition repeats, so the reduce side sees
+    # <= n_partitions rows for it regardless of multiplicity); any
+    # hot-vs-uniform gap is REAL dedup work (0.9n docs get rebuilt), not
+    # reducer skew.
     from real_time_financial_data_pipeline_spark.operators.dedup import (
         paragraph_dedup,
         substring_dup_spans,
@@ -171,21 +177,25 @@ def main() -> None:
     uniq = F.concat_ws(
         " ", *[F.concat(F.lit(f"u{j}x"), F.col("doc_id").cast("string")) for j in range(24)]
     )
+    pidx = F.pmod(F.col("doc_id"), F.lit(997)).cast("string")
+    spread_passage = F.concat_ws(
+        " ", *[F.concat(F.lit(f"s{j}x"), pidx) for j in range(24)]
+    )
     is_hot = F.pmod("doc_id", F.lit(10)) < 9
-    hot_docs = docsN.withColumn(
-        "text",
-        F.when(is_hot, F.concat(F.lit(boiler + " "), F.col("text"))).otherwise(
-            F.col("text")
-        ),
-    ).persist()
-    cold_docs = docsN.withColumn(
-        "text",
-        F.when(is_hot, F.concat(uniq, F.lit(" "), F.col("text"))).otherwise(
-            F.col("text")
-        ),
-    ).persist()
+
+    def with_passage(passage_col):
+        return docsN.withColumn(
+            "text",
+            F.when(is_hot, F.concat(passage_col, F.lit(" "), F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        ).persist()
+
+    hot_docs = with_passage(F.lit(boiler))
+    spread_docs = with_passage(spread_passage)
+    cold_docs = with_passage(uniq)
     n_docs = hot_docs.count()
-    cold_docs.count()
+    spread_docs.count(), cold_docs.count()
 
     layout = lambda d: d.withColumn(
         "text", F.regexp_replace(F.col("text"), r"((?:\S+ ){3}\S+) ", "$1\n")
@@ -200,10 +210,13 @@ def main() -> None:
         ).save()
 
     results["paragraph_dedup_hot"] = median_of(lambda: run_para(hot_docs))
+    results["paragraph_dedup_spread"] = median_of(lambda: run_para(spread_docs))
     results["paragraph_dedup_uniform"] = median_of(lambda: run_para(cold_docs))
     results["substring_spans_hot"] = median_of(lambda: run_substr(hot_docs))
+    results["substring_spans_spread"] = median_of(lambda: run_substr(spread_docs))
     results["substring_spans_uniform"] = median_of(lambda: run_substr(cold_docs))
     hot_docs.unpersist()
+    spread_docs.unpersist()
     cold_docs.unpersist()
 
     big.unpersist()

@@ -1112,12 +1112,16 @@ _STAGED_SEMDEDUP_DIR = "/root/repo/spark-warehouse/staged/semdedup_centroids"
 
 
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDedup (similarity.py:semdedup_pairs): semantic near-dup pairs by
-    cluster-bounded pairwise cosine.  Staged-centroid oracle, same pattern
-    as cluster_docs: the seeded k-means FIT is staged, then DuckDB
-    re-derives EVERY vector's argmax-cosine assignment AND every
-    within-cluster pair's cosine from the raw embeddings — candidate
-    bounding and scoring are both independently recomputed."""
+    """SemDedup (similarity.py:semdedup_pairs) in its r10 MULTIPROBE form
+    (n_probe=2 — the measured recall knob, BASELINE.md): semantic
+    near-dup pairs by cluster-bounded pairwise cosine where every vector
+    joins its TWO nearest clusters.  Staged-centroid oracle, same
+    pattern as cluster_docs: the seeded k-means FIT is staged, then
+    DuckDB re-derives EVERY vector's top-2 (cosine desc, index asc)
+    cluster assignments, every shared-cluster pair's cosine, and the
+    per-pair dedup to the smallest shared cluster — candidate bounding
+    (incl. the multi-assignment), scoring, and pair dedup are all
+    independently recomputed from the raw embeddings."""
     from real_time_financial_data_pipeline_spark.operators.similarity import (
         semdedup_pairs,
         train_centroids,
@@ -1129,7 +1133,7 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(_STAGED_SEMDEDUP_DIR)
-    return semdedup_pairs(emb, threshold=0.3, k=8, centroids=cents)
+    return semdedup_pairs(emb, threshold=0.3, k=8, centroids=cents, n_probe=2)
 
 
 def _vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2436,6 +2440,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         assigned AS (
+            -- r10 multiprobe: each vector's TOP-2 clusters, same
+            -- (9-dp cosine desc, index asc) order as nearest_lists
             SELECT vec_id, e, cluster_id FROM (
                 SELECT v.vec_id, v.e, c.cluster_id,
                        row_number() OVER (
@@ -2445,7 +2451,7 @@ def oracle_sql() -> dict[str, str]:
                                   * sqrt(list_dot_product(c.centroid, c.centroid))), 9) DESC,
                                c.cluster_id) AS rn
                 FROM v CROSS JOIN c
-            ) WHERE rn = 1
+            ) WHERE rn <= 2
         ),
         scored AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
@@ -2454,8 +2460,12 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned a JOIN assigned b
               ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
         )
-        SELECT id_a, id_b, cluster_id, round(cos9, 6) AS cos
+        -- a pair sharing both probe clusters emits ONCE, reporting its
+        -- smallest shared cluster (the operator's dedup rule)
+        SELECT id_a, id_b, min(cluster_id) AS cluster_id,
+               round(max(cos9), 6) AS cos
         FROM scored WHERE cos9 >= 0.3
+        GROUP BY id_a, id_b
     """
     # vwap_daily: ratio-of-sums VWAP + TWAP per (event_type, day); trade
     # size comes out of the JSON props column on both engines

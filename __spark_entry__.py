@@ -965,13 +965,15 @@ def _jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical; doc_id%31==0 rows are corrupted into non-JSON;
     doc_id%29==1 rows carry an empty text that violates the length-band
     rule), written to staging, and read back with load_documents_jsonl.
-    The query returns the GOOD table; the oracle re-derives the expected
-    good rows directly from the documents table (the dump construction
-    is a pure function of it), so any mis-parse, synonym miss,
-    id-ladder break (e.g. string ids quarantined wholesale), or
-    quarantine leak shows up as a row-count or value-hash mismatch.
-    The quarantine frame's per-rule labels stay pytest-anchored
-    (tests/test_jsonl_source.py)."""
+    The query returns the WHOLE split — good rows tagged status='ok'
+    plus every quarantine row tagged with its comma-joined rule-order
+    `_violations` labels — and the oracle re-derives BOTH sides directly
+    from the documents table (the dump construction is a pure function
+    of it): malformed lines must surface as all-null rows carrying all
+    four violations, empty-text rows as text_length_band with their
+    parsed lang/source intact.  Any mis-parse, synonym miss, id-ladder
+    break (e.g. string ids quarantined wholesale), mis-labeled rule, or
+    quarantine leak shows up as a row-count or value-hash mismatch."""
     from real_time_financial_data_pipeline_spark.sources.jsonl_source import (
         load_documents_jsonl,
     )
@@ -1006,8 +1008,17 @@ def _jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
         _STAGED_JSONL_DIR
     )
-    good, _bad = load_documents_jsonl(spark, _STAGED_JSONL_DIR)
-    return good
+    good, bad = load_documents_jsonl(spark, _STAGED_JSONL_DIR)
+    return good.withColumn("status", F.lit("ok")).unionByName(
+        bad.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.lit(None).cast("long").alias("n_chars"),
+            F.array_join("_violations", ",").alias("status"),
+        )
+    )
 
 
 def _training_set_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2633,17 +2644,32 @@ def oracle_sql() -> dict[str, str]:
     # of the documents table (doc_id%31==0 corrupted, doc_id%29==1 empty
     # text -> rule quarantine, doc_id%3 picks the field-synonym spelling,
     # %3==1 carries no lang field), so the oracle skips the file entirely
-    # and derives the expected GOOD table directly — any JSON mis-parse,
-    # synonym miss, id-ladder break, or quarantine leak on the Spark path
-    # surfaces as a row-count or value-hash mismatch.
+    # and derives BOTH sides of the split directly: the good table with
+    # status='ok', the malformed lines as all-null rows failing all four
+    # rules (rule-declaration order), and the empty-text rows as
+    # text_length_band with their parsed lang/source intact — any JSON
+    # mis-parse, synonym miss, id-ladder break, mis-labeled rule, or
+    # quarantine leak on the Spark path surfaces as a row-count or
+    # value-hash mismatch.
     sqls["jsonl_ingest_docs"] = """
         SELECT doc_id,
                text,
                CASE WHEN doc_id % 3 = 1 THEN NULL ELSE lang END AS lang,
                source,
-               CAST(length(text) AS BIGINT) AS n_chars
+               CAST(length(text) AS BIGINT) AS n_chars,
+               'ok' AS status
         FROM documents
         WHERE doc_id % 31 != 0 AND doc_id % 29 != 1
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT),
+               'well_formed_json,text_not_null,text_length_band,doc_id_not_null'
+        FROM documents WHERE doc_id % 31 = 0
+        UNION ALL
+        SELECT doc_id, '', lang, source, CAST(NULL AS BIGINT),
+               'text_length_band'
+        FROM documents WHERE doc_id % 31 != 0 AND doc_id % 29 = 1
     """
     # bpe_token_count_docs: full encode replay from the staged (rank, a, b)
     # merge table.  Each distinct pre-token piece is seeded as a

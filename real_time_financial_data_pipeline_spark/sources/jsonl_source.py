@@ -129,7 +129,14 @@ def _normalize(raw: DataFrame, derive_missing_ids: bool) -> DataFrame:
         F.when(id_raw.isNotNull(), F.xxhash64(id_raw)),
     )
     if derive_missing_ids:
-        doc_id = F.coalesce(doc_id, F.xxhash64(text_expr))
+        # guard the content-address on text presence: Spark's xxhash64
+        # SKIPS null inputs and returns its seed (42), so an unguarded
+        # xxhash64(NULL text) would stamp every malformed/textless row
+        # with the same bogus id 42 instead of leaving it null for the
+        # doc_id_not_null rule to catch
+        doc_id = F.coalesce(
+            doc_id, F.when(text_expr.isNotNull(), F.xxhash64(text_expr))
+        )
     return raw.select(
         doc_id.alias("doc_id"),
         text_expr.alias("text"),

@@ -83,6 +83,12 @@ class TestLoad:
         assert len(brows) == 1
         assert "well_formed_json" in brows[0]._violations
         assert "not json" in brows[0]._corrupt_record
+        # the content-address fallback must NOT stamp textless rows:
+        # Spark's xxhash64 skips null inputs and returns its seed (42),
+        # so an unguarded hash would give every malformed row id 42 and
+        # silently dodge the doc_id_not_null rule
+        assert brows[0].doc_id is None
+        assert "doc_id_not_null" in brows[0]._violations
 
     def test_rule_routing_not_dropping(self, spark, tmp_path):
         path = _write(tmp_path, [

@@ -1711,7 +1711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       composition — paragraph dedup -> quality gate -> exact dedup ->
       n-gram decontam -> chunk -> split — hash-checked as ONE row, split
       assignment staged at doc grain with error()-enforced cohesion +
-      fraction invariants)."""
+      fraction invariants).
+
+    Round-10 in-place upgrades (no slot change): semdedup_pairs now runs
+    the n_probe=2 MULTIPROBE form (the r10 recall knob) with the top-2
+    assignment and per-pair min-cluster dedup re-derived in the oracle —
+    the single-probe assignment stays pinned by the rn=1 special case of
+    the same SQL machinery plus the k=1-brute-force and recall-gate
+    tests; jsonl_ingest_docs oracle-checks BOTH sides of the quarantine
+    split (good + labeled violations), which surfaced and fixed the
+    xxhash64(NULL)=seed id-stamping bug."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,

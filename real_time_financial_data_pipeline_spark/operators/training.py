@@ -35,6 +35,10 @@ def _unit_hash(key: Column, salt: str) -> Column:
     ``\\x1f`` (unit separator) joins key and salt so ("ab", "c") and
     ("a", "bc") hash differently.  xxhash64 is JVM-side and codegen'd —
     the assignment is a pure projection, no shuffle, no RNG state.
+    NULL keys: concat_ws skips nulls, so every null key hashes to the
+    same bucket and lands in ONE split deterministically (grouped-
+    leakage-safe; xxhash64 itself would return its seed on an all-null
+    input — see the jsonl_source id-ladder note for why that matters).
     """
     h = F.xxhash64(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)))
     return F.pmod(h, F.lit(_BUCKETS)).cast("double") / F.lit(float(_BUCKETS))

@@ -138,6 +138,72 @@ def sample_exact_k(
     )
 
 
+def sample_token_budget(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget_tokens: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """TOKEN-budget-bounded sample per stratum — the unit pretraining
+    mixtures are actually specified in ("20B tokens of code, 5B of
+    books"), where :func:`sample_exact_k` budgets COUNTS: take documents
+    in ``xxhash64(key, salt)`` order until the stratum's cumulative
+    whitespace-token total reaches ``budget_tokens``.  The document that
+    CROSSES the boundary is included (take-until-reached), so every
+    stratum with any data yields at least one document and the shortfall
+    is never more than one document's tokens.
+
+    Deterministic and layout-independent like its siblings: the take
+    order is a pure function of (key content, salt), so the same budget
+    selects the same documents on any cluster, any day — and the sample
+    is PREFIX-MONOTONE in the budget: raising ``budget_tokens`` only
+    appends documents (the order is fixed), so a 5B-token slice is a
+    prefix of the 20B one and downstream caches stay valid.  Disjoint
+    samples come from different salts.
+
+    ``tokens_col`` uses a precomputed per-doc token count (e.g. from
+    ``token_stats`` or a real-tokenizer ``bpe_token_count``) instead of
+    the whitespace count of ``text_col`` — pass it when budgets must be
+    model tokens, not words.
+
+    Execution: one hash-partitioned window per stratum computing the
+    cumulative token sum over PRECEDING rows (unbounded-preceding
+    running frame), then a codegen'd filter — the same single-shuffle
+    shape as ``sample_exact_k``; at 100 TB the window input can be
+    pre-shrunk with a ``sample_by_hash`` pre-filter when stratum sizes
+    are known, the same documented escape hatch.  ``key_col`` must be
+    unique within a stratum (ties would make the boundary document
+    layout-dependent — same contract as the other samplers)."""
+    from pyspark.sql import Window
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    from .text import tokens as _tokens
+
+    n_tok = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(_tokens(F.col(text_col)))
+    ).cast("long")
+    h = F.xxhash64(F.col(key_col), F.lit(salt))
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return (
+        df.withColumn("_cum_before", cum_before)
+        .filter(F.col("_cum_before") < budget_tokens)
+        .drop("_cum_before")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_cols: list[str], seed: int = 0
 ) -> DataFrame:

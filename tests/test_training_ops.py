@@ -111,6 +111,67 @@ def test_sample_exact_k_counts_prefix_and_disjoint_salts(documents):
         sample_exact_k(documents, [], 3)
 
 
+def test_sample_token_budget_bound_prefix_and_python_parity(documents):
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        sample_token_budget,
+    )
+
+    budget = 800
+    got = sample_token_budget(documents, ["source"], budget)
+    rows = got.collect()
+    # scalar-Python reference: per stratum, docs in (xxhash order) taken
+    # until the cumulative-token total reaches the budget — recompute the
+    # order via the operator's own hash column on a 1-row-per-doc frame
+    order = {
+        (r["source"], r.doc_id): (r.h, r.doc_id)
+        for r in documents.select(
+            "source", "doc_id", F.xxhash64(F.col("doc_id"), F.lit("")).alias("h")
+        ).collect()
+    }
+    from real_time_financial_data_pipeline_spark.operators.text import tokens
+
+    toks = {
+        r.doc_id: r.n
+        for r in documents.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    by_src: dict = {}
+    for (src, did), o in order.items():
+        by_src.setdefault(src, []).append((o, did))
+    expected = set()
+    for src, items in by_src.items():
+        cum = 0
+        for _, did in sorted(items):
+            if cum >= budget:
+                break
+            expected.add(did)
+            cum += toks[did]
+    assert {r.doc_id for r in rows} == expected
+    # per-stratum bound: total minus the boundary doc stays under budget
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(toks[r.doc_id])
+    for src, ns in per.items():
+        assert ns, src
+        assert sum(ns) - max(ns) < budget
+    # layout independence + budget prefix-monotonicity
+    again = sample_token_budget(documents.repartition(13), ["source"], budget)
+    assert {r.doc_id for r in again.collect()} == expected
+    bigger = sample_token_budget(documents, ["source"], 3 * budget)
+    assert expected <= {r.doc_id for r in bigger.collect()}
+    # tokens_col variant: a precomputed count column drives the budget
+    pre = documents.withColumn("n_tok", F.size(tokens(F.col("text"))))
+    via_col = sample_token_budget(
+        pre, ["source"], budget, tokens_col="n_tok"
+    )
+    assert {r.doc_id for r in via_col.collect()} == expected
+    with pytest.raises(ValueError):
+        sample_token_budget(documents, ["source"], 0)
+    with pytest.raises(ValueError):
+        sample_token_budget(documents, [], 100)
+
+
 def _chunk_rows(spark, texts, chunk_tokens, overlap_tokens):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

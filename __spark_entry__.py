@@ -2998,9 +2998,13 @@ def _training_family_oracles() -> dict[str, str]:
     # raw documents; ONLY the xxhash64 split assignment is taken from
     # doc-grain staging, with the split row's invariants error()-enforced
     # (doc cohesion + key-fraction tolerance) before it joins the
-    # recomputed chunk universe.  A doc the Spark chain kept but the
-    # replay dropped (or vice versa) breaks the row count; a text/chunk
-    # drift breaks the value hash.
+    # recomputed chunk universe.  The doc universes are full-outer
+    # reconciled BEFORE the join (ucov): a doc the Spark chain wrongly
+    # dropped (over-filtering in the quality gate / dedup / decontam)
+    # exists only in the recomputed universe, a doc it wrongly kept only
+    # in staging — either side-only doc error()s, so divergence can't
+    # silently vanish into an inner join (r10 ADVICE fix).  A text/chunk
+    # drift inside agreeing docs breaks the value hash.
     sqls["training_set_docs"] = rf"""
         WITH wrapped AS (
             SELECT doc_id,
@@ -3093,6 +3097,13 @@ def _training_family_oracles() -> dict[str, str]:
             )
         ),
         s AS (SELECT * FROM read_parquet('{_STAGED_TSET_DIR}/*.parquet')),
+        udocs AS (SELECT DISTINCT doc_id, 1 AS present FROM chunks),
+        sdocs AS (SELECT DISTINCT doc_id, split FROM s),
+        ucov AS (
+            SELECT count(*) AS n_bad
+            FROM udocs FULL JOIN sdocs USING (doc_id)
+            WHERE udocs.present IS NULL OR sdocs.split IS NULL
+        ),
         coh AS (SELECT count(*) - count(DISTINCT doc_id) AS dup FROM s),
         fr AS (
             SELECT max(abs(CAST(n AS DOUBLE) / tot
@@ -3105,7 +3116,9 @@ def _training_family_oracles() -> dict[str, str]:
         SELECT c.doc_id, c.chunk_id,
                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
                array_to_string(chunk, ' ') AS chunk_text,
-               CASE WHEN (SELECT dup FROM coh) > 0
+               CASE WHEN (SELECT n_bad FROM ucov) > 0
+                    THEN error('staged split docs diverge from the recomputed doc universe')
+                    WHEN (SELECT dup FROM coh) > 0
                     THEN error('split staging violates doc cohesion')
                     WHEN (SELECT worst FROM fr) > 0.15
                     THEN error('split key fraction outside tolerance of its weight')

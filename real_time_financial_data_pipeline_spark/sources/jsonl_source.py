@@ -181,14 +181,24 @@ def stream_documents_jsonl(
     ``_violations`` labels — the same dead-letter pattern as
     ``ingest_with_quarantine``.
 
-    Exactly-once contract: each micro-batch OVERWRITES its own
-    ``batch_id=N`` hive partition under both sinks instead of blind
-    appends, so a micro-batch retried after a mid-write failure replaces
-    its partial output rather than duplicating it (foreachBatch is
-    at-least-once; idempotent writes make the sink effectively-once).
-    Readers of the root path see one extra ``batch_id`` partition column
-    — drop it for the canonical shape, or prune on it for incremental
-    downstream reads.  Returns the started StreamingQuery."""
+    Exactly-once contract — scoped to SAME-CHECKPOINT retries: each
+    micro-batch OVERWRITES its own ``batch_id=N`` hive partition under
+    both sinks instead of blind appends, so a micro-batch retried after a
+    mid-write failure replaces its partial output rather than duplicating
+    it (foreachBatch is at-least-once; idempotent writes make the sink
+    effectively-once *as long as the restart reuses* ``checkpoint`` — the
+    checkpoint is what makes a retry replay the same batch_id over the
+    same file set).  A REPLAY UNDER A FRESH CHECKPOINT is a different
+    run: batch numbering restarts and file-to-batch assignment can differ
+    (new files landed, a changed ``max_files_per_trigger``), so its
+    partitions interleave with — not replace — the prior run's, and
+    readers of a shared sink path would double-count.  Re-ingesting from
+    scratch therefore needs fresh ``good_path``/``quarantine_path`` (or a
+    cleared sink) alongside the fresh checkpoint; checkpoint and sink
+    paths form one atomic identity.  Readers of the root path see one
+    extra ``batch_id`` partition column — drop it for the canonical
+    shape, or prune on it for incremental downstream reads.  Returns the
+    started StreamingQuery."""
     from real_time_financial_data_pipeline_spark.streaming.ingest import (
         split_by_rules,
     )

@@ -62,6 +62,40 @@ def test_segment_stats_duckdb_oracle(spark):
     assert got == want and len(got) >= 3
 
 
+def test_training_set_oracle_guards_doc_universe(spark, tmp_path):
+    """r10 ADVICE pin: the training_set_docs oracle full-outer reconciles
+    the recomputed doc universe with the doc-grain staging — a doc present
+    on only ONE side (the Spark chain over-filtering, or keeping a doc the
+    replay drops) error()s instead of silently vanishing into the join."""
+    import duckdb
+
+    from real_time_financial_data_pipeline_spark.catalog import TABLES
+
+    entrymod.queries()["training_set_docs"](spark, SF).collect()  # writes staging
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    sql = entrymod.oracle_sql()["training_set_docs"]
+    staged = entrymod._STAGED_TSET_DIR
+    assert len(con.execute(sql).fetchall()) > 0  # untouched staging passes
+    doctors = [
+        # over-filter: staging lost a doc the replay keeps
+        f"SELECT * FROM read_parquet('{staged}/*.parquet') WHERE doc_id != "
+        f"(SELECT min(doc_id) FROM read_parquet('{staged}/*.parquet'))",
+        # under-filter: staging kept a doc the replay never produced
+        f"SELECT * FROM read_parquet('{staged}/*.parquet') "
+        "UNION ALL SELECT 999999999, 'train'",
+    ]
+    for i, doctor in enumerate(doctors):
+        d = tmp_path / f"doctored{i}"
+        d.mkdir()
+        con.execute(f"COPY ({doctor}) TO '{d}/part.parquet' (FORMAT PARQUET)")
+        with pytest.raises(Exception, match="diverge"):
+            con.execute(sql.replace(staged, str(d))).fetchall()
+
+
 def test_partitioned_scan_equivalence(spark):
     """Retirement anchor for the events_pruned_week oracle row (rotated
     out in round 9): the ingest_date-partitioned lake scan must return

@@ -798,7 +798,8 @@ def resolve_dup_clusters(
     id_b: str = "id_b",
     driver_threshold: int = 1_000_000,
     id_col: str = "doc_id",
-    max_rounds: int = 20,
+    max_rounds: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, canonical_id): connected components over
     the similarity graph, canonical = minimum id in the component.
@@ -806,11 +807,15 @@ def resolve_dup_clusters(
     Hybrid execution: the pair graph is orders of magnitude smaller than
     the corpus (LSH + verify already collapsed it), so up to
     ``driver_threshold`` edges (~16 bytes each — 1M edges ≈ 16 MB) a
-    driver-side union-find resolves components in microseconds instead of
-    ~20 Spark jobs of min-label propagation.  Above the threshold the
-    distributed min-label loop takes over: every node adopts the minimum
-    label in its neighborhood per round, ``localCheckpoint`` truncating
-    lineage, until no label changes.  Same output either way.
+    driver-side union-find resolves components in microseconds.  Above
+    the threshold the distributed **large-star/small-star** two-phase
+    algorithm takes over (:func:`_resolve_two_phase_star`) — O(log n)
+    rounds on ANY graph shape, where the per-round-min-label loop this
+    replaced (kept as :func:`_resolve_min_label` for parity testing)
+    needs O(component diameter) rounds and an adversarial near-dup CHAIN
+    (A~B~C~…, common in shingled boilerplate corpora) makes the diameter
+    O(n).  Same output either way; ``stats['rounds']`` reports the
+    distributed round count when a dict is passed.
     """
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
@@ -831,12 +836,151 @@ def resolve_dup_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         labels = [(node, find(node)) for node in parent]
+        if stats is not None:
+            stats["rounds"] = 0
         return pairs.sparkSession.createDataFrame(
             labels, f"{id_col} long, canonical_id long"
         )
-    # the pair graph is orders of magnitude smaller than the corpus; pin a
-    # modest partition count so each propagation round isn't a
-    # default-width shuffle of a tiny dataset under untuned sessions
+    return _resolve_two_phase_star(pairs, id_a, id_b, id_col, max_rounds, stats)
+
+
+def _star_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One large-star + small-star pass over a canonical (a > b) edge set.
+
+    ``edges`` is the undirected graph as canonical pairs; returns the new
+    canonical edge set after applying BOTH operations (large-star first),
+    each operation seeing the other's output — the alternating schedule
+    of Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14).  Per node v with neighborhood Γ(v) and
+    m = min(Γ(v) ∪ {v}):
+
+    - large-star: every STRICTLY LARGER neighbor u > v re-links to m
+      (edges (u, m)) — halves the height of tall trees in one pass;
+    - small-star: every smaller-or-equal neighbor and v itself re-link
+      to m (edges (u, m) for u < v, plus (v, m)) — collapses the chains
+      large-star leaves behind.
+
+    Every emitted edge already satisfies m < other end (m is the
+    neighborhood minimum), so the output is canonical by construction;
+    self-loops (u == m) are dropped.
+    """
+
+    def one_star(canon: DataFrame, large: bool) -> DataFrame:
+        directed = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        nbr_min = (
+            directed.groupBy("src")
+            .agg(F.min("dst").alias("_mind"))
+            .select("src", F.least("src", "_mind").alias("m"))
+        )
+        if large:
+            emitted = (
+                directed.filter(F.col("dst") > F.col("src"))
+                .join(nbr_min, "src")
+                .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            )
+        else:
+            emitted = (
+                directed.filter(F.col("dst") < F.col("src"))
+                .join(nbr_min, "src")
+                .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+                .union(nbr_min.select(F.col("src").alias("a"), F.col("m").alias("b")))
+            )
+        return emitted.filter(F.col("a") != F.col("b")).distinct()
+
+    after_large = one_star(edges, large=True)
+    after_small = one_star(after_large, large=False)
+    return after_large, after_small
+
+
+def _resolve_two_phase_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Distributed connected components in O(log n) rounds: alternating
+    large-star / small-star edge contractions (Kiveris et al., SoCC'14)
+    until the edge set reaches its fixpoint — a star forest in which
+    every node points directly at its component's minimum id.
+
+    Scale shape per round: one groupBy (per-node neighborhood min), one
+    keyed join (re-link), one distinct — all hash-partitioned on node id,
+    never materializing neighborhoods as arrays, so a hot node (one
+    paragraph shared by millions of docs) is a hot KEY in a map-side-
+    combinable aggregate, not a hot in-memory list.  ``localCheckpoint``
+    truncates lineage per round.  Convergence is verified EXACTLY (count
+    equality + empty set-difference, not a fingerprint), and
+    non-convergence within ``max_rounds`` raises rather than returning
+    moving labels — max_rounds=50 covers graphs astronomically past any
+    real corpus (rounds grow ~log n; a planted 4k-node chain converges
+    in 7, see tools/skew_bench.py).
+    """
+    n_parts = max(4, pairs.sparkSession.sparkContext.defaultParallelism // 4)
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(n_parts, "a")
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias(id_col))
+        .union(edges.select(F.col("b").alias(id_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        _, new_edges = _star_round(edges)
+        new_edges = new_edges.repartition(n_parts, "a").localCheckpoint()
+        # exact fixpoint test: same cardinality and nothing new on either
+        # side (both are distinct sets, so one-sided subtract suffices
+        # once the counts match)
+        if new_edges.count() == edges.count() and new_edges.subtract(edges).isEmpty():
+            converged = True
+            edges = new_edges
+            break
+        edges = new_edges
+    if not converged:
+        # silent exit would emit WRONG components (edge set still moving)
+        raise RuntimeError(
+            f"two-phase star contraction did not converge in {max_rounds} "
+            "rounds; raise max_rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edge set is the star forest {(member, component_min)};
+    # roots never appear on the 'a' side, so they label themselves
+    return all_nodes.join(
+        edges.select(F.col("a").alias(id_col), F.col("b").alias("_canon")),
+        id_col,
+        "left",
+    ).select(
+        id_col, F.coalesce(F.col("_canon"), F.col(id_col)).alias("canonical_id")
+    )
+
+
+def _resolve_min_label(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Per-round min-label propagation — the O(component diameter)-rounds
+    resolver :func:`_resolve_two_phase_star` superseded, retained for
+    parity tests and the skew-bench comparison (it is the natural
+    baseline: fine on blob-shaped near-dup clusters, pathological on
+    chains).  Raises if labels are still moving after ``max_rounds``."""
     n_parts = max(4, pairs.sparkSession.sparkContext.defaultParallelism // 4)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -850,7 +994,7 @@ def resolve_dup_clusters(
         .localCheckpoint()
     )
     changed = -1
-    for _ in range(max_rounds):  # bound: cluster diameter; near-dup chains are short
+    for _ in range(max_rounds):  # bound: cluster diameter
         neighbor_min = (
             edges.join(labels.withColumnsRenamed({"id": "dst", "label": "n_label"}), "dst")
             .groupBy("src")
@@ -874,8 +1018,6 @@ def resolve_dup_clusters(
         if changed == 0:
             break
     if changed != 0:
-        # silent exit here would emit WRONG components (labels still moving);
-        # a diameter > max_rounds graph needs a bigger budget, not bad output
         raise RuntimeError(
             f"dup-cluster propagation did not converge in {max_rounds} rounds "
             f"({changed} labels still changing); raise max_rounds"

@@ -187,6 +187,75 @@ def test_resolve_dup_clusters_distributed_path_matches_driver_path(spark):
     assert via_driver == via_spark == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_two_phase_star_logarithmic_rounds_on_chain(spark):
+    """The r11 scale fix: a planted near-dup CHAIN (diameter = n) must
+    resolve in O(log n) rounds — the superseded min-label loop needs
+    O(n) rounds on this shape and raises at its default budget, while
+    large-star/small-star converges in ~log2(n) and stays row-identical
+    to the driver union-find."""
+    import math
+
+    import pytest
+
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        _resolve_min_label,
+        resolve_dup_clusters,
+    )
+
+    n = 256  # chain 0~1~2~...~255: one component, canonical 0
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.doc_id: r.canonical_id
+        for r in resolve_dup_clusters(chain, driver_threshold=0, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # alternating star contraction: rounds ~ log2(n) (+1 fixpoint-confirm
+    # round); 2*log2 is a generous envelope that still excludes any
+    # linear-in-diameter behavior (which would need ~n rounds)
+    assert 1 <= stats["rounds"] <= 2 * math.ceil(math.log2(n))
+    # the baseline resolver really is linear on this shape: its default
+    # 20-round budget cannot cover diameter 255
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _resolve_min_label(chain)
+
+
+def test_two_phase_star_matches_min_label_on_adversarial_shapes(spark):
+    """Row-identical components across both distributed resolvers and the
+    driver union-find on the shapes that stress them differently: a hub
+    star (hot node), a cycle, a binary tree, and a dense clique glued to
+    a chain."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        _resolve_min_label,
+        resolve_dup_clusters,
+    )
+
+    star = [(100, 100 + i) for i in range(1, 30)]
+    cycle = [(200 + i, 200 + (i + 1) % 12) for i in range(12)]
+    tree = [(300 + i, 300 + 2 * i + d) for i in range(15) for d in (1, 2)]
+    clique = [(400 + i, 400 + j) for i in range(6) for j in range(i + 1, 6)]
+    glue_chain = [(405, 500), (500, 501), (501, 502)]
+    edges = star + cycle + tree + clique + glue_chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    via_driver = {
+        r.doc_id: r.canonical_id for r in resolve_dup_clusters(pairs).collect()
+    }
+    via_star = {
+        r.doc_id: r.canonical_id
+        for r in resolve_dup_clusters(pairs, driver_threshold=0).collect()
+    }
+    via_min_label = {
+        r.doc_id: r.canonical_id for r in _resolve_min_label(pairs).collect()
+    }
+    assert via_driver == via_star == via_min_label
+    # sanity on the expected components
+    assert via_star[129] == 100 and via_star[211] == 200
+    assert via_star[330] == 300 and via_star[502] == 400
+
+
 def _simhash_reference(text: str) -> int:
     """Per-row reference SimHash (the pre-vectorization implementation) —
     the vectorized kernel must stay byte-identical to this."""

@@ -219,6 +219,64 @@ def main() -> None:
     spread_docs.unpersist()
     cold_docs.unpersist()
 
+    # --- dup-cluster resolution: chain diameter vs round count ----------
+    # The r11 scale fix: an adversarial near-dup CHAIN (A~B~C~..., the
+    # shape shingled boilerplate corpora actually produce) has diameter n,
+    # so the per-round min-label resolver needs O(n) Spark jobs; the
+    # large-star/small-star two-phase resolver is O(log n) rounds on any
+    # shape.  Planted 4k chain + a 4k random blob graph (short diameter —
+    # min-label's best case) for both resolvers.
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        _resolve_min_label,
+        resolve_dup_clusters,
+    )
+
+    n_chain = 4096
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n_chain - 1)], "id_a long, id_b long"
+    ).persist()
+    rng_edges = [
+        ((7919 * i) % n_chain, (104729 * i + 13) % n_chain) for i in range(n_chain)
+    ]
+    blob = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in rng_edges if a != b],
+        "id_a long, id_b long",
+    ).persist()
+    chain.count(), blob.count()
+    stats_chain: dict = {}
+    stats_blob: dict = {}
+
+    def run_star(pairs, stats):
+        resolve_dup_clusters(pairs, driver_threshold=0, stats=stats).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    results["cc_star_chain"] = median_of(lambda: run_star(chain, stats_chain), runs=1)
+    results["cc_star_blob"] = median_of(lambda: run_star(blob, stats_blob), runs=1)
+    try:
+        t0 = time.perf_counter()
+        _resolve_min_label(chain).write.format("noop").mode("overwrite").save()
+        results["cc_min_label_chain"] = round(time.perf_counter() - t0, 3)
+    except RuntimeError:
+        # expected: diameter 4095 >> the 20-round default budget — the
+        # failure IS the datapoint (linear-rounds resolver cannot do chains)
+        results["cc_min_label_chain"] = -1.0
+    t0 = time.perf_counter()
+    # raised budget: even this blob graph's min-distance-from-root exceeds
+    # the default 20 (213 labels still moving at round 20 when measured)
+    _resolve_min_label(blob, max_rounds=100).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    results["cc_min_label_blob"] = round(time.perf_counter() - t0, 3)
+    cc_rounds = {
+        "chain_nodes": n_chain,
+        "star_rounds_chain": stats_chain.get("rounds"),
+        "star_rounds_blob": stats_blob.get("rounds"),
+        "log2_chain": round(__import__("math").log2(n_chain), 1),
+    }
+    chain.unpersist()
+    blob.unpersist()
+
     big.unpersist()
     small.unpersist()
     print(
@@ -230,6 +288,7 @@ def main() -> None:
                 "hot_ticks": n_ticks,
                 "hot_bars": n_mono,
                 "hot_corpus_docs": n_docs,
+                "cc_rounds": cc_rounds,
                 "timings": results,
                 "sf_dir": sf_dir,
             }

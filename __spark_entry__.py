@@ -1074,6 +1074,41 @@ def _training_set_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling (training.py sample_token_budget)
+    in its r11 budget-MAP form — the unit real pretraining mixes are
+    specified in ("20B tokens of code, 5B of books"): every lang stratum
+    takes documents in deterministic content-hash order until ITS OWN
+    cumulative whitespace-token total crosses its budget (the crossing
+    document included, so no non-empty stratum comes back empty).  Fully
+    content-keyed oracle with ZERO staging: the take order uses the
+    operator's ``order_hash`` swap point with ``md5(key || salt)`` — a
+    pure content hash DuckDB evaluates bit-identically — so the whole
+    kernel (per-stratum strictly-preceding running token sum, broadcast
+    budget lookup, boundary-crossing inclusion) is re-derived in SQL."""
+    from real_time_financial_data_pipeline_spark.operators.text import tokens
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        sample_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1000}
+    out = sample_token_budget(
+        docs,
+        ["lang"],
+        budgets,
+        salt="tbs",
+        order_hash=lambda key, salt: F.md5(
+            F.concat(key.cast("string"), F.lit(salt))
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (text.py repetition_stats) — the
     whole kernel family is re-derived in DuckDB: duplicate-line fractions
@@ -1720,7 +1755,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the same SQL machinery plus the k=1-brute-force and recall-gate
     tests; jsonl_ingest_docs oracle-checks BOTH sides of the quarantine
     split (good + labeled violations), which surfaced and fixed the
-    xxhash64(NULL)=seed id-stamping bug."""
+    xxhash64(NULL)=seed id-stamping bug.
+
+    Round-11 rotation — the r11 per-stratum budget sampler gets a fully
+    content-keyed oracle row; one overlap row retires:
+
+    - simhash_pairs_docs OUT (its completeness claim — banding candidate
+      generation equals the exhaustive quadratic Hamming scan — is pinned
+      verbatim by test_simhash_pairs_banding_equals_brute_force on the
+      same documents table, and the 64-bit signature kernel stays
+      byte-identical to the per-row reference via
+      test_simhash_byte_identical_to_reference; the banded pair-generation
+      SHAPE stays oracle-anchored through minhash_pairs, and the retired
+      query keeps its plan contract audited in tools/plan_audit.py)
+      -> token_budget_sample_docs IN (per-stratum token-budget sampling
+      with a budget MAP — running-sum window, broadcast budget lookup and
+      boundary-crossing inclusion all re-derived in DuckDB with zero
+      staging, via the operator's order_hash swap point: md5(key||salt)
+      replaces xxhash64 so the take ORDER itself is content-replayable,
+      the first sampler row where the order, not just the invariants, is
+      oracle-checked)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1768,7 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply_docs": _dedup_apply_docs,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
-        "simhash_pairs_docs": _simhash_pairs_docs,
+        "token_budget_sample_docs": _token_budget_sample_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
         "stream_purchase_click_join": _stream_purchase_click_join,
         "stream_session_stats": _stream_session_stats,
@@ -2071,15 +2125,36 @@ def oracle_sql() -> dict[str, str]:
             # staged-signature oracle: the EXHAUSTIVE quadratic Hamming scan
             # over staged signatures — equality with the banded Spark result
             # proves banding completeness, not just candidate correctness
-            "simhash_pairs_docs": f"""
-                WITH s AS (
-                    SELECT doc_id, simhash
-                    FROM read_parquet('{_STAGED_SIMHASH_DIR}/*.parquet')
+            # token-budget sampler: ZERO staging — the operator's
+            # order_hash swap point runs md5(key||salt), which DuckDB
+            # evaluates bit-identically, so the per-stratum take ORDER,
+            # the strictly-preceding running token sum, the per-lang
+            # budget map, and the boundary-crossing inclusion are all
+            # re-derived content-keyed (an unbudgeted stratum error()s
+            # rather than silently passing)
+            "token_budget_sample_docs": """
+                WITH toks AS (
+                    SELECT doc_id, lang,
+                           CAST(len(list_filter(string_split(text, ' '),
+                                                x -> x != '')) AS BIGINT) AS n_tokens,
+                           md5(CAST(doc_id AS VARCHAR) || 'tbs') AS h
+                    FROM documents
+                ),
+                cum AS (
+                    SELECT doc_id, lang, n_tokens,
+                           coalesce(sum(n_tokens) OVER (
+                               PARTITION BY lang ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cum_before
+                    FROM toks
                 )
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-                FROM s a JOIN s b ON a.doc_id < b.doc_id
-                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+                SELECT doc_id, lang, n_tokens
+                FROM cum
+                WHERE cum_before < CASE lang
+                    WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+                    WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500
+                    WHEN 'zh' THEN 1000
+                    ELSE error('unbudgeted stratum reached the oracle') END
             """,
             # staged-candidate ANN oracles: scores recomputed from raw
             # embeddings, ranks re-derived by the same (score desc, id)

@@ -141,11 +141,12 @@ def sample_exact_k(
 def sample_token_budget(
     df: DataFrame,
     strata_cols: list[str],
-    budget_tokens: int,
+    budget_tokens: int | dict,
     key_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
     salt: str = "",
+    order_hash: "Callable[[Column, str], Column] | None" = None,
 ) -> DataFrame:
     """TOKEN-budget-bounded sample per stratum — the unit pretraining
     mixtures are actually specified in ("20B tokens of code, 5B of
@@ -155,6 +156,19 @@ def sample_token_budget(
     CROSSES the boundary is included (take-until-reached), so every
     stratum with any data yields at least one document and the shortfall
     is never more than one document's tokens.
+
+    ``budget_tokens`` is an int (one budget applied to EVERY stratum) or
+    a dict mapping stratum value -> budget — the form real mixes are
+    written in ("20B code + 5B books"): keys are the stratum value for a
+    single-column stratification, tuples in ``strata_cols`` order for
+    composite strata.  Dict keys MUST cover every stratum present in
+    ``df`` — a stratum with no budget raises at execution (an implicit
+    "unbudgeted strata pass/drop silently" default would corrupt a mix
+    either way); extra keys for absent strata are fine.  Per-stratum
+    budgets keep prefix-monotonicity WITHIN each stratum: raising one
+    stratum's budget only appends documents to that stratum and leaves
+    every other stratum's sample untouched.  The dict travels as a
+    broadcast lookup join, never a driver loop.
 
     Deterministic and layout-independent like its siblings: the take
     order is a pure function of (key content, salt), so the same budget
@@ -167,7 +181,12 @@ def sample_token_budget(
     ``tokens_col`` uses a precomputed per-doc token count (e.g. from
     ``token_stats`` or a real-tokenizer ``bpe_token_count``) instead of
     the whitespace count of ``text_col`` — pass it when budgets must be
-    model tokens, not words.
+    model tokens, not words.  ``order_hash(key_column, salt)`` swaps the
+    take-order hash (default ``xxhash64(key, salt)``) for another pure
+    content hash — e.g. ``md5(key || salt)`` when the order must be
+    replayable by an engine without xxhash64 (the DuckDB oracle row uses
+    exactly that); the kernel is hash-agnostic, only determinism and
+    content-purity of the order matter.
 
     Execution: one hash-partitioned window per stratum computing the
     cumulative token sum over PRECEDING rows (unbounded-preceding
@@ -179,10 +198,41 @@ def sample_token_budget(
     layout-dependent — same contract as the other samplers)."""
     from pyspark.sql import Window
 
-    if budget_tokens < 1:
-        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
     if not strata_cols:
         raise ValueError("strata_cols must be non-empty")
+    out_cols = df.columns  # the lookup join reorders; restore on the way out
+    if isinstance(budget_tokens, dict):
+        if not budget_tokens:
+            raise ValueError("budget_tokens dict must be non-empty")
+        rows = []
+        for key, b in budget_tokens.items():
+            kt = key if isinstance(key, tuple) else (key,)
+            if len(kt) != len(strata_cols):
+                raise ValueError(
+                    f"budget key {key!r} has {len(kt)} parts for "
+                    f"{len(strata_cols)} strata columns"
+                )
+            if int(b) < 1:
+                raise ValueError(f"budget for stratum {key!r} must be >= 1, got {b}")
+            rows.append((*kt, int(b)))
+        lookup = df.sparkSession.createDataFrame(rows, [*strata_cols, "_budget"])
+        df = df.join(F.broadcast(lookup), strata_cols, "left")
+        budget_col = F.when(
+            F.col("_budget").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("sample_token_budget: stratum ("),
+                    F.concat_ws(
+                        ", ", *[F.col(c).cast("string") for c in strata_cols]
+                    ),
+                    F.lit(") has no budget — dict keys must cover every present stratum"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_budget"))
+    else:
+        if budget_tokens < 1:
+            raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+        budget_col = F.lit(int(budget_tokens))
     from .text import tokens as _tokens
 
     n_tok = (
@@ -190,7 +240,11 @@ def sample_token_budget(
         if tokens_col is not None
         else F.size(_tokens(F.col(text_col)))
     ).cast("long")
-    h = F.xxhash64(F.col(key_col), F.lit(salt))
+    h = (
+        order_hash(F.col(key_col), salt)
+        if order_hash is not None
+        else F.xxhash64(F.col(key_col), F.lit(salt))
+    )
     w = (
         Window.partitionBy(*strata_cols)
         .orderBy(h, F.col(key_col))
@@ -199,8 +253,8 @@ def sample_token_budget(
     cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
     return (
         df.withColumn("_cum_before", cum_before)
-        .filter(F.col("_cum_before") < budget_tokens)
-        .drop("_cum_before")
+        .filter(F.col("_cum_before") < budget_col)
+        .select(*out_cols)
     )
 
 

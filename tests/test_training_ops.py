@@ -172,6 +172,88 @@ def test_sample_token_budget_bound_prefix_and_python_parity(documents):
         sample_token_budget(documents, [], 100)
 
 
+def test_sample_token_budget_per_stratum_dict(documents):
+    """r11: budget_tokens as a per-stratum map — the form real mixes are
+    written in.  Scalar parity (uniform dict == int), per-stratum bound,
+    per-stratum prefix-monotonicity, coverage enforcement, and the
+    order_hash swap staying consistent between int and dict forms."""
+    from pyspark.sql.utils import AnalysisException
+
+    from real_time_financial_data_pipeline_spark.operators.text import tokens
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        sample_token_budget,
+    )
+
+    srcs = [r["source"] for r in documents.select("source").distinct().collect()]
+    assert len(srcs) >= 3
+
+    # scalar parity: a dict assigning every stratum the same budget IS the
+    # int form
+    uniform = {s: 800 for s in srcs}
+    via_int = {r.doc_id for r in sample_token_budget(documents, ["source"], 800).collect()}
+    via_map = {
+        r.doc_id
+        for r in sample_token_budget(documents, ["source"], uniform).collect()
+    }
+    assert via_int == via_map
+
+    # heterogeneous budgets: each stratum honors ITS bound, and column
+    # order survives the lookup join
+    budgets = {s: 300 + 400 * (i % 3) for i, s in enumerate(srcs)}
+    got = sample_token_budget(documents, ["source"], budgets)
+    assert got.columns == documents.columns
+    toks = {
+        r.doc_id: r.n
+        for r in documents.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    per: dict = {}
+    for r in got.collect():
+        per.setdefault(r["source"], []).append(toks[r.doc_id])
+    assert set(per) == set(srcs)  # every stratum sampled (>=1 doc each)
+    for s, ns in per.items():
+        assert sum(ns) - max(ns) < budgets[s], s
+
+    # per-stratum prefix-monotonicity: raising ONE stratum's budget only
+    # appends to that stratum, other strata byte-identical
+    raised = dict(budgets)
+    raised[srcs[0]] = budgets[srcs[0]] * 4
+    got2 = {(r.doc_id, r["source"]) for r in sample_token_budget(documents, ["source"], raised).collect()}
+    base = {(r.doc_id, r["source"]) for r in sample_token_budget(documents, ["source"], budgets).collect()}
+    assert {p for p in base if p[1] == srcs[0]} <= {p for p in got2 if p[1] == srcs[0]}
+    assert {p for p in base if p[1] != srcs[0]} == {p for p in got2 if p[1] != srcs[0]}
+
+    # coverage: a missing stratum raises at execution, never silently
+    # passes/drops
+    missing = {s: 800 for s in srcs[:-1]}
+    with pytest.raises(Exception, match="has no budget"):
+        sample_token_budget(documents, ["source"], missing).collect()
+
+    # composite strata take tuple keys; wrong arity raises eagerly
+    with pytest.raises(ValueError, match="parts"):
+        sample_token_budget(documents, ["source", "lang"], {("a",): 100})
+    with pytest.raises(ValueError, match=">= 1"):
+        sample_token_budget(documents, ["source"], {srcs[0]: 0})
+
+    # order_hash swap: md5 order differs from xxhash64 order but obeys the
+    # same budget discipline, identically for int and dict forms
+    md5h = lambda key, salt: F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    a = {
+        r.doc_id
+        for r in sample_token_budget(
+            documents, ["source"], 800, order_hash=md5h
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in sample_token_budget(
+            documents, ["source"], uniform, order_hash=md5h
+        ).collect()
+    }
+    assert a == b and a != via_int
+
+
 def _chunk_rows(spark, texts, chunk_tokens, overlap_tokens):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

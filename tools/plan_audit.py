@@ -39,6 +39,10 @@ CHECKS = {
     "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True,
                           pre_agg_key="l_orderkey"),
     "simhash_pairs_docs": dict(no_cartesian=True),
+    # token-budget sampler: ONE broadcast (the budget lookup map) + ONE
+    # hash-partitioned window shuffle — the budget map must never become
+    # the shuffle side of a join
+    "token_budget_sample_docs": dict(broadcast_min=1, max_exchange=2, no_cartesian=True),
     # OFI: tick-rule window pass + calendar aggregate — partial agg, keyed
     "ofi_daily": dict(partial_agg=True, no_cartesian=True),
     # portfolio: lag window + day aggregate + output-sized running window
@@ -161,6 +165,7 @@ def main() -> None:
         "segment_stats": entrymod._segment_stats,
         "perplexity_docs": entrymod._perplexity_docs,
         "range_volatility_daily": entrymod._range_volatility_daily,
+        "simhash_pairs_docs": entrymod._simhash_pairs_docs,
     }
     failures = 0
     for name, spec in CHECKS.items():

@@ -79,7 +79,12 @@ CHECKS = {
     "events_quality_report": dict(partial_agg=True, no_cartesian=True),
     "ohlcv_daily": dict(partial_agg=True, no_cartesian=True),
     "latest_per_user": dict(partial_agg=True),
-    "order_priority_counts": dict(no_cartesian=True),
+    # TPC-H Q4 shape: the exists-test must stay a LeftSemi (never a
+    # row-multiplying inner join + distinct), filters pushed to both
+    # scans, partial count phase, and exactly the broadcast + the
+    # aggregate exchange
+    "order_priority_counts": dict(pushed=True, partial_agg=True, semi=True,
+                                  max_exchange=2, no_cartesian=True),
     "dedup_exact_docs": dict(partial_agg=True),
     "token_stats": dict(pruned_cols="text"),
     # indicator ladders: exactly the bar-aggregate exchange plus ONE series
@@ -136,6 +141,8 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
             problems.append(f"expected <= {xmax} exchanges, saw {n_ex}")
     if spec.get("no_cartesian") and "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
+    if spec.get("semi") and "LeftSemi" not in plan:
+        problems.append("exists-test not planned as LeftSemi (row-multiplying join?)")
     if (pkey := spec.get("pre_agg_key")) and not re.search(
         rf"HashAggregate\(keys=\[{pkey}", plan
     ):

@@ -12,11 +12,15 @@ Design for 100 TB of mixed media:
 - partitioning guidance: repartition by a size-balanced key before heavy
   decode so one executor doesn't get all the 4K videos.
 
-The decode kernels themselves are STUBS (image/audio libs are not in this
-container): ``decode_image`` raises ``NotImplementedError`` unless handed a
-``codec`` callable, and ``fake_image_features`` supplies a deterministic
-stand-in so the Spark-side plumbing (schema, batching, UDF signature) is
-fully real and testable.
+Decoding: PPM (P6) / PGM (P5) decode REAL pixels with zero dependencies
+beyond numpy (``decode_ppm`` — the formats are headers + raw bytes, ~40
+lines of stdlib), and ``decode_image`` uses it as the default codec, so
+the full decode → featurize path runs distributed on actual images in
+this container.  Other formats (JPEG/PNG/…) still require an injected
+``codec`` callable (e.g. PIL-based) — that remains the only stub
+boundary, now opt-in rather than the default path.
+``fake_image_features`` (raw byte statistics) stays available for
+plumbing tests that don't care about pixel semantics.
 """
 
 from __future__ import annotations
@@ -84,14 +88,77 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def encode_ppm(arr) -> bytes:
+    """Encode a uint8 numpy array as binary PPM (HxWx3 -> P6) or PGM
+    (HxW -> P5) — the inverse of :func:`decode_ppm`, used by the test
+    fabric to plant REAL decodable images in the media table."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected HxWx3 or HxW uint8 array, got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + a.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """Decode a binary PPM (P6, RGB) or PGM (P5, grayscale) blob into a
+    uint8 numpy array (HxWx3 / HxW) — a REAL image decode with no codec
+    library: the netpbm binary formats are an ASCII header (magic, width,
+    height, maxval, ``#`` comments allowed) followed by raw samples.
+    Only maxval <= 255 (1 byte/sample) is supported; 2-byte maxvals raise."""
+    import numpy as np
+
+    if not isinstance(blob, (bytes, bytearray)) or blob[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM blob (P6/P5 magic missing)")
+    magic = bytes(blob[:2])
+
+    # header scan: magic, then 3 ASCII ints separated by whitespace, with
+    # '#' comments running to end-of-line; ONE whitespace byte after
+    # maxval, then raw samples
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval} (only 1-byte samples)")
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    raw = blob[pos : pos + n]
+    if len(raw) != n:
+        raise ValueError(f"truncated pixel data: expected {n} bytes, got {len(raw)}")
+    a = np.frombuffer(raw, dtype=np.uint8)
+    return a.reshape(height, width, 3) if channels == 3 else a.reshape(height, width)
+
+
 def decode_image(blob: bytes, codec: Callable[[bytes], object] | None = None) -> object:
-    """Decode one image blob.  STUB: the container ships no image codec —
-    pass ``codec`` (e.g. PIL.Image.open wrapped) in a real deployment."""
-    if codec is None:
-        raise NotImplementedError(
-            "no image codec in this environment; pass codec= (e.g. PIL-based)"
-        )
-    return codec(blob)
+    """Decode one image blob.  PPM/PGM (P6/P5) decode natively via
+    :func:`decode_ppm` — real pixels, no codec library.  Every other
+    format needs an injected ``codec`` (e.g. PIL.Image.open wrapped);
+    that injection point is the one remaining environment stub, and it
+    is opt-in rather than the default path since r11."""
+    if codec is not None:
+        return codec(blob)
+    if isinstance(blob, (bytes, bytearray)) and blob[:2] in (b"P6", b"P5"):
+        return decode_ppm(blob)
+    raise NotImplementedError(
+        "no codec for this format in this environment (native support: "
+        "PPM/PGM); pass codec= (e.g. PIL-based) for JPEG/PNG/..."
+    )
 
 
 def extract_features(
@@ -121,6 +188,63 @@ def extract_features(
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def image_pixel_features(blob: bytes) -> tuple[float, float]:
+    """Real decode + featurize kernel: PPM/PGM pixels -> (mean, std) over
+    the decoded sample values — the default ``extract_features`` kernel
+    for media tables carrying netpbm blobs.  Swap for an embed model in
+    deployment; the signature is the contract."""
+    import numpy as np
+
+    px = decode_ppm(blob).astype(np.float64)
+    return (float(px.mean()), float(px.std()))
+
+
+def attach_ppm_images(
+    df: DataFrame, id_col: str = "doc_id", base_width: int = 16, base_height: int = 12
+) -> DataFrame:
+    """Media-table fabric with REAL decodable payloads: one deterministic
+    PPM (P6) image per row, pixels a pure function of the id (a gradient
+    ramp offset by the id), sizes varying with the id so batches are
+    ragged like a real lake.  Generation runs distributed in
+    ``mapInPandas`` (numpy per Arrow batch), so partitioning/batching
+    behavior matches production ingest — only the payload is synthetic."""
+    import numpy as np
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, widths, heights = [], [], []
+            for mid in pdf["media_id"]:
+                w = base_width + int(mid) % 8
+                h = base_height + int(mid) % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 3 + yy * 7 + int(mid)) % 256,
+                        (xx * 5 + yy * 11 + 2 * int(mid)) % 256,
+                        (xx * 13 + yy * 17 + 3 * int(mid)) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(encode_ppm(px))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "bytes": blobs,
+                    "mime": "image/x-portable-pixmap",
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "duration_s": pd.Series([None] * len(blobs), dtype="float64"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def fake_image_features(blob: bytes) -> tuple[float, float]:

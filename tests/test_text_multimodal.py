@@ -105,9 +105,75 @@ def test_multimodal_plumbing(documents):
 
 
 def test_decode_image_is_a_stub_without_codec():
+    # non-netpbm formats still need an injected codec (the one remaining
+    # environment stub, opt-in since r11)
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
     assert decode_image(b"x", codec=lambda b: len(b)) == 1
+
+
+def test_decode_ppm_roundtrip_and_header_edges():
+    """r11: PPM/PGM are REAL decodes now — encode→decode is the identity,
+    headers with comments parse, truncation and 2-byte maxvals raise."""
+    import numpy as np
+
+    from real_time_financial_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rgb = (np.arange(7 * 5 * 3, dtype=np.int64) * 37 % 256).astype(np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = (np.arange(6 * 4, dtype=np.int64) * 11 % 256).astype(np.uint8).reshape(4, 6)
+    out = decode_ppm(encode_ppm(gray))
+    assert out.ndim == 2 and np.array_equal(out, gray)
+    # decode_image dispatches netpbm natively, no codec argument
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)
+
+    # comment lines and multi-whitespace in the header are legal netpbm
+    commented = b"P6\n# a comment\n7 # trailing\n# another\n 5\n255\n" + rgb.tobytes()
+    assert np.array_equal(decode_ppm(commented), rgb)
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(encode_ppm(rgb)[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="P6/P5"):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII variant unsupported
+    with pytest.raises(ValueError, match="shape"):
+        encode_ppm(np.zeros((2, 2, 4), dtype=np.uint8))
+
+
+def test_extract_features_on_real_pixels(documents):
+    """End-to-end distributed decode: deterministic PPM payloads through
+    mapInPandas with the real pixel kernel — feat_mean/std must equal a
+    local numpy decode of the same blob, and differ from raw-byte stats
+    (the header bytes prove the kernel really decoded)."""
+    import numpy as np
+
+    from real_time_financial_data_pipeline_spark.operators.multimodal import (
+        attach_ppm_images,
+        decode_ppm,
+        fake_image_features,
+        image_pixel_features,
+    )
+
+    media = attach_ppm_images(documents.limit(40))
+    feats = {r.media_id: r for r in extract_features(media, kernel=image_pixel_features).collect()}
+    blobs = {r.media_id: bytes(r.bytes) for r in media.collect()}
+    assert set(feats) == set(blobs) and len(feats) == 40
+    for mid, blob in blobs.items():
+        px = decode_ppm(blob).astype(np.float64)
+        assert abs(feats[mid].feat_mean - px.mean()) < 1e-9
+        assert abs(feats[mid].feat_std - px.std()) < 1e-9
+        assert feats[mid].byte_len == len(blob)
+        # decoded stats differ from raw-byte stats (header included there)
+        raw_mean, _ = fake_image_features(blob)
+        assert abs(raw_mean - px.mean()) > 1e-12
+    # metadata matches the actual decoded dimensions
+    for r in media.collect():
+        px = decode_ppm(bytes(r.bytes))
+        assert (r.height, r.width) == px.shape[:2]
 
 
 def test_frame_sample_plan(spark):

@@ -1180,13 +1180,21 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Drop every new vector that semantically duplicates the standing
     corpus (one anti-join over the flagged id set) — compose AFTER
     within-batch ``semantic_dedup`` of the new rows, the same
-    curate-then-compare-to-index pattern as ``dedup.incremental_dedup``."""
+    curate-then-compare-to-index pattern as ``dedup.incremental_dedup``.
+    ``n_probe`` forwards to :func:`semdedup_pairs_between` (r11 — the r10
+    multiprobe knob now reaches the anti-join form too): a new vector
+    probing its 2 nearest clusters catches the paraphrase sitting just
+    across a cluster boundary that single-probe structurally cannot see,
+    at ~n_probe× the probe cost and with the standing corpus's persisted
+    single-probe assignment untouched."""
     flagged = semdedup_pairs_between(
-        new_vecs, corpus, threshold, k, id_col, vec_col, seed, centroids
+        new_vecs, corpus, threshold, k, id_col, vec_col, seed, centroids,
+        n_probe=n_probe,
     ).select(F.col("id_new").alias(id_col)).distinct()
     return new_vecs.join(flagged, id_col, "left_anti")
 

@@ -348,6 +348,127 @@ def test_prepare_training_set_end_to_end(documents):
     assert sorted(rows, key=key) == sorted(again, key=key)
 
 
+def test_semantic_n_probe_recall_through_prepare_training_set(spark):
+    """r11 multiprobe-parity gate: a planted PARAPHRASE pair straddling a
+    cluster boundary (cosine 0.998, but the two clones single-assign to
+    DIFFERENT clusters) is structurally invisible to the n_probe=1
+    SemDedup stage and must be caught at semantic_n_probe=2 — asserted
+    end-to-end through prepare_training_set, plus the monotone gate that
+    multiprobe never keeps MORE documents than single-probe (pairs only
+    grow, components only merge, min-id survivorship only shrinks)."""
+    import math
+
+    import numpy as np
+
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        cluster_assign,
+        train_centroids,
+    )
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    # two tight lobes around 0° and 90°, and the planted boundary pair at
+    # 43°/47° — within-lobe spread 10° (cos >= 0.985, all near-dups at the
+    # 0.9 threshold), cross-lobe ~0.1 (never pairs), clone gap 4°
+    # (cos 0.9976 — a true semantic dup)
+    angles = {i: i * 0.5 for i in range(20)}  # lobe A: 0..9.5°
+    angles.update({20 + i: 80.0 + i * 0.5 for i in range(20)})  # lobe B
+    angles[40], angles[41] = 43.0, 47.0  # the planted paraphrase clones
+    text = (
+        "the quick brown fox number {i} jumps over the lazy dog and the "
+        "story continues in the usual way for a while longer"
+    )
+    docs = spark.createDataFrame(
+        [(i, text.format(i=i)) for i in angles], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, vec(a)) for i, a in angles.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+    # precondition that makes the pair boundary-straddling: under the SAME
+    # seeded quantizer prepare_training_set trains (k=2 over these
+    # vectors), the clones single-assign to different clusters
+    cents = train_centroids(emb, 2)
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in cluster_assign(emb.filter(F.col("vec_id") >= 40), 2, centroids=cents).collect()
+    }
+    assert assign[40] != assign[41]
+
+    def kept_ids(n_probe):
+        out = prepare_training_set(
+            docs,
+            near_dup_threshold=None,  # isolate the semantic stage
+            embeddings=emb,
+            semantic_threshold=0.9,
+            semantic_k=2,
+            semantic_n_probe=n_probe,
+        )
+        return {r.doc_id for r in out.select("doc_id").distinct().collect()}
+
+    k1, k2 = kept_ids(1), kept_ids(2)
+    # single-probe: each lobe collapses to its min id; the straddling pair
+    # survives intact (structurally invisible)
+    assert {40, 41} <= k1
+    # multiprobe: the clone pair is seen, min id survives
+    assert 40 in k2 and 41 not in k2
+    assert k2 <= k1  # monotone: more probes can only drop more
+    assert 0 in k2 and 20 in k2  # lobe canonicals always survive
+
+
+def test_incremental_semantic_dedup_forwards_n_probe(spark):
+    """r11: the anti-join form forwards the multiprobe knob — a new vector
+    whose paraphrase twin sits just across the corpus's cluster boundary
+    is kept at n_probe=1 (invisible) and dropped at n_probe=2, with the
+    corpus-side assignment untouched (same persisted centroids)."""
+    import math
+
+    from real_time_financial_data_pipeline_spark.operators.similarity import (
+        cluster_assign,
+        incremental_semantic_dedup,
+        train_centroids,
+    )
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    corpus_rows = [(i, vec(i * 0.5)) for i in range(20)]
+    corpus_rows += [(20 + i, vec(80.0 + i * 0.5)) for i in range(20)]
+    corpus_rows.append((40, vec(43.0)))  # the standing twin, near boundary
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(corpus, 2)
+    new = spark.createDataFrame(
+        [(100, vec(47.0)), (101, vec(160.0))],  # twin-across-boundary + a novel vector
+        "vec_id long, embedding array<double>",
+    )
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in cluster_assign(
+            corpus.filter(F.col("vec_id") == 40).unionByName(new), 2, centroids=cents
+        ).collect()
+    }
+    assert assign[100] != assign[40]  # genuinely straddling under this quantizer
+
+    kept1 = {
+        r.vec_id
+        for r in incremental_semantic_dedup(
+            new, corpus, 0.9, 2, centroids=cents, n_probe=1
+        ).collect()
+    }
+    kept2 = {
+        r.vec_id
+        for r in incremental_semantic_dedup(
+            new, corpus, 0.9, 2, centroids=cents, n_probe=2
+        ).collect()
+    }
+    assert kept1 == {100, 101}  # boundary twin invisible at single probe
+    assert kept2 == {101}  # multiprobe catches it; the novel vector stays
+
+
 def test_chunking_is_map_only(documents):
     """100 TB posture: the chunking plan must contain no Exchange — it has
     to stream through as a narrow map stage."""

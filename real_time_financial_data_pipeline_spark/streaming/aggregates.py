@@ -12,6 +12,14 @@ idiomatic Spark version: event-time windows + watermark-bounded state.
 Watermarks bound state (late rows beyond the horizon are dropped), which is
 what makes a 100 TB/day stream's state finite.  OHLC first/last use
 min_by/max_by on the event time — same deterministic semantics as batch.
+
+State store: the watermark bounds state in TIME; (keys × open windows)
+still sizes it.  At high key cardinality run the session with
+``state_store='rocksdb'`` (``session.get_spark``/``state_store_conf``) so
+window state spills to local disk instead of living on the executor heap —
+the knob applies to every operator in this module and the stateful family
+(`stateful.py`, `heavy_hitters.py`, `indicators.py`, `anomalies.py`,
+watermark dedup in `ingest.py`).
 """
 
 from __future__ import annotations

@@ -155,7 +155,9 @@ def stream_anomalies(
 ) -> DataFrame:
     """Incremental spike/stale screen over a streaming bar frame — one
     output row per consumed bar (append mode).  See the module docstring
-    for the state and ordering contracts."""
+    for the state and ordering contracts.  State is O(keys) × (z_window
+    returns + a few scalars); at high key cardinality run the session
+    with ``state_store='rocksdb'`` (``session.state_store_conf``)."""
     normalized = bars.selectExpr(
         f"CAST({key_col} AS string) AS key",
         f"CAST({day_col} AS timestamp) AS day",

@@ -140,7 +140,10 @@ def stream_heavy_hitters(
     precondition.  Nulls are not items (same contract as the batch
     twin).  ``idle_ttl_ms`` arms the bounded-groups guard: a group with
     no arrivals for that long is evicted (processing-time timeout) and
-    restarts from zero if it returns."""
+    restarts from zero if it returns.  State is O(groups × capacity)
+    counters; at high group cardinality run the session with
+    ``state_store='rocksdb'`` (``session.state_store_conf``) so state
+    spills to local disk instead of capping the executor heap."""
     capacity = capacity or 8 * k
     if capacity < k:
         raise ValueError(f"capacity {capacity} < k {k}")

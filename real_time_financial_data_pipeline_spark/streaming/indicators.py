@@ -127,7 +127,9 @@ def stream_ema(
 ) -> DataFrame:
     """Incremental EMA/MACD/RSI over a streaming bar frame — one output
     row per consumed bar (append mode), per-key state = the recurrence
-    seeds.  See the module docstring for the ordering contract."""
+    seeds.  See the module docstring for the ordering contract.  State is
+    O(keys) × a handful of scalars; at high key cardinality run the
+    session with ``state_store='rocksdb'`` (``session.state_store_conf``)."""
     normalized = bars.selectExpr(
         f"CAST({key_col} AS string) AS key",
         f"CAST({day_col} AS timestamp) AS day",
@@ -226,7 +228,9 @@ def stream_anchored_vwap(
     dropped.  Batch parity is exact on strictly-increasing tick times
     (pinned by tests/test_streaming_anomalies.py) — the batch window's
     (ts, price, size) tie-break has no streaming counterpart since
-    equal-ts ticks are dropped as out-of-order here."""
+    equal-ts ticks are dropped as out-of-order here.  State is O(keys) ×
+    four scalars; at high key cardinality run the session with
+    ``state_store='rocksdb'`` (``session.state_store_conf``)."""
     us_per_day = 86_400_000_000
     normalized = ticks.selectExpr(
         f"CAST({key_col} AS string) AS key",
@@ -396,7 +400,9 @@ def stream_activity_bars(
     processed, not mis-dropped; only an exact duplicate print (same
     tuple) is treated as a replay.  Feeds carrying genuinely duplicate
     prints need a unique trade id upstream, the same contract as
-    ``tick_rule_signs(tiebreak_col=)``/``asof_join``."""
+    ``tick_rule_signs(tiebreak_col=)``/``asof_join``.  State is O(keys) ×
+    ~10 scalars; at high key cardinality run the session with
+    ``state_store='rocksdb'`` (``session.state_store_conf``)."""
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
     if by not in ("volume", "dollar"):

@@ -121,6 +121,12 @@ def running_stats(
     With ``idle_timeout_ms``, keys idle past the event-time watermark are
     evicted (state restarts from zero if the key reappears) — the bounded-
     state posture for unbounded key spaces.
+
+    State size: O(live keys) × a fixed per-key struct.  At 100× key
+    cardinality the default in-memory state store becomes the executor-
+    heap ceiling — run the session with ``state_store='rocksdb'``
+    (``session.get_spark``/``state_store_conf``) to spill state to local
+    disk with a bounded block cache.
     """
     normalized = stream.selectExpr(
         f"{key_col} AS key", f"CAST({value_col} AS double) AS value", f"{time_col} AS ts"

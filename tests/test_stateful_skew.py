@@ -117,6 +117,65 @@ def test_running_stats_last_ts_survives_across_batches(spark, events, tmp_path):
         assert row.last_ts == expected_last[k], k  # late batch's max, via state
 
 
+def test_rocksdb_state_store_runs_stateful_query(spark, events, tmp_path):
+    """r11 scale posture: the stateful streaming family on the RocksDB
+    state store (bounded executor memory at 100× key cardinality) — the
+    knob maps to the right provider class, a REAL stateful query runs
+    under it (provider engagement proven by rocksdb* state metrics in the
+    query progress, not just the conf string), and results equal the
+    in-memory-provider run."""
+    import pytest
+
+    from real_time_financial_data_pipeline_spark.session import state_store_conf
+
+    conf = state_store_conf("rocksdb")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert conf[key].endswith("RocksDBStateStoreProvider")
+    assert state_store_conf("hdfs")[key].endswith("HDFSBackedStateStoreProvider")
+    with pytest.raises(ValueError, match="unknown state_store"):
+        state_store_conf("magnetic-tape")
+
+    src = tmp_path / "rsrc"
+    events.limit(2000).write.parquet(str(src / "d1"))
+    schema = spark.read.parquet(str(src / "d1")).schema
+    expected = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(str(src / "d1"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, conf[key])
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("rocks_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "rckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.event_type, r.n) for r in spark.table("rocks_counts").collect()}
+        assert got == expected
+        # the provider really engaged: RocksDB-specific state metrics
+        # appear in the stateful operator's progress
+        ops = q.lastProgress["stateOperators"]
+        assert ops and any(
+            m.startswith("rocksdb") for m in ops[0]["customMetrics"]
+        ), ops
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_resolve_dup_clusters_custom_id_col_and_convergence(spark):
     """Distributed path honors id_col aliasing and raises instead of emitting
     wrong components when the diameter exceeds the round budget."""

@@ -88,7 +88,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- plumbing ----------------------------------------------------------
 
-    def log_message(self, fmt: str, *args: Any) -> None:  # quiet test runs
+    def log_message(self, fmt: str, *args: Any) -> None:
+        # deliberate no-op override: BaseHTTPRequestHandler writes every
+        # request line to stderr by default, which floods test output; this
+        # suppresses ACCESS logging only — errors still propagate through
+        # the normal handler paths (nothing is swallowed here)
         pass
 
     def _cors(self) -> None:

@@ -660,6 +660,9 @@ def prepare_training_set(
     semantic_k: int = 16,
     semantic_n_probe: int = 1,
     tokenizer_merges: list | None = None,
+    token_budgets: int | dict | None = None,
+    budget_strata: list[str] | None = None,
+    budget_salt: str = "",
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -684,6 +687,19 @@ def prepare_training_set(
     switches chunking to REAL-subword budgets (``bpe.
     chunk_documents_bpe``) — chunk/overlap sizes then mean model tokens,
     not whitespace words.
+
+    ``token_budgets`` (r11) inserts the mix-composition stage: the
+    CURATED, DECONTAMINATED corpus is sampled down to a whitespace-token
+    budget — an int applied per stratum of ``budget_strata`` (default
+    ``["source"]``; ``[]`` = one corpus-wide budget), or a per-stratum
+    dict, the "20B code + 5B books" form (:func:`sample_token_budget`;
+    dict keys must cover the strata present AFTER curation).  The stage sits after decontam and
+    before chunking, which is the semantics real mixes want: a document
+    the gates would drop never consumes budget (its tokens go to the
+    next document in hash order instead), and the chunk stage only pays
+    for sampled documents.  ``budget_salt`` is decoupled from the split
+    ``salt`` so re-salting the split never changes WHICH documents are
+    in the mix, and vice versa.
 
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
@@ -712,6 +728,23 @@ def prepare_training_set(
         curated = remove_contaminated(
             curated, benchmark, text_col, id_col, n=decontam_ngram
         )
+    if token_budgets is not None:
+        strata = budget_strata if budget_strata is not None else ["source"]
+        if not strata:  # [] = one corpus-wide budget (int form only)
+            if isinstance(token_budgets, dict):
+                raise ValueError(
+                    "budget_strata=[] takes a single int budget, not a dict"
+                )
+            curated = sample_token_budget(
+                curated.withColumn("_stratum", F.lit("corpus")),
+                ["_stratum"], token_budgets,
+                key_col=id_col, text_col=text_col, salt=budget_salt,
+            ).drop("_stratum")
+        else:
+            curated = sample_token_budget(
+                curated, strata, token_budgets,
+                key_col=id_col, text_col=text_col, salt=budget_salt,
+            )
     if tokenizer_merges is not None:
         from .bpe import chunk_documents_bpe
 

@@ -348,6 +348,119 @@ def test_prepare_training_set_end_to_end(documents):
     assert sorted(rows, key=key) == sorted(again, key=key)
 
 
+def test_prepare_training_set_token_budget_stage(documents):
+    """r11 mix-composition stage: token_budgets samples the CURATED,
+    DECONTAMINATED corpus per stratum before chunking.  Wiring parity
+    (composition == sampling the curated frame directly), per-stratum
+    bound, corpus-wide [] form, dict-over-[] guard, and the ordering
+    semantics that make the placement right: a document the decontam
+    gate removes never consumes budget — its slot goes to the next doc
+    in hash order."""
+    from real_time_financial_data_pipeline_spark.operators.text import tokens
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+        sample_token_budget,
+    )
+
+    budgets = {"en": 1500, "de": 600, "es": 600, "fr": 600, "zh": 500}
+    out = prepare_training_set(
+        documents, near_dup_threshold=None,
+        token_budgets=budgets, budget_strata=["lang"], budget_salt="mix",
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    # wiring parity: the composition samples exactly what sampling the
+    # curated frame directly would
+    curated = curate_documents(documents, near_dup_threshold=None)
+    direct = {
+        r.doc_id
+        for r in sample_token_budget(
+            curated, ["lang"], budgets, salt="mix"
+        ).collect()
+    }
+    assert kept == direct and kept
+    # per-stratum bound holds on the sampled docs
+    toks = {
+        (r.doc_id, r.lang): r.n
+        for r in curated.select(
+            "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    per: dict = {}
+    for (did, lang), n in toks.items():
+        if did in kept:
+            per.setdefault(lang, []).append(n)
+    for lang, ns in per.items():
+        assert sum(ns) - max(ns) < budgets[lang], lang
+
+    # corpus-wide [] form takes one int; dict over [] is rejected
+    corpus_out = prepare_training_set(
+        documents, near_dup_threshold=None,
+        token_budgets=2000, budget_strata=[],
+    )
+    cdocs = {r.doc_id for r in corpus_out.select("doc_id").distinct().collect()}
+    ctoks = sum(n for (did, _), n in toks.items() if did in cdocs)
+    assert ctoks - max(n for (did, _), n in toks.items() if did in cdocs) < 2000
+    assert "_stratum" not in corpus_out.columns
+    with pytest.raises(ValueError, match="single int budget"):
+        prepare_training_set(
+            documents, near_dup_threshold=None,
+            token_budgets={"x": 1}, budget_strata=[],
+        )
+
+
+def test_token_budget_after_decontam_frees_slots(spark):
+    """Placement semantics: the budget stage runs AFTER decontamination,
+    so a contaminated document early in the take order frees its budget
+    slot for the next clean document — the same budget with the doc
+    decontaminated away must admit MORE of the remaining docs, never
+    fewer."""
+    from real_time_financial_data_pipeline_spark.operators.text import tokens as _t
+
+    # an id-specific token every ~4 positions: no 8-token run is shared
+    # across documents, so the benchmark contaminates ONLY the planted doc
+    base = (
+        "the quick x{i}a brown fox x{i}b jumps over x{i}c the lazy x{i}d "
+        "dog walks x{i}e onward today x{i}f in the x{i}g usual way x{i}h"
+    )
+    docs = spark.createDataFrame(
+        [(i, base.format(i=i)) for i in range(12)], "doc_id long, text string"
+    ).withColumn("n_tok", F.size(_t(F.col("text"))))
+    per_doc = docs.select("n_tok").collect()[0].n_tok
+    budget = int(per_doc * 3.5)  # admits ~4 docs (crossing doc included)
+
+    def kept(benchmark):
+        out = prepare_training_set(
+            docs, near_dup_threshold=None,
+            benchmark=benchmark,
+            token_budgets=budget, budget_strata=[],
+            budget_salt="slots",
+        )
+        return {r.doc_id for r in out.select("doc_id").distinct().collect()}
+
+    no_decontam = kept(None)
+    assert len(no_decontam) >= 2
+    # contaminate the FIRST doc in the take order (benchmark = its text):
+    # recompute the operator's own hash order to find it
+    order = {
+        r.doc_id: (r.h, r.doc_id)
+        for r in docs.select(
+            "doc_id", F.xxhash64(F.col("doc_id"), F.lit("slots")).alias("h")
+        ).collect()
+    }
+    first_doc = min(no_decontam, key=lambda d: order[d])
+    bench = spark.createDataFrame(
+        [(docs.filter(F.col("doc_id") == first_doc).collect()[0].text,)],
+        "text string",
+    )
+    with_decontam = kept(bench)
+    assert first_doc not in with_decontam
+    # the freed slot admits the next doc in order: same count survives
+    # (the gated doc never consumed budget)
+    assert len(with_decontam) >= len(no_decontam - {first_doc})
+    survivors_in_both = no_decontam - {first_doc}
+    assert survivors_in_both <= with_decontam  # prefix stability
+
+
 def test_semantic_n_probe_recall_through_prepare_training_set(spark):
     """r11 multiprobe-parity gate: a planted PARAPHRASE pair straddling a
     cluster boundary (cosine 0.998, but the two clones single-assign to

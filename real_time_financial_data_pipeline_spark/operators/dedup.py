@@ -1170,3 +1170,47 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def merge_dup_clusters(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    driver_threshold: int = 1_000_000,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of near-dup
+    pairs into a standing (``id_col``, canonical_id) labeling WITHOUT the
+    historical pair graph.
+
+    The standing labels are a spanning structure of everything resolved
+    so far — the star edges (member -> canonical) preserve its
+    connectivity exactly — so resolving (star edges) ∪ (new pairs) yields
+    components identical to a full recompute over (all historical pairs)
+    ∪ (new pairs), at |labeled docs| + |batch| edges instead of
+    re-walking every pair ever found.  That is the cadence a 100 TB lake
+    actually runs: nightly LSH emits the day's pairs, this folds them
+    into the persisted cluster table in ~2-3 star rounds (the star edges
+    are already depth-1; only the new bridges need contracting).
+
+    Canonical ids stay min-of-component, so merging two standing
+    clusters re-canonicalizes the larger-rooted one — downstream
+    "keep the canonical" decisions must re-read the merged table (same
+    contract as any min-id resolver).  Output covers every doc in
+    ``labels`` plus every doc in ``new_pairs``; docs labeled (x, x) with
+    no new pair pass through unchanged.
+    """
+    star_edges = labels.filter(F.col(id_col) != F.col("canonical_id")).select(
+        F.col(id_col).alias(id_a), F.col("canonical_id").alias(id_b)
+    )
+    combined = star_edges.unionByName(new_pairs.select(id_a, id_b))
+    merged = resolve_dup_clusters(
+        combined, id_a, id_b, driver_threshold, id_col, max_rounds, stats
+    )
+    # resolve only emits docs that appear in some edge; labels rows that
+    # are self-canonical singletons with no new pair carry through as-is
+    carried = labels.join(merged.select(id_col), id_col, "left_anti")
+    return merged.unionByName(carried.select(id_col, "canonical_id"))

@@ -526,3 +526,76 @@ def test_pq_codes_round_trip_quality(embeddings):
     other_cos = (Xn * shuffled).sum(axis=1)
     assert (self_cos > other_cos).mean() > 0.95
     assert self_cos.mean() > 0.5  # codes carry real signal, not noise
+
+
+def test_merge_dup_clusters_equals_full_recompute(spark):
+    """r11 incremental CC: folding a new pair batch into a standing
+    labeling via its star edges must equal a full recompute over
+    (historical ∪ new) pairs — including cross-cluster merges that
+    re-canonicalize a standing root, brand-new nodes, and untouched
+    singleton labels carried through."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        merge_dup_clusters,
+        resolve_dup_clusters,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    labels = resolve_dup_clusters(old_pairs)
+    # full-corpus labeling: docs 1..30 all get rows, non-dups self-labeled
+    labeled = {r.doc_id: r.canonical_id for r in labels.collect()}
+    full_labels = spark.createDataFrame(
+        [(d, labeled.get(d, d)) for d in range(1, 31)],
+        "doc_id long, canonical_id long",
+    )
+
+    # new batch: bridge clusters {1,2,3} and {10,11}, extend {20..22},
+    # introduce brand-new nodes 40~41
+    new_pairs = spark.createDataFrame(
+        [(3, 10), (22, 23), (40, 41)], "id_a long, id_b long"
+    )
+    merged = {
+        r.doc_id: r.canonical_id
+        for r in merge_dup_clusters(full_labels, new_pairs).collect()
+    }
+    # ground truth: full recompute over old ∪ new, singletons self-labeled
+    truth_pairs = old_pairs.unionByName(new_pairs)
+    truth = {r.doc_id: r.canonical_id for r in resolve_dup_clusters(truth_pairs).collect()}
+    expected = {d: truth.get(d, d) for d in range(1, 31)}
+    expected.update({d: truth[d] for d in (40, 41)})
+    assert merged == expected
+    assert merged[11] == 1  # the standing root 10 re-canonicalized to 1
+    assert merged[23] == 20 and merged[41] == 40
+    assert merged[5] == 5  # untouched singleton carried through
+
+    # distributed path parity + round count: star edges are depth-1, so
+    # the fold converges in a handful of rounds even at driver_threshold=0
+    stats: dict = {}
+    merged_dist = {
+        r.doc_id: r.canonical_id
+        for r in merge_dup_clusters(
+            full_labels, new_pairs, driver_threshold=0, stats=stats
+        ).collect()
+    }
+    assert merged_dist == expected
+    assert stats["rounds"] <= 6
+
+
+def test_merge_dup_clusters_idempotent_and_empty_batch(spark):
+    """Folding the SAME batch twice is idempotent, and an empty batch is
+    the identity on the standing labels."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        merge_dup_clusters,
+        resolve_dup_clusters,
+    )
+
+    old_pairs = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    labels = resolve_dup_clusters(old_pairs)
+    batch = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
+    once = merge_dup_clusters(labels, batch)
+    twice = merge_dup_clusters(once, batch)
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    same = merge_dup_clusters(labels, empty)
+    assert {tuple(r) for r in same.collect()} == {tuple(r) for r in labels.collect()}

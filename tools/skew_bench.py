@@ -235,6 +235,9 @@ def main() -> None:
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n_chain - 1)], "id_a long, id_b long"
     ).persist()
+    # "blob": a congruential pseudo-random sparse graph — looks benign,
+    # but its min-distance-from-root structure ALSO defeats the linear
+    # resolver (measured: 213 labels still moving at round 20, 44 at 100)
     rng_edges = [
         ((7919 * i) % n_chain, (104729 * i + 13) % n_chain) for i in range(n_chain)
     ]
@@ -242,9 +245,16 @@ def main() -> None:
         [(min(a, b), max(a, b)) for a, b in rng_edges if a != b],
         "id_a long, id_b long",
     ).persist()
-    chain.count(), blob.count()
+    # "hub": every node at distance <= 2 from one of 64 hubs — the
+    # min-label resolver's best case, its fair wall-time comparison
+    hub = spark.createDataFrame(
+        [(i, (7919 * i) % 64) for i in range(64, n_chain)],
+        "id_a long, id_b long",
+    ).persist()
+    chain.count(), blob.count(), hub.count()
     stats_chain: dict = {}
     stats_blob: dict = {}
+    stats_hub: dict = {}
 
     def run_star(pairs, stats):
         resolve_dup_clusters(pairs, driver_threshold=0, stats=stats).write.format(
@@ -253,29 +263,33 @@ def main() -> None:
 
     results["cc_star_chain"] = median_of(lambda: run_star(chain, stats_chain), runs=1)
     results["cc_star_blob"] = median_of(lambda: run_star(blob, stats_blob), runs=1)
-    try:
+    results["cc_star_hub"] = median_of(lambda: run_star(hub, stats_hub), runs=1)
+
+    def min_label_timing(pairs, max_rounds):
+        # -1.0 = did not converge within the budget; the failure IS the
+        # datapoint (the linear-rounds resolver cannot do this shape)
         t0 = time.perf_counter()
-        _resolve_min_label(chain).write.format("noop").mode("overwrite").save()
-        results["cc_min_label_chain"] = round(time.perf_counter() - t0, 3)
-    except RuntimeError:
-        # expected: diameter 4095 >> the 20-round default budget — the
-        # failure IS the datapoint (linear-rounds resolver cannot do chains)
-        results["cc_min_label_chain"] = -1.0
-    t0 = time.perf_counter()
-    # raised budget: even this blob graph's min-distance-from-root exceeds
-    # the default 20 (213 labels still moving at round 20 when measured)
-    _resolve_min_label(blob, max_rounds=100).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    results["cc_min_label_blob"] = round(time.perf_counter() - t0, 3)
+        try:
+            _resolve_min_label(pairs, max_rounds=max_rounds).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+        except RuntimeError:
+            return -1.0
+
+    results["cc_min_label_chain"] = min_label_timing(chain, 20)
+    results["cc_min_label_blob"] = min_label_timing(blob, 100)
+    results["cc_min_label_hub"] = min_label_timing(hub, 20)
     cc_rounds = {
         "chain_nodes": n_chain,
         "star_rounds_chain": stats_chain.get("rounds"),
         "star_rounds_blob": stats_blob.get("rounds"),
+        "star_rounds_hub": stats_hub.get("rounds"),
         "log2_chain": round(__import__("math").log2(n_chain), 1),
     }
     chain.unpersist()
     blob.unpersist()
+    hub.unpersist()
 
     big.unpersist()
     small.unpersist()

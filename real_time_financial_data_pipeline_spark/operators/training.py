@@ -663,6 +663,8 @@ def prepare_training_set(
     token_budgets: int | dict | None = None,
     budget_strata: list[str] | None = None,
     budget_salt: str = "",
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_decontam_threshold: float = 0.9,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -687,6 +689,19 @@ def prepare_training_set(
     switches chunking to REAL-subword budgets (``bpe.
     chunk_documents_bpe``) — chunk/overlap sizes then mean model tokens,
     not whitespace words.
+
+    ``benchmark_embeddings`` (r11) adds SEMANTIC decontamination next to
+    the verbatim n-gram pass: a paraphrased eval item shares no 8-token
+    run with the benchmark, so ``benchmark`` alone cannot see it, but its
+    embedding cosine can — documents within
+    ``semantic_decontam_threshold`` of ANY benchmark vector are dropped
+    (``similarity.semantic_contamination``: the small benchmark matrix
+    broadcasts, the corpus streams through one Arrow-batched matmul,
+    map-only).  Requires ``embeddings`` (corpus vectors, canonical
+    (vec_id, embedding) shape with vec_id = doc id; the benchmark frame
+    carries an ``embedding`` column); docs without an embedding row pass
+    unexamined — the same best-effort caveat as the SemDedup stage.
+    Runs with the n-gram pass: after dedup, before any chunk exists.
 
     ``token_budgets`` (r11) inserts the mix-composition stage: the
     CURATED, DECONTAMINATED corpus is sampled down to a whitespace-token
@@ -728,6 +743,29 @@ def prepare_training_set(
         curated = remove_contaminated(
             curated, benchmark, text_col, id_col, n=decontam_ngram
         )
+    if benchmark_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings requires embeddings= (corpus vectors "
+                "keyed by the doc id) — there is nothing to compare against"
+            )
+        from .similarity import semantic_contamination
+
+        surviving_vecs = embeddings.select(
+            F.col("vec_id").alias(id_col), F.col("embedding").alias("_vec")
+        ).join(curated.select(id_col), id_col, "left_semi")
+        contaminated = (
+            semantic_contamination(
+                surviving_vecs,
+                benchmark_embeddings.select(F.col("embedding").alias("_vec")),
+                semantic_decontam_threshold,
+                id_col=id_col,
+                vec_col="_vec",
+            )
+            .filter(F.col("is_contaminated"))
+            .select(id_col)
+        )
+        curated = curated.join(contaminated, id_col, "left_anti")
     if token_budgets is not None:
         strata = budget_strata if budget_strata is not None else ["source"]
         if not strata:  # [] = one corpus-wide budget (int form only)

@@ -461,6 +461,74 @@ def test_token_budget_after_decontam_frees_slots(spark):
     assert survivors_in_both <= with_decontam  # prefix stability
 
 
+def test_semantic_benchmark_decontam_catches_paraphrase(spark):
+    """r11: a PARAPHRASED eval item shares no 8-token run with the
+    benchmark text, so n-gram decontam alone keeps it — but its embedding
+    sits within the cosine threshold of the benchmark vector, so
+    benchmark_embeddings drops it.  Both passes run together; docs
+    without an embedding row pass the semantic stage unexamined."""
+    import math
+
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    # mutually ORTHOGONAL corpus vectors (pairwise cosine 0, so the shared
+    # embeddings= param's in-corpus SemDedup stage stays inert); only the
+    # paraphrase tilts 2° off the benchmark axis (cosine 0.9994)
+    def basis(j, dim=16, tilt=None):
+        v = [0.0] * dim
+        if tilt is None:
+            v[j] = 1.0
+        else:
+            v[j], v[j + 1] = math.cos(math.radians(tilt)), math.sin(math.radians(tilt))
+        return v
+
+    base = (
+        "the quick x{i}a brown fox x{i}b jumps over x{i}c the lazy x{i}d "
+        "dog walks x{i}e onward today x{i}f in the x{i}g usual way x{i}h"
+    )
+    # doc 0 = the PARAPHRASE of the benchmark item (distinct wording, near
+    # benchmark in embedding space); docs 1-9 clean; doc 10 = VERBATIM
+    # benchmark copy (the n-gram pass's job); doc 11 has NO embedding row
+    docs = spark.createDataFrame(
+        [(i, base.format(i=i)) for i in range(12)], "doc_id long, text string"
+    )
+    bench_text = base.format(i=10)
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    bench_emb = spark.createDataFrame(
+        [(0, basis(0))], "vec_id long, embedding array<double>"
+    )
+    emb_rows = [(0, basis(0, tilt=2.0))]  # paraphrase: 2° off the benchmark
+    emb_rows += [(i, basis(i + 1)) for i in range(1, 10)]  # orthogonal clean docs
+    emb_rows += [(10, basis(12))]  # verbatim copy orthogonal in embedding space
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    def kept(**kw):
+        if "embeddings" in kw:
+            kw.setdefault("semantic_k", 4)  # 11 vectors; k=16 default is for corpora
+        out = prepare_training_set(docs, near_dup_threshold=None, **kw)
+        return {r.doc_id for r in out.select("doc_id").distinct().collect()}
+
+    # n-gram pass alone: catches the verbatim copy, misses the paraphrase
+    ngram_only = kept(benchmark=bench)
+    assert 10 not in ngram_only and 0 in ngram_only
+    # both passes: the paraphrase goes too; the embedding-less doc and the
+    # clean docs survive
+    both = kept(benchmark=bench, embeddings=emb, benchmark_embeddings=bench_emb)
+    assert 0 not in both and 10 not in both
+    assert 11 in both and set(range(1, 10)) <= both
+    # semantic stage alone also drops the paraphrase but not the verbatim
+    # copy (they are far apart in embedding space)
+    sem_only = kept(embeddings=emb, benchmark_embeddings=bench_emb)
+    assert 0 not in sem_only and 10 in sem_only
+    # guard: benchmark_embeddings without corpus embeddings is an error
+    with pytest.raises(ValueError, match="requires embeddings"):
+        prepare_training_set(
+            docs, near_dup_threshold=None, benchmark_embeddings=bench_emb
+        )
+
+
 def test_semantic_n_probe_recall_through_prepare_training_set(spark):
     """r11 multiprobe-parity gate: a planted PARAPHRASE pair straddling a
     cluster boundary (cosine 0.998, but the two clones single-assign to

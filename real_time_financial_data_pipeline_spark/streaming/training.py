@@ -97,6 +97,9 @@ def stream_training_chunks(
     known_fingerprints: DataFrame | None = None,
     perplexity_model=None,
     max_perplexity: float | None = None,
+    embeddings: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_decontam_threshold: float = 0.9,
 ) -> DataFrame:
     """(optional) PII scrub -> quality gate -> (optional) repetition gate
     -> (optional) LM perplexity gate -> (optional) benchmark
@@ -146,6 +149,18 @@ def stream_training_chunks(
     not.  Scores are identical between the two forms (parity pinned in
     tests/test_lm.py), so batch and stream drop the same documents; the
     model is frozen at stream start like the benchmark gram set.
+
+    ``benchmark_embeddings`` + ``embeddings`` (both STATIC; r11) apply
+    SEMANTIC benchmark decontamination in-flight — the paraphrase-proof
+    complement of the n-gram gate, mirroring the batch composition's
+    ``prepare_training_set(benchmark_embeddings=)``: the flagged id set
+    is computed on the STATIC embeddings table
+    (``similarity.semantic_contamination`` — benchmark matrix broadcast,
+    one map-only scan) and the stream left-anti joins it — stream-static,
+    stateless on the stream side, append-legal, and re-read per
+    micro-batch so a nightly-refreshed embeddings table takes effect
+    without restarting the query.  Documents without an embedding row
+    pass unexamined (the batch stage's same best-effort caveat).
     """
     if scrub:
         from ..operators.text import scrub_pii
@@ -168,6 +183,28 @@ def stream_training_chunks(
         gated = gated.filter(
             _stream_decontam_filter(benchmark, text_col, decontam_ngram)
         )
+    if benchmark_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings requires embeddings= (a STATIC corpus "
+                "vector table keyed by the doc id)"
+            )
+        from ..operators.similarity import semantic_contamination
+
+        contaminated = (
+            semantic_contamination(
+                embeddings.select(
+                    F.col("vec_id").alias(id_col), F.col("embedding").alias("_vec")
+                ),
+                benchmark_embeddings.select(F.col("embedding").alias("_vec")),
+                semantic_decontam_threshold,
+                id_col=id_col,
+                vec_col="_vec",
+            )
+            .filter(F.col("is_contaminated"))
+            .select(id_col)
+        )
+        gated = gated.join(contaminated, id_col, "left_anti")
     fingerprinted = gated.withColumn(
         "_fp", F.xxhash64(F.concat_ws(" ", toks))
     ).withColumn("_ingest_ts", F.current_timestamp())

@@ -347,3 +347,76 @@ def test_stream_decontamination_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got_ids == batch_ids == {1, 3}
+
+
+def test_stream_semantic_decontamination_matches_batch(spark, tmp_path):
+    """r11 in-flight SEMANTIC decontamination: the paraphrase of a
+    benchmark item (no shared 8-gram, near in embedding space) is dropped
+    by the stream-static anti-join on the flagged id set; embedding-less
+    and far-away docs pass — exactly the docs the batch composition
+    drops."""
+    import math
+
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    def basis(j, dim=8, tilt=None):
+        v = [0.0] * dim
+        if tilt is None:
+            v[j] = 1.0
+        else:
+            v[j], v[j + 1] = math.cos(math.radians(tilt)), math.sin(math.radians(tilt))
+        return v
+
+    base = (
+        "the quick x{i}a brown fox x{i}b jumps over x{i}c the lazy x{i}d "
+        "dog walks x{i}e onward today x{i}f in the x{i}g usual way x{i}h"
+    )
+    rows = [(i, base.format(i=i)) for i in range(4)]
+    # doc 0 = paraphrase (2° off the benchmark axis); 1,2 far; 3 no embedding
+    emb = spark.createDataFrame(
+        [(0, basis(0, tilt=2.0)), (1, basis(2)), (2, basis(4))],
+        "vec_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(9, basis(0))], "vec_id long, embedding array<double>"
+    )
+    src = tmp_path / "sdocs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src / "f1")
+    )
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, chunk_tokens=8, overlap_tokens=2, min_quality=0.5,
+            embeddings=emb, benchmark_embeddings=bench_emb,
+        )
+        .writeStream.format("memory")
+        .queryName("sem_decontam_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got_ids = {r.doc_id for r in spark.table("sem_decontam_chunks").collect()}
+
+    batch_ids = {
+        r.doc_id
+        for r in prepare_training_set(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_quality=0.5, near_dup_threshold=None,
+            embeddings=emb, benchmark_embeddings=bench_emb, semantic_k=2,
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got_ids == batch_ids == {1, 2, 3}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires embeddings"):
+        stream_training_chunks(stream, benchmark_embeddings=bench_emb)

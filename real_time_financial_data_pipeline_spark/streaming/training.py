@@ -95,6 +95,7 @@ def stream_training_chunks(
     scrub: bool = False,
     repetition_gate: bool = False,
     known_fingerprints: DataFrame | None = None,
+    known_bloom=None,
     perplexity_model=None,
     max_perplexity: float | None = None,
     embeddings: DataFrame | None = None,
@@ -139,7 +140,15 @@ def stream_training_chunks(
     static side is re-read per micro-batch, so a nightly-refreshed
     fingerprint table takes effect without restarting the stream.  Exact
     content only; near-dups against history remain the nightly batch
-    compaction's job.
+    compaction's job.  ``known_bloom`` (an ``operators.bloom.LocalBloom``
+    built nightly over the same index, r11) accelerates that join at
+    lake scale: rows the Bloom calls definitely-new skip the anti-join
+    entirely (map-side test, no shuffle) and only the 'maybe' fraction
+    pays the exact join — output identical (false positives are verified
+    away, never dropped; see ``bloom.anti_join_known``).  The Bloom is
+    frozen at stream start (it rides the plan), so content landed SINCE
+    the build relies on the per-batch-read fingerprint table — exactly
+    the staleness split a nightly build implies.
 
     ``perplexity_model`` (a :class:`~..operators.lm.LocalBigramLM`, the
     driver-collected form of a batch-fitted model) + ``max_perplexity``
@@ -209,10 +218,13 @@ def stream_training_chunks(
         "_fp", F.xxhash64(F.concat_ws(" ", toks))
     ).withColumn("_ingest_ts", F.current_timestamp())
     if known_fingerprints is not None:
-        fingerprinted = fingerprinted.join(
-            known_fingerprints.select(F.col("fingerprint").alias("_fp")).distinct(),
+        from ..operators.bloom import anti_join_known
+
+        fingerprinted = anti_join_known(
+            fingerprinted,
+            known_fingerprints.select(F.col("fingerprint").alias("_fp")),
             "_fp",
-            "left_anti",
+            bloom=known_bloom,
         )
     deduped = fingerprinted.withWatermark(
         "_ingest_ts", dedup_watermark

@@ -16,11 +16,15 @@ Decoding: PPM (P6) / PGM (P5) decode REAL pixels with zero dependencies
 beyond numpy (``decode_ppm`` — the formats are headers + raw bytes, ~40
 lines of stdlib), and ``decode_image`` uses it as the default codec, so
 the full decode → featurize path runs distributed on actual images in
-this container.  Other formats (JPEG/PNG/…) still require an injected
-``codec`` callable (e.g. PIL-based) — that remains the only stub
-boundary, now opt-in rather than the default path.
-``fake_image_features`` (raw byte statistics) stays available for
-plumbing tests that don't care about pixel semantics.
+this container.  WAV (RIFF PCM16) decodes REAL audio the same way
+(``decode_wav`` — stdlib ``wave`` + numpy) with
+``extract_audio_features`` computing the standard cheap quality screens
+(RMS, zero-crossing rate, duration) over Arrow batches.  Other formats
+(JPEG/PNG/MP3/…) still require an injected ``codec`` callable (e.g.
+PIL/ffmpeg-based) — that remains the only stub boundary, opt-in rather
+than the default path.  ``fake_image_features`` (raw byte statistics)
+stays available for plumbing tests that don't care about pixel
+semantics.
 """
 
 from __future__ import annotations
@@ -241,6 +245,137 @@ def attach_ppm_images(
                     "width": pd.Series(widths, dtype="int64"),
                     "height": pd.Series(heights, dtype="int64"),
                     "duration_s": pd.Series([None] * len(blobs), dtype="float64"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("byte_len", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples ([n] mono or [n, ch]) as a WAV blob — the
+    inverse of :func:`decode_wav`, stdlib ``wave`` only; used by the test
+    fabric to plant REAL decodable audio."""
+    import io
+    import wave
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    n_ch = 1 if a.ndim == 1 else a.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes):
+    """Decode a WAV (RIFF PCM, 16-bit) blob into (samples, sample_rate) —
+    a REAL audio decode with no codec library: stdlib ``wave`` parses the
+    RIFF container, numpy views the PCM frames.  Mono comes back [n],
+    multi-channel [n, ch]; non-PCM16 (compressed / 8- or 24-bit) raises."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not isinstance(blob, (bytes, bytearray)) or blob[:4] != b"RIFF":
+        raise ValueError("not a WAV blob (RIFF magic missing)")
+    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+        if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+            raise ValueError(
+                f"only uncompressed 16-bit PCM supported, got "
+                f"{w.getsampwidth()*8}-bit {w.getcomptype()}"
+            )
+        n_ch, rate = w.getnchannels(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    a = np.frombuffer(raw, dtype=np.int16)
+    return (a if n_ch == 1 else a.reshape(-1, n_ch)), rate
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over Arrow batches: WAV blobs ->
+    (sample_rate, n_samples, duration_s, RMS, zero-crossing rate) — the
+    standard cheap audio-quality screens (silence/clipping/noise
+    heuristics build on exactly these).  Same ``mapInPandas`` shape as
+    :func:`extract_features`; swap the kernel for an embedding model in
+    deployment."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "byte_len", "sample_rate", "n_samples",
+                "duration_s", "rms", "zero_cross_rate",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                rows["media_id"].append(mid)
+                if blob is None:
+                    for k in list(rows)[1:]:
+                        rows[k].append(None)
+                    continue
+                samples, rate = decode_wav(blob)
+                mono = samples if samples.ndim == 1 else samples.mean(axis=1)
+                x = mono.astype(np.float64) / 32768.0
+                n = len(x)
+                rows["byte_len"].append(len(blob))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / rate if rate else None)
+                rows["rms"].append(float(np.sqrt((x**2).mean())) if n else None)
+                rows["zero_cross_rate"].append(
+                    float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else None
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def attach_wav_audio(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """Media-table fabric with REAL decodable audio: one deterministic WAV
+    per row — a sine at an id-derived frequency with id-derived length —
+    generated distributed in ``mapInPandas`` (only the payload is
+    synthetic, the partition/batch behavior is production-shaped)."""
+    import numpy as np
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, durs = [], []
+            for mid in pdf["media_id"]:
+                n = sample_rate // 10 + int(mid) % 256  # ~0.1 s, ragged
+                freq = 100.0 + (int(mid) % 40) * 25.0
+                t = np.arange(n, dtype=np.float64) / sample_rate
+                x = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+                blobs.append(encode_wav(x, sample_rate))
+                durs.append(n / sample_rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "bytes": blobs,
+                    "mime": "audio/wav",
+                    "width": pd.Series([None] * len(blobs), dtype="Int64"),
+                    "height": pd.Series([None] * len(blobs), dtype="Int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
                 }
             )
 

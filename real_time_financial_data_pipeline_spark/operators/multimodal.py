@@ -109,22 +109,19 @@ def encode_ppm(arr) -> bytes:
     return b"%s\n%d %d\n255\n" % (magic, w, h) + a.tobytes()
 
 
-def decode_ppm(blob: bytes):
-    """Decode a binary PPM (P6, RGB) or PGM (P5, grayscale) blob into a
-    uint8 numpy array (HxWx3 / HxW) — a REAL image decode with no codec
-    library: the netpbm binary formats are an ASCII header (magic, width,
-    height, maxval, ``#`` comments allowed) followed by raw samples.
-    Only maxval <= 255 (1 byte/sample) is supported; 2-byte maxvals raise."""
+def _decode_one_ppm(blob: bytes, pos: int):
+    """Decode the single P6/P5 image starting at byte ``pos``; returns
+    (array, position after its pixel data) — the unit the whole-blob and
+    multi-frame stream decoders share."""
     import numpy as np
 
-    if not isinstance(blob, (bytes, bytearray)) or blob[:2] not in (b"P6", b"P5"):
+    magic = bytes(blob[pos : pos + 2])
+    if magic not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM blob (P6/P5 magic missing)")
-    magic = bytes(blob[:2])
-
-    # header scan: magic, then 3 ASCII ints separated by whitespace, with
-    # '#' comments running to end-of-line; ONE whitespace byte after
-    # maxval, then raw samples
-    pos, fields = 2, []
+    pos += 2
+    # header scan: 3 ASCII ints separated by whitespace, '#' comments to
+    # end-of-line; ONE whitespace byte after maxval, then raw samples
+    fields: list[int] = []
     while len(fields) < 3:
         while pos < len(blob) and blob[pos : pos + 1].isspace():
             pos += 1
@@ -146,7 +143,48 @@ def decode_ppm(blob: bytes):
     if len(raw) != n:
         raise ValueError(f"truncated pixel data: expected {n} bytes, got {len(raw)}")
     a = np.frombuffer(raw, dtype=np.uint8)
-    return a.reshape(height, width, 3) if channels == 3 else a.reshape(height, width)
+    return (
+        a.reshape(height, width, 3) if channels == 3 else a.reshape(height, width),
+        pos + n,
+    )
+
+
+def decode_ppm(blob: bytes):
+    """Decode a binary PPM (P6, RGB) or PGM (P5, grayscale) blob into a
+    uint8 numpy array (HxWx3 / HxW) — a REAL image decode with no codec
+    library: the netpbm binary formats are an ASCII header (magic, width,
+    height, maxval, ``#`` comments allowed) followed by raw samples.
+    Only maxval <= 255 (1 byte/sample) is supported; 2-byte maxvals raise."""
+    if not isinstance(blob, (bytes, bytearray)):
+        raise ValueError("not a binary PPM/PGM blob (P6/P5 magic missing)")
+    arr, _ = _decode_one_ppm(bytes(blob), 0)
+    return arr
+
+
+def decode_ppm_stream(blob: bytes) -> list:
+    """Decode a MULTI-IMAGE netpbm stream (concatenated P6/P5 images —
+    the format's own multi-frame convention) into a list of frames.
+    This is the engine's honest 'video': real bytes, real per-frame
+    decode, no codec library; swap for an ffmpeg-backed codec in
+    deployment, the downstream frame-sampling path is identical."""
+    b = bytes(blob)
+    frames, pos = [], 0
+    while pos < len(b):
+        arr, pos = _decode_one_ppm(b, pos)
+        frames.append(arr)
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+    if not frames:
+        raise ValueError("empty netpbm stream")
+    return frames
+
+
+def encode_ppm_stream(frames) -> bytes:
+    """Concatenate frames into a multi-image netpbm stream — the inverse
+    of :func:`decode_ppm_stream`."""
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    return b"".join(encode_ppm(f) for f in frames)
 
 
 def decode_image(blob: bytes, codec: Callable[[bytes], object] | None = None) -> object:
@@ -395,12 +433,129 @@ def fake_image_features(blob: bytes) -> tuple[float, float]:
 
 def frame_sample_plan(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: computes per-media frame timestamps to
-    extract (metadata math, fully columnar); the actual frame decode joins
-    this plan with the blob table inside mapInPandas.  STUB boundary at the
-    decode, real at the planning layer."""
+    extract (metadata math, fully columnar); :func:`extract_frames` joins
+    this plan with the blob table and decodes the selected frames."""
     n_frames = F.floor(F.coalesce(F.col("duration_s"), F.lit(0.0)) / F.lit(every_n_seconds)).cast("long")
     return (
         df.filter(F.col("kind") == "video")
         .select("media_id", F.explode(F.sequence(F.lit(0).cast("long"), n_frames)).alias("_i"))
         .select("media_id", (F.col("_i") * F.lit(every_n_seconds)).alias("frame_ts"))
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts", DoubleType(), False),
+        StructField("frame_index", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("feat_mean", DoubleType(), True),
+        StructField("feat_std", DoubleType(), True),
+    ]
+)
+
+
+def extract_frames(
+    media: DataFrame, every_n_seconds: float = 1.0
+) -> DataFrame:
+    """EXECUTE the frame-sampling plan on real netpbm-stream video blobs:
+    join :func:`frame_sample_plan` with the blob table on media_id, decode
+    each video's stream ONCE per Arrow batch (cached per media within the
+    batch), map every planned timestamp to its frame
+    (``index = floor(ts/duration · n_frames)``, clamped — frames are
+    treated as evenly spaced across the clip), and emit per-frame features.
+
+    Scale shape: the join is keyed on media_id (a video's plan rows
+    co-locate with its blob); decode cost is paid once per (video, batch)
+    and the stream parse is a linear byte scan.  Real video codecs slot in
+    by overriding the stream decode — the plan/join/batch plumbing is
+    codec-agnostic."""
+    import numpy as np
+
+    plan = frame_sample_plan(media, every_n_seconds)
+    joined = plan.join(
+        media.select("media_id", "bytes", "duration_s"), "media_id"
+    ).select("media_id", "frame_ts", "bytes", "duration_s")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cache: dict = {}
+            rows = {k: [] for k in (
+                "media_id", "frame_ts", "frame_index", "width", "height",
+                "feat_mean", "feat_std",
+            )}
+            for mid, ts, blob, dur in zip(
+                pdf["media_id"], pdf["frame_ts"], pdf["bytes"], pdf["duration_s"]
+            ):
+                rows["media_id"].append(mid)
+                rows["frame_ts"].append(ts)
+                if blob is None or dur is None or dur <= 0:
+                    for k in ("frame_index", "width", "height", "feat_mean", "feat_std"):
+                        rows[k].append(None)
+                    continue
+                if mid not in cache:
+                    cache[mid] = decode_ppm_stream(blob)
+                frames = cache[mid]
+                idx = min(len(frames) - 1, max(0, int(ts / dur * len(frames))))
+                px = frames[idx].astype(np.float64)
+                rows["frame_index"].append(idx)
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                rows["feat_mean"].append(float(px.mean()))
+                rows["feat_std"].append(float(px.std()))
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(run, FRAME_SCHEMA)
+
+
+def attach_ppm_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fps: float = 4.0,
+    base_width: int = 12,
+    base_height: int = 8,
+) -> DataFrame:
+    """Media-table fabric with REAL decodable video: one deterministic
+    netpbm stream per row — frame count and pixel ramps derived from the
+    id, each frame visibly distinct (the frame index shifts the ramp), so
+    frame-extraction tests can prove WHICH frame was decoded.  Generated
+    distributed in ``mapInPandas``."""
+    import numpy as np
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, durs = [], []
+            for mid in pdf["media_id"]:
+                n_frames = 4 + int(mid) % 5
+                w = base_width + int(mid) % 4
+                h = base_height + int(mid) % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    np.stack(
+                        [
+                            (xx * 3 + yy * 7 + int(mid) + 31 * f) % 256,
+                            (xx * 5 + yy * 11 + 2 * int(mid) + 57 * f) % 256,
+                            (xx * 13 + yy * 17 + 3 * int(mid) + 89 * f) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                blobs.append(encode_ppm_stream(frames))
+                durs.append(n_frames / fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "bytes": blobs,
+                    "mime": "video/x-netpbm-stream",
+                    "width": pd.Series([None] * len(blobs), dtype="Int64"),
+                    "height": pd.Series([None] * len(blobs), dtype="Int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                }
+            )
+
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)

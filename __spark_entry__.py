@@ -375,6 +375,42 @@ def _ofi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range/interval join (operators/asof.py:range_join): events
+    joined into 15 content-derived 36-hour campaign windows opening every
+    48 h from the corpus' own min(ts), then a per-window aggregate.  The
+    operator is the coarse-bucket equi-join decomposition of
+    ``ts ∈ [start, end)`` — the oracle joins on the RAW inequality in
+    DuckDB, so bucket cover, boundary semantics (start-inclusive,
+    end-exclusive), and the no-duplicate claim of the decomposition are
+    all independently checked.  Sums run in decimal(18,6) on both sides
+    so partial-aggregation order can't wiggle a float hash."""
+    from real_time_financial_data_pipeline_spark.operators.asof import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    windows = (
+        events.agg(F.min("ts").alias("t0"))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(14))).alias("window_id"), "t0")
+        .select(
+            F.col("window_id").cast("long").alias("window_id"),
+            F.expr("t0 + make_dt_interval(0, window_id * 48, 0, 0)").alias("w_start"),
+            F.expr("t0 + make_dt_interval(0, window_id * 48 + 36, 0, 0)").alias("w_end"),
+        )
+    )
+    joined = range_join(events, windows, "ts", "w_start", "w_end", bucket="1 day")
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_id")
+    )
+
+
 def _tick_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared tick projection of the finance oracle family (vwap/ofi/
     kyle/activity): price = value, size = the JSON ``k`` prop.  The events
@@ -1774,7 +1810,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       staging, via the operator's order_hash swap point: md5(key||salt)
       replaces xxhash64 so the take ORDER itself is content-replayable,
       the first sampler row where the order, not just the invariants, is
-      oracle-checked)."""
+      oracle-checked).
+
+    Round-11 second rotation — the new batch range/interval join gets an
+    oracle row; one kernel-overlap row retires:
+
+    - ofi_daily OUT (its tick-rule sign kernel — lag compare +
+      last-ignore-nulls forward fill — appears VERBATIM as the first two
+      CTEs of the live kyle_lambda_ticks oracle, and its signed-volume
+      calendar aggregate is the same map-side-combined shape vwap_daily
+      hash-checks; the operator keeps its in-test DuckDB oracle + bounds
+      tests in test_finance.py and its plan contract in
+      tools/plan_audit.py)
+      -> range_join_windows IN (operators/asof.py:range_join — the
+      coarse-bucket equi-join decomposition of a point-in-interval join;
+      DuckDB replays the RAW inequality join, so the decomposition's
+      bucket cover, boundary semantics and no-duplicates claim are
+      independently proven on real data)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1802,7 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": _order_priority,
         "value_percentiles": _value_percentiles,
         "events_quality_report": _events_quality_report,
-        "ofi_daily": _ofi_daily,
+        "range_join_windows": _range_join_windows,
         "asof_purchase_click": _asof_purchase_click,
         "portfolio_daily": _portfolio_daily,
         "user_retention_cohorts": _user_retention_cohorts,
@@ -2242,38 +2294,27 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.99), 6) AS p99
         FROM events GROUP BY 1
     """
-    # ofi_daily: tick-rule signs (lag compare + last-ignore-nulls forward
-    # fill) and the signed-volume calendar aggregate, all window SQL
-    sqls["ofi_daily"] = """
-        WITH ticks AS (
-            SELECT event_type, ts, value AS price,
-                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
-            FROM events
-        ),
-        raw AS (
-            SELECT event_type, ts, size, price,
-                   CASE WHEN price > lag(price) OVER w THEN 1
-                        WHEN price < lag(price) OVER w THEN -1 END AS s
-            FROM ticks WINDOW w AS (PARTITION BY event_type ORDER BY ts, price)
-        ),
-        signed AS (
-            SELECT event_type, ts, size,
-                   coalesce(last_value(s IGNORE NULLS) OVER (
-                       PARTITION BY event_type ORDER BY ts, price
-                       ROWS UNBOUNDED PRECEDING), 0) AS sign
-            FROM raw
+    # range_join_windows: the oracle joins on the RAW inequality predicate
+    # (what the operator's bucket decomposition must be equivalent to) and
+    # rebuilds the same content-derived window table from min(ts)
+    sqls["range_join_windows"] = """
+        WITH b AS (SELECT min(ts) AS t0 FROM events),
+        w AS (
+            SELECT g.k AS window_id,
+                   b.t0 + g.k * INTERVAL '48 hours' AS w_start,
+                   b.t0 + g.k * INTERVAL '48 hours' + INTERVAL '36 hours' AS w_end
+            FROM b, generate_series(0, 14) AS g(k)
         )
-        SELECT event_type,
-               CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
-               round(CASE WHEN sum(size) > 0
-                     THEN sum(sign * size) / sum(size) END, 6) AS ofi,
-               round(sum(sign * size), 6) AS signed_volume,
-               round(sum(size), 6) AS volume,
-               count(*) AS n_trades
-        FROM signed GROUP BY 1, 2
+        SELECT w.window_id,
+               count(e.event_id) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+               count(DISTINCT e.user_id) AS n_users
+        FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w.window_id
     """
-    # kyle_lambda_ticks: tick-rule signs (the ofi_daily kernel), per-tick
-    # price changes, then cov/var over the identical dp-non-null sample
+    # kyle_lambda_ticks: tick-rule signs (the same kernel the retired
+    # ofi_daily oracle checked — its anchor since the r11 second rotation),
+    # per-tick price changes, then cov/var over the identical sample
     sqls["kyle_lambda_ticks"] = """
         WITH ticks AS (
             SELECT event_type, ts, value AS price,

@@ -20,6 +20,11 @@ would leave the JVM.  Ties at equal ts resolve right-before-left
 ``gap_fill``: per-series calendar densification + forward-fill — generate
 the full day grid per key (sequence + explode), left-join the observed
 values, carry the last observation forward (``last ignoreNulls``).
+
+``range_join``: point-in-interval join (event ts ∈ [start, end)) via
+coarse-bucket equi-join decomposition — the standard "binning" rewrite
+for the join shape Catalyst can only plan as BroadcastNestedLoopJoin /
+CartesianProduct when given the raw inequality predicate.
 """
 
 from __future__ import annotations
@@ -138,3 +143,144 @@ def gap_fill(
         *[F.last(c, ignorenulls=True).over(w).alias(f"{c}_ff") for c in value_cols],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    key_cols: list[str] | None = None,
+    bucket: str | int | float = "1 day",
+    how: str = "inner",
+    left_id_col: str | None = None,
+    end_inclusive: bool = False,
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Join each left row (a point in time) to every right row (an
+    interval) that contains it: ``start <= ts < end`` (``<= end`` with
+    ``end_inclusive=True``), optionally also matching on ``key_cols``.
+
+    Why not just ``left.join(right, ts.between(start, end))``: with no
+    equality conjunct Catalyst's only strategies are
+    BroadcastNestedLoopJoin (every executor scans the whole right side
+    per left row) or CartesianProduct — O(|left| x |right|) compare
+    volume, a non-starter once the interval table outgrows a broadcast.
+    The scalable rewrite is **bucket decomposition** (the same binning
+    strategy behind Databricks' range-join hints and KDB band joins):
+
+    - choose a coarse grain ``bucket`` (e.g. '1 day');
+    - explode each interval into the bucket ids it overlaps
+      (``sequence(floor(start/g), floor(end/g))`` — pure JVM, map-side);
+    - tag each left row with its single bucket id ``floor(ts/g)``;
+    - equi-join on (key_cols..., bucket_id) — a plain hash/sort-merge
+      join Spark shuffles or broadcasts like any other — then apply the
+      EXACT predicate as a post-join filter.
+
+    Each matching (left, interval) pair meets at exactly ONE bucket (the
+    left row's own), so the decomposition introduces no duplicates and
+    needs no distinct.  Cost: the right side is amplified by
+    ceil(len/bucket)+1 rows per interval — ``bucket`` is the density
+    knob; set it near the typical interval length so amplification is
+    O(1).  ``max_buckets_per_interval`` guards against a mis-set grain
+    (one year-long interval at '1 second' = 31M rows) by failing fast
+    at plan execution rather than silently exploding the shuffle.
+    Intervals with NULL bounds or end < start match nothing and are
+    dropped from the build side.
+
+    ``how``: 'inner' keeps matched pairs; 'left' also keeps unmatched
+    left rows (right columns NULL) and requires ``left_id_col`` — a
+    unique left id the anti-join can rematch on (row identity by value
+    is ambiguous under duplicate rows, so it must be explicit).
+
+    Works on NUMERIC ranges too (a band join: price into price bands,
+    norm into norm buckets): pass a number as ``bucket`` — the point and
+    bound columns are cast to double either way, so the decomposition is
+    type-agnostic.
+
+    Output: all left columns, then the right columns (minus ``key_cols``);
+    overlapping non-key names raise rather than silently aliasing.
+    """
+    key_cols = key_cols or []
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and not left_id_col:
+        raise ValueError("how='left' requires left_id_col (a unique left id)")
+    overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(
+            f"left/right column collision {sorted(overlap)}; rename before joining"
+        )
+    if isinstance(bucket, (int, float)):
+        if bucket <= 0:
+            raise ValueError(f"bucket must be a positive interval, got {bucket!r}")
+        sec = float(bucket)
+        bucket = str(bucket)  # for the guard message
+    else:
+        sec = _interval_seconds(left.sparkSession, bucket)
+
+    bucket_of = lambda c: F.floor(F.col(c).cast("double") / F.lit(sec))
+    n_buckets = bucket_of(right_end) - bucket_of(right_start) + 1
+    # the guard lives INSIDE the sequence's upper bound so column pruning
+    # can't elide it — a mis-sized interval fails the job with a clear
+    # message instead of materializing millions of bucket rows first
+    guarded_end = F.when(
+        n_buckets > F.lit(max_buckets_per_interval),
+        F.raise_error(
+            F.format_string(
+                "range_join: interval spans %s buckets at grain '"
+                + bucket
+                + "' (max_buckets_per_interval=%s); coarsen the bucket",
+                n_buckets,
+                F.lit(max_buckets_per_interval),
+            )
+        ).cast("long"),
+    ).otherwise(bucket_of(right_end))
+    tagged_right = right.filter(
+        F.col(right_start).isNotNull()
+        & F.col(right_end).isNotNull()
+        & (F.col(right_end) >= F.col(right_start))
+    ).withColumn(
+        "_rj_bucket", F.explode(F.sequence(bucket_of(right_start), guarded_end))
+    )
+    tagged_left = left.withColumn("_rj_bucket", bucket_of(left_ts))
+
+    refine = F.col(left_ts) >= F.col(right_start)
+    refine &= (
+        F.col(left_ts) <= F.col(right_end)
+        if end_inclusive
+        else F.col(left_ts) < F.col(right_end)
+    )
+    matched = (
+        tagged_left.join(tagged_right, [*key_cols, "_rj_bucket"], "inner")
+        .filter(refine)
+        .drop("_rj_bucket")
+    )
+    if how == "inner":
+        return matched
+
+    right_out = [c for c in right.columns if c not in key_cols]
+    unmatched = left.join(
+        matched.select(left_id_col).distinct(), left_id_col, "left_anti"
+    ).select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_out]
+    )
+    return matched.unionByName(unmatched)
+
+
+def _interval_seconds(spark, interval: str) -> float:
+    """Resolve an interval string ('1 day', '4 hours') to seconds via the
+    engine's own parser — one tiny driver-side eval, no duration math
+    reimplemented here."""
+    # day-time intervals don't cast to double; difference two epoch-relative
+    # timestamps instead (tz offsets cancel in the subtraction)
+    row = spark.range(1).select(
+        (
+            F.expr(f"cast(to_timestamp('1970-01-01') + INTERVAL {interval} as double)")
+            - F.expr("cast(to_timestamp('1970-01-01') as double)")
+        ).alias("s")
+    ).head()
+    if row.s is None or row.s <= 0:
+        raise ValueError(f"bucket must be a positive interval, got {interval!r}")
+    return row.s

@@ -45,6 +45,12 @@ CHECKS = {
     "token_budget_sample_docs": dict(broadcast_min=1, max_exchange=2, no_cartesian=True),
     # OFI: tick-rule window pass + calendar aggregate — partial agg, keyed
     "ofi_daily": dict(partial_agg=True, no_cartesian=True),
+    # range join: the bucket decomposition MUST plan as a hash join on the
+    # bucket key (the window table broadcasts) — a BroadcastNestedLoopJoin
+    # or product means the equality conjunct was lost and the join is
+    # O(|left| x |right|) again
+    "range_join_windows": dict(broadcast_min=1, partial_agg=True,
+                               no_cartesian=True, no_bnlj=True),
     # portfolio: lag window + day aggregate + output-sized running window
     "portfolio_daily": dict(partial_agg=True, no_cartesian=True),
     # repetition metrics must stay a narrow scan: only (doc_id, text) read
@@ -141,6 +147,8 @@ def audit(name: str, plan: str, spec: dict) -> list[str]:
             problems.append(f"expected <= {xmax} exchanges, saw {n_ex}")
     if spec.get("no_cartesian") and "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
+    if spec.get("no_bnlj") and "BroadcastNestedLoopJoin" in plan:
+        problems.append("BroadcastNestedLoopJoin in plan (equality conjunct lost)")
     if spec.get("semi") and "LeftSemi" not in plan:
         problems.append("exists-test not planned as LeftSemi (row-multiplying join?)")
     if (pkey := spec.get("pre_agg_key")) and not re.search(
@@ -173,6 +181,7 @@ def main() -> None:
         "perplexity_docs": entrymod._perplexity_docs,
         "range_volatility_daily": entrymod._range_volatility_daily,
         "simhash_pairs_docs": entrymod._simhash_pairs_docs,
+        "ofi_daily": entrymod._ofi_daily,
     }
     failures = 0
     for name, spec in CHECKS.items():

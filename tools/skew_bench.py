@@ -291,6 +291,50 @@ def main() -> None:
     blob.unpersist()
     hub.unpersist()
 
+    # --- range join: bucket decomposition vs the naive inequality join --
+    # 2048 content-derived 2-hour intervals against the full event table.
+    # The naive BETWEEN join has no equality conjunct, so Spark plans a
+    # BroadcastNestedLoopJoin: |points| x |intervals| predicate evals
+    # (~2e8 here) no matter how selective the ranges are.  range_join's
+    # bucket decomposition turns it into a hash join on the bucket id +
+    # refine filter; per-bucket work is |points-in-bucket| x
+    # |intervals-overlapping-bucket| — the ONLY pairs that can match.
+    # The gap widens linearly with the interval count; past the broadcast
+    # threshold the naive form stops planning at all (product join).
+    from real_time_financial_data_pipeline_spark.operators.asof import range_join
+
+    points = ev.select("event_id", "ts").persist()
+    intervals = (
+        ev.filter(F.pmod("event_id", F.lit(49)) == 0)
+        .select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+        .limit(2048)
+        .persist()
+    )
+    n_points, n_intervals = points.count(), intervals.count()
+
+    naive_cond = (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    n_naive = points.join(intervals, naive_cond).count()
+    n_decomp = range_join(points, intervals, "ts", "w_start", "w_end", bucket="2 hours").count()
+    assert n_naive == n_decomp, (n_naive, n_decomp)
+
+    def run_rj(df):
+        df.groupBy("iid").count().write.format("noop").mode("overwrite").save()
+
+    results["range_join_naive_bnlj"] = median_of(
+        lambda: run_rj(points.join(intervals, naive_cond))
+    )
+    results["range_join_bucketed"] = median_of(
+        lambda: run_rj(
+            range_join(points, intervals, "ts", "w_start", "w_end", bucket="2 hours")
+        )
+    )
+    points.unpersist()
+    intervals.unpersist()
+
     big.unpersist()
     small.unpersist()
     print(

@@ -53,3 +53,44 @@ def stream_interval_join(
     for lk, rk in key_pairs:
         cond = cond & (F.col(lk) == F.col(rk))
     return lw.join(rw, cond, how)
+
+
+def stream_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    key_cols: list[str] | None = None,
+    bucket: str = "1 day",
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Stream-static range join: tag each STREAMING point with every row
+    of a STATIC interval table containing it (maintenance windows,
+    campaign flights, trading sessions).
+
+    This is the batch ``operators.asof.range_join`` applied verbatim —
+    the decomposition is stream-legal by construction: the stream side
+    only gains a stateless bucket-id projection, the static side's
+    explode happens once per micro-batch plan, and the join is a
+    stream-static INNER equi-join on (keys, bucket) — append-mode safe,
+    no watermark, no state.  Refresh the interval table by restarting
+    the query (static sides are re-resolved per restart, same contract
+    as ``known_fingerprints`` in streaming/training.py).
+
+    Only ``how='inner'`` exists here: the batch 'left' form re-matches
+    unmatched rows via an anti-join + union, which would make two
+    stream-static joins out of one logical operator; filter the output
+    against the input if unmatched points matter.
+    """
+    from ..operators.asof import range_join
+
+    if not points.isStreaming:
+        raise ValueError("points must be a streaming DataFrame (use range_join)")
+    if intervals.isStreaming:
+        raise ValueError("intervals must be static (stream-stream ranges need "
+                         "stream_interval_join's watermarks)")
+    return range_join(
+        points, intervals, ts_col, start_col, end_col,
+        key_cols=key_cols, bucket=bucket, end_inclusive=end_inclusive,
+    )

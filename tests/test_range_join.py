@@ -244,3 +244,56 @@ def test_range_join_numeric_band(spark):
     out = range_join(left, bands, "price", "lo", "hi", bucket=7)
     got = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
     assert got == {(1, 10), (2, 11), (2, 12)}
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    """Stream-static range join drains to exactly the batch result, and
+    the guards reject wrong-side streaming inputs."""
+    from real_time_financial_data_pipeline_spark.streaming.joins import (
+        stream_range_join,
+    )
+
+    pts = _points(
+        spark,
+        [
+            (1, "a", "2024-01-01 06:00:00"),
+            (2, "a", "2024-01-02 23:59:59"),
+            (3, "b", "2024-01-01 06:00:00"),
+            (4, "a", "2024-01-09 00:00:00"),
+        ],
+    )
+    ivs = _intervals(
+        spark,
+        [
+            (10, "a", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+            (11, "b", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+            (12, "a", "2024-01-08 12:00:00", "2024-01-10 00:00:00"),
+        ],
+    )
+    src = tmp_path / "pts"
+    pts.write.parquet(str(src))
+    stream = spark.readStream.schema(pts.schema).parquet(str(src))
+
+    q = (
+        stream_range_join(stream, ivs, "ts", "w_start", "w_end", key_cols=["key"])
+        .writeStream.format("memory")
+        .queryName("rj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.pid, r.iid) for r in spark.table("rj_stream").collect()}
+    want = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "ts", "w_start", "w_end", key_cols=["key"])
+        .select("pid", "iid")
+        .collect()
+    }
+    assert got == want == {(1, 10), (2, 10), (3, 11), (4, 12)}
+
+    with pytest.raises(ValueError, match="must be a streaming"):
+        stream_range_join(pts, ivs, "ts", "w_start", "w_end")
+    with pytest.raises(ValueError, match="must be static"):
+        stream_range_join(stream, stream, "ts", "w_start", "w_end")

@@ -539,3 +539,78 @@ def test_bpe_incremental_equals_naive_rescan(word_freqs, n_merges):
         return out
 
     assert learn_from_counts(word_freqs, n_merges) == naive(word_freqs, n_merges)
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 2_000_000)),  # (pid, offset sec)
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(100, 199),
+            st.integers(0, 2_000_000),
+            st.integers(-1000, 500_000),  # length; negatives = inverted (dropped)
+        ),
+        min_size=1, max_size=25, unique_by=lambda r: r[0],
+    ),
+    bucket=st.sampled_from(["45 minutes", "6 hours", "2 days"]),
+    inclusive=st.booleans(),
+)
+@_settings
+def test_range_join_equals_naive_for_any_input(spark, points, intervals, bucket, inclusive):
+    """The bucket decomposition is EXACTLY the inequality join for any
+    point set, interval set (incl. inverted/zero-length), grain, and
+    boundary mode — pair-set equality, no duplicates."""
+    from real_time_financial_data_pipeline_spark.operators.asof import range_join
+
+    base = 1_700_000_000
+    pts = spark.createDataFrame(
+        [(pid, off + base) for pid, off in points], "pid long, e long"
+    ).select("pid", F.timestamp_seconds("e").alias("ts"))
+    ivs = spark.createDataFrame(
+        [(iid, s + base, s + base + ln) for iid, s, ln in intervals],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("w_start"),
+        F.timestamp_seconds("e").alias("w_end"),
+    )
+    got = [
+        (r.pid, r.iid)
+        for r in range_join(
+            pts, ivs, "ts", "w_start", "w_end",
+            bucket=bucket, end_inclusive=inclusive,
+        ).select("pid", "iid").collect()
+    ]
+    upper = F.col("ts") <= F.col("w_end") if inclusive else F.col("ts") < F.col("w_end")
+    want = {
+        (r.pid, r.iid)
+        for r in pts.join(ivs, (F.col("ts") >= F.col("w_start")) & upper)
+        .select("pid", "iid")
+        .collect()
+    }
+    assert len(got) == len(set(got)) and set(got) == want
+
+
+@given(
+    vals_a=st.lists(st.integers(0, 5000), min_size=1, max_size=300),
+    vals_b=st.lists(st.integers(0, 5000), min_size=1, max_size=300),
+    k=st.sampled_from([2, 16, 64]),
+)
+@_settings
+def test_kmv_merge_equals_union_sketch_for_any_input(spark, vals_a, vals_b, k):
+    """merge(kmv(A), kmv(B)) == kmv(A ∪ B) exactly, for any multisets
+    and any k — the identity that makes nightly folds lossless."""
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sketch,
+        merge_kmv_tables,
+    )
+
+    a = spark.createDataFrame([(f"v{v}",) for v in vals_a], "v string")
+    b = spark.createDataFrame([(f"v{v}",) for v in vals_b], "v string")
+    merged = merge_kmv_tables(
+        kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k)
+    ).head().kmv
+    direct = kmv_sketch(a.union(b), "v", k=k).head().kmv
+    assert merged == direct

@@ -1,0 +1,134 @@
+"""KMV sketch family: exactness, merge identity, estimate accuracy,
+overlap estimation, layout independence, and the k metadata contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_overlap,
+    kmv_sketch,
+    kmv_union,
+    merge_kmv_tables,
+)
+
+
+def _values(spark, vals, stratum=None):
+    rows = [(v, stratum if stratum is not None else "s") for v in vals]
+    return spark.createDataFrame(rows, "v string, stratum string")
+
+
+def test_underfull_sketch_is_exact(spark):
+    df = _values(spark, [f"x{i}" for i in range(50)] * 3)  # 50 distinct, dups
+    sk = kmv_sketch(df, "v", k=256)
+    row = sk.select(
+        F.size("kmv").alias("n"), kmv_estimate(F.col("kmv"), 256).alias("est")
+    ).head()
+    assert row.n == 50 and row.est == 50.0
+
+
+def test_estimate_accuracy_at_scale(spark):
+    n = 20_000
+    df = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = kmv_sketch(df, "v", k=1024).select(
+        kmv_estimate(F.col("kmv"), 1024).alias("est")
+    ).head().est
+    assert abs(est - n) / n < 0.12, est  # RSE ~ 1/sqrt(k) ~ 3%; 4 sigma
+
+
+def test_merge_equals_sketch_of_union_exactly(spark):
+    a = spark.range(0, 3000).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(0, 3000).select(
+        F.concat(F.lit("a"), (F.col("id") + 1500)).alias("v")  # 50% overlap
+    )
+    k = 128
+    ska, skb = kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k)
+    merged = merge_kmv_tables(ska, skb).head().kmv
+    direct = kmv_sketch(a.union(b), "v", k=k).head().kmv
+    assert merged == direct  # exact array equality, not an approximation
+
+
+def test_daily_fold_equals_all_at_once(spark):
+    days = [
+        spark.range(i * 400, (i + 1) * 400 + 100).select(  # overlapping days
+            F.concat(F.lit("d"), F.col("id")).alias("v")
+        )
+        for i in range(4)
+    ]
+    k = 64
+    folded = kmv_sketch(days[0], "v", k=k)
+    for d in days[1:]:
+        folded = merge_kmv_tables(folded, kmv_sketch(d, "v", k=k))
+    whole = days[0]
+    for d in days[1:]:
+        whole = whole.union(d)
+    assert folded.head().kmv == kmv_sketch(whole, "v", k=k).head().kmv
+
+
+def test_keyed_sketches_and_one_sided_strata(spark):
+    df = _values(spark, [f"p{i}" for i in range(300)], "en").union(
+        _values(spark, [f"q{i}" for i in range(40)], "de")
+    )
+    sk = kmv_sketch(df, "v", key_cols=["stratum"], k=128)
+    rows = {r.stratum: r for r in sk.collect()}
+    assert set(rows) == {"en", "de"}
+    assert len(rows["de"].kmv) == 40  # underfull -> complete hash set
+    # overlap vs a table having only 'en': 'de' reports one-sided
+    other = kmv_sketch(
+        _values(spark, [f"p{i}" for i in range(150, 450)], "en"),
+        "v", key_cols=["stratum"], k=128,
+    )
+    ov = {r.stratum: r for r in kmv_overlap(sk, other, ["stratum"]).collect()}
+    assert ov["de"].distinct_b_est == 0.0 and ov["de"].jaccard_est == 0.0
+    assert ov["de"].distinct_a_est == 40.0
+    assert ov["en"].jaccard_est > 0.2  # true J = 150/450 = 0.333
+
+
+def test_overlap_estimates_known_jaccard(spark):
+    # |A| = |B| = 4000, |A ∩ B| = 2000 -> J = 1/3, union = 6000
+    a = spark.range(0, 4000).select(F.concat(F.lit("n"), F.col("id")).alias("v"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("n"), F.col("id")).alias("v"))
+    row = kmv_overlap(kmv_sketch(a, "v", k=1024), kmv_sketch(b, "v", k=1024)).head()
+    assert abs(row.jaccard_est - 1 / 3) < 0.06
+    assert abs(row.union_est - 6000) / 6000 < 0.12
+    assert abs(row.overlap_est - 2000) / 2000 < 0.2
+
+
+def test_layout_independence_and_null_exclusion(spark):
+    base = _values(spark, [f"x{i}" for i in range(500)])
+    with_nulls = base.union(spark.createDataFrame([(None, "s")], base.schema))
+    k = 64
+    one = kmv_sketch(with_nulls.coalesce(1), "v", k=k).head().kmv
+    many = kmv_sketch(with_nulls.repartition(13), "v", k=k).head().kmv
+    assert one == many
+
+
+def test_persistence_round_trip_keeps_contract(spark, tmp_path):
+    df = _values(spark, [f"x{i}" for i in range(100)])
+    p = str(tmp_path / "sk")
+    kmv_sketch(df, "v", k=32).write.parquet(p)
+    loaded = spark.read.parquet(p)
+    # metadata survives parquet -> merge works and k mismatch still raises
+    merged = merge_kmv_tables(loaded, kmv_sketch(df, "v", k=32))
+    assert merged.head().kmv == kmv_sketch(df, "v", k=32).head().kmv
+    with pytest.raises(ValueError, match="different k"):
+        merge_kmv_tables(loaded, kmv_sketch(df, "v", k=64))
+    stripped = loaded.select(F.col("kmv").alias("kmv", metadata={"wiped": True}))
+    with pytest.raises(ValueError, match="kmv_k metadata"):
+        merge_kmv_tables(stripped, loaded)
+
+
+def test_bad_args(spark):
+    df = _values(spark, ["a"])
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "v", k=1)
+    with pytest.raises(ValueError, match="sketch column"):
+        merge_kmv_tables(df, df)
+
+
+def test_union_expr_null_safe(spark):
+    df = spark.createDataFrame([([1, 5], None)], "a array<long>, b array<long>")
+    out = df.select(kmv_union(F.col("a"), F.col("b"), 4).alias("u")).head().u
+    assert out == [1, 5]

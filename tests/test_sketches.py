@@ -132,3 +132,126 @@ def test_union_expr_null_safe(spark):
     df = spark.createDataFrame([([1, 5], None)], "a array<long>, b array<long>")
     out = df.select(kmv_union(F.col("a"), F.col("b"), 4).alias("u")).head().u
     assert out == [1, 5]
+
+
+# ---- bottom-k sample sketch (quantiles/means over snapshot unions) ----
+
+
+def _iddf(spark, pairs):
+    return spark.createDataFrame(pairs, "id string, x double")
+
+
+def test_sample_sketch_underfull_quantiles_exact(spark):
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sample_sketch,
+        sample_mean,
+        sample_quantile,
+    )
+
+    df = _iddf(spark, [(f"i{i}", float(i)) for i in range(100)])
+    sk = kmv_sample_sketch(df, "x", "id", k=256)
+    row = sk.select(
+        F.size("kmv_sample").alias("n"),
+        sample_quantile(F.col("kmv_sample"), 0.5).alias("med"),
+        sample_quantile(F.col("kmv_sample"), 1.0).alias("mx"),
+        F.round(sample_mean(F.col("kmv_sample")), 6).alias("mean"),
+    ).head()
+    assert row.n == 100 and row.mx == 99.0 and row.mean == 49.5
+    assert row.med == 49.0  # nearest-rank: ceil(0.5*100) = 50th of 0..99
+
+
+def test_sample_sketch_quantile_accuracy(spark):
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sample_sketch,
+        sample_quantile,
+    )
+
+    n = 30_000
+    df = spark.range(n).select(
+        F.concat(F.lit("i"), F.col("id")).alias("id"),
+        F.col("id").cast("double").alias("x"),
+    )
+    row = kmv_sample_sketch(df, "x", "id", k=1024).select(
+        sample_quantile(F.col("kmv_sample"), 0.9).alias("p90")
+    ).head()
+    assert abs(row.p90 - 0.9 * n) / n < 0.05, row.p90
+
+
+def test_sample_sketch_merge_equals_direct_and_trend_contract(spark):
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sample_sketch,
+        merge_kmv_tables,
+        sample_quantile,
+    )
+
+    day1 = _iddf(spark, [(f"a{i}", float(i)) for i in range(2000)])
+    day2 = _iddf(spark, [(f"b{i}", float(i) * 2) for i in range(2000)])
+    k = 128
+    folded = merge_kmv_tables(
+        kmv_sample_sketch(day1, "x", "id", k=k),
+        kmv_sample_sketch(day2, "x", "id", k=k),
+        sketch_col="kmv_sample",
+    )
+    direct = kmv_sample_sketch(day1.union(day2), "x", "id", k=k)
+    assert folded.head().kmv_sample == direct.head().kmv_sample
+    # and quantiles compose from the fold without rescanning day1/day2
+    q = folded.select(sample_quantile(F.col("kmv_sample"), 0.5).alias("m")).head().m
+    assert 1000 < q < 3000  # true pooled median ~1500 +- sampling error
+
+
+def test_sample_sketch_duplicate_id_resolves_to_min_and_layout_free(spark):
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sample_sketch,
+    )
+
+    df = _iddf(spark, [("dup", 9.0), ("dup", 3.0), ("only", 1.0)])
+    one = kmv_sample_sketch(df.coalesce(1), "x", "id", k=8).head().kmv_sample
+    many = kmv_sample_sketch(df.repartition(7), "x", "id", k=8).head().kmv_sample
+    assert one == many
+    assert sorted(e.v for e in one) == [1.0, 3.0]  # min value wins for dup
+
+
+def test_sample_and_distinct_sketches_do_not_mix(spark):
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sample_sketch,
+        kmv_sketch,
+        merge_kmv_tables,
+        sample_quantile,
+    )
+
+    df = _iddf(spark, [(f"i{i}", float(i)) for i in range(20)])
+    dist = kmv_sketch(df, "id", k=16).withColumnRenamed("kmv", "kmv_sample")
+    samp = kmv_sample_sketch(df, "x", "id", k=16)
+    with pytest.raises(ValueError, match="distinct sketch with a sample"):
+        merge_kmv_tables(dist, samp, sketch_col="kmv_sample")
+    with pytest.raises(ValueError, match="works on distinct"):
+        kmv_overlap(samp.withColumnRenamed("kmv_sample", "kmv"),
+                    samp.withColumnRenamed("kmv_sample", "kmv"))
+    with pytest.raises(ValueError, match="q must be"):
+        sample_quantile(F.col("kmv_sample"), 0.0)
+
+
+def test_sample_sketch_keyed_persist_round_trip(spark, tmp_path):
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sample_sketch,
+        merge_kmv_tables,
+        sample_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(f"i{i}", float(i % 50), "en" if i % 2 else "de") for i in range(400)],
+        "id string, x double, stratum string",
+    )
+    sk = kmv_sample_sketch(df, "x", "id", key_cols=["stratum"], k=64)
+    p = str(tmp_path / "samp")
+    sk.write.parquet(p)
+    loaded = spark.read.parquet(p)
+    again = merge_kmv_tables(loaded, sk, ["stratum"], sketch_col="kmv_sample")
+    meds = {
+        r.stratum: r.m
+        for r in again.select(
+            "stratum", sample_quantile(F.col("kmv_sample"), 0.5).alias("m")
+        ).collect()
+    }
+    assert set(meds) == {"en", "de"} and all(0 <= m <= 49 for m in meds.values())

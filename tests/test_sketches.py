@@ -255,3 +255,32 @@ def test_sample_sketch_keyed_persist_round_trip(spark, tmp_path):
         ).collect()
     }
     assert set(meds) == {"en", "de"} and all(0 <= m <= 49 for m in meds.values())
+
+
+def test_sketch_tracks_curation_ladder_on_real_corpus(spark, documents):
+    """Cross-family integration: sketch the documents table before and
+    after the curation ladder.  Survivors are a SUBSET, so the overlap
+    report must show intersection ~= |after| and jaccard ~=
+    |after|/|before| — the nightly 'what did curation remove' readout,
+    computed from two persisted sketches alone."""
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+    )
+
+    before = documents
+    after = curate_documents(before, min_quality=0.5)
+    n_before, n_after = before.count(), after.count()
+    assert 0 < n_after < n_before
+
+    k = 256
+    sk_before = kmv_sketch(before, "text", k=k)
+    sk_after = kmv_sketch(after, "text", k=k)
+    row = kmv_overlap(sk_before, sk_after).head()
+    true_j = n_after / n_before  # subset => J = |after| / |before-distinct|
+    assert abs(row.jaccard_est - true_j) < 0.15, (row.jaccard_est, true_j)
+    assert row.overlap_est <= row.distinct_a_est * 1.2
+    assert abs(row.distinct_b_est - n_after) / n_after < 0.25

@@ -176,7 +176,7 @@ def sample_quantile(sketch: Column, q: float) -> Column:
         raise ValueError(f"q must be in (0, 1], got {q}")
     vs = F.array_sort(F.transform(sketch, lambda x: x["v"]))
     idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.size(vs)).cast("int"))
-    return F.element_at(vs, idx)
+    return F.try_element_at(vs, idx)  # null (not an ANSI throw) on empty
 
 
 def sample_mean(sketch: Column) -> Column:
@@ -192,8 +192,11 @@ def sample_mean(sketch: Column) -> Column:
 def kmv_estimate(sketch: Column, k: int) -> Column:
     """Distinct-count estimate from a sketch array: exact size when the
     sketch is under-full (it IS the distinct hash set), else (k-1)/u_k."""
+    # try_element_at: an underfull sketch takes the exact branch, but ANSI
+    # sessions (Spark 4 default) evaluate element_at eagerly and would
+    # throw on the short array before when() can choose
     size = F.size(sketch)
-    u_k = F.element_at(sketch, k).cast("double") * F.lit(_UNIT) + F.lit(0.5)
+    u_k = F.try_element_at(sketch, F.lit(k)).cast("double") * F.lit(_UNIT) + F.lit(0.5)
     return F.when(size < k, size.cast("double")).otherwise(F.lit(k - 1) / u_k)
 
 

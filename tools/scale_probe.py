@@ -85,6 +85,8 @@ def main() -> None:
         ivf_pq_topk,
         semdedup_pairs,
     )
+    from real_time_financial_data_pipeline_spark.operators.asof import range_join
+    from real_time_financial_data_pipeline_spark.operators.sketches import kmv_sketch
     from real_time_financial_data_pipeline_spark.operators.text import corpus_report
 
     def ticks(ev):
@@ -147,6 +149,10 @@ def main() -> None:
         "corpus_report": lambda d, s: noop(corpus_report(d)),
         "trigram_perplexity": lambda d, s: noop(
             perplexity_trigram(d, train_trigram_lm(d, vocab_size=20))),
+        # sketch build: map-scan-bound, shuffle bounded at partitions x k
+        # per key — expect ~linear time, CONSTANT output/shuffle width
+        "kmv_sketch_docs": lambda d, s: noop(
+            kmv_sketch(d, "text", key_cols=["lang"], k=1024)),
     }
     emb_probes = {
         # fixed k: the documented super-linear shape (cluster sizes grow
@@ -163,6 +169,18 @@ def main() -> None:
             vwap_bars(ticks(e), "D", group_cols=["event_type"])),
         "activity_bars": lambda e, s: noop(activity_bars(ticks(e), 2000.0, "volume")),
         "kyle_lambda": lambda e, s: noop(kyle_lambda(ticks(e), ["event_type"])),
+        # range join with BOTH sides growing (intervals = every 49th
+        # event): per-bucket work stays density-bound, never |L| x |R|
+        "range_join": lambda e, s: noop(
+            range_join(
+                e.select("event_id", "ts"),
+                e.filter(F.pmod("event_id", F.lit(49)) == 0).select(
+                    F.col("event_id").alias("iid"),
+                    F.col("ts").alias("w_start"),
+                    (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+                ),
+                "ts", "w_start", "w_end", bucket="2 hours",
+            ).groupBy("iid").count()),
     }
 
     results: dict[str, dict[str, float]] = {}

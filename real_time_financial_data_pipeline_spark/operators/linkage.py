@@ -1,0 +1,163 @@
+"""Blocked fuzzy join (record linkage): match rows across two tables by
+string similarity WITHOUT an all-pairs comparison.
+
+The naive fuzzy join — cross join + per-pair similarity — is
+O(|left| x |right|) and unusable across two large tables.  The standard
+scalable shape is blocking + verify, and the engine already has the
+exact machinery: MinHash-LSH banding generates candidate pairs in
+O(rows x bands) bucket joins, and exact set-Jaccard verifies only the
+candidates (``dedup.minhash_pairs_between``).  This module is the
+LINKAGE deployment of that pipeline: two different tables, a similarity
+column each, best-match ranking per left row.
+
+Two similarity modes:
+
+- ``mode='char'`` (default) — character n-gram Jaccard over the
+  normalized string (lower, trim, whitespace → ``_``).  The right
+  granularity for entity strings: names, tickers, addresses, titles —
+  "Jonh Smith" ~ "John Smith".  Implemented by rewriting each string as
+  its space-joined char-shingle sequence and running the WORD pipeline
+  with ``shingle_n=1`` (word 1-grams of the rewrite ARE the char
+  n-grams), so the battle-tested LSH path is reused verbatim.
+- ``mode='token'`` — word n-gram Jaccard, for document-length fields
+  (same space as the dedup family).
+
+Scale contract mirrors the dedup family: the LSH join is banded bucket
+equality (never a product), verification touches only candidates, and a
+persisted :func:`fuzzy_signatures` table for the big reference side
+makes nightly linkage runs index-reuse instead of recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import char_ngrams
+
+
+def _linkage_text(col: Column, mode: str, n: int) -> Column:
+    """The string rewritten into the token space the LSH pipeline hashes:
+    char mode = space-joined char n-grams of the normalized string (word
+    1-grams of this ARE the char shingles); token mode = normalized
+    as-is (the pipeline's own tokenizer applies)."""
+    norm = F.trim(F.lower(col))
+    if mode == "token":
+        return norm
+    return F.array_join(char_ngrams(F.regexp_replace(norm, r"\s+", "_"), n), " ")
+
+
+def fuzzy_signatures(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    mode: str = "char",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Persistable MinHash signature table for one side of a fuzzy join —
+    build nightly for the big reference catalog and pass as
+    ``right_sigs`` so linkage never re-hashes it.  Parameters must match
+    the join's (same contract as the dedup signature index)."""
+    from .dedup import minhash_signatures
+
+    eff_n = 1 if mode == "char" else shingle_n
+    proj = df.select(
+        F.col(id_col).alias("_lk_id"),
+        _linkage_text(F.col(col), mode, shingle_n).alias("_lk_text"),
+    )
+    return minhash_signatures(proj, "_lk_text", "_lk_id", num_hashes, eff_n)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.4,
+    top_k: int = 1,
+    mode: str = "char",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    how: str = "inner",
+    right_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Match each left row to its ``top_k`` most-similar right rows with
+    Jaccard >= ``threshold``.  Output: all left columns, the matched
+    right columns, ``similarity`` (exact verified Jaccard, not the LSH
+    estimate) and ``match_rank`` (1 = best; ties break on ascending
+    right id, deterministic).  ``how='left'`` keeps matchless left rows
+    with null match columns.
+
+    Recall note (inherited from LSH): a qualifying pair is found only if
+    it collides in >= 1 band; with ``bands=16`` of 2 rows each a pair at
+    Jaccard j collides with probability 1-(1-j²)¹⁶ (≈ 0.99 at j = 0.5).
+    Raise ``bands`` (up to ``num_hashes``) for recall, lower for cost —
+    the dedup family's knob, same math.  ``left_id``/``right_id`` must
+    be non-null and unique per table; null or empty similarity strings
+    produce no candidates (they surface only under ``how='left'``)."""
+    from .dedup import minhash_pairs_between
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if mode not in ("char", "token"):
+        raise ValueError(f"mode must be 'char' or 'token', got {mode!r}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column collision {sorted(overlap)}; rename before joining"
+        )
+
+    eff_n = 1 if mode == "char" else shingle_n
+    lproj = left.select(
+        F.col(left_id).alias("_lk_id"),
+        _linkage_text(F.col(left_col), mode, shingle_n).alias("_lk_text"),
+    )
+    rproj = right.select(
+        F.col(right_id).alias("_lk_id"),
+        _linkage_text(F.col(right_col), mode, shingle_n).alias("_lk_text"),
+    )
+    pairs = minhash_pairs_between(
+        lproj,
+        rproj,
+        "_lk_text",
+        "_lk_id",
+        num_hashes=num_hashes,
+        shingle_n=eff_n,
+        bands=bands,
+        threshold=threshold,
+        corpus_sigs=right_sigs,
+    )
+    w = Window.partitionBy("id_new").orderBy(F.desc("jaccard"), F.asc("id_corpus"))
+    ranked = (
+        pairs.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") <= top_k)
+        .select(
+            F.col("id_new").alias("_m_left"),
+            F.col("id_corpus").alias("_m_right"),
+            F.col("jaccard").alias("similarity"),
+            "match_rank",
+        )
+    )
+    matched = (
+        left.join(ranked, left[left_id] == ranked["_m_left"])
+        .join(right, ranked["_m_right"] == right[right_id])
+        .drop("_m_left", "_m_right")
+    )
+    if how == "inner":
+        return matched
+
+    unmatched = left.join(
+        ranked.select(F.col("_m_left").alias(left_id)).distinct(), left_id, "left_anti"
+    ).select(
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right.columns],
+        F.lit(None).cast("double").alias("similarity"),
+        F.lit(None).cast("int").alias("match_rank"),
+    )
+    return matched.unionByName(unmatched)

@@ -1,0 +1,165 @@
+"""Blocked fuzzy join (record linkage): match quality, ranking,
+determinism, outer semantics, and the no-product blocking contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.linkage import (
+    fuzzy_join,
+    fuzzy_signatures,
+)
+
+CATALOG = [
+    (100, "John Smith"),
+    (101, "Jane Doe"),
+    (102, "Acme Corporation"),
+    (103, "Globex International Holdings"),
+    (104, "Wayne Enterprises"),
+]
+QUERIES = [
+    (1, "Jonh Smith"),            # transposition
+    (2, "jane  doe"),             # case + double space
+    (3, "Acme Corp"),             # truncation
+    (4, "Globex Intl Holdings"),  # abbreviation
+    (5, "Stark Industries"),      # no good match
+]
+
+
+def _tables(spark):
+    left = spark.createDataFrame(QUERIES, "qid long, qname string")
+    right = spark.createDataFrame(CATALOG, "cid long, cname string")
+    return left, right
+
+
+def test_fuzzy_join_links_typos_to_catalog(spark):
+    left, right = _tables(spark)
+    out = fuzzy_join(left, right, "qname", "cname", "qid", "cid", threshold=0.3)
+    got = {r.qid: (r.cid, r.similarity) for r in out.collect()}
+    assert got[1][0] == 100 and got[2][0] == 101
+    assert got[3][0] == 102 and got[4][0] == 103
+    assert 5 not in got  # below threshold everywhere
+    assert all(sim >= 0.3 for _, sim in got.values())
+
+
+def test_fuzzy_join_left_outer_and_exact_match_is_one(spark):
+    left, right = _tables(spark)
+    out = fuzzy_join(
+        left, right, "qname", "cname", "qid", "cid", threshold=0.3, how="left"
+    )
+    rows = {r.qid: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[5].cid is None and rows[5].similarity is None
+    # an exact (case-insensitive) copy scores 1.0
+    exact = fuzzy_join(
+        spark.createDataFrame([(9, "ACME CORPORATION")], "qid long, qname string"),
+        right, "qname", "cname", "qid", "cid", threshold=0.5,
+    ).head()
+    assert exact.cid == 102 and exact.similarity == 1.0
+
+
+def test_fuzzy_join_topk_ranking_deterministic(spark):
+    right = spark.createDataFrame(
+        [(200, "data pipeline"), (201, "data pipelines"), (202, "data pipe"),
+         (203, "unrelated thing")],
+        "cid long, cname string",
+    )
+    left = spark.createDataFrame([(1, "data pipeline")], "qid long, qname string")
+    out = fuzzy_join(
+        left, right, "qname", "cname", "qid", "cid", threshold=0.2, top_k=3
+    ).orderBy("match_rank")
+    rows = out.collect()
+    assert [r.cid for r in rows][0] == 200  # exact first
+    assert [r.match_rank for r in rows] == list(range(1, len(rows) + 1))
+    sims = [r.similarity for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # rerun is identical (tie-break on ascending right id, no layout leak)
+    again = fuzzy_join(
+        left.repartition(5), right.repartition(3),
+        "qname", "cname", "qid", "cid", threshold=0.2, top_k=3,
+    ).orderBy("match_rank").collect()
+    assert [(r.cid, r.similarity) for r in again] == [
+        (r.cid, r.similarity) for r in rows
+    ]
+
+
+def test_fuzzy_join_candidates_subset_of_brute_force(spark):
+    """Every reported pair must carry the EXACT char-gram Jaccard the
+    brute-force cross join computes — LSH may miss pairs (recall < 1),
+    but must never invent or mis-score one."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import jaccard
+    from real_time_financial_data_pipeline_spark.operators.linkage import (
+        _linkage_text,
+    )
+
+    left, right = _tables(spark)
+    out = fuzzy_join(left, right, "qname", "cname", "qid", "cid", threshold=0.2,
+                     top_k=5)
+    got = {(r.qid, r.cid): r.similarity for r in out.collect()}
+    lg = left.select("qid", F.split(_linkage_text(F.col("qname"), "char", 3), " ").alias("ga"))
+    rg = right.select("cid", F.split(_linkage_text(F.col("cname"), "char", 3), " ").alias("gb"))
+    brute = {
+        (r.qid, r.cid): r.j
+        for r in lg.crossJoin(rg)
+        .select("qid", "cid", F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("j"))
+        .collect()
+    }
+    for pair, sim in got.items():
+        assert brute[pair] == sim, pair
+        assert sim >= 0.2
+
+
+def test_fuzzy_join_with_persisted_signatures(spark):
+    left, right = _tables(spark)
+    sigs = fuzzy_signatures(right, "cname", "cid")
+    with_index = fuzzy_join(
+        left, right, "qname", "cname", "qid", "cid", threshold=0.3,
+        right_sigs=sigs,
+    )
+    without = fuzzy_join(left, right, "qname", "cname", "qid", "cid", threshold=0.3)
+    assert sorted((r.qid, r.cid) for r in with_index.collect()) == sorted(
+        (r.qid, r.cid) for r in without.collect()
+    )
+
+
+def test_fuzzy_join_token_mode_on_documents(spark, documents):
+    """Token mode: a shuffled-paragraph derivative of a real doc links
+    back to its source."""
+    src = documents.limit(20).select("doc_id", "text")
+    probe = src.filter(F.col("doc_id") == src.head().doc_id).select(
+        F.lit(999999).alias("qid"),
+        # drop the first word — still overwhelmingly similar in 3-gram space
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("qtext"),
+    )
+    out = fuzzy_join(
+        probe, src.withColumnRenamed("doc_id", "cid"),
+        "qtext", "text", "qid", "cid", threshold=0.5, mode="token",
+    ).head()
+    assert out is not None and out.cid == src.head().doc_id
+
+
+def test_fuzzy_join_guards(spark):
+    left, right = _tables(spark)
+    with pytest.raises(ValueError, match="collision"):
+        fuzzy_join(left, left, "qname", "qname", "qid", "qid")
+    with pytest.raises(ValueError, match="how"):
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid", how="full")
+    with pytest.raises(ValueError, match="mode"):
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid", mode="soundex")
+    with pytest.raises(ValueError, match="top_k"):
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid", top_k=0)
+
+
+def test_fuzzy_join_plan_has_no_product_join(spark):
+    """Blocking contract: the executed plan joins banded buckets — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    left, right = _tables(spark)
+    plan = (
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid", threshold=0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -163,3 +163,57 @@ def test_fuzzy_join_plan_has_no_product_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_fuzzy_matches_parity_with_batch(spark, tmp_path):
+    """Streaming linkage drains to EXACTLY the batch fuzzy_join match set
+    (all matches, same verified similarities) — per-row signatures must
+    be bit-identical to the batch aggregate's, candidates identical."""
+    from real_time_financial_data_pipeline_spark.streaming.linkage import (
+        stream_fuzzy_matches,
+    )
+
+    queries = [
+        (1, "Jonh Smith", "2024-01-01 10:00:00"),
+        (2, "jane  doe", "2024-01-01 10:01:00"),
+        (3, "Acme Corp", "2024-01-01 10:02:00"),
+        (4, "Globex Intl Holdings", "2024-01-01 10:03:00"),
+        (5, "Stark Industries", "2024-01-01 10:04:00"),
+        (6, "", "2024-01-01 10:05:00"),  # empty -> placeholder, no match
+    ]
+    left = spark.createDataFrame(
+        queries, "qid long, qname string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(CATALOG, "cid long, cname string")
+
+    src = tmp_path / "queries"
+    left.write.parquet(str(src))
+    stream = spark.readStream.schema(left.schema).parquet(str(src))
+    q = (
+        stream_fuzzy_matches(
+            stream, right, "qname", "cname", "qid", "cid", "ts", threshold=0.3
+        )
+        .writeStream.format("memory")
+        .queryName("fuzzy_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.qid, r.cid): r.similarity for r in spark.table("fuzzy_stream").collect()
+    }
+    want = {
+        (r.qid, r.cid): r.similarity
+        for r in fuzzy_join(
+            left.drop("ts"), right, "qname", "cname", "qid", "cid",
+            threshold=0.3, top_k=10**6,
+        ).collect()
+    }
+    assert got == want and len(got) >= 4  # every query except 5 and 6 linked
+
+    with pytest.raises(ValueError, match="must be a streaming"):
+        stream_fuzzy_matches(left, right, "qname", "cname", "qid", "cid", "ts")
+    with pytest.raises(ValueError, match="must be static"):
+        stream_fuzzy_matches(stream, stream, "qname", "cname", "qid", "cid", "ts")

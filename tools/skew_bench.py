@@ -335,6 +335,62 @@ def main() -> None:
     points.unpersist()
     intervals.unpersist()
 
+    # --- fuzzy linkage: LSH blocking vs brute-force cross join ----------
+    # 2k query strings against a 5k-name catalog (both content-derived
+    # from the documents table).  Brute force = cross join + per-pair
+    # char-gram Jaccard (1e7 pairs, each an interpreted HOF set op);
+    # fuzzy_join's banded blocking compares only bucket-colliding pairs.
+    # The brute quadratic grows 25x on a 5x catalog; blocking grows with
+    # collisions (~linear at fixed similarity structure).
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        jaccard as _jaccard,
+    )
+    from real_time_financial_data_pipeline_spark.operators.linkage import (
+        _linkage_text,
+        fuzzy_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    names = docs.select(
+        F.col("doc_id").alias("cid"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4)
+        ).alias("cname"),
+    ).filter(F.length("cname") > 0)
+    catalog = names.limit(5000).persist()
+    queries = (
+        names.filter(F.pmod("cid", F.lit(3)) == 0)
+        .select((F.col("cid") + F.lit(10_000_000)).alias("qid"), F.col("cname").alias("qname"))
+        .limit(2000)
+        .persist()
+    )
+    n_cat, n_q = catalog.count(), queries.count()
+
+    def run_brute():
+        lg = queries.select(
+            "qid", F.split(_linkage_text(F.col("qname"), "char", 3), " ").alias("ga")
+        )
+        rg = catalog.select(
+            "cid", F.split(_linkage_text(F.col("cname"), "char", 3), " ").alias("gb")
+        )
+        noop_df = (
+            lg.crossJoin(rg)
+            .select("qid", "cid", _jaccard(F.col("ga"), F.col("gb")).alias("j"))
+            .filter(F.col("j") >= 0.5)
+        )
+        noop_df.write.format("noop").mode("overwrite").save()
+
+    def run_blocked():
+        fuzzy_join(
+            queries, catalog, "qname", "cname", "qid", "cid",
+            threshold=0.5, top_k=3,
+        ).write.format("noop").mode("overwrite").save()
+
+    results["linkage_brute_cross"] = median_of(run_brute)
+    results["linkage_lsh_blocked"] = median_of(run_blocked)
+    catalog.unpersist()
+    queries.unpersist()
+
     big.unpersist()
     small.unpersist()
     print(
@@ -346,6 +402,7 @@ def main() -> None:
                 "hot_ticks": n_ticks,
                 "hot_bars": n_mono,
                 "hot_corpus_docs": n_docs,
+                "linkage_sides": [n_q, n_cat],
                 "cc_rounds": cc_rounds,
                 "timings": results,
                 "sf_dir": sf_dir,

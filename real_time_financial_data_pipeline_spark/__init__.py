@@ -10,7 +10,8 @@ inventory (SURVEY.md §2) Spark-first:
 - ``lake``        — bronze/silver/gold medallion lake (storage.py, helpers.py).
 - ``catalog``     — test-table loading and temp-view registration.
 - ``operators``   — clean / normalize / aggregate / query / dedup /
-                    similarity / text / multimodal / asof / quality.
+                    similarity / text / multimodal / asof (as-of +
+                    range join) / quality / sketches / linkage.
 - ``sources``     — CSV auto-detect loader, Alpha Vantage / Yahoo payload
                     parsers (csv_loader.py, alphavantage.py, yahoo_finance.py).
 - ``streaming``   — Structured Streaming ingestion + windowed aggregates

@@ -57,8 +57,11 @@ def fuzzy_signatures(
 ) -> DataFrame:
     """Persistable MinHash signature table for one side of a fuzzy join —
     build nightly for the big reference catalog and pass as
-    ``right_sigs`` so linkage never re-hashes it.  Parameters must match
-    the join's (same contract as the dedup signature index)."""
+    ``right_sigs`` so linkage never re-hashes it.  Build parameters ride
+    as ``minhash`` column METADATA (survives the parquet round trip —
+    the same artifact-carries-its-params contract as
+    ``dedup.substring_window_index``), and :func:`fuzzy_join` raises on
+    a mismatched query instead of silently never colliding."""
     from .dedup import minhash_signatures
 
     eff_n = 1 if mode == "char" else shingle_n
@@ -66,7 +69,37 @@ def fuzzy_signatures(
         F.col(id_col).alias("_lk_id"),
         _linkage_text(F.col(col), mode, shingle_n).alias("_lk_text"),
     )
-    return minhash_signatures(proj, "_lk_text", "_lk_id", num_hashes, eff_n)
+    meta = {"mode": mode, "shingle_n": shingle_n, "num_hashes": num_hashes}
+    return minhash_signatures(proj, "_lk_text", "_lk_id", num_hashes, eff_n).select(
+        "_lk_id", F.col("minhash").alias("minhash", metadata=meta)
+    )
+
+
+def _check_sig_params(sigs: DataFrame, mode: str, shingle_n: int, num_hashes: int) -> None:
+    """Fail fast when a persisted signature index was built with different
+    parameters than the join queries it with — signatures would silently
+    never band-collide and every match would evade."""
+    field = next((f for f in sigs.schema.fields if f.name == "minhash"), None)
+    if field is None:
+        raise ValueError(f"right_sigs must have a minhash column, got {sigs.columns}")
+    md = dict(field.metadata or {})
+    expected = {"mode": mode, "shingle_n": shingle_n, "num_hashes": num_hashes}
+    if not any(k in md for k in expected):
+        import warnings
+
+        warnings.warn(
+            "right_sigs carries no build-parameter metadata (pre-contract "
+            f"index?); cannot verify it matches {expected} — rebuild with "
+            "fuzzy_signatures to enforce",
+            stacklevel=3,
+        )
+        return
+    got = {k: md.get(k) for k in expected}
+    if got != expected:
+        raise ValueError(
+            f"right_sigs was built with {got} but the join queries with "
+            f"{expected}; rebuild the index or match the parameters"
+        )
 
 
 def fuzzy_join(
@@ -112,6 +145,8 @@ def fuzzy_join(
         raise ValueError(
             f"left/right column collision {sorted(overlap)}; rename before joining"
         )
+    if right_sigs is not None:
+        _check_sig_params(right_sigs, mode, shingle_n, num_hashes)
 
     eff_n = 1 if mode == "char" else shingle_n
     lproj = left.select(

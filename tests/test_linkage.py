@@ -217,3 +217,37 @@ def test_stream_fuzzy_matches_parity_with_batch(spark, tmp_path):
         stream_fuzzy_matches(left, right, "qname", "cname", "qid", "cid", "ts")
     with pytest.raises(ValueError, match="must be static"):
         stream_fuzzy_matches(stream, stream, "qname", "cname", "qid", "cid", "ts")
+
+
+def test_signature_index_parameter_contract(spark, tmp_path):
+    """A persisted signature index queried with different parameters must
+    raise (hashes would silently never collide); the contract survives a
+    parquet round trip, and a pre-contract index (no metadata) warns."""
+    import warnings
+
+    _, right = _tables(spark)
+    sigs = fuzzy_signatures(right, "cname", "cid", num_hashes=32)
+    p = str(tmp_path / "sigs")
+    sigs.write.parquet(p)
+    loaded = spark.read.parquet(p)
+    left = spark.createDataFrame([(1, "John Smith")], "qid long, qname string")
+
+    ok = fuzzy_join(left, right, "qname", "cname", "qid", "cid",
+                    threshold=0.3, right_sigs=loaded)
+    assert ok.head().cid == 100
+
+    with pytest.raises(ValueError, match="built with"):
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid",
+                   threshold=0.3, num_hashes=16, bands=8, right_sigs=loaded)
+    with pytest.raises(ValueError, match="built with"):
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid",
+                   threshold=0.3, mode="token", right_sigs=loaded)
+
+    stripped = loaded.select(
+        "_lk_id", F.col("minhash").alias("minhash", metadata={"wiped": True})
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fuzzy_join(left, right, "qname", "cname", "qid", "cid",
+                   threshold=0.3, right_sigs=stripped)
+        assert any("pre-contract" in str(x.message) for x in w)

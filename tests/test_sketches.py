@@ -284,3 +284,19 @@ def test_sketch_tracks_curation_ladder_on_real_corpus(spark, documents):
     assert abs(row.jaccard_est - true_j) < 0.15, (row.jaccard_est, true_j)
     assert row.overlap_est <= row.distinct_a_est * 1.2
     assert abs(row.distinct_b_est - n_after) / n_after < 0.25
+
+
+def test_merge_keyed_tables_with_one_sided_strata(spark):
+    """Full-outer fold: a stratum present in only one night's sketch
+    table survives the merge unchanged (coalesced against empty)."""
+    a = kmv_sketch(
+        _values(spark, [f"p{i}" for i in range(60)], "en"), "v",
+        key_cols=["stratum"], k=32,
+    )
+    b = kmv_sketch(
+        _values(spark, [f"q{i}" for i in range(60)], "de"), "v",
+        key_cols=["stratum"], k=32,
+    )
+    merged = {r.stratum: r.kmv for r in merge_kmv_tables(a, b, ["stratum"]).collect()}
+    assert set(merged) == {"en", "de"}
+    assert merged["en"] == a.head().kmv and merged["de"] == b.head().kmv

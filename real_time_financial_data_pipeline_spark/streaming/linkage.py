@@ -73,13 +73,17 @@ def stream_fuzzy_matches(
     num_hashes: int = 32,
     bands: int = 16,
     watermark: str = "10 minutes",
+    catalog_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(stream columns..., matched ``catalog_id``, ``similarity``) for
     every streaming row whose string fuzzy-matches a catalog row at
     Jaccard >= ``threshold`` — same candidates and same exact verified
     similarity as the batch ``fuzzy_join`` over the drained input
     (parity-tested), emitted per match in append mode.  The catalog is
-    re-resolved per query restart (static-side refresh contract)."""
+    re-resolved per query restart (static-side refresh contract); pass
+    the nightly ``fuzzy_signatures`` table as ``catalog_sigs`` so the
+    restart never re-hashes the big side — build parameters are checked
+    against the query's (raise on mismatch, the batch contract)."""
     if not stream.isStreaming:
         raise ValueError("stream must be a streaming DataFrame (use fuzzy_join)")
     if catalog.isStreaming:
@@ -125,9 +129,15 @@ def stream_fuzzy_matches(
         ).alias("bs"),
     ).select("_s_id", "_s_ts", "_s_grams", "bs.band", "bs.band_sig")
 
-    from ..operators.linkage import fuzzy_signatures
+    from ..operators.linkage import _check_sig_params, fuzzy_signatures
 
-    csig = fuzzy_signatures(catalog, catalog_col, catalog_id, mode, shingle_n, num_hashes)
+    if catalog_sigs is not None:
+        _check_sig_params(catalog_sigs, mode, shingle_n, num_hashes)
+        csig = catalog_sigs
+    else:
+        csig = fuzzy_signatures(
+            catalog, catalog_col, catalog_id, mode, shingle_n, num_hashes
+        )
     cbanded = _banded(csig, "_lk_id", bands, rows_per_band).withColumnRenamed(
         "_lk_id", "_c_id"
     )

@@ -218,6 +218,32 @@ def test_stream_fuzzy_matches_parity_with_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="must be static"):
         stream_fuzzy_matches(stream, stream, "qname", "cname", "qid", "cid", "ts")
 
+    # persisted catalog index: identical drain, and a mismatched build raises
+    sigs = fuzzy_signatures(right, "cname", "cid")
+    q2 = (
+        stream_fuzzy_matches(
+            stream, right, "qname", "cname", "qid", "cid", "ts",
+            threshold=0.3, catalog_sigs=sigs,
+        )
+        .writeStream.format("memory")
+        .queryName("fuzzy_stream_idx")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_idx = {
+        (r.qid, r.cid): r.similarity
+        for r in spark.table("fuzzy_stream_idx").collect()
+    }
+    assert got_idx == want
+    with pytest.raises(ValueError, match="built with"):
+        stream_fuzzy_matches(
+            stream, right, "qname", "cname", "qid", "cid", "ts",
+            num_hashes=16, bands=8, catalog_sigs=sigs,
+        )
+
 
 def test_signature_index_parameter_contract(spark, tmp_path):
     """A persisted signature index queried with different parameters must

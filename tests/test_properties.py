@@ -614,3 +614,62 @@ def test_kmv_merge_equals_union_sketch_for_any_input(spark, vals_a, vals_b, k):
     ).head().kmv
     direct = kmv_sketch(a.union(b), "v", k=k).head().kmv
     assert merged == direct
+
+
+@given(
+    names=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Zs")
+            ),
+            max_size=24,
+        ),
+        min_size=1, max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.6]),
+)
+@_settings
+def test_fuzzy_join_scores_exact_for_any_strings(spark, names, threshold):
+    """For arbitrary strings (unicode, punctuation, whitespace-only,
+    empty): every reported match carries the exact brute-force char-gram
+    Jaccard, >= threshold, and rank 1 is each left row's max."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import jaccard
+    from real_time_financial_data_pipeline_spark.operators.linkage import (
+        _linkage_text,
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "qid long, qname string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(reversed(names))],
+        "cid long, cname string",
+    )
+    out = fuzzy_join(
+        left, right, "qname", "cname", "qid", "cid",
+        threshold=threshold, top_k=len(names),
+    )
+    got = [(r.qid, r.cid, r.similarity, r.match_rank) for r in out.collect()]
+    brute = {
+        (r.qid, r.cid): r.j
+        for r in left.select(
+            "qid", F.split(_linkage_text(F.col("qname"), "char", 3), " ").alias("ga")
+        )
+        .crossJoin(
+            right.select(
+                "cid",
+                F.split(_linkage_text(F.col("cname"), "char", 3), " ").alias("gb"),
+            )
+        )
+        .select("qid", "cid", F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("j"))
+        .collect()
+    }
+    best: dict = {}
+    for qid, cid, sim, rank in got:
+        assert sim == brute[(qid, cid)] and sim >= threshold
+        best.setdefault(qid, []).append((rank, sim))
+    for ranks in best.values():
+        ranks.sort()
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)

@@ -570,6 +570,53 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(load_table(spark, sf_dir, "documents"))
 
 
+_STAGED_QC_DIR = "/root/repo/spark-warehouse/staged/quality_weights"
+
+
+def _quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/classifier.py) — the
+    DCLM/FineWeb-Edu pattern: distill a weak label (here: thresholded
+    stopword ratio, the "looks like reference English" proxy) into a
+    trained logistic model, then score the WHOLE corpus with one
+    map-only literal projection.
+
+    Staged-weights oracle (the BPE merge-table pattern): the learned
+    6-row weights table is staged to parquet, and DuckDB re-derives all
+    five features from the raw text (strictly superset of the retired
+    token_stats oracle: same tokenize/avg-len/stopword-ratio CTE plus
+    the two regexp char-class ratios), then replays the logit as the
+    SAME fixed-order chain of IEEE multiplies/adds — features, score,
+    and the keep/drop decision boundary are all hash-checked.  The
+    sigmoid itself stays out of the compared columns (exp is
+    libm-dependent); the boundary compares the logit against
+    ln(t/(1-t)) = 0.0, which is exact."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        QUALITY_FEATURES,
+        apply_quality_classifier,
+        quality_feature_exprs,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exprs = quality_feature_exprs(F.col("text"))
+    labeled = docs.withColumn(
+        "label", (exprs["stopword_ratio"] > F.lit(0.05)).cast("double")
+    )
+    # max_iter=25: each LBFGS iteration is a treeAggregate job, and the
+    # oracle checks the SCORING replay, not weight optimality — 25 is
+    # plenty for a stable, non-degenerate boundary on the weak labels
+    weights = train_quality_classifier(labeled, "label", "text", max_iter=25)
+    staged_w = _stage_and_return(weights, _STAGED_QC_DIR)
+    scored = apply_quality_classifier(docs, staged_w)
+    out_feats = quality_feature_exprs(F.col("text"))
+    return scored.select(
+        "doc_id",
+        *[F.round(out_feats[n], 6).alias(n) for n in QUALITY_FEATURES],
+        F.round(F.col("quality_logit"), 6).alias("quality_logit"),
+        F.col("quality_keep"),
+    )
+
+
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, sf_dir, "documents")).select("doc_id", "quality_score")
 
@@ -892,6 +939,7 @@ BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_daily": _gap_fill_daily,
     "ann_cosine_topk": _ann_cosine_topk,
     "dedup_exact_docs": _dedup_exact_docs,
+    "token_stats": _token_stats,
 }
 
 
@@ -1826,7 +1874,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       coarse-bucket equi-join decomposition of a point-in-interval join;
       DuckDB replays the RAW inequality join, so the decomposition's
       bucket cover, boundary semantics and no-duplicates claim are
-      independently proven on real data)."""
+      independently proven on real data).
+
+    Round-11 third rotation — the trained quality classifier
+    (operators/classifier.py, the DCLM-style model-based filter) gets a
+    staged-weights oracle row; one strictly-subsumed row retires:
+
+    - token_stats OUT (its ENTIRE oracle — tokenize, n_tokens,
+      avg_token_len, stopword_ratio re-derivation — appears verbatim as
+      the feature CTE of the new row, which hash-checks those three
+      columns PLUS two regexp char-ratio features, the trained logit
+      chain, and the keep/drop boundary; the operator keeps
+      test_token_stats_values and stays on the frozen bench headline via
+      BENCH_OVERRIDES, plan contract still audited)
+      -> quality_classifier_docs IN (weights staged like the BPE merge
+      table; features, fixed-order logit, and decision boundary all
+      re-derived in DuckDB from raw text)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1863,7 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lapsed_customers": _lapsed_customers,
         "dataset_stats": _dataset_stats,
         "semdedup_pairs": _semdedup_pairs,
-        "token_stats": _token_stats,
+        "quality_classifier_docs": _quality_classifier_docs,
         "substring_dedup_docs": _substring_dedup_docs,
         "repetition_docs": _repetition_docs,
         "paragraph_dedup_docs": _paragraph_dedup_docs,
@@ -2030,18 +2093,59 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY 1
             """,
-            "token_stats": """
-                SELECT doc_id,
-                       len(text) AS n_chars_text,
-                       len(toks) AS n_tokens,
-                       round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len,
-                       round(CAST(len(list_filter(toks, x -> list_contains(
-                               ['the','a','and','of','to','in','is','on','for','as'], x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
-                FROM (
-                    SELECT doc_id, text,
-                           list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
-                    FROM documents
+            # trained quality classifier: weights taken from staging (the
+            # BPE merge-table pattern — training is LBFGS-derived, not
+            # SQL-reproducible), then EVERYTHING downstream re-derived:
+            # all five features from raw text (the retired token_stats
+            # re-derivation is the first three), the logit as the same
+            # fixed-order left-associative chain of IEEE multiplies/adds
+            # (scalar subqueries in contract order — a join+sum would
+            # re-associate the addition), and the keep boundary at
+            # logit >= ln(0.5/0.5) = 0.0.  No exp() in compared columns.
+            "quality_classifier_docs": f"""
+                WITH w AS (
+                    SELECT feature, weight
+                    FROM read_parquet('{_STAGED_QC_DIR}/*.parquet')
+                ),
+                f AS (
+                    SELECT doc_id,
+                           CAST(len(toks) AS DOUBLE) AS n_tokens,
+                           coalesce(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                                    / nullif(len(toks), 0), 0.0) AS avg_token_len,
+                           coalesce(CAST(len(list_filter(toks, x -> list_contains(
+                                   ['the','a','and','of','to','in','is','on','for','as'], x))) AS DOUBLE)
+                                    / nullif(len(toks), 0), 0.0) AS stopword_ratio,
+                           coalesce(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                                    / nullif(length(text), 0), 0.0) AS digit_ratio,
+                           coalesce(CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f]', '', 'g')) AS DOUBLE)
+                                    / nullif(length(text), 0), 0.0) AS special_char_ratio
+                    FROM (
+                        SELECT doc_id, text,
+                               list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+                        FROM documents
+                    )
+                ),
+                scored AS (
+                    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+                           digit_ratio, special_char_ratio,
+                           (SELECT weight FROM w WHERE feature = '__bias__')
+                           + (SELECT weight FROM w WHERE feature = 'n_tokens') * n_tokens
+                           + (SELECT weight FROM w WHERE feature = 'avg_token_len') * avg_token_len
+                           + (SELECT weight FROM w WHERE feature = 'stopword_ratio') * stopword_ratio
+                           + (SELECT weight FROM w WHERE feature = 'digit_ratio') * digit_ratio
+                           + (SELECT weight FROM w WHERE feature = 'special_char_ratio') * special_char_ratio
+                           AS z
+                    FROM f
                 )
+                SELECT doc_id,
+                       round(n_tokens, 6) AS n_tokens,
+                       round(avg_token_len, 6) AS avg_token_len,
+                       round(stopword_ratio, 6) AS stopword_ratio,
+                       round(digit_ratio, 6) AS digit_ratio,
+                       round(special_char_ratio, 6) AS special_char_ratio,
+                       round(z, 6) AS quality_logit,
+                       z >= 0.0 AS quality_keep
+                FROM scored
             """,
             # repetition metrics fully re-derived: line metrics via
             # list_sort + indexed adjacency, gram metrics via unnest +

@@ -1,0 +1,272 @@
+"""Model-based quality filtering: a trained linear classifier over cheap
+text features, applied as one shuffle-free codegen'd scoring pass.
+
+This is the CCNet/DCLM/FineWeb-Edu pattern: hand-written quality
+heuristics are distilled into (or replaced by) a small trained model —
+fastText in the papers, logistic regression here — trained on weak labels
+("looks like the gold reference corpus" vs "doesn't") and then run over
+the WHOLE crawl.  At 100 TB the economics are all in the apply path, so
+the split is deliberate:
+
+- **train** is distributed (``pyspark.ml`` LogisticRegression — JVM LBFGS
+  over ``treeAggregate`` gradients) but runs on the weakly-labeled sample,
+  which is orders of magnitude smaller than the corpus;
+- **apply** collects the learned weights (a ~6-row table) to the driver
+  and folds them into ONE literal expression — ``sigmoid(b + Σ wᵢ·fᵢ)``
+  with every feature fᵢ a built-in-function column over the raw text.
+  No join, no shuffle, no Python: the 100 TB scoring pass is a narrow
+  whole-stage-codegen'd projection, exactly like the heuristic
+  ``text.quality_score`` gate it upgrades.
+
+Features are deliberately limited to expressions with exact DuckDB
+equivalents (integer token/char counts and their ratios — no
+transcendentals), so the entire scoring pass is replayable bit-for-bit
+by the ``quality_classifier_docs`` oracle: the logit is a fixed-order
+chain of IEEE-exact multiplies/adds over identically-derived doubles.
+
+Reference parity: the reference app (a Pandas/FastAPI CRUD service) has
+no ML surface — this module is part of the beyond-reference
+training-data-pipeline layer alongside ``operators/dedup.py`` and
+``operators/training.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import STOPWORDS, tokens
+
+#: Canonical feature order.  The order is part of the model contract: the
+#: logit is evaluated as ``bias + w₀·f₀ + w₁·f₁ + …`` LEFT-ASSOCIATIVELY in
+#: this order (floating-point addition is not associative, and the DuckDB
+#: oracle replays the same textual order to stay bit-identical).
+QUALITY_FEATURES = (
+    "n_tokens",
+    "avg_token_len",
+    "stopword_ratio",
+    "digit_ratio",
+    "special_char_ratio",
+)
+
+#: Feature name reserved for the intercept row of a weights table.
+BIAS_FEATURE = "__bias__"
+
+# Explicit whitespace class — Java's \s and RE2's \s disagree on \x0b, so
+# both engines get the same spelled-out class.
+_WS = " \\t\\n\\r\\f"
+
+
+def quality_feature_exprs(text: Column) -> dict[str, Column]:
+    """The feature columns as pure expressions over a text column.
+
+    Every feature is built-ins only (split/filter/aggregate/regexp) —
+    JVM-side, codegen'd, and legal on a STREAMING frame (nothing here
+    stages through ``.rdd``).  Each is ``coalesce``d to 0.0 so null/empty
+    documents score as "all features zero" (logit = bias) instead of
+    poisoning the logit with nulls.
+
+    The token array is referenced by three features and therefore
+    tokenized three times inside the one projection (interpreted
+    higher-order eval re-computes referenced subtrees).  That 3× map-side
+    cost is the price of staying shuffle-free; the batch ``featurize``
+    helper stages the array behind an exchange instead when a shuffle is
+    acceptable (training-sample scale).
+
+    NULL text reads as the empty string BEFORE any feature — without the
+    coalesce, ``size(split(NULL))`` is -1 under Spark's non-ANSI default
+    (legacy sizeOfNull), which turns n_tokens=-1 and stopword_ratio=1.0
+    into silent garbage instead of the all-zero row.
+    """
+    text = F.coalesce(text, F.lit(""))
+
+    def over_tokens(toks: Column) -> dict[str, Column]:
+        n = F.size(toks)
+        total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        return {
+            "n_tokens": n.cast("double"),
+            "avg_token_len": F.try_divide(total_len.cast("double"), n),
+            "stopword_ratio": F.try_divide(n_stop.cast("double"), n),
+        }
+
+    tok_feats = over_tokens(tokens(text))
+    n_chars = F.length(text)
+    digit_chars = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    special_chars = F.length(F.regexp_replace(text, f"[A-Za-z0-9{_WS}]", ""))
+    raw = {
+        **tok_feats,
+        "digit_ratio": F.try_divide(digit_chars.cast("double"), n_chars),
+        "special_char_ratio": F.try_divide(special_chars.cast("double"), n_chars),
+    }
+    return {name: F.coalesce(raw[name], F.lit(0.0)) for name in QUALITY_FEATURES}
+
+
+def featurize(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """``keep`` columns + the :data:`QUALITY_FEATURES` columns, with the
+    token array staged behind an exchange (see ``text._staged_tokens``) so
+    the three token-derived features tokenize once.  Batch-only (the
+    staging repartition is illegal on streaming frames) — the apply path
+    uses :func:`quality_feature_exprs` directly and never calls this."""
+    from .text import _staged_tokens
+
+    # NULL text ≡ empty string (same rule as quality_feature_exprs)
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    keep_cols = [F.col(c) for c in (keep if keep is not None else df.columns)]
+    staged = _staged_tokens(df, text_col, keep_cols + [F.col(text_col).alias("_qc_text")])
+    toks = F.col("_toks")
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    text = F.col("_qc_text")
+    n_chars = F.length(text)
+    feats = {
+        "n_tokens": n.cast("double"),
+        "avg_token_len": F.try_divide(total_len.cast("double"), n),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), n),
+        "digit_ratio": F.try_divide(
+            F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double"), n_chars
+        ),
+        "special_char_ratio": F.try_divide(
+            F.length(F.regexp_replace(text, f"[A-Za-z0-9{_WS}]", "")).cast("double"),
+            n_chars,
+        ),
+    }
+    out = [F.col(c) for c in (keep if keep is not None else df.columns)]
+    out += [F.coalesce(feats[name], F.lit(0.0)).alias(name) for name in QUALITY_FEATURES]
+    return staged.select(*out)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    max_iter: int = 100,
+    reg_param: float = 0.01,
+    elastic_net_param: float = 0.0,
+) -> DataFrame:
+    """Fit the quality model; return its weights as a 6-row DataFrame
+    ``(idx int, feature string, weight double)`` with the intercept at
+    ``idx = -1, feature = '__bias__'``.
+
+    ``pyspark.ml`` LogisticRegression with ``standardization=True``: the
+    optimizer works in standardized feature space (the raw features span
+    0‥1 ratios AND unbounded token counts, so conditioning matters) but
+    Spark ML folds the scaling back out, so the returned coefficients
+    apply to RAW features — :func:`apply_quality_classifier` needs no
+    mean/std sidecar.  The default ``reg_param=0.01`` keeps weights
+    finite when the weak labels are (nearly) linearly separable, the
+    normal case when they were derived by thresholding a heuristic.
+
+    The weights table is ordinary data: persist it with
+    ``weights.write.parquet(...)`` next to the other lake artifacts (the
+    BPE merge table pattern) and reload for apply.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = featurize(
+        df.select(F.col(label_col).cast("double").alias("_qc_label"), F.col(text_col)),
+        text_col,
+        keep=["_qc_label"],
+    )
+    assembled = VectorAssembler(
+        inputCols=list(QUALITY_FEATURES), outputCol="_qc_vec"
+    ).transform(feats)
+    model = LogisticRegression(
+        featuresCol="_qc_vec",
+        labelCol="_qc_label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net_param,
+        standardization=True,
+        family="binomial",
+    ).fit(assembled)
+    rows = [(-1, BIAS_FEATURE, float(model.intercept))] + [
+        (i, name, float(w))
+        for i, (name, w) in enumerate(zip(QUALITY_FEATURES, model.coefficients))
+    ]
+    return df.sparkSession.createDataFrame(rows, "idx int, feature string, weight double")
+
+
+def _collect_weights(weights: DataFrame) -> tuple[float, list[tuple[str, float]]]:
+    """(bias, [(feature, weight)] in contract order) from a weights table.
+
+    Tiny by construction (#features + 1 rows), so collecting is the
+    broadcast-by-construction pattern.  Order comes from ``idx`` when
+    present, else from :data:`QUALITY_FEATURES`; unknown feature names
+    raise rather than silently scoring garbage.
+    """
+    cols = set(weights.columns)
+    if not {"feature", "weight"} <= cols:
+        raise ValueError(f"weights table needs (feature, weight) columns, got {sorted(cols)}")
+    rows = weights.collect()
+    by_feat: dict[str, tuple[int, float]] = {}
+    for r in rows:
+        idx = r["idx"] if "idx" in cols and r["idx"] is not None else None
+        if idx is None:
+            idx = -1 if r["feature"] == BIAS_FEATURE else QUALITY_FEATURES.index(r["feature"]) if r["feature"] in QUALITY_FEATURES else None
+        by_feat[r["feature"]] = (idx if idx is not None else 10**9, float(r["weight"]))
+    bias = by_feat.pop(BIAS_FEATURE, (-1, 0.0))[1]
+    unknown = set(by_feat) - set(QUALITY_FEATURES)
+    if unknown:
+        raise ValueError(
+            f"unknown quality features {sorted(unknown)} — this model was not "
+            f"trained against QUALITY_FEATURES {list(QUALITY_FEATURES)}"
+        )
+    ordered = sorted(by_feat.items(), key=lambda kv: kv[1][0])
+    return bias, [(name, w) for name, (_, w) in ordered]
+
+
+def apply_quality_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    logit_col: str = "quality_logit",
+    prob_col: str = "quality_prob",
+    keep_col: str = "quality_keep",
+) -> DataFrame:
+    """Score every document with the trained model: appends the raw logit,
+    the sigmoid probability, and a boolean keep decision at ``threshold``.
+
+    The weights fold into ONE literal projection — ``bias + Σ wᵢ·fᵢ`` in
+    contract order over :func:`quality_feature_exprs` — so the plan is a
+    shuffle-free narrow map over the corpus scan (the property the
+    ``no-Exchange`` test pins).  The keep test compares the LOGIT against
+    ``ln(t/(1-t))`` (0.0 at the default 0.5) instead of the probability
+    against ``t``: the logit is a fixed-order chain of exact IEEE ops the
+    DuckDB oracle reproduces bitwise, while ``exp`` is libm-dependent —
+    so the decision boundary, not just the score, is oracle-checkable.
+    Streaming-safe: expressions only, no staging.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    bias, ordered = _collect_weights(weights)
+    exprs = quality_feature_exprs(F.col(text_col))
+    logit: Column = F.lit(bias)
+    for name, w in ordered:
+        logit = logit + F.lit(w) * exprs[name]
+    logit_threshold = math.log(threshold / (1.0 - threshold))
+    out = df.withColumn(logit_col, logit)
+    out = out.withColumn(
+        prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col)))
+    )
+    return out.withColumn(keep_col, F.col(logit_col) >= F.lit(logit_threshold))
+
+
+def quality_model_gate(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Filter to documents the model keeps, original schema preserved —
+    the curation-ladder form (``curate_documents(quality_model=...)``).
+    Map-only like the heuristic gate it slots in beside."""
+    scored = apply_quality_classifier(df, weights, text_col, threshold)
+    return scored.filter(F.col("quality_keep")).select(*df.columns)

@@ -539,11 +539,22 @@ def curate_documents(
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
     semantic_n_probe: int = 1,
+    quality_model: DataFrame | None = None,
+    quality_model_threshold: float = 0.5,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
-    quality gate -> (optional) language gate -> (optional) repetition gate
-    -> (optional) LM perplexity gate -> exact dedup -> MinHash-LSH
-    near-dup removal -> (optional) SemDedup semantic near-dup removal.
+    quality gate -> (optional) model quality gate -> (optional) language
+    gate -> (optional) repetition gate -> (optional) LM perplexity gate ->
+    exact dedup -> MinHash-LSH near-dup removal -> (optional) SemDedup
+    semantic near-dup removal.
+
+    ``quality_model`` (a weights table from
+    ``classifier.train_quality_classifier``) inserts the TRAINED quality
+    gate right after the heuristic one — same slot in the cost ordering
+    because it is the same plan shape: a map-only codegen'd scoring
+    projection + filter, ahead of every shuffle.  The two gates compose
+    (DCLM runs its fastText filter on top of C4-style heuristics); pass
+    ``min_quality=0.0`` to run the model alone.
 
     ``dedup_paragraphs`` runs the CCNet/Dolma sub-document stage FIRST:
     corpus-wide boilerplate paragraphs are stripped before quality scoring
@@ -600,6 +611,10 @@ def curate_documents(
     kept = quality_score(docs, text_col).filter(
         F.col("quality_score") >= F.lit(min_quality)
     ).drop("quality_score")
+    if quality_model is not None:
+        from .classifier import quality_model_gate
+
+        kept = quality_model_gate(kept, quality_model, text_col, quality_model_threshold)
     if langs is not None:
         kept = lang_id(kept, text_col).filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
     if repetition_gate:
@@ -665,6 +680,8 @@ def prepare_training_set(
     budget_salt: str = "",
     benchmark_embeddings: DataFrame | None = None,
     semantic_decontam_threshold: float = 0.9,
+    quality_model: DataFrame | None = None,
+    quality_model_threshold: float = 0.5,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -676,7 +693,11 @@ def prepare_training_set(
     curation ladder (boilerplate paragraphs and embedded duplicated
     passages vanish before scoring, fingerprinting, or any chunk exists).  ``perplexity_lm`` +
     ``max_perplexity`` enable the CCNet-style LM quality gate inside the
-    curation ladder (see ``curate_documents``).
+    curation ladder (see ``curate_documents``).  ``quality_model`` (+
+    ``quality_model_threshold``) forwards a trained weights table from
+    ``classifier.train_quality_classifier`` into the same ladder — the
+    DCLM-style model-based quality filter, applied as a map-only scoring
+    projection right after the heuristic gate.
 
     Output: (id_col, chunk_id, n_chunk_tokens, chunk_text, split).
 
@@ -738,6 +759,8 @@ def prepare_training_set(
         embeddings=embeddings,
         semantic_threshold=semantic_threshold, semantic_k=semantic_k,
         semantic_n_probe=semantic_n_probe,
+        quality_model=quality_model,
+        quality_model_threshold=quality_model_threshold,
     )
     if benchmark is not None:
         curated = remove_contaminated(

@@ -1,0 +1,218 @@
+"""Trained quality classifier (operators/classifier.py): the DCLM-style
+model-based quality filter — distributed train, literal-folded map-only
+apply, DuckDB-replayable scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_financial_data_pipeline_spark.operators.classifier import (
+    BIAS_FEATURE,
+    QUALITY_FEATURES,
+    apply_quality_classifier,
+    featurize,
+    quality_feature_exprs,
+    quality_model_gate,
+    train_quality_classifier,
+)
+
+
+def _labeled_corpus(spark, n_each=60):
+    good = [
+        (i, f"the quick brown fox and the lazy dog sat on a log in the sun for hours {i}")
+        for i in range(n_each)
+    ]
+    junk = [(1000 + i, ("x7#$%9 " * 12) + str(i)) for i in range(n_each)]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string")
+    return df.withColumn("label", (F.col("doc_id") < 1000).cast("double"))
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    df = _labeled_corpus(spark)
+    return df, train_quality_classifier(df, "label")
+
+
+def test_weights_schema_and_contract_order(model):
+    _, w = model
+    rows = {r.feature: r for r in w.collect()}
+    assert set(rows) == set(QUALITY_FEATURES) | {BIAS_FEATURE}
+    assert rows[BIAS_FEATURE].idx == -1
+    assert [f for f, _ in sorted(((r.feature, r.idx) for r in rows.values()), key=lambda t: t[1]) if f != BIAS_FEATURE] == list(QUALITY_FEATURES)
+
+
+def test_separates_planted_classes(model):
+    df, w = model
+    scored = apply_quality_classifier(df, w)
+    acc = (
+        scored.withColumn("ok", (F.col("quality_keep") == (F.col("label") == 1.0)).cast("double"))
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    assert acc >= 0.95
+
+
+def test_apply_matches_spark_ml_transform(model):
+    """The literal-folded logit must reproduce pyspark.ml's own scoring
+    (same model, same features) — the folding step loses nothing."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    df, w = model
+    feats = featurize(
+        df.select(F.col("label").alias("_qc_label"), "text", "doc_id"),
+        keep=["_qc_label", "doc_id"],
+    )
+    assembled = VectorAssembler(
+        inputCols=list(QUALITY_FEATURES), outputCol="_qc_vec"
+    ).transform(feats)
+    ml_model = LogisticRegression(
+        featuresCol="_qc_vec", labelCol="_qc_label", maxIter=100,
+        regParam=0.01, standardization=True, family="binomial",
+    ).fit(assembled)
+    ml_probs = {
+        r.doc_id: float(r.probability[1])
+        for r in ml_model.transform(assembled).select("doc_id", "probability").collect()
+    }
+    # rebuild OUR weights from the same fitted model for an apples-to-apples
+    # scoring comparison (train_quality_classifier's own fit may land on a
+    # microscopically different optimum)
+    rows = [(-1, BIAS_FEATURE, float(ml_model.intercept))] + [
+        (i, f, float(c)) for i, (f, c) in enumerate(zip(QUALITY_FEATURES, ml_model.coefficients))
+    ]
+    w2 = df.sparkSession.createDataFrame(rows, "idx int, feature string, weight double")
+    ours = {
+        r.doc_id: r.quality_prob
+        for r in apply_quality_classifier(df, w2).select("doc_id", "quality_prob").collect()
+    }
+    for doc_id, p in ml_probs.items():
+        assert math.isclose(ours[doc_id], p, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_weights_parquet_round_trip(model, tmp_path):
+    df, w = model
+    path = str(tmp_path / "qc_weights")
+    w.write.parquet(path)
+    reloaded = df.sparkSession.read.parquet(path)
+    a = {r.doc_id: r.quality_logit for r in apply_quality_classifier(df, w).collect()}
+    b = {r.doc_id: r.quality_logit for r in apply_quality_classifier(df, reloaded).collect()}
+    assert a == b  # exact: same literals fold in
+
+
+def test_unknown_feature_raises(spark, model):
+    df, _ = model
+    bad = spark.createDataFrame(
+        [(-1, BIAS_FEATURE, 0.1), (0, "embedding_norm", 2.0)],
+        "idx int, feature string, weight double",
+    )
+    with pytest.raises(ValueError, match="unknown quality features"):
+        apply_quality_classifier(df, bad)
+
+
+def test_missing_idx_falls_back_to_contract_order(spark, model):
+    df, w = model
+    no_idx = w.select("feature", "weight")
+    a = {r.doc_id: r.quality_logit for r in apply_quality_classifier(df, w).collect()}
+    b = {r.doc_id: r.quality_logit for r in apply_quality_classifier(df, no_idx).collect()}
+    assert a == b
+
+
+def test_threshold_moves_boundary(model):
+    df, w = model
+    strict = apply_quality_classifier(df, w, threshold=0.99)
+    lax = apply_quality_classifier(df, w, threshold=0.01)
+    n_strict = strict.filter("quality_keep").count()
+    n_lax = lax.filter("quality_keep").count()
+    assert n_strict <= n_lax
+    with pytest.raises(ValueError, match="threshold"):
+        apply_quality_classifier(df, w, threshold=1.0)
+
+
+def test_null_and_empty_text_score_bias_only(spark, model):
+    _, w = model
+    bias = {r.feature: r.weight for r in w.collect()}[BIAS_FEATURE]
+    edge = spark.createDataFrame([(1, None), (2, ""), (3, "   ")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in apply_quality_classifier(edge, w).collect()}
+    for doc_id in (1, 2):
+        assert rows[doc_id].quality_logit == bias
+        assert rows[doc_id].quality_keep == (bias >= 0.0)
+    # whitespace-only: zero tokens, but char-ratio denominators are len>0
+    assert rows[3].quality_logit is not None
+
+
+def test_featurize_matches_exprs(spark, documents):
+    """The staged batch featurizer and the pure-expression path (the apply
+    path) must agree exactly on the real corpus."""
+    docs = documents.select("doc_id", "text")
+    staged = {r.doc_id: r for r in featurize(docs, keep=["doc_id"]).collect()}
+    exprs = quality_feature_exprs(F.col("text"))
+    pure = {
+        r.doc_id: r
+        for r in docs.select("doc_id", *[exprs[n].alias(n) for n in QUALITY_FEATURES]).collect()
+    }
+    for doc_id, row in pure.items():
+        for name in QUALITY_FEATURES:
+            assert row[name] == staged[doc_id][name], (doc_id, name)
+
+
+def test_apply_plan_is_map_only(model):
+    """The 100 TB scoring pass: no Exchange anywhere in the physical plan —
+    the weights fold into literals, never a join or shuffle."""
+    df, w = model
+    plan = (
+        apply_quality_classifier(df, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_apply_works_on_streaming_frame(spark, model, tmp_path):
+    """quality_feature_exprs is expression-only, so scoring composes onto a
+    readStream source (the ingest-time quality gate)."""
+    df, w = model
+    src = str(tmp_path / "stream_src")
+    df.select("doc_id", "text").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = apply_quality_classifier(stream, w)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("qc_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.quality_logit for r in spark.table("qc_stream_test").collect()}
+    want = {r.doc_id: r.quality_logit for r in apply_quality_classifier(df, w).collect()}
+    assert got == want
+
+
+def test_curation_ladder_forwards_quality_model(spark, model):
+    """prepare_training_set(quality_model=...) drops what the model drops:
+    junk docs vanish from the chunk output even when every other gate is
+    permissive."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    df, w = model
+    docs = df.select("doc_id", "text")
+    out = prepare_training_set(
+        docs,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        quality_model=w,
+    )
+    kept_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept_ids and all(i < 1000 for i in kept_ids)
+    # and without the model the junk survives the permissive ladder
+    base = prepare_training_set(docs, min_quality=0.0, near_dup_threshold=None)
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    assert any(i >= 1000 for i in base_ids)

@@ -93,6 +93,11 @@ CHECKS = {
                                   max_exchange=2, no_cartesian=True),
     "dedup_exact_docs": dict(partial_agg=True),
     "token_stats": dict(pruned_cols="text"),
+    # trained quality scoring is the 100 TB apply path: the weights fold
+    # into literals, so the whole pass MUST stay a zero-exchange narrow
+    # projection over a (doc_id, text) scan — a join or shuffle here
+    # means the weights stopped being broadcast-by-construction
+    "quality_classifier_docs": dict(max_exchange=0, no_cartesian=True, pruned_cols="text"),
     # indicator ladders: exactly the bar-aggregate exchange plus ONE series
     # shuffle — the chained window specs / the applyInPandas grouping must
     # not introduce extra exchanges

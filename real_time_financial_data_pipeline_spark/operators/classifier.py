@@ -148,6 +148,8 @@ def train_quality_classifier(
     max_iter: int = 100,
     reg_param: float = 0.01,
     elastic_net_param: float = 0.0,
+    weight_col: str | None = None,
+    balance_classes: bool = False,
 ) -> DataFrame:
     """Fit the quality model; return its weights as a 6-row DataFrame
     ``(idx int, feature string, weight double)`` with the intercept at
@@ -162,6 +164,16 @@ def train_quality_classifier(
     finite when the weak labels are (nearly) linearly separable, the
     normal case when they were derived by thresholding a heuristic.
 
+    Weak-label corpora are usually heavily IMBALANCED (a crawl is mostly
+    junk, the gold reference is tiny).  Two knobs, mutually exclusive:
+    ``weight_col`` names an existing per-row weight column (forwarded to
+    the optimizer's weighted log-loss), and ``balance_classes=True``
+    derives inverse-class-frequency weights in one aggregate —
+    ``n/(2·n_class)``, so each CLASS contributes equally to the loss no
+    matter how lopsided the row counts — the standard fastText/sklearn
+    'balanced' mode.  Both only reweight the train loss; apply is
+    untouched.
+
     The weights table is ordinary data: persist it with
     ``weights.write.parquet(...)`` next to the other lake artifacts (the
     BPE merge table pattern) and reload for apply.
@@ -169,15 +181,31 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    feats = featurize(
-        df.select(F.col(label_col).cast("double").alias("_qc_label"), F.col(text_col)),
-        text_col,
-        keep=["_qc_label"],
-    )
+    if weight_col is not None and balance_classes:
+        raise ValueError("pass weight_col OR balance_classes, not both")
+    keep = ["_qc_label"] + (["_qc_weight"] if weight_col is not None else [])
+    cols = [F.col(label_col).cast("double").alias("_qc_label"), F.col(text_col)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_qc_weight"))
+    feats = featurize(df.select(*cols), text_col, keep=keep)
+    if balance_classes:
+        # one tiny aggregate (2 rows) -> literal CASE weights; n/(2*n_c)
+        # keeps the TOTAL loss weight equal to the row count, so reg_param
+        # means the same thing as in the unweighted fit
+        counts = {r["_qc_label"]: r["n"] for r in feats.groupBy("_qc_label").agg(F.count("*").alias("n")).collect()}
+        missing = {0.0, 1.0} - set(counts)
+        if missing:
+            raise ValueError(f"balance_classes needs both classes present, missing {sorted(missing)}")
+        n = sum(counts.values())
+        feats = feats.withColumn(
+            "_qc_weight",
+            F.when(F.col("_qc_label") == 1.0, F.lit(n / (2.0 * counts[1.0])))
+            .otherwise(F.lit(n / (2.0 * counts[0.0]))),
+        )
     assembled = VectorAssembler(
         inputCols=list(QUALITY_FEATURES), outputCol="_qc_vec"
     ).transform(feats)
-    model = LogisticRegression(
+    lr = LogisticRegression(
         featuresCol="_qc_vec",
         labelCol="_qc_label",
         maxIter=max_iter,
@@ -185,7 +213,10 @@ def train_quality_classifier(
         elasticNetParam=elastic_net_param,
         standardization=True,
         family="binomial",
-    ).fit(assembled)
+    )
+    if weight_col is not None or balance_classes:
+        lr = lr.setWeightCol("_qc_weight")
+    model = lr.fit(assembled)
     rows = [(-1, BIAS_FEATURE, float(model.intercept))] + [
         (i, name, float(w))
         for i, (name, w) in enumerate(zip(QUALITY_FEATURES, model.coefficients))

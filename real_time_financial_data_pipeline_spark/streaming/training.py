@@ -101,6 +101,8 @@ def stream_training_chunks(
     embeddings: DataFrame | None = None,
     benchmark_embeddings: DataFrame | None = None,
     semantic_decontam_threshold: float = 0.9,
+    quality_model: DataFrame | None = None,
+    quality_model_threshold: float = 0.5,
 ) -> DataFrame:
     """(optional) PII scrub -> quality gate -> (optional) repetition gate
     -> (optional) LM perplexity gate -> (optional) benchmark
@@ -115,6 +117,12 @@ def stream_training_chunks(
     staging repartition is an intra-micro-batch shuffle, also
     append-legal; thresholds match ``curate_documents(repetition_gate=
     True)``, so batch and stream drop the same documents.
+
+    ``quality_model`` applies the trained quality gate
+    (``classifier.quality_model_gate``) right after the heuristic one —
+    the weights fold into literal expressions, so it is as
+    streaming-legal as the heuristic gate and drops exactly the
+    documents the batch ladder drops.
 
     Output schema matches ``prepare_training_set``:
     (``id_col``, chunk_id, n_chunk_tokens, chunk_text, split).
@@ -177,6 +185,13 @@ def stream_training_chunks(
         docs = scrub_pii(docs, text_col)
     toks = tokens(F.col(text_col))
     gated = docs.filter(quality_score_expr(toks) >= F.lit(min_quality))
+    if quality_model is not None:
+        # the trained gate is literal-folded expressions only (no staging,
+        # no join), so it composes onto the stream exactly like the
+        # heuristic one and drops the same documents as the batch ladder
+        from ..operators.classifier import quality_model_gate
+
+        gated = quality_model_gate(gated, quality_model, text_col, quality_model_threshold)
     if repetition_gate:
         from ..operators.text import repetition_filter
 

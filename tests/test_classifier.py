@@ -194,6 +194,65 @@ def test_apply_works_on_streaming_frame(spark, model, tmp_path):
     assert got == want
 
 
+def test_unit_weight_col_equals_unweighted(spark):
+    """weight_col of all-ones is the same optimization problem — weights
+    must come back (numerically) identical to the unweighted fit."""
+    df = _labeled_corpus(spark, n_each=30).withColumn("w", F.lit(1.0))
+    plain = {r.feature: r.weight for r in train_quality_classifier(df, "label").collect()}
+    weighted = {
+        r.feature: r.weight
+        for r in train_quality_classifier(df, "label", weight_col="w").collect()
+    }
+    for feat, w in plain.items():
+        assert math.isclose(weighted[feat], w, rel_tol=1e-6, abs_tol=1e-9), feat
+
+
+def test_balance_classes_recovers_minority(spark):
+    """Imbalanced weak labels (the crawl norm: mostly junk, tiny gold
+    slice) with OVERLAPPING class distributions: the unweighted fit is
+    majority-prior-dominated and writes off the overlap region (most of
+    the good docs), the balanced fit places the boundary between the
+    class-conditional densities and recovers them.
+
+    Construction: essentially 1-D on stopword_ratio — k stopwords out of
+    20 tokens.  good k ∈ {3..7}, junk k ∈ {0..5}: the {3,4,5} band is
+    shared, but junk outnumbers good 25:1 there, so the posterior (what
+    the unweighted fit optimizes) says drop while the balanced likelihood
+    ratio says keep."""
+
+    def text(k, i):
+        return " ".join(["the"] * k + ["rock"] * (20 - k)) + f" x{i}"
+
+    good = [(i, text(3 + i % 5, i)) for i in range(15)]
+    junk = [(1000 + i, text(i % 6, i)) for i in range(375)]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string").withColumn(
+        "label", (F.col("doc_id") < 1000).cast("double")
+    )
+    good_ids = {i for i, _ in good}
+
+    def recall(weights):
+        kept = {
+            r.doc_id
+            for r in apply_quality_classifier(df, weights).filter("quality_keep").collect()
+        }
+        return len(kept & good_ids) / len(good_ids)
+
+    recall_bal = recall(train_quality_classifier(df, "label", balance_classes=True))
+    recall_plain = recall(train_quality_classifier(df, "label"))
+    assert recall_bal >= 0.9
+    assert recall_plain <= 0.6  # the prior-dominated fit drops the overlap band
+    assert recall_bal > recall_plain
+
+
+def test_balance_classes_guards(spark):
+    df = _labeled_corpus(spark, n_each=5).withColumn("w", F.lit(1.0))
+    with pytest.raises(ValueError, match="not both"):
+        train_quality_classifier(df, "label", weight_col="w", balance_classes=True)
+    one_class = df.filter(F.col("label") == 1.0)
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier(one_class, "label", balance_classes=True)
+
+
 def test_curation_ladder_forwards_quality_model(spark, model):
     """prepare_training_set(quality_model=...) drops what the model drops:
     junk docs vanish from the chunk output even when every other gate is

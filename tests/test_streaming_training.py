@@ -420,3 +420,62 @@ def test_stream_semantic_decontamination_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="requires embeddings"):
         stream_training_chunks(stream, benchmark_embeddings=bench_emb)
+
+
+def test_stream_quality_model_gate_matches_batch(spark, tmp_path):
+    """The trained quality gate in-flight: stream and batch must drop the
+    SAME documents under the same weights table, and the surviving chunks
+    must match exactly (literal-folded expressions are micro-batch
+    agnostic by construction — this pins the wiring)."""
+    from pyspark.sql import functions as F
+
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier,
+        train_quality_classifier,
+    )
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    good = [(i, f"the quick brown fox and the lazy dog number {i} on a log") for i in range(6)]
+    junk = [(100 + i, ("z9#@! qq7 " * 8) + str(i)) for i in range(6)]
+    rows = good + junk
+    train_df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "label", (F.col("doc_id") < 100).cast("double")
+    )
+    weights = train_quality_classifier(train_df, "label", max_iter=25)
+    # sanity: the model actually discriminates on this corpus
+    kept = {
+        r.doc_id
+        for r in apply_quality_classifier(train_df, weights).filter("quality_keep").collect()
+    }
+    assert kept == {i for i, _ in good}
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src / "f1"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, chunk_tokens=8, overlap_tokens=2, min_quality=0.0,
+            quality_model=weights,
+        )
+        .writeStream.format("memory")
+        .queryName("qc_gated_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_qc"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("qc_gated_chunks").collect()
+
+    batch = prepare_training_set(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_quality=0.0, near_dup_threshold=None,
+        chunk_tokens=8, overlap_tokens=2, quality_model=weights,
+    ).collect()
+
+    key = lambda r: (r.doc_id, r.chunk_id)
+    assert sorted(got, key=key) == sorted(batch, key=key)
+    assert {r.doc_id for r in got} == {i for i, _ in good}

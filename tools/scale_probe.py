@@ -139,8 +139,30 @@ def main() -> None:
         df.write.mode("overwrite").parquet(p)
         stream_dirs[tag] = p
 
+    # trained quality model: fit ONCE on the 1x corpus (untimed — training
+    # runs on the weak-label sample in production, not per-scoring-pass),
+    # then probe the literal-folded apply at both scales.  Map-only, so
+    # the expectation is the corpus_report shape: ~flat at these SFs.
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier,
+        quality_feature_exprs,
+        train_quality_classifier,
+    )
+
+    _exprs = quality_feature_exprs(F.col("text"))
+    qc_weights = train_quality_classifier(
+        docs1.select("doc_id", "text").withColumn(
+            "label", (_exprs["stopword_ratio"] > F.lit(0.05)).cast("double")
+        ),
+        "label", "text", max_iter=25,
+    ).collect()
+    qc_weights_df = spark.createDataFrame(qc_weights, "idx int, feature string, weight double")
+
     # probe lambdas take (frame, scale); scale feeds the k∝n SemDedup knob
     probes = {
+        "quality_classifier_apply": lambda d, s: noop(
+            apply_quality_classifier(d.select("doc_id", "text"), qc_weights_df)
+            .select("doc_id", "quality_logit", "quality_keep")),
         "minhash_pairs": lambda d, s: noop(minhash_dedup_pairs(d, threshold=0.5)),
         "paragraph_dedup": lambda d, s: noop(paragraph_dedup(
             d.withColumn("text", F.regexp_replace(F.col("text"), r"((?:\S+ ){3}\S+) ", "$1\n")))),

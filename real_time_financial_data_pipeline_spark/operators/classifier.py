@@ -290,6 +290,76 @@ def apply_quality_classifier(
     return out.withColumn(keep_col, F.col(logit_col) >= F.lit(logit_threshold))
 
 
+def threshold_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    n_bins: int = 100,
+) -> DataFrame:
+    """Precision/recall/F1 at every candidate threshold, in ONE corpus
+    pass — how a production filter threshold actually gets chosen ("keep
+    the most data at ≥95% precision against the held-out labels").
+
+    The corpus-sized work is a single map + one hash aggregate onto
+    ``n_bins`` rows (scores bucketed by ``floor(prob·n_bins)``); the
+    cumulative TP/FP sweep then runs as an unbounded-preceding window
+    ordered by bin DESCENDING over those n_bins rows — predictions at
+    threshold t are exactly the rows in bins ≥ t·n_bins, so suffix sums
+    give every threshold's confusion counts at once.  At 100 TB the plan
+    is scan -> partial agg -> n_bins-row exchange -> window over n_bins
+    rows: the window never sees the corpus.
+
+    Thresholds are the bin LOWER edges (bin/n_bins); precision is null
+    when a threshold keeps nothing.  Output, one row per non-empty-suffix
+    bin: (threshold, tp, fp, fn, precision, recall, f1, kept_frac).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    label = F.col(label_col).cast("double")
+    bucket = F.least(
+        F.floor(F.col(prob_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    per_bin = (
+        scored.select(
+            bucket.alias("bin"),
+            F.when(label == 1.0, F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_pos").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("is_pos")).cast("long").alias("n_neg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    suffix = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = per_bin.select(
+        "bin", "n_pos", "n_neg",
+        F.sum("n_pos").over(suffix).alias("tp"),
+        F.sum("n_neg").over(suffix).alias("fp"),
+    )
+    total_pos = F.sum("n_pos").over(Window.partitionBy())
+    total_all = total_pos + F.sum("n_neg").over(Window.partitionBy())
+    out = totals.select(
+        F.round(F.col("bin").cast("double") / n_bins, 6).alias("threshold"),
+        "tp", "fp",
+        (total_pos - F.col("tp")).cast("long").alias("fn"),
+        F.round(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.try_divide(F.col("tp").cast("double"), total_pos), 6).alias("recall"),
+        F.round(
+            F.try_divide(
+                F.lit(2.0) * F.col("tp"),
+                F.lit(2.0) * F.col("tp") + F.col("fp") + (total_pos - F.col("tp")),
+            ),
+            6,
+        ).alias("f1"),
+        F.round(F.try_divide((F.col("tp") + F.col("fp")).cast("double"), total_all), 6).alias("kept_frac"),
+    )
+    return out.orderBy("threshold")
+
+
 def quality_model_gate(
     df: DataFrame,
     weights: DataFrame,

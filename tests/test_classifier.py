@@ -275,3 +275,74 @@ def test_curation_ladder_forwards_quality_model(spark, model):
     base = prepare_training_set(docs, min_quality=0.0, near_dup_threshold=None)
     base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
     assert any(i >= 1000 for i in base_ids)
+
+
+def _brute_report(rows, n_bins):
+    """Python reference: confusion counts at every bin lower edge."""
+    out = {}
+    bins = sorted({min(int(p * n_bins), n_bins - 1) for p, _ in rows}, reverse=True)
+    total_pos = sum(1 for _, y in rows if y == 1.0)
+    for b in bins:
+        kept = [(p, y) for p, y in rows if min(int(p * n_bins), n_bins - 1) >= b]
+        tp = sum(1 for _, y in kept if y == 1.0)
+        fp = len(kept) - tp
+        out[b] = dict(
+            tp=tp, fp=fp, fn=total_pos - tp,
+            precision=tp / (tp + fp) if tp + fp else None,
+            recall=tp / total_pos,
+            kept_frac=len(kept) / len(rows),
+        )
+    return out
+
+
+def test_threshold_report_matches_brute_force(spark):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        threshold_report,
+    )
+
+    # probs chosen away from the 0.1 bin edges so binning is unambiguous
+    rows = [
+        (0.982, 1.0), (0.871, 1.0), (0.843, 0.0), (0.712, 1.0), (0.655, 0.0),
+        (0.551, 1.0), (0.348, 0.0), (0.217, 0.0), (0.146, 1.0), (0.032, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "quality_prob double, label double")
+    got = {
+        round(r.threshold * 10): r
+        for r in threshold_report(df, "label", n_bins=10).collect()
+    }
+    want = _brute_report(rows, 10)
+    assert set(got) == set(want)
+    for b, w in want.items():
+        g = got[b]
+        assert (g.tp, g.fp, g.fn) == (w["tp"], w["fp"], w["fn"]), b
+        assert g.recall == round(w["recall"], 6)
+        assert g.kept_frac == round(w["kept_frac"], 6)
+        if w["precision"] is None:
+            assert g.precision is None
+        else:
+            assert g.precision == round(w["precision"], 6)
+        p, r = w["precision"], w["recall"]
+        f1 = 2 * p * r / (p + r) if p else None
+        if f1 is not None:
+            assert abs(g.f1 - f1) < 1e-6, b
+
+
+def test_threshold_report_monotone_and_trained_end_to_end(spark, model):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        threshold_report,
+    )
+
+    df, w = model
+    scored = apply_quality_classifier(df, w)
+    rep = threshold_report(scored, "label").collect()
+    assert rep == sorted(rep, key=lambda r: r.threshold)
+    recalls = [r.recall for r in rep]
+    kept = [r.kept_frac for r in rep]
+    assert recalls == sorted(recalls, reverse=True)  # suffix sums shrink
+    assert kept == sorted(kept, reverse=True)
+    assert rep[0].recall == 1.0  # lowest non-empty bin keeps every positive
+    assert max(r.f1 for r in rep) >= 0.9  # separable corpus: a great cut exists
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        threshold_report(scored, "label", n_bins=1)

@@ -371,3 +371,200 @@ def quality_model_gate(
     Map-only like the heuristic gate it slots in beside."""
     scored = apply_quality_classifier(df, weights, text_col, threshold)
     return scored.filter(F.col("quality_keep")).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram (fastText-style) variant: lexical sensitivity
+# ---------------------------------------------------------------------------
+#
+# The five aggregate features above cannot tell "finance ledger invoice"
+# from "casino jackpot bonus" — same lengths, same stopword ratio.  The
+# actual fastText filter of CCNet/DCLM hashes token n-grams into a fixed
+# bucket table and learns one weight per bucket.  Same economics here:
+#
+# - bucketing is pure JVM expression work (xxhash64 + pmod inside a
+#   higher-order transform) — no HashingTF/VectorUDT plumbing, so the
+#   apply path needs no ML runtime and no Python;
+# - the learned bucket table folds into ONE array literal and the logit
+#   is bias + mean(w[bucket]) via F.aggregate — codegen'd, zero shuffle,
+#   streaming-legal, exactly like the dense apply above;
+# - training is full-batch gradient descent expressed as DataFrame ops
+#   on the weak-label SAMPLE: per iteration one scoring projection and
+#   one explode->groupBy(bucket) aggregate (shuffle bounded by n_buckets,
+#   never the sample), weights updated driver-side (a numpy array of
+#   n_buckets doubles — broadcast-by-construction, the BPE merge-table
+#   scale).  No row-at-a-time Python anywhere.
+#
+# MEAN (not sum) pooling bounds the feature scale per document — the
+# fastText convention — so a fixed step size conditions well across
+# 10-token and 10k-token docs.
+
+#: weight-column metadata keys — the build-parameter contract (same
+#: artifact-carries-its-params pattern as the KMV and substring indexes):
+#: apply MUST bucket queries exactly as training did, so a weights table
+#: without this metadata (or a mismatched one) raises instead of silently
+#: scoring against the wrong hash space.
+QC_HASHED_META = ("qc_n_buckets", "qc_ngram")
+
+
+def hashed_ngram_buckets(text: Column, n_buckets: int, ngram: int = 2) -> Column:
+    """Token 1..ngram grams hashed into ``[0, n_buckets)`` — an
+    ``array<int>`` with one entry per gram OCCURRENCE (repeats count).
+    NULL text ≡ empty.  Pure expressions: xxhash64 + pmod inside
+    transform, so it composes onto batch and streaming frames alike."""
+    from .text import ngrams as _ngrams
+
+    toks = tokens(F.coalesce(text, F.lit("")))
+    parts = [toks] + [_ngrams(toks, k) for k in range(2, ngram + 1)]
+    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return F.transform(
+        grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _hashed_logit(buckets: Column, bias: float, w: list[float]) -> Column:
+    """bias + mean(w[bucket]) as a literal-folded expression (empty doc ->
+    bias).  Fixed fold order; the array literal is the whole model."""
+    warr = F.lit(w)
+    total = F.aggregate(
+        buckets, F.lit(0.0), lambda acc, b: acc + F.element_at(warr, b + F.lit(1))
+    )
+    return F.lit(bias) + F.coalesce(
+        F.try_divide(total, F.size(buckets)), F.lit(0.0)
+    )
+
+
+def train_quality_classifier_hashed(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ngram: int = 2,
+    iters: int = 40,
+    step: float = 4.0,
+    reg_param: float = 1e-3,
+    balance_classes: bool = False,
+) -> DataFrame:
+    """Fit the hashed-n-gram logistic model; return a SPARSE weights table
+    ``(bucket int, weight double)`` with the intercept at ``bucket = -1``,
+    bucketing parameters riding as column metadata on ``weight``.
+
+    Full-batch GD on the weak-label sample: the bucketed sample persists
+    once, then each iteration re-scores it with the current weights as an
+    array literal and aggregates the residual gradient per bucket
+    (explode -> hash aggregate, <= n_buckets result rows).  L2-regularized
+    mean log-loss; ``balance_classes`` reweights residuals by
+    n/(2·n_class) like the dense trainer.
+    """
+    if n_buckets < 2 or ngram < 1:
+        raise ValueError(f"need n_buckets >= 2 and ngram >= 1, got {n_buckets}, {ngram}")
+    import numpy as np
+
+    spark = df.sparkSession
+    staged = (
+        df.select(
+            F.col(label_col).cast("double").alias("_y"),
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ngram).alias("_b"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    try:
+        if balance_classes:
+            counts = {r["_y"]: r["n"] for r in staged.groupBy("_y").agg(F.count("*").alias("n")).collect()}
+            missing = {0.0, 1.0} - set(counts)
+            if missing:
+                raise ValueError(f"balance_classes needs both classes present, missing {sorted(missing)}")
+            n_rows = sum(counts.values())
+            rw = F.when(F.col("_y") == 1.0, F.lit(n_rows / (2.0 * counts[1.0]))).otherwise(
+                F.lit(n_rows / (2.0 * counts[0.0]))
+            )
+            n_eff = float(n_rows)
+        else:
+            n_eff = float(staged.count())
+            rw = F.lit(1.0)
+        w = np.zeros(n_buckets)
+        bias = 0.0
+        for _ in range(iters):
+            z = _hashed_logit(F.col("_b"), bias, w.tolist())
+            resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")) * rw
+            scored = staged.select(
+                resid.alias("_r"),
+                F.col("_b"),
+                F.size(F.col("_b")).alias("_l"),
+            ).persist()
+            bias_grad = scored.agg(F.sum("_r")).first()[0] / n_eff
+            # each occurrence contributes resid/len (mean pooling), so the
+            # exploded value IS the per-occurrence gradient term
+            grads = (
+                scored.filter(F.col("_l") > 0)
+                .select((F.col("_r") / F.col("_l")).alias("_g"), F.explode("_b").alias("_j"))
+                .groupBy("_j")
+                .agg(F.sum("_g").alias("_grad"))
+                .collect()
+            )
+            scored.unpersist()
+            g = np.zeros(n_buckets)
+            for r in grads:
+                g[r["_j"]] = r["_grad"] / n_eff
+            w -= step * (g + reg_param * w)
+            bias -= step * bias_grad
+    finally:
+        staged.unpersist()
+    rows = [(-1, float(bias))] + [
+        (j, float(w[j])) for j in range(n_buckets) if w[j] != 0.0
+    ]
+    out = spark.createDataFrame(rows, "bucket int, weight double")
+    return out.select(
+        "bucket",
+        F.col("weight").alias(
+            "weight", metadata={"qc_n_buckets": n_buckets, "qc_ngram": ngram}
+        ),
+    )
+
+
+def _hashed_params(weights: DataFrame) -> tuple[int, int]:
+    field = {f.name: f for f in weights.schema.fields}.get("weight")
+    md = dict(field.metadata or {}) if field is not None else {}
+    if not all(k in md for k in QC_HASHED_META):
+        raise ValueError(
+            "weights table carries no qc_n_buckets/qc_ngram metadata — build "
+            "it with train_quality_classifier_hashed (scoring against the "
+            "wrong hash space would be silent garbage)"
+        )
+    return int(md["qc_n_buckets"]), int(md["qc_ngram"])
+
+
+def apply_quality_classifier_hashed(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    logit_col: str = "quality_logit",
+    prob_col: str = "quality_prob",
+    keep_col: str = "quality_keep",
+) -> DataFrame:
+    """Score with the hashed model: the sparse bucket table densifies into
+    one array literal and the whole pass is a zero-exchange codegen'd
+    projection (same contract as the dense apply; streaming-legal).
+    Bucketing parameters come from the weights' column metadata — the
+    artifact carries its build contract."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    n_buckets, ngram = _hashed_params(weights)
+    dense = [0.0] * n_buckets
+    bias = 0.0
+    for r in weights.select("bucket", "weight").collect():
+        if r["bucket"] == -1:
+            bias = float(r["weight"])
+        elif 0 <= r["bucket"] < n_buckets:
+            dense[r["bucket"]] = float(r["weight"])
+        else:
+            raise ValueError(f"bucket {r['bucket']} outside [0, {n_buckets})")
+    logit = _hashed_logit(
+        hashed_ngram_buckets(F.col(text_col), n_buckets, ngram), bias, dense
+    )
+    logit_threshold = math.log(threshold / (1.0 - threshold))
+    out = df.withColumn(logit_col, logit)
+    out = out.withColumn(prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col))))
+    return out.withColumn(keep_col, F.col(logit_col) >= F.lit(logit_threshold))

@@ -346,3 +346,145 @@ def test_threshold_report_monotone_and_trained_end_to_end(spark, model):
 
     with _pytest.raises(ValueError, match="n_bins"):
         threshold_report(scored, "label", n_bins=1)
+
+
+# --- hashed n-gram (fastText-style) variant --------------------------------
+
+FIN = ["ledger", "invoice", "audit", "credit", "equity", "margin"]
+SPAM = ["casino", "jackpot", "poker", "payout", "prizes", "bettor"]
+# pairwise same character lengths -> the five DENSE features are identical
+# between the two classes by construction
+assert [len(w) for w in FIN] == [len(w) for w in SPAM]
+
+
+def _topical_corpus(spark):
+    def doc(vocab, i):
+        ws = [vocab[(i + j) % len(vocab)] for j in range(10)]
+        return "the " + " ".join(ws) + f" on x{i}"
+
+    rows = [(i, doc(FIN, i), 1.0) for i in range(40)] + [
+        (100 + i, doc(SPAM, i), 0.0) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+@pytest.fixture(scope="module")
+def hashed_model(spark):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        train_quality_classifier_hashed,
+    )
+
+    df = _topical_corpus(spark)
+    return df, train_quality_classifier_hashed(df, iters=30, n_buckets=512)
+
+
+def _accuracy(scored):
+    return (
+        scored.withColumn(
+            "ok", (F.col("quality_keep") == (F.col("label") == 1.0)).cast("double")
+        )
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+
+
+def test_hashed_separates_vocabulary_the_dense_model_cannot(spark, hashed_model):
+    """The whole point of the hashed variant: two corpora with IDENTICAL
+    aggregate stats (same token counts, same per-position word lengths,
+    same stopwords/digits/punctuation) but different vocabularies.  The
+    dense 5-feature model is blind by construction; the hashed n-gram
+    model must separate them."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+    )
+
+    df, w = hashed_model
+    assert _accuracy(apply_quality_classifier_hashed(df, w)) >= 0.95
+    dense = train_quality_classifier(df, "label")
+    assert _accuracy(apply_quality_classifier(df, dense)) <= 0.7
+
+
+def test_hashed_apply_is_map_only_and_streaming_legal(spark, hashed_model, tmp_path):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+    )
+
+    df, w = hashed_model
+    scored = apply_quality_classifier_hashed(df, w)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    src = str(tmp_path / "hstream")
+    df.select("doc_id", "text").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        apply_quality_classifier_hashed(stream, w)
+        .writeStream.format("memory")
+        .queryName("qc_hashed_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.quality_logit for r in spark.table("qc_hashed_stream").collect()}
+    want = {r.doc_id: r.quality_logit for r in scored.select("doc_id", "quality_logit").collect()}
+    assert got == want
+
+
+def test_hashed_weights_round_trip_with_metadata_contract(spark, hashed_model, tmp_path):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+    )
+
+    df, w = hashed_model
+    path = str(tmp_path / "hashed_w")
+    w.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = {r.doc_id: r.quality_logit for r in apply_quality_classifier_hashed(df, w).collect()}
+    b = {r.doc_id: r.quality_logit for r in apply_quality_classifier_hashed(df, reloaded).collect()}
+    assert a == b
+    # stripping the metadata voids the build contract -> raise, never score
+    stripped = spark.createDataFrame(
+        [(r.bucket, r.weight) for r in w.collect()], "bucket int, weight double"
+    )
+    with pytest.raises(ValueError, match="metadata"):
+        apply_quality_classifier_hashed(df, stripped)
+
+
+def test_hashed_empty_and_null_text_score_bias(spark, hashed_model):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+    )
+
+    _, w = hashed_model
+    bias = {r.bucket: r.weight for r in w.collect()}[-1]
+    edge = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in apply_quality_classifier_hashed(edge, w).collect()}
+    for i in (1, 2):
+        assert rows[i].quality_logit == bias
+
+
+def test_hashed_balance_classes_and_guards(spark):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+        train_quality_classifier_hashed,
+    )
+
+    def doc(vocab, i):
+        return "the " + " ".join(vocab[(i + j) % len(vocab)] for j in range(10)) + f" on x{i}"
+
+    # 10:1 imbalance; balanced training must still recover the minority
+    rows = [(i, doc(FIN, i), 1.0) for i in range(8)] + [
+        (100 + i, doc(SPAM, i), 0.0) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    w = train_quality_classifier_hashed(df, iters=30, n_buckets=512, balance_classes=True)
+    kept = {
+        r.doc_id
+        for r in apply_quality_classifier_hashed(df, w).filter("quality_keep").collect()
+    }
+    assert {i for i in range(8)} <= kept
+    assert not any(d >= 100 for d in kept)
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier_hashed(df.filter("label = 0.0"), balance_classes=True)
+    with pytest.raises(ValueError, match="n_buckets"):
+        train_quality_classifier_hashed(df, n_buckets=1)

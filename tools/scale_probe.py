@@ -150,18 +150,30 @@ def main() -> None:
     )
 
     _exprs = quality_feature_exprs(F.col("text"))
-    qc_weights = train_quality_classifier(
-        docs1.select("doc_id", "text").withColumn(
-            "label", (_exprs["stopword_ratio"] > F.lit(0.05)).cast("double")
-        ),
-        "label", "text", max_iter=25,
-    ).collect()
+    _labeled1 = docs1.select("doc_id", "text").withColumn(
+        "label", (_exprs["stopword_ratio"] > F.lit(0.05)).cast("double")
+    )
+    qc_weights = train_quality_classifier(_labeled1, "label", "text", max_iter=25).collect()
     qc_weights_df = spark.createDataFrame(qc_weights, "idx int, feature string, weight double")
+
+    # hashed (fastText-style) twin: same fit-once-untimed protocol; apply
+    # is the array-literal mean-pool fold — also map-only, but the
+    # per-row work adds bigram construction + one hash per gram
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+        train_quality_classifier_hashed,
+    )
+
+    qc_hashed_w = train_quality_classifier_hashed(_labeled1, iters=15).persist()
+    qc_hashed_w.count()
 
     # probe lambdas take (frame, scale); scale feeds the k∝n SemDedup knob
     probes = {
         "quality_classifier_apply": lambda d, s: noop(
             apply_quality_classifier(d.select("doc_id", "text"), qc_weights_df)
+            .select("doc_id", "quality_logit", "quality_keep")),
+        "quality_classifier_hashed_apply": lambda d, s: noop(
+            apply_quality_classifier_hashed(d.select("doc_id", "text"), qc_hashed_w)
             .select("doc_id", "quality_logit", "quality_keep")),
         "minhash_pairs": lambda d, s: noop(minhash_dedup_pairs(d, threshold=0.5)),
         "paragraph_dedup": lambda d, s: noop(paragraph_dedup(

@@ -488,3 +488,20 @@ def test_hashed_balance_classes_and_guards(spark):
         train_quality_classifier_hashed(df.filter("label = 0.0"), balance_classes=True)
     with pytest.raises(ValueError, match="n_buckets"):
         train_quality_classifier_hashed(df, n_buckets=1)
+
+
+def test_hashed_scheme_version_mismatch_raises(spark, hashed_model):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+    )
+
+    df, w = hashed_model
+    stale = w.select(
+        "bucket",
+        F.col("weight").alias(
+            "weight",
+            metadata={"qc_n_buckets": 512, "qc_ngram": 2, "qc_hash": "strings-v1"},
+        ),
+    )
+    with pytest.raises(ValueError, match="bucketing scheme"):
+        apply_quality_classifier_hashed(df, stale)

@@ -368,8 +368,23 @@ def quality_model_gate(
 ) -> DataFrame:
     """Filter to documents the model keeps, original schema preserved —
     the curation-ladder form (``curate_documents(quality_model=...)``).
-    Map-only like the heuristic gate it slots in beside."""
-    scored = apply_quality_classifier(df, weights, text_col, threshold)
+    Map-only like the heuristic gate it slots in beside.
+
+    Dispatches on the weights-table schema, so the ladder (and its
+    streaming twin) take EITHER model form: ``(feature, weight)`` rows
+    route to the dense 5-feature scorer, ``(bucket, weight)`` rows to
+    the hashed n-gram scorer (whose bucketing contract rides in the
+    column metadata).  Ambiguous or unrecognizable schemas raise."""
+    cols = set(weights.columns)
+    if "feature" in cols and "bucket" not in cols:
+        scored = apply_quality_classifier(df, weights, text_col, threshold)
+    elif "bucket" in cols and "feature" not in cols:
+        scored = apply_quality_classifier_hashed(df, weights, text_col, threshold)
+    else:
+        raise ValueError(
+            f"weights table columns {sorted(cols)} match neither the dense "
+            "(feature, weight) nor the hashed (bucket, weight) contract"
+        )
     return scored.filter(F.col("quality_keep")).select(*df.columns)
 
 

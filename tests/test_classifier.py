@@ -505,3 +505,23 @@ def test_hashed_scheme_version_mismatch_raises(spark, hashed_model):
     )
     with pytest.raises(ValueError, match="bucketing scheme"):
         apply_quality_classifier_hashed(df, stale)
+
+
+def test_ladder_dispatches_hashed_weights(spark, hashed_model):
+    """curate_documents/prepare_training_set accept the hashed model too:
+    quality_model_gate dispatches on the weights schema, so the ladder
+    drops topical junk the dense features cannot see."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    df, w = hashed_model
+    docs = df.select("doc_id", "text")
+    out = prepare_training_set(
+        docs, min_quality=0.0, near_dup_threshold=None, quality_model=w
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept and all(i < 100 for i in kept)  # SPAM-vocab docs gone
+    bad = spark.createDataFrame([(0, "x", 1.0)], "bucket int, feature string, weight double")
+    with pytest.raises(ValueError, match="neither the dense"):
+        quality_model_gate(docs, bad)

@@ -370,22 +370,32 @@ def quality_model_gate(
     the curation-ladder form (``curate_documents(quality_model=...)``).
     Map-only like the heuristic gate it slots in beside.
 
-    Dispatches on the weights-table schema, so the ladder (and its
-    streaming twin) take EITHER model form: ``(feature, weight)`` rows
-    route to the dense 5-feature scorer, ``(bucket, weight)`` rows to
-    the hashed n-gram scorer (whose bucketing contract rides in the
-    column metadata).  Ambiguous or unrecognizable schemas raise."""
+    Dispatches on the weights-table schema (:func:`apply_quality_model`),
+    so the ladder (and its streaming twin) take EITHER model form."""
+    scored = apply_quality_model(df, weights, text_col, threshold)
+    return scored.filter(F.col("quality_keep")).select(*df.columns)
+
+
+def apply_quality_model(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score with whichever model the weights table holds: ``(feature,
+    weight)`` rows route to the dense 5-feature scorer, ``(bucket,
+    weight)`` rows to the hashed n-gram scorer (whose bucketing contract
+    rides in the column metadata).  Ambiguous or unrecognizable schemas
+    raise.  Both paths append the same (logit, prob, keep) columns."""
     cols = set(weights.columns)
     if "feature" in cols and "bucket" not in cols:
-        scored = apply_quality_classifier(df, weights, text_col, threshold)
-    elif "bucket" in cols and "feature" not in cols:
-        scored = apply_quality_classifier_hashed(df, weights, text_col, threshold)
-    else:
-        raise ValueError(
-            f"weights table columns {sorted(cols)} match neither the dense "
-            "(feature, weight) nor the hashed (bucket, weight) contract"
-        )
-    return scored.filter(F.col("quality_keep")).select(*df.columns)
+        return apply_quality_classifier(df, weights, text_col, threshold)
+    if "bucket" in cols and "feature" not in cols:
+        return apply_quality_classifier_hashed(df, weights, text_col, threshold)
+    raise ValueError(
+        f"weights table columns {sorted(cols)} match neither the dense "
+        "(feature, weight) nor the hashed (bucket, weight) contract"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,60 @@ def deterministic_shuffle(
     return df.orderBy(h, *[F.col(c) for c in key_cols])
 
 
+def curriculum_order(
+    df: DataFrame,
+    quality_model: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    bands: int = 10,
+    ascending: bool = True,
+    seed: int = 0,
+    band_col: str = "quality_band",
+) -> DataFrame:
+    """Curriculum data ordering: score every example with a trained
+    quality model (``classifier.apply_quality_model`` — dense or hashed,
+    dispatched on the weights schema), quantize the score into ``bands``
+    difficulty bands, and emit the dataset ordered band-by-band with a
+    DETERMINISTIC shuffle inside each band.
+
+    This is the standard curriculum recipe (easy->hard or hard->easy is
+    the ``ascending`` knob; banding-then-shuffling keeps gradient noise
+    inside a difficulty level instead of presenting examples in raw score
+    order).  The within-band order reuses :func:`deterministic_shuffle`'s
+    content-hash convention — ``xxhash64(key..., seed)`` with the keys as
+    tie-break — so the full epoch order is a pure function of row content
+    + model + seed: any cluster layout reproduces it byte-identically,
+    and different seeds re-shuffle within bands without moving anything
+    across bands.
+
+    Cost at 100 TB: ONE range-partitioned global sort on
+    ``(band, hash, keys)`` — the same shape as the epoch-shuffle write the
+    final dataset pays anyway; the scoring projection fused below it is
+    map-only.  Output = input columns + ``band_col``.
+
+    ``key_cols`` must uniquely identify rows (see
+    :func:`deterministic_shuffle`); for chunked data pass
+    ``["doc_id", "chunk_id"]``.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    from .classifier import apply_quality_model
+
+    scored = apply_quality_model(df, quality_model, text_col)
+    band = F.least(
+        F.floor(F.col("quality_prob") * bands).cast("int"), F.lit(bands - 1)
+    )
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    band_sorted = F.col(band_col) if ascending else F.col(band_col).desc()
+    return (
+        scored.withColumn(band_col, band)
+        .orderBy(band_sorted, h, *[F.col(c) for c in key_cols])
+        .select(*df.columns, band_col)
+    )
+
+
 def target_mix_sample(
     df: DataFrame,
     strata_col: str,

@@ -525,3 +525,45 @@ def test_ladder_dispatches_hashed_weights(spark, hashed_model):
     bad = spark.createDataFrame([(0, "x", 1.0)], "bucket int, feature string, weight double")
     with pytest.raises(ValueError, match="neither the dense"):
         quality_model_gate(docs, bad)
+
+
+def test_curriculum_order(spark, model):
+    """Band-monotone global order, deterministic under layout changes,
+    within-band order = the content-hash shuffle convention."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curriculum_order,
+    )
+
+    df, w = model
+    out = curriculum_order(df, w, key_cols=["doc_id"], bands=4)
+    rows = out.collect()
+    assert [r.quality_band for r in rows] == sorted(r.quality_band for r in rows)
+    # junk docs (low prob) land in the earliest bands, good docs last
+    ids = [r.doc_id for r in rows]
+    junk_positions = [i for i, d in enumerate(ids) if d >= 1000]
+    good_positions = [i for i, d in enumerate(ids) if d < 1000]
+    assert max(junk_positions) < min(good_positions)
+    # layout independence: a different partitioning produces the same order
+    rows2 = curriculum_order(df.repartition(7), w, key_cols=["doc_id"], bands=4).collect()
+    assert [r.doc_id for r in rows2] == ids
+    # descending flips the band order
+    desc = curriculum_order(df, w, key_cols=["doc_id"], bands=4, ascending=False).collect()
+    assert [r.quality_band for r in desc] == sorted((r.quality_band for r in desc), reverse=True)
+    # a different seed reshuffles WITHIN bands but moves nothing across
+    reseeded = curriculum_order(df, w, key_cols=["doc_id"], bands=4, seed=7).collect()
+    assert {(r.doc_id, r.quality_band) for r in reseeded} == {(r.doc_id, r.quality_band) for r in rows}
+    assert [r.doc_id for r in reseeded] != ids
+    # the global sort is range-partitioned (the scalable shape)
+    plan = curriculum_order(df, w, key_cols=["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    with pytest.raises(ValueError, match="key_cols"):
+        curriculum_order(df, w, key_cols=[])
+    # hashed model dispatch works through the same path
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        train_quality_classifier_hashed,
+    )
+
+    hw = train_quality_classifier_hashed(df, iters=10, n_buckets=256)
+    out_h = curriculum_order(df, hw, key_cols=["doc_id"], bands=4)
+    bands_h = [r.quality_band for r in out_h.collect()]
+    assert bands_h == sorted(bands_h)

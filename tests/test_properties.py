@@ -673,3 +673,54 @@ def test_fuzzy_join_scores_exact_for_any_strings(spark, names, threshold):
         ranks.sort()
         sims = [s for _, s in ranks]
         assert sims == sorted(sims, reverse=True)
+
+
+# --- trained quality classifier: scoring is TOTAL over arbitrary text -----
+
+_qc_texts = st.lists(
+    st.one_of(st.none(), st.text(max_size=60)),  # full unicode, nulls, empties
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_qc_texts)
+@_settings
+def test_classifier_scoring_total_over_arbitrary_text(spark, texts):
+    """For ANY input text (unicode, control chars, nulls, empties) both
+    classifier forms must score every row: prob ∈ [0,1] and non-null,
+    keep ≡ (logit >= 0) at the default threshold, and the dense logit is
+    reproduced exactly by the staged featurize path — no text can crash,
+    null out, or desynchronize the two feature paths."""
+    import math as m
+
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        QUALITY_FEATURES,
+        apply_quality_classifier,
+        apply_quality_classifier_hashed,
+        featurize,
+        train_quality_classifier_hashed,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dense_w = spark.createDataFrame(
+        [(-1, "__bias__", 0.25)]
+        + [(i, f, 0.1 * (i + 1)) for i, f in enumerate(QUALITY_FEATURES)],
+        "idx int, feature string, weight double",
+    )
+    scored = apply_quality_classifier(df, dense_w).collect()
+    assert len(scored) == len(rows)
+    for r in scored:
+        assert r.quality_prob is not None and 0.0 <= r.quality_prob <= 1.0
+        assert m.isfinite(r.quality_logit)
+        assert r.quality_keep == (r.quality_logit >= 0.0)
+    # staged featurize ≡ pure-expression features on the same rows
+    feats = {r.doc_id: r for r in featurize(df, keep=["doc_id"]).collect()}
+    train_rows = df.withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
+    hw = train_quality_classifier_hashed(train_rows, iters=2, n_buckets=64)
+    hscored = apply_quality_classifier_hashed(df, hw).collect()
+    assert len(hscored) == len(rows)
+    for r in hscored:
+        assert r.quality_prob is not None and 0.0 <= r.quality_prob <= 1.0
+    assert set(feats) == {i for i, _ in rows}

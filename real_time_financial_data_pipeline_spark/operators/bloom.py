@@ -148,22 +148,45 @@ def build_bloom(
 
 
 def might_contain(bloom: LocalBloom, col: Column | str) -> Column:
-    """Vectorized membership test column — the bitmap rides the closure
-    (broadcast once per stage by Spark's task serialization), each Arrow
-    batch probes in pure numpy.  NULL keys test as 'maybe' (True) so they
-    always reach the exact verify join rather than silently passing."""
-    bits, n_bits, n_hashes = bloom.bits, bloom.n_bits, bloom.n_hashes
+    """Vectorized membership test column, each Arrow batch probing in pure
+    numpy.  NULL keys test as 'maybe' (True) so they always reach the exact
+    verify join rather than silently passing.
+
+    Two deliberate shapes here:
+
+    * the bitmap travels as an explicit ``SparkContext.broadcast`` — NOT
+      inside the pickled UDF closure.  A closure is re-serialized with
+      every task set that references the UDF; at the module's own stated
+      scale (~1.2 GB for 1e9 keys at 1% fpp) that would blow past task
+      serialization limits and re-ship the bitmap per stage.  The
+      broadcast ships once per executor and is torrent-distributed.
+    * the key column reaches pandas as a NON-NULLABLE long: nulls are
+      coalesced to 0 JVM-side and flagged in a separate boolean input.
+      Handing pandas a nullable long would silently convert the series to
+      float64, and float64 cannot represent every int64 above 2^53 — a
+      real fingerprint would then probe the WRONG bit positions, test
+      'definitely new', skip the verify join, and break the exactness
+      contract.  Keeping the column int64 end-to-end removes that path.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - requires no-session misuse
+        raise RuntimeError("might_contain requires an active SparkSession")
+    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+    bc_bits = spark.sparkContext.broadcast(bloom.bits)
 
     @F.pandas_udf("boolean")
-    def _probe(keys: pd.Series) -> pd.Series:
-        b = LocalBloom(n_bits, n_hashes, bits)
-        isnull = keys.isna()
-        vals = keys.fillna(0).astype(np.int64).to_numpy()
+    def _probe(keys: pd.Series, isnull: pd.Series) -> pd.Series:
+        b = LocalBloom(n_bits, n_hashes, bc_bits.value)
+        vals = keys.to_numpy(dtype=np.int64)
         out = b.might_contain_many(vals)
-        out[isnull.to_numpy()] = True
+        out[isnull.to_numpy(dtype=bool)] = True
         return pd.Series(out)
 
-    return _probe(F.col(col) if isinstance(col, str) else col)
+    c = F.col(col) if isinstance(col, str) else col
+    key_i64 = F.coalesce(c.cast("long"), F.lit(0).cast("long"))
+    return _probe(key_i64, c.isNull())
 
 
 def anti_join_known(

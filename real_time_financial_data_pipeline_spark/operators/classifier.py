@@ -34,6 +34,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -312,6 +315,11 @@ def threshold_report(
     Thresholds are the bin LOWER edges (bin/n_bins); precision is null
     when a threshold keeps nothing.  Output, one row per non-empty-suffix
     bin: (threshold, tp, fp, fn, precision, recall, f1, kept_frac).
+
+    Rows with a NULL label are EXCLUDED before counting: a partially
+    labeled held-out set must not have its unlabeled rows silently
+    counted as negatives (which would inflate fp and deflate precision /
+    kept_frac).  Counts therefore describe the labeled subset only.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
@@ -320,7 +328,8 @@ def threshold_report(
         F.floor(F.col(prob_col) * n_bins).cast("long"), F.lit(n_bins - 1)
     )
     per_bin = (
-        scored.select(
+        scored.filter(label.isNotNull())
+        .select(
             bucket.alias("bin"),
             F.when(label == 1.0, F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
         )
@@ -510,8 +519,6 @@ def train_quality_classifier_hashed(
     """
     if n_buckets < 2 or ngram < 1:
         raise ValueError(f"need n_buckets >= 2 and ngram >= 1, got {n_buckets}, {ngram}")
-    import numpy as np
-
     spark = df.sparkSession
     staged = (
         df.select(
@@ -597,6 +604,46 @@ def _hashed_params(weights: DataFrame) -> tuple[int, int]:
     return int(md["qc_n_buckets"]), int(md["qc_ngram"])
 
 
+#: Largest model the apply path will fold into an in-plan array literal.
+#: 64k doubles ≈ a ~1.5 MB expression tree — comfortably inside plan /
+#: codegen limits.  fastText-realistic bucket counts (2M+) would inflate
+#: the serialized plan by tens of MB and stress constant-folding, so above
+#: the cap scoring switches to an explicit ``SparkContext.broadcast`` of
+#: the dense weight vector probed by an Arrow-batched pandas_udf — still
+#: zero-exchange (a map-only projection, streaming-legal), just no longer
+#: whole-stage-codegen'd.  The two paths are bit-identical by construction
+#: (the numpy fold uses ``cumsum`` — strict left-to-right accumulation,
+#: the same IEEE order as the JVM ``aggregate`` fold) and parity is
+#: test-pinned at the boundary.
+HASHED_LITERAL_CAP = 65_536
+
+
+def _hashed_logit_broadcast(
+    df_spark, buckets: Column, bias: float, w: list[float]
+) -> Column:
+    """bias + mean(w[bucket]) via an explicitly broadcast weight vector —
+    the above-cap twin of :func:`_hashed_logit`.  One broadcast per apply
+    (torrent-shipped once per executor, never re-serialized per stage),
+    probed batch-at-a-time in numpy."""
+    bc = df_spark.sparkContext.broadcast(np.asarray(w, dtype=np.float64))
+
+    @F.pandas_udf("double")
+    def _score(bks: pd.Series) -> pd.Series:
+        warr = bc.value
+        out = np.empty(len(bks), dtype=np.float64)
+        for i, b in enumerate(bks):
+            arr = np.asarray(b, dtype=np.int64)
+            if arr.size == 0:
+                out[i] = bias
+            else:
+                # cumsum = strict sequential accumulation -> identical
+                # IEEE order to the JVM aggregate() fold
+                out[i] = bias + np.cumsum(warr[arr])[-1] / arr.size
+        return pd.Series(out)
+
+    return _score(buckets)
+
+
 def apply_quality_classifier_hashed(
     df: DataFrame,
     weights: DataFrame,
@@ -605,12 +652,18 @@ def apply_quality_classifier_hashed(
     logit_col: str = "quality_logit",
     prob_col: str = "quality_prob",
     keep_col: str = "quality_keep",
+    literal_cap: int = HASHED_LITERAL_CAP,
 ) -> DataFrame:
-    """Score with the hashed model: the sparse bucket table densifies into
-    one array literal and the whole pass is a zero-exchange codegen'd
-    projection (same contract as the dense apply; streaming-legal).
-    Bucketing parameters come from the weights' column metadata — the
-    artifact carries its build contract."""
+    """Score with the hashed model.  Up to ``literal_cap`` buckets the
+    sparse table densifies into one array literal and the whole pass is a
+    zero-exchange codegen'd projection (same contract as the dense apply;
+    streaming-legal).  Above the cap the dense vector ships as an explicit
+    broadcast probed by an Arrow-batched numpy kernel instead — same
+    zero-exchange map-only shape, bit-identical logits (parity is
+    test-pinned), chosen automatically so a fastText-realistic
+    ``n_buckets`` cannot balloon the serialized plan.  Bucketing
+    parameters come from the weights' column metadata — the artifact
+    carries its build contract."""
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     n_buckets, ngram = _hashed_params(weights)
@@ -623,9 +676,11 @@ def apply_quality_classifier_hashed(
             dense[r["bucket"]] = float(r["weight"])
         else:
             raise ValueError(f"bucket {r['bucket']} outside [0, {n_buckets})")
-    logit = _hashed_logit(
-        hashed_ngram_buckets(F.col(text_col), n_buckets, ngram), bias, dense
-    )
+    buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, ngram)
+    if n_buckets <= literal_cap:
+        logit = _hashed_logit(buckets, bias, dense)
+    else:
+        logit = _hashed_logit_broadcast(df.sparkSession, buckets, bias, dense)
     logit_threshold = math.log(threshold / (1.0 - threshold))
     out = df.withColumn(logit_col, logit)
     out = out.withColumn(prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col))))

@@ -47,6 +47,30 @@ def _linkage_text(col: Column, mode: str, n: int) -> Column:
     return F.array_join(char_ngrams(F.regexp_replace(norm, r"\s+", "_"), n), " ")
 
 
+def _guard_unique_id(proj: DataFrame, side: str, id_name: str) -> DataFrame:
+    """Make the documented unique-id contract self-enforcing: a duplicate
+    id on either side of a fuzzy join silently FANS OUT every match of
+    that id through the rematch equi-joins — the classic quiet row
+    explosion.  Same fail-fast-inside-the-plan convention as
+    ``range_join``'s bucket-blowup guard: the check rides the id
+    expression itself (so column pruning cannot elide it) and costs one
+    window count over the 2-column (id, text) projection — a shuffle the
+    signature aggregate immediately downstream pays on the same key
+    anyway."""
+    w = Window.partitionBy("_lk_id")
+    guarded = F.when(
+        F.count(F.lit(1)).over(w) > 1,
+        F.raise_error(
+            F.format_string(
+                "fuzzy_join: duplicate " + id_name + " %s on the " + side
+                + " side; ids must be unique per table (dedup or re-key first)",
+                F.col("_lk_id").cast("string"),
+            )
+        ).cast(proj.schema["_lk_id"].dataType),
+    ).otherwise(F.col("_lk_id"))
+    return proj.select(guarded.alias("_lk_id"), "_lk_text")
+
+
 def fuzzy_signatures(
     df: DataFrame,
     col: str,
@@ -65,9 +89,12 @@ def fuzzy_signatures(
     from .dedup import minhash_signatures
 
     eff_n = 1 if mode == "char" else shingle_n
-    proj = df.select(
-        F.col(id_col).alias("_lk_id"),
-        _linkage_text(F.col(col), mode, shingle_n).alias("_lk_text"),
+    proj = _guard_unique_id(
+        df.select(
+            F.col(id_col).alias("_lk_id"),
+            _linkage_text(F.col(col), mode, shingle_n).alias("_lk_text"),
+        ),
+        "right", id_col,
     )
     meta = {"mode": mode, "shingle_n": shingle_n, "num_hashes": num_hashes}
     return minhash_signatures(proj, "_lk_text", "_lk_id", num_hashes, eff_n).select(
@@ -130,8 +157,11 @@ def fuzzy_join(
     Jaccard j collides with probability 1-(1-j²)¹⁶ (≈ 0.99 at j = 0.5).
     Raise ``bands`` (up to ``num_hashes``) for recall, lower for cost —
     the dedup family's knob, same math.  ``left_id``/``right_id`` must
-    be non-null and unique per table; null or empty similarity strings
-    produce no candidates (they surface only under ``how='left'``)."""
+    be non-null and unique per table — uniqueness is ENFORCED in-plan
+    (a duplicate id raises at execution rather than silently fanning
+    out matches through the rematch joins); null or empty similarity
+    strings produce no candidates (they surface only under
+    ``how='left'``)."""
     from .dedup import minhash_pairs_between
 
     if how not in ("inner", "left"):
@@ -149,13 +179,19 @@ def fuzzy_join(
         _check_sig_params(right_sigs, mode, shingle_n, num_hashes)
 
     eff_n = 1 if mode == "char" else shingle_n
-    lproj = left.select(
-        F.col(left_id).alias("_lk_id"),
-        _linkage_text(F.col(left_col), mode, shingle_n).alias("_lk_text"),
+    lproj = _guard_unique_id(
+        left.select(
+            F.col(left_id).alias("_lk_id"),
+            _linkage_text(F.col(left_col), mode, shingle_n).alias("_lk_text"),
+        ),
+        "left", left_id,
     )
-    rproj = right.select(
-        F.col(right_id).alias("_lk_id"),
-        _linkage_text(F.col(right_col), mode, shingle_n).alias("_lk_text"),
+    rproj = _guard_unique_id(
+        right.select(
+            F.col(right_id).alias("_lk_id"),
+            _linkage_text(F.col(right_col), mode, shingle_n).alias("_lk_text"),
+        ),
+        "right", right_id,
     )
     pairs = minhash_pairs_between(
         lproj,

@@ -319,11 +319,27 @@ def curriculum_order(
     ``key_cols`` must uniquely identify rows (see
     :func:`deterministic_shuffle`); for chunked data pass
     ``["doc_id", "chunk_id"]``.
+
+    Raises if the input already carries the scorer's working columns
+    (``quality_logit`` / ``quality_prob`` / ``quality_keep``) or
+    ``band_col``: the scoring projection would silently overwrite the
+    caller's values and the final column restore would emit the
+    overwritten data as if it were the input's.  Rename or drop those
+    columns first (same fail-fast convention as ``fuzzy_join`` /
+    ``range_join``).
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
+    clash = sorted(
+        set(df.columns) & {"quality_logit", "quality_prob", "quality_keep", band_col}
+    )
+    if clash:
+        raise ValueError(
+            "curriculum_order would overwrite input column(s) "
+            f"{clash}: rename or drop them before ordering"
+        )
     from .classifier import apply_quality_model
 
     scored = apply_quality_model(df, quality_model, text_col)
@@ -595,12 +611,30 @@ def curate_documents(
     semantic_n_probe: int = 1,
     quality_model: DataFrame | None = None,
     quality_model_threshold: float = 0.5,
+    known_fingerprints: DataFrame | None = None,
+    known_bloom=None,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
     quality gate -> (optional) model quality gate -> (optional) language
     gate -> (optional) repetition gate -> (optional) LM perplexity gate ->
-    exact dedup -> MinHash-LSH near-dup removal -> (optional) SemDedup
-    semantic near-dup removal.
+    (optional) known-content exclusion -> exact dedup -> MinHash-LSH
+    near-dup removal -> (optional) SemDedup semantic near-dup removal.
+
+    ``known_fingerprints`` (a frame with a ``fingerprint`` column — e.g.
+    ``text.fingerprint`` over the landed lake corpus) drops documents
+    whose CONTENT already exists in the lake, the incremental-run form:
+    tonight's crawl slice is curated against everything previously
+    landed without re-deduping the whole lake.  ``known_bloom`` (an
+    ``operators.bloom.LocalBloom`` built nightly over the same index)
+    accelerates the exclusion at lake scale — the definitely-new
+    majority skips the anti-join entirely (map-side bitmap test) and
+    only the 'maybe' fraction pays the exact join; output is identical
+    with or without the Bloom (false positives are verified away, never
+    dropped — ``bloom.anti_join_known``'s contract, and the composition
+    parity is test-pinned).  The stage sits after the map-only gates
+    (rejected docs never pay the fingerprint hash or the join) and
+    before the dedup shuffles (the batch twin of the position
+    ``streaming.training.stream_training_chunks`` uses).
 
     ``quality_model`` (a weights table from
     ``classifier.train_quality_classifier``) inserts the TRAINED quality
@@ -682,6 +716,16 @@ def curate_documents(
             .select(id_col)
         )
         kept = kept.join(passing, id_col, "left_semi")
+    if known_fingerprints is not None:
+        from .bloom import anti_join_known
+        from .text import fingerprint as _fingerprint
+
+        kept = anti_join_known(
+            _fingerprint(kept, text_col, "_kc_fp"),
+            known_fingerprints.select(F.col("fingerprint").alias("_kc_fp")),
+            "_kc_fp",
+            bloom=known_bloom,
+        ).drop("_kc_fp")
     kept = exact_dedup_keep_min(kept, text_col, id_col)
     # near_dup_threshold=None skips the MinHash stage — the reduced ladder
     # for corpora where exact + sub-document dedup suffice (or where the
@@ -736,6 +780,8 @@ def prepare_training_set(
     semantic_decontam_threshold: float = 0.9,
     quality_model: DataFrame | None = None,
     quality_model_threshold: float = 0.5,
+    known_fingerprints: DataFrame | None = None,
+    known_bloom=None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -791,6 +837,13 @@ def prepare_training_set(
     ``salt`` so re-salting the split never changes WHICH documents are
     in the mix, and vice versa.
 
+    ``known_fingerprints`` (+ optional ``known_bloom``) forwards the
+    known-content exclusion stage into the curation ladder — the
+    incremental-run form where tonight's slice is curated against the
+    already-landed lake (see :func:`curate_documents`); the streaming
+    twin takes the identical pair of knobs, so batch and stream drop the
+    same already-known documents.
+
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
     verbatim ``decontam_ngram``-token run with it are removed AFTER dedup
@@ -815,6 +868,8 @@ def prepare_training_set(
         semantic_n_probe=semantic_n_probe,
         quality_model=quality_model,
         quality_model_threshold=quality_model_threshold,
+        known_fingerprints=known_fingerprints,
+        known_bloom=known_bloom,
     )
     if benchmark is not None:
         curated = remove_contaminated(

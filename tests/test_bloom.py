@@ -135,3 +135,133 @@ def test_streaming_known_content_bloom_wiring(spark, tmp_path):
     plain_ids = run("bloom_plain")
     bloom_ids = run("bloom_fast", known_bloom=bloom)
     assert plain_ids == bloom_ids == set(range(3, 8))
+
+
+def test_probe_exact_on_full_int64_range_with_nulls_in_batch(spark):
+    """The r11 advisor finding: a NULL in the batch used to turn the key
+    column float64 in pandas, corrupting |key| > 2^53 and probing wrong
+    bit positions — a known fingerprint could then test 'definitely new'
+    and sail past the verify join.  Keys now reach pandas as non-nullable
+    int64, so full-range keys probe exactly, nulls or not."""
+    big_keys = np.array(
+        [2**63 - 25, 2**63 - 1, -(2**63), -(2**63) + 11, 2**53 + 1, -(2**53) - 3],
+        dtype=np.int64,
+    )
+    n_bits, n_hashes = bloom_params(len(big_keys), 0.01)
+    local = LocalBloom(n_bits, n_hashes)
+    local.add_many(big_keys)
+    rows = [(int(k),) for k in big_keys] + [(None,)]
+    probed = (
+        spark.createDataFrame(rows, "k long")
+        .withColumn("maybe", might_contain(local, "k"))
+        .collect()
+    )
+    got = {r.k: r.maybe for r in probed}
+    assert all(got[int(k)] for k in big_keys)  # zero false negatives
+    assert got[None] is True  # null still routes to the verify join
+
+    # end-to-end: anti_join_known stays row-identical to the plain anti
+    # join when the batch mixes nulls with full-magnitude known keys
+    known = spark.createDataFrame([(int(k),) for k in big_keys[:3]], "fingerprint long")
+    batch = spark.createDataFrame(
+        [(int(k), f"d{i}") for i, k in enumerate(big_keys)] + [(None, "dnull")],
+        "fingerprint long, payload string",
+    )
+    bloom = build_bloom(known, fpp=0.01)
+    plain = {r.payload for r in batch.join(known, "fingerprint", "left_anti").collect()}
+    fast = {r.payload for r in anti_join_known(batch, known, bloom=bloom).collect()}
+    assert fast == plain == {"d3", "d4", "d5", "dnull"}
+
+
+def test_probe_broadcasts_bitmap_not_closure(spark, monkeypatch):
+    """The bitmap must ride an explicit SparkContext broadcast (shipped
+    once per executor, torrent-distributed), not the pickled UDF closure
+    (re-serialized with every task set) — at the module's stated 1e9-key
+    scale a closure-borne bitmap exceeds task serialization limits."""
+    keys = _rand_keys(1_000, seed=9)
+    n_bits, n_hashes = bloom_params(len(keys), 0.01)
+    b = LocalBloom(n_bits, n_hashes)
+    b.add_many(keys)
+
+    sc = spark.sparkContext
+    broadcast_payloads = []
+    orig = sc.broadcast
+
+    def spy(value):
+        broadcast_payloads.append(value)
+        return orig(value)
+
+    monkeypatch.setattr(sc, "broadcast", spy)
+    col = might_contain(b, "k")
+    assert any(
+        isinstance(v, np.ndarray) and v is b.bits for v in broadcast_payloads
+    ), "bits array was not explicitly broadcast"
+    # and the broadcast-backed probe still answers correctly
+    df = spark.createDataFrame([(int(k),) for k in keys[:50]], "k long")
+    assert all(r.m for r in df.withColumn("m", col).collect())
+
+
+def test_batch_ladder_known_content_composition(spark):
+    """known_fingerprints= / known_bloom= through the BATCH curation
+    ladder (curate_documents and prepare_training_set): already-landed
+    content is excluded, the Bloom changes the plan but never the result,
+    and both knobs mirror the streaming twin's semantics."""
+    from real_time_financial_data_pipeline_spark.operators.text import fingerprint
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+        prepare_training_set,
+    )
+
+    base = (
+        "the quick y{i}a brown fox y{i}b jumps over y{i}c the lazy y{i}d "
+        "dog walks y{i}e onward today y{i}f in the y{i}g usual way y{i}h"
+    )
+    docs = spark.createDataFrame(
+        [(i, base.format(i=i)) for i in range(10)], "doc_id long, text string"
+    )
+    # lake already holds docs 0-3, under DIFFERENT ids (content identity)
+    landed = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    known = fingerprint(landed, "text").select("fingerprint")
+    bloom = build_bloom(known, fpp=0.01)
+
+    plain = {
+        r.doc_id
+        for r in curate_documents(
+            docs, min_quality=0.5, near_dup_threshold=None,
+            known_fingerprints=known,
+        ).collect()
+    }
+    fast = {
+        r.doc_id
+        for r in curate_documents(
+            docs, min_quality=0.5, near_dup_threshold=None,
+            known_fingerprints=known, known_bloom=bloom,
+        ).collect()
+    }
+    assert plain == fast == set(range(4, 10))
+    # the fingerprint working column never leaks out (n_copies is the
+    # ladder's own exact-dedup annotation, present with or without knobs)
+    out = curate_documents(
+        docs, min_quality=0.5, near_dup_threshold=None,
+        known_fingerprints=known, known_bloom=bloom,
+    )
+    assert "_kc_fp" not in out.columns
+    assert set(docs.columns) <= set(out.columns)
+
+    # end-to-end: prepare_training_set forwards both knobs; chunk output
+    # contains no chunk of any already-known document
+    chunks_plain = prepare_training_set(
+        docs, min_quality=0.5, near_dup_threshold=None,
+        chunk_tokens=8, overlap_tokens=2, known_fingerprints=known,
+    )
+    chunks_fast = prepare_training_set(
+        docs, min_quality=0.5, near_dup_threshold=None,
+        chunk_tokens=8, overlap_tokens=2,
+        known_fingerprints=known, known_bloom=bloom,
+    )
+    rows_plain = {(r.doc_id, r.chunk_id, r.chunk_text) for r in chunks_plain.collect()}
+    rows_fast = {(r.doc_id, r.chunk_id, r.chunk_text) for r in chunks_fast.collect()}
+    assert rows_plain == rows_fast
+    assert {d for d, _, _ in rows_fast} == set(range(4, 10))

@@ -567,3 +567,83 @@ def test_curriculum_order(spark, model):
     out_h = curriculum_order(df, hw, key_cols=["doc_id"], bands=4)
     bands_h = [r.quality_band for r in out_h.collect()]
     assert bands_h == sorted(bands_h)
+
+
+def test_curriculum_order_raises_on_scoring_column_collision(spark, model):
+    """The r11 advisor finding: an input that already carries the scorer's
+    working columns (or band_col) must raise, not get silently
+    overwritten and re-emitted as if it were the caller's data."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curriculum_order,
+    )
+
+    df, w = model
+    for clash in ("quality_logit", "quality_prob", "quality_keep", "quality_band"):
+        poisoned = df.withColumn(clash, F.lit(0.123))
+        with pytest.raises(ValueError, match=clash):
+            curriculum_order(poisoned, w, key_cols=["doc_id"])
+    # a custom band_col collides on ITS name, not the default's
+    with pytest.raises(ValueError, match="my_band"):
+        curriculum_order(
+            df.withColumn("my_band", F.lit(1)), w, key_cols=["doc_id"],
+            band_col="my_band",
+        )
+    # and renaming the clash away restores normal operation
+    ok = curriculum_order(
+        df.withColumnRenamed("label", "gold_label"), w, key_cols=["doc_id"]
+    )
+    assert ok.count() == df.count()
+
+
+def test_threshold_report_excludes_null_labels(spark):
+    """Partially-labeled held-out sets: NULL-label rows must not be counted
+    as negatives (they would inflate fp / deflate precision & kept_frac) —
+    the report describes the labeled subset only."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        threshold_report,
+    )
+
+    labeled = [(0.9, 1.0), (0.8, 1.0), (0.7, 0.0), (0.2, 0.0), (0.1, 1.0)]
+    unlabeled = [(0.95, None), (0.85, None), (0.15, None)]
+    df = spark.createDataFrame(
+        labeled + unlabeled, "quality_prob double, label double"
+    )
+    want = {
+        (r.threshold, r.tp, r.fp, r.fn, r.kept_frac)
+        for r in threshold_report(
+            spark.createDataFrame(labeled, "quality_prob double, label double"),
+            "label", n_bins=10,
+        ).collect()
+    }
+    got = {
+        (r.threshold, r.tp, r.fp, r.fn, r.kept_frac)
+        for r in threshold_report(df, "label", n_bins=10).collect()
+    }
+    assert got == want  # unlabeled rows are invisible to the report
+
+
+def test_hashed_apply_broadcast_fallback_bit_identical(spark, hashed_model):
+    """Above HASHED_LITERAL_CAP the apply path swaps the in-plan array
+    literal for an explicit broadcast + Arrow kernel.  The two paths must
+    be BIT-identical (the numpy fold replays the JVM aggregate()'s strict
+    left-to-right IEEE order), so we force the fallback with literal_cap=1
+    and compare logits exactly."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+    )
+
+    df, w = hashed_model
+    lit_rows = {
+        r.doc_id: (r.quality_logit, r.quality_prob, r.quality_keep)
+        for r in apply_quality_classifier_hashed(df, w).collect()
+    }
+    bc_rows = {
+        r.doc_id: (r.quality_logit, r.quality_prob, r.quality_keep)
+        for r in apply_quality_classifier_hashed(df, w, literal_cap=1).collect()
+    }
+    assert lit_rows == bc_rows  # exact float equality, not approx
+    # empty/null text scores bias on the fallback path too
+    edge = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    lit = {r.doc_id: r.quality_logit for r in apply_quality_classifier_hashed(edge, w).collect()}
+    bc = {r.doc_id: r.quality_logit for r in apply_quality_classifier_hashed(edge, w, literal_cap=1).collect()}
+    assert lit == bc

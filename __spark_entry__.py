@@ -52,9 +52,15 @@ from real_time_financial_data_pipeline_spark.operators.multimodal import (
     attach_binary,
     extract_features,
 )
+from real_time_financial_data_pipeline_spark.operators.linkage import fuzzy_join
 from real_time_financial_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     lsh_topk,
+)
+from real_time_financial_data_pipeline_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_sketch,
+    merge_kmv_tables,
 )
 from real_time_financial_data_pipeline_spark.operators.text import (
     fingerprint,
@@ -940,6 +946,7 @@ BENCH_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_cosine_topk,
     "dedup_exact_docs": _dedup_exact_docs,
     "token_stats": _token_stats,
+    "value_percentiles": _value_percentiles,
 }
 
 
@@ -969,6 +976,102 @@ def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.coalesce(1).write.mode("overwrite").parquet(_STAGED_SIMHASH_DIR)
     staged = spark.read.parquet(_STAGED_SIMHASH_DIR)
     return simhash_pairs(docs, max_hamming=3, sig_df=staged)
+
+
+_STAGED_FUZZY_DIR = "/root/repo/spark-warehouse/staged/fuzzy_candidates"
+
+
+def _fuzzy_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy linkage (operators/linkage.py:fuzzy_join, char mode):
+    every 7th document's 80-char prefix is deterministically 'dirtied'
+    (``translate(s, 'e', '3')`` — leetspeak, a pure function of the data)
+    and linked back against the clean-prefix catalog of ALL documents.
+
+    Staged-candidates oracle (the minhash_pairs pattern): the LSH-banded
+    candidate set >= threshold is staged to parquet; DuckDB re-derives
+    each staged pair's EXACT char-trigram Jaccard from the RAW strings
+    (the same lower/trim -> \\s+ -> '_' -> substr 3-gram -> distinct-set
+    pipeline in SQL) and replays the top-k ranking (row_number over
+    (similarity DESC, cid ASC)) and the rank<=3 cut — verify scoring,
+    threshold, AND ranking are hash-checked; only WHICH candidates the
+    (xxhash64-derived) banding surfaced is taken from staging.
+
+    top_k note: the operator runs effectively unbounded (top_k=10**6) so
+    the staging table is the FULL verified candidate set and the oracle's
+    own rank cut re-proves the final selection instead of trusting it;
+    the registry result is the rank<=3 slice of the same frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    catalog = docs.select(
+        F.col("doc_id").alias("cid"), F.substring("text", 1, 80).alias("cname")
+    )
+    dirty = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.translate(F.substring("text", 1, 80), "e", "3").alias("qname"),
+    )
+    matched = fuzzy_join(
+        dirty, catalog, "qname", "cname", "qid", "cid",
+        threshold=0.35, top_k=10**6, mode="char",
+    ).select("qid", "cid", "similarity", "match_rank")
+    matched.coalesce(1).write.mode("overwrite").parquet(_STAGED_FUZZY_DIR)
+    staged = spark.read.parquet(_STAGED_FUZZY_DIR)
+    return staged.filter(F.col("match_rank") <= 3).select(
+        "qid", "cid", "similarity", "match_rank"
+    )
+
+
+_STAGED_KMV_DIR = "/root/repo/spark-warehouse/staged/kmv_hashes"
+
+
+def _kmv_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct sketches (operators/sketches.py): per-lang
+    k=64 sketches of two disjoint snapshots (doc_id parity) folded with
+    ``merge_kmv_tables`` and compared against the sketch built over the
+    whole corpus in one pass — the nightly-fold deployment.
+
+    Staged-hashes oracle: the (snap, lang, h = xxhash64(text)) projection
+    is staged (the 64-bit hash itself is not SQL-reproducible); DuckDB
+    re-derives EVERYTHING downstream from those rows — per-key DISTINCT,
+    the k-smallest selection, the packed ascending array (compared as a
+    CSV string), the (k-1)/u_k estimator with u = h·2⁻⁶⁴ + 0.5 on the
+    exact/underfull branch split, and the merge≡union-sketch identity —
+    so the mapInPandas pre-prune, the dense-rank window, the collect/
+    slice packing, the estimator arithmetic and the merge algebra are all
+    hash-checked; only the hash VALUES come from staging."""
+    k = 64
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 2 == 0)
+    snap_b = docs.filter(F.col("doc_id") % 2 == 1)
+    hashed = snap_a.select(
+        F.lit("a").alias("snap"), "lang", F.xxhash64("text").alias("h")
+    ).unionByName(
+        snap_b.select(F.lit("b").alias("snap"), "lang", F.xxhash64("text").alias("h"))
+    )
+    hashed.coalesce(1).write.mode("overwrite").parquet(_STAGED_KMV_DIR)
+
+    sk_a = kmv_sketch(snap_a, "text", ["lang"], k=k).withColumnRenamed("kmv", "_kmv_a")
+    sk_b = kmv_sketch(snap_b, "text", ["lang"], k=k).withColumnRenamed("kmv", "_kmv_b")
+    merged = merge_kmv_tables(
+        sk_a.withColumnRenamed("_kmv_a", "kmv"),
+        sk_b.withColumnRenamed("_kmv_b", "kmv"),
+        ["lang"],
+    )
+    direct = kmv_sketch(docs, "text", ["lang"], k=k).withColumnRenamed("kmv", "_direct")
+    return (
+        merged.join(sk_a, "lang", "left")
+        .join(sk_b, "lang", "left")
+        .join(direct, "lang", "left")
+        .select(
+            "lang",
+            F.size("kmv").alias("n_merged"),
+            F.array_join(
+                F.transform("kmv", lambda x: x.cast("string")), ","
+            ).alias("sketch_csv"),
+            F.round(kmv_estimate(F.col("kmv"), k), 1).alias("est_merged"),
+            F.round(kmv_estimate(F.col("_kmv_a"), k), 1).alias("est_a"),
+            F.round(kmv_estimate(F.col("_kmv_b"), k), 1).alias("est_b"),
+            (F.col("kmv") == F.col("_direct")).alias("merge_eq_union"),
+        )
+    )
 
 
 def _corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,7 +1992,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       BENCH_OVERRIDES, plan contract still audited)
       -> quality_classifier_docs IN (weights staged like the BPE merge
       table; features, fixed-order logit, and decision boundary all
-      re-derived in DuckDB from raw text)."""
+      re-derived in DuckDB from raw text).
+
+    Round-12 rotation — the two newest load-bearing families (blocked
+    fuzzy linkage, mergeable KMV sketches) get oracle rows per the r11
+    verdict's top items; two overlap rows retire:
+
+    - ann_lsh_topk OUT (its staged-candidates + exact-cosine-rerank
+      oracle SHAPE is exactly what fuzzy_linkage_docs re-exercises —
+      staged pair set, exact score recomputed from raw data, (score
+      DESC, id ASC) row_number replay — and brute cosine scoring stays
+      oracle-checked through ann_int8_topk's full dequantized recompute
+      and ann_ivfpq_topk's exact rerank; LSH recall keeps its gated
+      floors in test_ann_recall_floors and the no-product plan contract
+      moves to tools/plan_audit.py)
+      -> fuzzy_linkage_docs IN (operators/linkage.py:fuzzy_join — exact
+      char-trigram Jaccard re-derived from RAW strings and the top-k
+      rank replayed in DuckDB; only LSH candidate selection is taken
+      from staging);
+    - value_percentiles OUT (exact interpolated percentile_cont — the
+      same interpolated-quantile kernel corpus_report_docs' oracle
+      re-derives per source every round over the token-length
+      distribution; the query stays on the frozen bench headline via
+      BENCH_OVERRIDES and gains a plan-audit entry)
+      -> kmv_sketch_docs IN (operators/sketches.py — staged-hash oracle:
+      DuckDB re-derives distinct/k-smallest/packing/estimator and the
+      merge≡union identity on two snapshot sketches)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -1915,7 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "corpus_report_docs": _corpus_report_docs,
         "order_priority_counts": _order_priority,
-        "value_percentiles": _value_percentiles,
+        "kmv_sketch_docs": _kmv_sketch_docs,
         "events_quality_report": _events_quality_report,
         "range_join_windows": _range_join_windows,
         "asof_purchase_click": _asof_purchase_click,
@@ -1935,7 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staged-candidate oracles (candidate set staged, downstream recomputed)
         "minhash_pairs": _minhash_pairs,
         "dedup_apply_docs": _dedup_apply_docs,
-        "ann_lsh_topk": _ann_lsh_topk,
+        "fuzzy_linkage_docs": _fuzzy_linkage_docs,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
         "token_budget_sample_docs": _token_budget_sample_docs,
         "stream_tumbling_daily": _stream_tumbling_daily,
@@ -2315,27 +2443,60 @@ def oracle_sql() -> dict[str, str]:
             # staged-candidate ANN oracles: scores recomputed from raw
             # embeddings, ranks re-derived by the same (score desc, id)
             # total order — the top-k rows re-rank to identical 1..k
-            "ann_lsh_topk": f"""
+            # staged-candidates fuzzy linkage (r12): exact char-trigram
+            # Jaccard of every LSH-surfaced pair re-derived from the RAW
+            # strings (same lower/trim -> \s+ -> '_' -> substr-3-gram ->
+            # distinct-set pipeline), threshold re-applied, top-k rank
+            # replayed by the same (similarity DESC, cid ASC) total order
+            "fuzzy_linkage_docs": f"""
                 WITH p AS (
-                    SELECT query_id, neighbor_id
-                    FROM read_parquet('{_STAGED_ANN_LSH_DIR}/*.parquet')
+                    SELECT qid, cid
+                    FROM read_parquet('{_STAGED_FUZZY_DIR}/*.parquet')
                 ),
-                v AS (
-                    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                q AS (
+                    SELECT doc_id AS qid,
+                           regexp_replace(trim(lower(translate(
+                               substr(text, 1, 80), 'e', '3'))),
+                               '\\s+', '_', 'g') AS s
+                    FROM documents WHERE doc_id % 7 = 0
+                ),
+                c AS (
+                    SELECT doc_id AS cid,
+                           regexp_replace(trim(lower(substr(text, 1, 80))),
+                               '\\s+', '_', 'g') AS s
+                    FROM documents
+                ),
+                qg AS (
+                    SELECT qid, CASE WHEN length(s) >= 3 THEN
+                               [substr(s, i, 3) FOR i IN range(1, length(s) - 1)]
+                           ELSE [] END AS g
+                    FROM q
+                ),
+                cg AS (
+                    SELECT cid, CASE WHEN length(s) >= 3 THEN
+                               [substr(s, i, 3) FOR i IN range(1, length(s) - 1)]
+                           ELSE [] END AS g
+                    FROM c
                 ),
                 scored AS (
-                    SELECT p.query_id, p.neighbor_id,
-                           round(round(list_dot_product(a.e, b.e)
-                                 / (sqrt(list_dot_product(a.e, a.e))
-                                    * sqrt(list_dot_product(b.e, b.e))), 9), 6) AS score
+                    SELECT p.qid, p.cid,
+                           round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                                 THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                                      / len(list_distinct(list_concat(a.g, b.g)))
+                                 ELSE 0.0 END, 6) AS similarity
                     FROM p
-                    JOIN v a ON a.vec_id = p.neighbor_id
-                    JOIN v b ON b.vec_id = p.query_id
+                    JOIN qg a USING (qid)
+                    JOIN cg b ON b.cid = p.cid
+                ),
+                ranked AS (
+                    SELECT qid, cid, similarity,
+                           CAST(row_number() OVER (
+                               PARTITION BY qid
+                               ORDER BY similarity DESC, cid ASC) AS INT) AS match_rank
+                    FROM scored WHERE similarity >= 0.35
                 )
-                SELECT query_id, neighbor_id, score,
-                       row_number() OVER (
-                           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-                FROM scored
+                SELECT qid, cid, similarity, match_rank
+                FROM ranked WHERE match_rank <= 3
             """,
             # staged-codebook IVF-PQ oracle: the ADC scan (LUT gather-sum
             # over the staged codes, n_codes = len(lut)/m), the 9-dp ADC
@@ -2391,12 +2552,76 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
-    sqls["value_percentiles"] = """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.9), 6) AS p90,
-               round(quantile_cont(value, 0.99), 6) AS p99
-        FROM events GROUP BY 1
+    # kmv_sketch_docs (r12): staged-hashes oracle — only the xxhash64
+    # VALUES come from staging; distinct, k-smallest selection, array
+    # packing (CSV-compared), the (k-1)/u_k estimator on its exact/
+    # underfull branch split, and the merge≡union-sketch identity are
+    # all re-derived here.  k = 64 to match the Spark side.
+    sqls["kmv_sketch_docs"] = f"""
+        WITH h AS (
+            SELECT DISTINCT snap, lang, h
+            FROM read_parquet('{_STAGED_KMV_DIR}/*.parquet')
+        ),
+        ka AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rn
+                FROM h WHERE snap = 'a'
+            ) WHERE rn <= 64
+        ),
+        kb AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rn
+                FROM h WHERE snap = 'b'
+            ) WHERE rn <= 64
+        ),
+        m AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rn
+                FROM (SELECT DISTINCT lang, h FROM (
+                    SELECT lang, h FROM ka UNION ALL SELECT lang, h FROM kb))
+            ) WHERE rn <= 64
+        ),
+        d AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rn
+                FROM (SELECT DISTINCT lang, h FROM h)
+            ) WHERE rn <= 64
+        ),
+        agg AS (
+            SELECT lang, count(*) AS n, max(h) AS h_k,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS csv
+            FROM m GROUP BY lang
+        ),
+        agg_a AS (SELECT lang, count(*) AS n, max(h) AS h_k FROM ka GROUP BY lang),
+        agg_b AS (SELECT lang, count(*) AS n, max(h) AS h_k FROM kb GROUP BY lang),
+        agg_d AS (
+            SELECT lang, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS csv
+            FROM d GROUP BY lang
+        )
+        SELECT agg.lang,
+               agg.n AS n_merged,
+               agg.csv AS sketch_csv,
+               round(CASE WHEN agg.n < 64 THEN CAST(agg.n AS DOUBLE)
+                     ELSE CAST(63 AS DOUBLE)
+                          / (CAST(agg.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
+                     END, 1) AS est_merged,
+               round(CASE WHEN agg_a.n < 64 THEN CAST(agg_a.n AS DOUBLE)
+                     ELSE CAST(63 AS DOUBLE)
+                          / (CAST(agg_a.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
+                     END, 1) AS est_a,
+               round(CASE WHEN agg_b.n < 64 THEN CAST(agg_b.n AS DOUBLE)
+                     ELSE CAST(63 AS DOUBLE)
+                          / (CAST(agg_b.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
+                     END, 1) AS est_b,
+               (agg.csv = agg_d.csv) AS merge_eq_union
+        FROM agg
+        LEFT JOIN agg_a USING (lang)
+        LEFT JOIN agg_b USING (lang)
+        LEFT JOIN agg_d USING (lang)
     """
     # range_join_windows: the oracle joins on the RAW inequality predicate
     # (what the operator's bucket decomposition must be equivalent to) and

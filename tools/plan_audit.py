@@ -125,6 +125,15 @@ CHECKS = {
     # SemDedup: the per-cluster self-join must be a keyed join on the
     # cluster id, never an all-pairs product
     "semdedup_pairs": dict(no_cartesian=True),
+    # fuzzy linkage: blocking contract — banded bucket equi-joins only,
+    # never a product or BNLJ of the two tables
+    "fuzzy_linkage_docs": dict(no_cartesian=True, no_bnlj=True),
+    # KMV sketches: the sketch aggregates keep their map-side partial
+    # phase (the mapInPandas pre-prune bounds reducer input), no products
+    "kmv_sketch_docs": dict(partial_agg=True, no_cartesian=True),
+    # retired r12 (oracle rotation, plan contracts stay audited):
+    "ann_lsh_topk": dict(no_cartesian=True),
+    "value_percentiles": dict(partial_agg=True, no_cartesian=True),
 }
 
 
@@ -187,6 +196,7 @@ def main() -> None:
         "range_volatility_daily": entrymod._range_volatility_daily,
         "simhash_pairs_docs": entrymod._simhash_pairs_docs,
         "ofi_daily": entrymod._ofi_daily,
+        "ann_lsh_topk": entrymod._ann_lsh_topk,
     }
     failures = 0
     for name, spec in CHECKS.items():

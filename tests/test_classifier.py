@@ -647,3 +647,57 @@ def test_hashed_apply_broadcast_fallback_bit_identical(spark, hashed_model):
     lit = {r.doc_id: r.quality_logit for r in apply_quality_classifier_hashed(edge, w).collect()}
     bc = {r.doc_id: r.quality_logit for r in apply_quality_classifier_hashed(edge, w, literal_cap=1).collect()}
     assert lit == bc
+
+
+def test_curriculum_packing_composition(spark, model):
+    """The epoch-write composition (chunk -> pack -> curriculum order):
+    pack assignment is a pure content-hash function so it neither
+    depends on nor perturbs the curriculum order; the composed output is
+    band-monotone, carries pack_id through, matches the unpacked
+    curriculum's (doc, chunk) sequence exactly, is deterministic across
+    partition layouts, and keeps the per-pack token budget."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        chunk_documents,
+        curriculum_order,
+        pack_sequences,
+    )
+
+    df, w = model
+    chunks = chunk_documents(df, chunk_tokens=8, overlap_tokens=2)
+    packed = pack_sequences(chunks, token_budget=32, n_buckets=4)
+    epoch = curriculum_order(
+        packed, w, key_cols=["doc_id", "chunk_id"], text_col="chunk_text", bands=4
+    )
+    rows = epoch.collect()
+    assert all(r.pack_id is not None for r in rows)  # pack rides through
+    bands = [r.quality_band for r in rows]
+    assert bands == sorted(bands)  # band-monotone after packing
+
+    bare = curriculum_order(
+        chunks, w, key_cols=["doc_id", "chunk_id"], text_col="chunk_text", bands=4
+    ).collect()
+    # packing changes NOTHING about the epoch order — same key sequence
+    assert [(r.doc_id, r.chunk_id) for r in rows] == [
+        (r.doc_id, r.chunk_id) for r in bare
+    ]
+    # ... and the same bands per chunk
+    assert {(r.doc_id, r.chunk_id): r.quality_band for r in rows} == {
+        (r.doc_id, r.chunk_id): r.quality_band for r in bare
+    }
+
+    # layout independence of the WHOLE composition (content-hash pack
+    # assignment + content-hash curriculum order)
+    rows2 = curriculum_order(
+        pack_sequences(chunks.repartition(7), token_budget=32, n_buckets=4),
+        w, key_cols=["doc_id", "chunk_id"], text_col="chunk_text", bands=4,
+    ).collect()
+    key = lambda r: (r.doc_id, r.chunk_id, r.pack_id, r.quality_band)
+    assert [key(r) for r in rows2] == [key(r) for r in rows]
+
+    # budget invariant survives the composition
+    from collections import defaultdict
+
+    per_pack = defaultdict(int)
+    for r in rows:
+        per_pack[r.pack_id] += r.n_chunk_tokens
+    assert per_pack and all(v <= 32 for v in per_pack.values())

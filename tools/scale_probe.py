@@ -232,8 +232,139 @@ def main() -> None:
         "1x": median_of(lambda: stream_drain(stream_dirs["1x"])),
         f"{rep}x": median_of(lambda: stream_drain(stream_dirs[f"{rep}x"])),
     }
+
+    # --- streaming fuzzy linkage: stream side Nx, catalog FIXED ---------
+    # the per-row HOF signature cost claim: drain wall should scale with
+    # the stream row count and nothing else (static catalog index is
+    # resolved once per (re)start, reused across micro-batches)
+    from real_time_financial_data_pipeline_spark.streaming.linkage import (
+        stream_fuzzy_matches,
+    )
+
+    names1 = docs1.select(
+        F.col("doc_id").alias("cid"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4)
+        ).alias("cname"),
+    ).filter(F.length("cname") > 0)
+    sl_catalog = names1.limit(5000).persist()
+    sl_catalog.count()
+
+    def stream_queries(docs):
+        return docs.select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("qid"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4)
+            ).alias("qname"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.pmod("doc_id", F.lit(3600)).cast("double"))
+            ).alias("ts"),
+        ).filter(F.length("qname") > 0)
+
+    sl_dirs = {}
+    for tag, df in (("1x", docs1), (f"{rep}x", docsN)):
+        p = f"/tmp/scale_probe_linkage_{tag}"
+        stream_queries(df).write.mode("overwrite").parquet(p)
+        sl_dirs[tag] = p
+
+    def linkage_drain(path):
+        _seq[0] += 1
+        name = f"probe_linkage_{_seq[0]}"
+        schema = spark.read.parquet(path).schema
+        raw = spark.readStream.schema(schema).parquet(path)
+        matches = stream_fuzzy_matches(
+            raw, sl_catalog, "qname", "cname", "qid", "cid", "ts", threshold=0.5
+        )
+        run_stream_to_memory(matches, name, "append")
+        noop(spark.table(name))
+        spark.catalog.dropTempView(name)
+
+    results["stream_fuzzy_matches"] = {
+        "1x": median_of(lambda: linkage_drain(sl_dirs["1x"])),
+        f"{rep}x": median_of(lambda: linkage_drain(sl_dirs[f"{rep}x"])),
+    }
+
+    # --- curriculum -> packing epoch write -------------------------------
+    # the full epoch-write composition: chunk (map-only) -> pack (one
+    # content-hash shuffle + per-bucket FFD) -> curriculum_order (scoring
+    # projection fused under ONE range-partitioned global sort).  Expect
+    # ~linear: every stage is one pass, no cross-scale state.
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        chunk_documents,
+        curriculum_order,
+        pack_sequences,
+    )
+
+    def epoch_write(d, s):
+        chunks = chunk_documents(d, chunk_tokens=64, overlap_tokens=8)
+        packed = pack_sequences(chunks, token_budget=256, n_buckets=32)
+        noop(
+            curriculum_order(
+                packed, qc_weights_df, key_cols=["doc_id", "chunk_id"],
+                text_col="chunk_text",
+            )
+        )
+
+    results["curriculum_epoch_write"] = {
+        "1x": median_of(lambda: epoch_write(docs1, 1)),
+        f"{rep}x": median_of(lambda: epoch_write(docsN, rep)),
+    }
+
     for name, r in results.items():
         r["ratio"] = round(r[f"{rep}x"] / r["1x"], 2) if r["1x"] else None
+
+    # --- Bloom-gated known-content exclusion -----------------------------
+    # healthy-stream shape: 1/rep of the batch content already landed
+    # (docs1's fingerprints), the rest is new (replica text is perturbed
+    # with its doc_id so content actually differs).  The Bloom shrinks the
+    # exact anti-join's input from |batch| to ~|hits| + fpp*|batch|; the
+    # result is identical by contract (test-pinned in test_bloom.py).
+    from real_time_financial_data_pipeline_spark.operators.bloom import (
+        anti_join_known,
+        build_bloom,
+        might_contain,
+    )
+    from real_time_financial_data_pipeline_spark.operators.text import fingerprint
+
+    known = fingerprint(docs1, "text").select("fingerprint").persist()
+    known.count()
+    kb = build_bloom(known, fpp=0.01)
+    batch = fingerprint(
+        docsN.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") < 1_000_000, F.col("text")
+            ).otherwise(F.concat_ws(" ", "text", F.col("doc_id").cast("string"))),
+        ),
+        "text",
+    ).persist()
+    batch_rows = batch.count()
+    join_input_rows = batch.filter(might_contain(kb, "fingerprint")).count()
+    bloom_res = {
+        "plain_anti_join": median_of(
+            lambda: noop(anti_join_known(batch, known))
+        ),
+        "bloom_gated": median_of(
+            lambda: noop(anti_join_known(batch, known, bloom=kb))
+        ),
+        "batch_rows": batch_rows,
+        "exact_join_input_rows": join_input_rows,
+    }
+    # the Bloom's design regime is an index too big to broadcast (the
+    # 1e9-row lake fingerprint table) — emulate it by disabling
+    # auto-broadcast (the same emulation precedent as the salting bench):
+    # the plain anti-join then shuffles the WHOLE batch against the index,
+    # while the gated path shuffles only hits + fpp*batch
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bloom_res["plain_anti_join_shuffle"] = median_of(
+        lambda: noop(anti_join_known(batch, known))
+    )
+    bloom_res["bloom_gated_shuffle"] = median_of(
+        lambda: noop(anti_join_known(batch, known, bloom=kb))
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
     print(json.dumps({
         "metric": "scale_probe",
@@ -241,6 +372,7 @@ def main() -> None:
         "replication": rep,
         "sf_dir": sf_dir,
         "timings": results,
+        "bloom_exclusion": bloom_res,
     }))
 
 

@@ -332,6 +332,50 @@ def main() -> None:
             range_join(points, intervals, "ts", "w_start", "w_end", bucket="2 hours")
         )
     )
+
+    # --- range join under HOT-BUCKET skew -------------------------------
+    # Worst case for the decomposition: many intervals overlapping ONE
+    # coarse bucket (every campaign window covering the same launch hour).
+    # 90% of the intervals collapse onto a single anchor window; per-bucket
+    # work is then |points-in-hot-bucket| x |hot intervals| in ONE task
+    # group.  Mitigation measured here: a FINER bucket grain shrinks the
+    # hot bucket's point population (amplifying each interval by a few
+    # extra bucket rows — the cheap side of the trade).  The join must
+    # stay a shuffled/broadcast HASH join under skew — BNLJ fallback would
+    # mean the equality conjunct was lost, turning skew into a product.
+    anchor = ev.agg(F.min("ts")).first()[0]
+    hot_intervals = (
+        ev.filter(F.pmod("event_id", F.lit(49)) == 0)
+        .select(
+            F.col("event_id").alias("iid"),
+            F.when(F.pmod("event_id", F.lit(10)) < 9, F.lit(anchor))
+            .otherwise(F.col("ts"))
+            .alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+        .limit(2048)
+        .persist()
+    )
+    n_hot = hot_intervals.count()
+    hot_plan = (
+        range_join(points, hot_intervals, "ts", "w_start", "w_end", bucket="2 hours")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in hot_plan, "BNLJ under skew"
+    assert "CartesianProduct" not in hot_plan, "product under skew"
+    results["range_join_hot_2h"] = median_of(
+        lambda: run_rj(
+            range_join(points, hot_intervals, "ts", "w_start", "w_end", bucket="2 hours")
+        )
+    )
+    results["range_join_hot_15m"] = median_of(
+        lambda: run_rj(
+            range_join(
+                points, hot_intervals, "ts", "w_start", "w_end", bucket="15 minutes"
+            )
+        )
+    )
+    hot_intervals.unpersist()
     points.unpersist()
     intervals.unpersist()
 
@@ -403,6 +447,7 @@ def main() -> None:
                 "hot_bars": n_mono,
                 "hot_corpus_docs": n_docs,
                 "linkage_sides": [n_q, n_cat],
+                "hot_intervals": n_hot,
                 "cc_rounds": cc_rounds,
                 "timings": results,
                 "sf_dir": sf_dir,

@@ -300,3 +300,141 @@ def test_merge_keyed_tables_with_one_sided_strata(spark):
     merged = {r.stratum: r.kmv for r in merge_kmv_tables(a, b, ["stratum"]).collect()}
     assert set(merged) == {"en", "de"}
     assert merged["en"] == a.head().kmv and merged["de"] == b.head().kmv
+
+
+# --------------------------------------------------------------------------
+# streaming fold (streaming/sketches.py)
+# --------------------------------------------------------------------------
+
+
+def _write_stream_files(spark, tmp_path, rows_per_file):
+    src = tmp_path / "kmv_stream"
+    for i, rows in enumerate(rows_per_file):
+        spark.createDataFrame(rows, "lang string, text string").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    schema = spark.read.parquet(str(src / "f0")).schema
+    return spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*")), src
+
+
+def test_stream_fold_equals_batch_sketch(spark, tmp_path):
+    """availableNow drain of the fold == kmv_sketch over everything that
+    arrived — EXACT array equality via the bottom-k-of-union identity,
+    per key, across multiple micro-batches."""
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        latest_kmv_snapshot,
+        read_kmv_trend,
+        stream_kmv_fold,
+    )
+
+    files = [
+        [("en", f"doc en {i}") for i in range(40)] + [("de", f"doc de {i}") for i in range(5)],
+        [("en", f"doc en {i}") for i in range(20, 60)],  # overlap with file 0
+        [("fr", f"doc fr {i}") for i in range(12)],
+    ]
+    stream, src = _write_stream_files(spark, tmp_path, files)
+    sketch_path = str(tmp_path / "kmv_snap")
+    q = stream_kmv_fold(
+        stream, sketch_path, str(tmp_path / "ck"), "text",
+        key_cols=["lang"], k=16, trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    v, folded = latest_kmv_snapshot(spark, sketch_path)
+    all_rows = [r for f in files for r in f]
+    from real_time_financial_data_pipeline_spark.operators.sketches import kmv_sketch
+
+    direct = kmv_sketch(
+        spark.createDataFrame(all_rows, "lang string, text string"),
+        "text", ["lang"], k=16,
+    )
+    got = {r.lang: list(r.kmv) for r in folded.collect()}
+    want = {r.lang: list(r.kmv) for r in direct.collect()}
+    assert got == want  # exact, as arrays
+
+    # the trend ladder: one version per non-empty micro-batch, per-key
+    # estimates monotone non-decreasing for the growing 'en' stratum
+    trend = read_kmv_trend(spark, sketch_path, ["lang"]).collect()
+    versions = sorted({r.version for r in trend})
+    assert len(versions) == 3  # maxFilesPerTrigger=1 -> one fold per file
+    en = [r.distinct_est for r in sorted(trend, key=lambda r: r.version) if r.lang == "en"]
+    # a growing stratum's estimate is monotone BY CONSTRUCTION (superset
+    # sketches have u_k <= the subset's), and the stratum persists in
+    # every snapshot after it first appears
+    assert en == sorted(en)
+    assert len(en) >= 2
+
+
+def test_fold_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once-in-effect claim: re-running the foreachBatch body
+    with the SAME batch (the at-least-once crash-replay case) leaves the
+    snapshot bit-identical — the union algebra absorbs re-delivery."""
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        latest_kmv_snapshot,
+        make_sketch_folder,
+    )
+
+    sketch_path = str(tmp_path / "kmv_replay")
+    fold = make_sketch_folder(sketch_path, "text", ["lang"], k=8)
+    b0 = spark.createDataFrame(
+        [("en", f"t{i}") for i in range(30)], "lang string, text string"
+    )
+    b1 = spark.createDataFrame(
+        [("en", f"t{i}") for i in range(15, 45)] + [("de", "d0")],
+        "lang string, text string",
+    )
+    fold(b0, 0)
+    fold(b1, 1)
+    after_once = {r.lang: list(r.kmv) for r in latest_kmv_snapshot(spark, sketch_path)[1].collect()}
+    fold(b1, 1)  # crash-replay of batch 1
+    after_replay = {r.lang: list(r.kmv) for r in latest_kmv_snapshot(spark, sketch_path)[1].collect()}
+    assert after_once == after_replay
+
+    # an empty batch adds no version and cannot annihilate the snapshot
+    empty = spark.createDataFrame([], "lang string, text string")
+    fold(empty, 2)
+    v, snap = latest_kmv_snapshot(spark, sketch_path)
+    assert v == 1
+    assert {r.lang: list(r.kmv) for r in snap.collect()} == after_once
+
+
+def test_fold_global_sketch_and_version_pruning(spark, tmp_path):
+    """Keyless (global) fold + keep_versions retention: the ladder keeps
+    only the newest N snapshots, and the surviving head still equals the
+    batch sketch of everything folded."""
+    from real_time_financial_data_pipeline_spark.operators.sketches import kmv_sketch
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        _list_versions,
+        latest_kmv_snapshot,
+        make_sketch_folder,
+    )
+
+    sketch_path = str(tmp_path / "kmv_global")
+    fold = make_sketch_folder(sketch_path, "text", None, k=8, keep_versions=2)
+    batches = [
+        [(f"a{i}",) for i in range(20)],
+        [(f"b{i}",) for i in range(20)],
+        [(f"c{i}",) for i in range(20)],
+        [(f"a{i}",) for i in range(10)],  # pure re-delivery
+    ]
+    for i, rows in enumerate(batches):
+        fold(spark.createDataFrame(rows, "text string"), i)
+    assert _list_versions(spark, sketch_path) == [2, 3]  # pruned to 2
+    _, snap = latest_kmv_snapshot(spark, sketch_path)
+    direct = kmv_sketch(
+        spark.createDataFrame([r for b in batches for r in b], "text string"),
+        "text", None, k=8,
+    )
+    assert [list(r.kmv) for r in snap.collect()] == [list(r.kmv) for r in direct.collect()]
+
+
+def test_stream_fold_rejects_batch_frame(spark):
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        stream_kmv_fold,
+    )
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="streaming"):
+        stream_kmv_fold(df, "/tmp/x", "/tmp/ck", "text")

@@ -144,6 +144,7 @@ def fuzzy_join(
     bands: int = 16,
     how: str = "inner",
     right_sigs: DataFrame | None = None,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Match each left row to its ``top_k`` most-similar right rows with
     Jaccard >= ``threshold``.  Output: all left columns, the matched
@@ -158,10 +159,19 @@ def fuzzy_join(
     Raise ``bands`` (up to ``num_hashes``) for recall, lower for cost —
     the dedup family's knob, same math.  ``left_id``/``right_id`` must
     be non-null and unique per table — uniqueness is ENFORCED in-plan
-    (a duplicate id raises at execution rather than silently fanning
-    out matches through the rematch joins); null or empty similarity
-    strings produce no candidates (they surface only under
-    ``how='left'``)."""
+    by default (a duplicate id raises at execution rather than silently
+    fanning out matches through the rematch joins); null or empty
+    similarity strings produce no candidates (they surface only under
+    ``how='left'``).
+
+    Guard cost: the uniqueness check is one count-window over each
+    side's (id, text) projection — a shuffle the signature aggregate
+    downstream pays on the same key anyway for entity-string linkage,
+    but a REAL extra full-text exchange for token-mode linkage over
+    document-length fields.  ``check_unique_ids=False`` disables it for
+    that path once uniqueness is enforced upstream (e.g. ids minted by
+    the lake's content-hash identity); the contract itself still holds —
+    it just stops being self-enforcing."""
     from .dedup import minhash_pairs_between
 
     if how not in ("inner", "left"):
@@ -179,20 +189,17 @@ def fuzzy_join(
         _check_sig_params(right_sigs, mode, shingle_n, num_hashes)
 
     eff_n = 1 if mode == "char" else shingle_n
-    lproj = _guard_unique_id(
-        left.select(
-            F.col(left_id).alias("_lk_id"),
-            _linkage_text(F.col(left_col), mode, shingle_n).alias("_lk_text"),
-        ),
-        "left", left_id,
+    lproj = left.select(
+        F.col(left_id).alias("_lk_id"),
+        _linkage_text(F.col(left_col), mode, shingle_n).alias("_lk_text"),
     )
-    rproj = _guard_unique_id(
-        right.select(
-            F.col(right_id).alias("_lk_id"),
-            _linkage_text(F.col(right_col), mode, shingle_n).alias("_lk_text"),
-        ),
-        "right", right_id,
+    rproj = right.select(
+        F.col(right_id).alias("_lk_id"),
+        _linkage_text(F.col(right_col), mode, shingle_n).alias("_lk_text"),
     )
+    if check_unique_ids:
+        lproj = _guard_unique_id(lproj, "left", left_id)
+        rproj = _guard_unique_id(rproj, "right", right_id)
     pairs = minhash_pairs_between(
         lproj,
         rproj,

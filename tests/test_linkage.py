@@ -302,3 +302,22 @@ def test_fuzzy_join_duplicate_ids_raise_in_plan(spark):
         fuzzy_signatures(dup_right, "cname", "cid").collect()
     # unique ids keep working unchanged
     assert fuzzy_join(left, right, "qname", "cname", "qid", "cid").count() > 0
+
+
+def test_fuzzy_join_unique_id_guard_off_switch(spark):
+    """check_unique_ids=False is the documented big-corpus escape hatch:
+    same matches on clean inputs, no guard shuffle, and (by contract,
+    not enforcement) duplicate ids then fan out silently — which is
+    exactly why the default stays True."""
+    left, right = _tables(spark)
+    on = {
+        (r.qid, r.cid, r.similarity)
+        for r in fuzzy_join(left, right, "qname", "cname", "qid", "cid").collect()
+    }
+    off = {
+        (r.qid, r.cid, r.similarity)
+        for r in fuzzy_join(
+            left, right, "qname", "cname", "qid", "cid", check_unique_ids=False
+        ).collect()
+    }
+    assert on == off

@@ -1,0 +1,219 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the Common-Crawl-shaped
+source a 100 TB training-data pipeline actually starts from.
+
+A WARC file is a concatenation of records, each:
+
+    WARC/1.0\\r\\n
+    <header-name>: <value>\\r\\n        (Content-Length, WARC-Type, ...)
+    ...\\r\\n
+    \\r\\n
+    <Content-Length bytes of payload>
+    \\r\\n\\r\\n                          (record separator)
+
+For ``WARC-Type: response`` records the payload is itself an HTTP
+message (status line + headers + \\r\\n\\r\\n + body).
+
+Two readers, one scale trade each:
+
+- :func:`read_warc` — **splittable fast path**: ``spark.read.text`` with
+  ``lineSep = "\\r\\n\\r\\nWARC/1.0\\r\\n"`` turns each record into one row,
+  parsed entirely with JVM expressions (regexp header extraction, one
+  split for the payload) — no Python, and an UNCOMPRESSED warc splits
+  across tasks mid-file like any text file.  Caveat, stated not hidden:
+  this frames records by the separator SEQUENCE, not by Content-Length,
+  so a payload that happens to contain the exact bytes
+  ``\\r\\n\\r\\nWARC/1.0\\r\\n`` would split early (vanishingly rare in HTML,
+  impossible to rule out).  The strict reader exists for when that
+  matters.
+- :func:`read_warc_strict` — **exact framing**: ``binaryFile`` source +
+  a per-file Content-Length-driven parser in ``mapInPandas``.  A WARC
+  corpus ships as many ~1 GB members, so per-FILE parallelism is the
+  natural unit (the same reason Common Crawl publishes 64k members per
+  crawl); each task walks its file's records sequentially, exactly as
+  the spec frames them.  Python touches each byte once per file —
+  acceptable at ingestion (a one-time pass), not something the query
+  path ever repays.
+
+Both produce the same schema and are parity-tested against each other:
+(warc_type, record_id, target_uri, warc_date, content_type,
+content_length, payload) — plus, through :func:`warc_documents`,
+the engine's canonical documents shape (doc_id, text, source, ts) with
+HTTP headers stripped and HTML reduced to text
+(:func:`html_to_text` — regexp tag stripping: script/style/comment
+blocks dropped, tags removed, core entities decoded, whitespace
+collapsed; the crude-but-standard first pass every crawl pipeline runs
+before real boilerplate removal, which is ``paragraph_dedup``'s and the
+quality gates' job downstream).
+
+gzip: the fast path's ``spark.read.text`` decompresses ``.warc.gz``
+transparently (one task per member — gzip is not splittable, matching
+the per-file unit above); the strict path's ``binaryFile`` source hands
+over RAW bytes, so its parser sniffs the gz magic and decompresses
+in-task.  Fast-path Content-Length trimming counts CHARACTERS, so it
+only ever trims separator-damage overshoot on ASCII payloads and never
+corrupts multibyte text (chars <= bytes ⇒ the trim condition stays
+false); byte-exact framing is the strict reader's job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
+
+#: Output schema shared by both readers (payload as string — WARC text
+#: payloads; binary media payloads survive as replacement-char-damaged
+#: strings in the fast path, use the strict reader + payload_binary for
+#: those).
+WARC_SCHEMA = (
+    "warc_type string, record_id string, target_uri string, warc_date string, "
+    "content_type string, content_length long, payload string"
+)
+
+
+def _header(block: Column, name: str) -> Column:
+    """Extract one WARC header value from the header block (first match,
+    case-sensitive per the common crawl writers; values run to CRLF)."""
+    return F.nullif(F.regexp_extract(block, rf"(?m)^{name}:[ \t]*([^\r\n]*)", 1), F.lit(""))
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Splittable expression-only WARC reader (see module docstring for
+    the framing caveat).  One row per record, WARC headers parsed into
+    columns, payload = everything after the header block's blank line,
+    with the Content-Length prefix applied when the payload is LONGER
+    than declared (separator-in-payload damage shows up as a mismatch
+    the strict reader would not produce)."""
+    raw = spark.read.option("lineSep", _RECORD_SEP).text(path)
+    # the first record of each file keeps its leading magic; later rows
+    # had it consumed by the separator — normalize it away
+    rec = F.regexp_replace(F.col("value"), r"\A(WARC/1\.0\r\n)", "")
+    parts = F.split(rec, r"\r\n\r\n", 2)
+    headers = F.element_at(parts, 1)
+    body = F.coalesce(F.element_at(parts, 2), F.lit(""))
+    clen = _header(headers, "Content-Length").cast("long")
+    # mid-file rows are exact (the separator consumed the record-final
+    # CRLFCRLF); only each file's LAST record carries a bare \r\n\r\n
+    # tail — Content-Length identifies and trims exactly that, without
+    # eating payload-final CRLFs the way an unconditional trim would.
+    # clen counts BYTES and length() counts CHARS, so multibyte payloads
+    # never trip the trim (chars <= bytes) — the tail then survives on a
+    # final multibyte record, the documented fast-path approximation.
+    payload = F.when(
+        clen.isNotNull() & (F.length(body) > clen), F.substring(body, 1, clen.cast("int"))
+    ).when(
+        clen.isNull(), F.regexp_replace(body, r"(\r\n)+\Z", "")
+    ).otherwise(body)
+    out = raw.select(
+        _header(headers, "WARC-Type").alias("warc_type"),
+        _header(headers, "WARC-Record-ID").alias("record_id"),
+        _header(headers, "WARC-Target-URI").alias("target_uri"),
+        _header(headers, "WARC-Date").alias("warc_date"),
+        _header(headers, "Content-Type").alias("content_type"),
+        clen.alias("content_length"),
+        payload.alias("payload"),
+    )
+    return out.filter(F.col("warc_type").isNotNull())
+
+
+def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
+    """Exact Content-Length-framed WARC reader: ``binaryFile`` + a
+    sequential per-file parser (one task per member file — the WARC
+    corpus unit).  Immune to separator-in-payload splits; the one to use
+    when payloads may be binary or adversarial."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":  # gz member (binaryFile gives raw bytes)
+                    data = gzip.decompress(data)
+                pos = 0
+                n = len(data)
+                while pos < n:
+                    head_end = data.find(b"\r\n\r\n", pos)
+                    if head_end < 0:
+                        break
+                    head = data[pos:head_end].decode("utf-8", "replace")
+                    if not head.startswith("WARC/"):
+                        break  # desynced: stop rather than emit garbage
+                    fields = {}
+                    for line in head.split("\r\n")[1:]:
+                        k, _, v = line.partition(":")
+                        if _:
+                            fields[k.strip()] = v.strip()
+                    clen = int(fields.get("Content-Length", "0") or 0)
+                    body = data[head_end + 4 : head_end + 4 + clen]
+                    rows.append(
+                        (
+                            fields.get("WARC-Type"),
+                            fields.get("WARC-Record-ID"),
+                            fields.get("WARC-Target-URI"),
+                            fields.get("WARC-Date"),
+                            fields.get("Content-Type"),
+                            clen,
+                            body.decode("utf-8", "replace"),
+                        )
+                    )
+                    pos = head_end + 4 + clen
+                    # skip the inter-record CRLFs
+                    while data.startswith(b"\r\n", pos):
+                        pos += 2
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_type", "record_id", "target_uri", "warc_date",
+                    "content_type", "content_length", "payload",
+                ],
+            )
+
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    return raw.mapInPandas(parse, WARC_SCHEMA).filter(F.col("warc_type").isNotNull())
+
+
+def html_to_text(html: Column) -> Column:
+    """Crawl-grade HTML -> text: drop script/style/comment blocks, strip
+    tags, decode the core entities, collapse whitespace.  Pure JVM
+    regexps — the cheap first pass; semantic boilerplate removal is the
+    downstream dedup/quality ladder's job."""
+    t = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def warc_documents(
+    warc: DataFrame,
+    source: str = "warc",
+) -> DataFrame:
+    """Response records -> the engine's canonical documents shape:
+    (doc_id, text, source, ts).  The HTTP envelope is split off the
+    payload (status line + headers up to the first blank line), the body
+    goes through :func:`html_to_text`, and doc_id is the 64-bit hash of
+    the record id (stable across re-reads of the same crawl — the same
+    identity rule as ``jsonl_source``'s id stamping).  Compose the
+    result straight into ``training.prepare_training_set`` /
+    ``curate_documents``."""
+    responses = warc.filter(F.col("warc_type") == "response")
+    http_parts = F.split(F.col("payload"), r"\r\n\r\n", 2)
+    body = F.coalesce(F.element_at(http_parts, 2), F.element_at(http_parts, 1))
+    return responses.select(
+        F.xxhash64(F.col("record_id")).alias("doc_id"),
+        html_to_text(body).alias("text"),
+        F.lit(source).alias("source"),
+        F.to_timestamp(F.col("warc_date")).alias("ts"),
+        F.col("target_uri").alias("uri"),
+    ).filter(F.length("text") > 0)

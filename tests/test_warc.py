@@ -1,0 +1,158 @@
+"""WARC ingestion (sources/warc.py): exact-framing strict reader, the
+splittable fast path's parity with it, HTML-to-text reduction, the
+documents-shape composition into the curation ladder, and gz members."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.sources.warc import (
+    html_to_text,
+    read_warc,
+    read_warc_strict,
+    warc_documents,
+)
+
+_HTML = (
+    b"<html><head><title>T</title><style>body{x:1}</style>"
+    b"<script>var a = '<p>not text</p>';</script></head>"
+    b"<body><!-- hidden --><h1>Hello &amp; welcome</h1>"
+    b"<p>fast   cars &lt;3</p></body></html>"
+)
+
+
+def _record(rtype, rid, uri, date, payload, ctype="application/http"):
+    hdrs = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"WARC-Date: {date}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    ).encode()
+    return hdrs + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Server: x\r\n\r\n" + body
+    )
+
+
+def _warc_bytes():
+    return (
+        _record("warcinfo", "000", None, "2024-03-01T00:00:00Z",
+                b"software: test-writer 1.0", ctype="application/warc-fields")
+        + _record("request", "001", "http://a.example/x", "2024-03-01T00:00:01Z",
+                  b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n")
+        + _record("response", "002", "http://a.example/x", "2024-03-01T00:00:01Z",
+                  _http_response(_HTML))
+        + _record("response", "003", "http://b.example/y", "2024-03-02T10:30:00Z",
+                  _http_response(b"<p>plain words only</p>"))
+        + _record("metadata", "004", "http://a.example/x", "2024-03-01T00:00:02Z",
+                  b"fetchTimeMs: 12", ctype="application/warc-fields")
+    )
+
+
+@pytest.fixture()
+def warc_file(spark, tmp_path):
+    p = tmp_path / "crawl" / "member-00000.warc"
+    p.parent.mkdir()
+    p.write_bytes(_warc_bytes())
+    return str(p)
+
+
+def test_strict_reader_exact_framing(spark, warc_file):
+    rows = {r.record_id: r for r in read_warc_strict(spark, warc_file).collect()}
+    assert len(rows) == 5
+    r2 = rows["<urn:uuid:002>"]
+    assert r2.warc_type == "response"
+    assert r2.target_uri == "http://a.example/x"
+    assert r2.warc_date == "2024-03-01T00:00:01Z"
+    assert r2.content_length == len(_http_response(_HTML))
+    assert r2.payload.endswith("</html>")
+    assert rows["<urn:uuid:000>"].warc_type == "warcinfo"
+    assert rows["<urn:uuid:004>"].content_type == "application/warc-fields"
+
+
+def test_fast_path_parity_with_strict(spark, warc_file):
+    cols = [
+        "warc_type", "record_id", "target_uri", "warc_date",
+        "content_type", "content_length", "payload",
+    ]
+    fast = {tuple(r) for r in read_warc(spark, warc_file).select(cols).collect()}
+    strict = {tuple(r) for r in read_warc_strict(spark, warc_file).select(cols).collect()}
+    assert fast == strict
+
+
+def test_gz_member_both_paths(spark, tmp_path):
+    p = tmp_path / "gz" / "member-00000.warc.gz"
+    p.parent.mkdir()
+    p.write_bytes(gzip.compress(_warc_bytes()))
+    fast = read_warc(spark, str(p)).count()
+    strict = read_warc_strict(spark, str(p)).count()
+    assert fast == strict == 5
+
+
+def test_html_to_text_reduction(spark):
+    df = spark.createDataFrame([(_HTML.decode(),)], "h string")
+    out = df.select(html_to_text(F.col("h")).alias("t")).first().t
+    assert out == "T Hello & welcome fast cars <3"
+    assert "not text" not in out  # script bodies dropped
+    assert "hidden" not in out  # comments dropped
+
+
+def test_warc_documents_shape_and_ladder_composition(spark, warc_file):
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+    )
+
+    docs = warc_documents(read_warc_strict(spark, warc_file))
+    rows = {r.uri: r for r in docs.collect()}
+    assert set(rows) == {"http://a.example/x", "http://b.example/y"}  # responses only
+    assert rows["http://b.example/y"].text == "plain words only"
+    a = rows["http://a.example/x"]
+    assert "HTTP/1.1" not in a.text  # HTTP envelope stripped
+    assert a.text.startswith("T Hello")
+    assert a.ts is not None and a.ts.month == 3
+    assert a.source == "warc"
+    # doc_id is stable across re-reads of the same crawl
+    again = {r.uri: r.doc_id for r in warc_documents(read_warc_strict(spark, warc_file)).collect()}
+    assert {u: r.doc_id for u, r in rows.items()} == again
+    # and the shape composes straight into the curation ladder
+    kept = curate_documents(
+        docs.select("doc_id", "text"), min_quality=0.0, near_dup_threshold=None
+    )
+    assert kept.count() == 2
+
+
+def test_fast_path_desync_is_detectable_strict_is_not(spark, tmp_path):
+    """The documented caveat, pinned: a payload containing the separator
+    SEQUENCE splits the fast path early (surfacing as extra/garbled
+    records), while the strict reader frames by Content-Length and
+    parses the hostile payload byte-exactly."""
+    hostile = _http_response(
+        b"<p>quoted warc: </p>\r\n\r\nWARC/1.0\r\n<p>in body</p>"
+    )
+    blob = (
+        _record("response", "00a", "http://h.example/1", "2024-03-03T00:00:00Z", hostile)
+        + _record("response", "00b", "http://h.example/2", "2024-03-03T00:00:01Z",
+                  _http_response(b"<p>clean</p>"))
+    )
+    p = tmp_path / "hostile" / "m.warc"
+    p.parent.mkdir()
+    p.write_bytes(blob)
+    strict = read_warc_strict(spark, str(p)).collect()
+    assert {r.record_id for r in strict} == {"<urn:uuid:00a>", "<urn:uuid:00b>"}
+    hostile_payload = next(r.payload for r in strict if r.record_id == "<urn:uuid:00a>")
+    assert "in body" in hostile_payload  # byte-exact through the separator
+    fast = read_warc(spark, str(p)).collect()
+    # fast path desyncs on the planted separator: record 00a is truncated
+    # at it (Content-Length mismatch is the detectable symptom)
+    fast_a = next(r for r in fast if r.record_id == "<urn:uuid:00a>")
+    assert len(fast_a.payload) < fast_a.content_length

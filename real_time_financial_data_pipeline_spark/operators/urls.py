@@ -1,0 +1,151 @@
+"""URL-level crawl curation: canonical-URL dedup, per-domain caps, and
+domain profiling — the RefinedWeb/C4-style stages that run BEFORE any
+content is even fetched or scored, because they are orders of magnitude
+cheaper than content work (a URL is ~80 bytes; its document is ~80 KB).
+
+Where these sit in the ladder: url_dedup collapses the same page
+crawled twice under trivially different spellings (fragment, default
+port, case of the host, trailing slash); domain_cap bounds any one
+site's share of the corpus (the "no more than N pages per domain" rule
+every serious crawl pipeline applies — unbounded, a handful of
+template-heavy domains dominate the token budget); domain_profile is
+the before/after report.  All three are pure DataFrame ops over the URL
+column: JVM `parse_url` + regexps, one hash-partitioned window for the
+cap, no Python.
+
+Registered-domain note, stated not hidden: exact eTLD+1 extraction
+needs the Public Suffix List (a ~15k-rule table that changes monthly).
+:func:`registered_domain` implements the last-two-labels approximation
+with a built-in multi-part-suffix table for the common country schemes
+(co.uk, com.au, ...); pass ``extra_suffixes`` to extend it from a
+current PSL snapshot when grouping fidelity matters.  The approximation
+groups too COARSELY only for unlisted multi-part suffixes (it would
+treat user1.github.io and user2.github.io as one domain — conservative
+for capping: over-grouping caps harder, never leaks more).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Common multi-part public suffixes for the last-two-labels fallback.
+#: Not the PSL — the high-traffic country schemes where two labels are
+#: a SUFFIX, not a registration.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical spelling for exact-URL identity: lowercase scheme+host,
+    strip the fragment, default ports (:80/:443), duplicate slashes in
+    the path, and one trailing slash; query string KEPT verbatim (query
+    params are content-bearing — dropping utm_* style noise is a
+    site-specific policy, not an identity rule).  Null-safe: a null or
+    unparsable URL canonicalizes to NULL (parse_url returns null hosts),
+    so junk never aliases to a real page."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "//+", "/")
+    path = F.regexp_replace(path, "/\\Z", "")
+    query = F.parse_url(url, F.lit("QUERY"))
+    # scheme-relative identity: http and https of the same resource are
+    # the same PAGE for dedup purposes (crawlers canonicalize to https)
+    base = F.concat(
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(host.isNotNull(), base)
+
+
+def registered_domain(
+    url: Column, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """eTLD+1 approximation (see module docstring): the last two host
+    labels, or three when the last two form a known multi-part suffix.
+    ``www.`` is never part of it (stripped by taking trailing labels)."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    suffixes = tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)
+    is_multi = two.isin(*suffixes)
+    dom = F.when(is_multi & (three != ""), three).otherwise(two)
+    return F.when(host.isNotNull() & (dom != ""), dom)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "uri", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ONE row per canonical URL — min id wins (the batch family's
+    deterministic-survivor rule, same as ``exact_dedup_keep_min``).
+    Rows whose URL does not parse keep themselves (null canonical forms
+    are never grouped together — junk must not dedup against junk).
+    One hash aggregate + a semi join on (canonical, winner)."""
+    canon = canonical_url(F.col(url_col))
+    tagged = docs.withColumn("_cu", canon)
+    parsable = tagged.filter(F.col("_cu").isNotNull())
+    winners = parsable.groupBy("_cu").agg(F.min(id_col).alias(id_col))
+    kept = parsable.join(winners, ["_cu", id_col], "left_semi")
+    return kept.unionByName(tagged.filter(F.col("_cu").isNull())).drop("_cu")
+
+
+def domain_cap(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "uri",
+    id_col: str = "doc_id",
+    salt: str = "domcap",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """At most ``max_per_domain`` documents per registered domain, chosen
+    by deterministic content-hash order (``xxhash64(id, salt)`` with the
+    id as tie-break — the ``deterministic_shuffle`` convention), so the
+    kept set is layout-independent and re-runs keep the SAME pages
+    rather than re-rolling.  Unparsable-URL rows pass through uncapped
+    (they form no domain; the quality gates own them).
+
+    Cost: one hash-partitioned window over (domain) — the same shape as
+    every keyed top-k in the engine; no global sort, no driver state.
+    At 100 TB the domain key is skewed by construction (that is the
+    point of the cap) — the window's hash partitioning spreads distinct
+    domains, and the one mega-domain that motivates the cap emits at
+    most ``max_per_domain`` rows from its partition."""
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    dom = registered_domain(F.col(url_col), extra_suffixes)
+    tagged = docs.withColumn("_dom", dom)
+    with_dom = tagged.filter(F.col("_dom").isNotNull())
+    order = F.xxhash64(F.col(id_col), F.lit(salt))
+    w = Window.partitionBy("_dom").orderBy(order, F.col(id_col))
+    capped = (
+        with_dom.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+    return capped.unionByName(tagged.filter(F.col("_dom").isNull())).drop("_dom")
+
+
+def domain_profile(
+    docs: DataFrame,
+    url_col: str = "uri",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-registered-domain corpus shares — the before/after view for
+    ``domain_cap`` decisions (the URL-keyed sibling of
+    ``training.domain_mix``).  One map-side-combined aggregate; the
+    share window runs over the aggregated (one row per domain) table.
+    Output: (domain, n_docs, doc_share), unparsable URLs under NULL."""
+    dom = registered_domain(F.col(url_col), extra_suffixes)
+    per = docs.groupBy(dom.alias("domain")).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    return per.select(
+        "domain",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+    )

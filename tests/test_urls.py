@@ -1,0 +1,163 @@
+"""URL-level crawl curation (operators/urls.py): canonicalization rules,
+registered-domain approximation, canonical-URL dedup survivor rule,
+per-domain cap determinism, and the WARC composition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.urls import (
+    canonical_url,
+    domain_cap,
+    domain_profile,
+    registered_domain,
+    url_dedup,
+)
+
+
+def _canon(spark, u):
+    return (
+        spark.createDataFrame([(u,)], "u string")
+        .select(canonical_url(F.col("u")).alias("c"))
+        .first()
+        .c
+    )
+
+
+def test_canonical_url_rules(spark):
+    # scheme/host case, default port, fragment, trailing slash collapse
+    assert _canon(spark, "HTTPS://WWW.Example.COM:443/a/b/?q=1#frag") == "www.example.com/a/b?q=1"
+    assert _canon(spark, "http://example.com/a/b/") == "example.com/a/b"
+    # http and https of the same resource canonicalize identically
+    assert _canon(spark, "http://example.com/x") == _canon(spark, "https://example.com/x")
+    # bare host gets the root path; duplicate slashes collapse
+    assert _canon(spark, "http://example.com") == "example.com/"
+    assert _canon(spark, "http://example.com//a///b") == "example.com/a/b"
+    # query is identity-bearing and kept verbatim
+    assert _canon(spark, "http://e.com/p?b=2&a=1") == "e.com/p?b=2&a=1"
+    # junk and null canonicalize to NULL, never to a real page
+    assert _canon(spark, "not a url") is None
+    assert _canon(spark, None) is None
+
+
+def test_registered_domain_approximation(spark):
+    rows = [
+        ("https://www.example.com/x", "example.com"),
+        ("http://a.b.shop.example.co.uk/", "example.co.uk"),
+        ("http://deep.sub.example.com.au/p", "example.com.au"),
+        ("http://example.org", "example.org"),
+        ("nonsense", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "u string")
+    got = [
+        r.d for r in df.select(registered_domain(F.col("u")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in rows]
+    # extra_suffixes extends the multi-part table (PSL snapshot hook)
+    df2 = spark.createDataFrame([("http://alice.github.io/blog",)], "u string")
+    assert df2.select(registered_domain(F.col("u")).alias("d")).first().d == "github.io"
+    assert (
+        df2.select(
+            registered_domain(F.col("u"), extra_suffixes=("github.io",)).alias("d")
+        ).first().d
+        == "alice.github.io"
+    )
+
+
+def test_url_dedup_min_id_survivor_and_null_passthrough(spark):
+    docs = spark.createDataFrame(
+        [
+            (5, "https://example.com/a/"),
+            (3, "HTTP://EXAMPLE.com:80/a"),  # same canonical page
+            (9, "http://example.com/b"),
+            (7, "junk-url"),
+            (8, "also junk"),
+        ],
+        "doc_id long, uri string",
+    )
+    kept = {r.doc_id for r in url_dedup(docs).collect()}
+    # min id 3 wins the /a group; junk rows never dedup against each other
+    assert kept == {3, 9, 7, 8}
+    # layout independence
+    kept2 = {r.doc_id for r in url_dedup(docs.repartition(7)).collect()}
+    assert kept2 == kept
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    rows = [(i, f"http://big.example.com/p{i}") for i in range(50)] + [
+        (100 + i, f"http://small{i}.org/x") for i in range(5)
+    ] + [(900, "junk")]
+    docs = spark.createDataFrame(rows, "doc_id long, uri string")
+    capped = domain_cap(docs, max_per_domain=10)
+    out = capped.collect()
+    big = [r.doc_id for r in out if "big.example" in (r.uri or "")]
+    assert len(big) == 10  # hot domain bounded
+    assert {r.doc_id for r in out if r.doc_id >= 100} == set(
+        range(100, 105)
+    ) | {900}  # small domains + junk pass through
+    # deterministic across layouts AND across re-runs (same salt)
+    again = {r.doc_id for r in domain_cap(docs.repartition(5), max_per_domain=10).collect()}
+    assert again == {r.doc_id for r in out}
+    # a different salt re-rolls WHICH pages survive, not how many
+    other = [r.doc_id for r in domain_cap(docs, 10, salt="other").collect() if r.doc_id < 100]
+    assert len(other) == 10 and set(other) != set(big)
+    with pytest.raises(ValueError, match="max_per_domain"):
+        domain_cap(docs, 0)
+    # schema preserved
+    assert capped.columns == docs.columns
+
+
+def test_domain_profile_shares(spark):
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/1"), (2, "http://a.com/2"), (3, "http://b.org/1"),
+         (4, "junk")],
+        "doc_id long, uri string",
+    )
+    prof = {r.domain: (r.n_docs, r.doc_share) for r in domain_profile(docs).collect()}
+    assert prof["a.com"] == (2, 0.5)
+    assert prof["b.org"] == (1, 0.25)
+    assert prof[None] == (1, 0.25)
+
+
+def test_warc_to_url_curation_composition(spark, tmp_path):
+    """The crawl front door end-to-end: WARC responses -> documents with
+    uri -> canonical-URL dedup -> domain cap -> the content ladder."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+    )
+    from real_time_financial_data_pipeline_spark.sources.warc import (
+        read_warc_strict,
+        warc_documents,
+    )
+    from tests.test_warc import _http_response, _record
+
+    blob = b"".join(
+        _record(
+            "response", f"{i:03d}", f"http://hot.example.com/p{i}",
+            "2024-03-01T00:00:00Z",
+            _http_response(f"<p>the quick brown fox number {i} jumps over the lazy dog</p>".encode()),
+        )
+        for i in range(8)
+    ) + _record(
+        "response", "100", "http://COLD.example.org/q/",
+        "2024-03-01T00:00:00Z", _http_response(b"<p>the calm white owl rests on a high branch today</p>"),
+    ) + _record(
+        "response", "101", "http://cold.example.org:80/q",  # same canonical page
+        "2024-03-01T00:00:00Z", _http_response(b"<p>the calm white owl rests on a high branch today</p>"),
+    )
+    p = tmp_path / "front" / "m.warc"
+    p.parent.mkdir()
+    p.write_bytes(blob)
+    docs = warc_documents(read_warc_strict(spark, str(p)))
+    assert docs.count() == 10
+    deduped = url_dedup(docs)
+    assert deduped.count() == 9  # the two cold.example spellings collapse
+    capped = domain_cap(deduped, max_per_domain=3)
+    per_dom = {r.domain: r.n_docs for r in domain_profile(capped).collect()}
+    assert per_dom == {"example.com": 3, "example.org": 1}
+    kept = curate_documents(
+        capped.select("doc_id", "text"), min_quality=0.0, near_dup_threshold=None
+    )
+    assert kept.count() == 4

@@ -102,6 +102,7 @@ def domain_cap(
     id_col: str = "doc_id",
     salt: str = "domcap",
     extra_suffixes: tuple[str, ...] = (),
+    prefilter_buckets: int | None = None,
 ) -> DataFrame:
     """At most ``max_per_domain`` documents per registered domain, chosen
     by deterministic content-hash order (``xxhash64(id, salt)`` with the
@@ -110,18 +111,38 @@ def domain_cap(
     rather than re-rolling.  Unparsable-URL rows pass through uncapped
     (they form no domain; the quality gates own them).
 
-    Cost: one hash-partitioned window over (domain) — the same shape as
-    every keyed top-k in the engine; no global sort, no driver state.
-    At 100 TB the domain key is skewed by construction (that is the
-    point of the cap) — the window's hash partitioning spreads distinct
-    domains, and the one mega-domain that motivates the cap emits at
-    most ``max_per_domain`` rows from its partition."""
+    Cost and the skew it must survive: the domain key is skewed BY
+    CONSTRUCTION — the mega-domain is exactly why the cap exists — and a
+    plain keyed window sorts that domain's ENTIRE row set in one task.
+    ``prefilter_buckets = B`` engages the two-phase shape (the KMV
+    pre-prune pattern): phase one caps per (domain, hash-bucket) — B
+    tasks share the hot domain, each emitting at most N rows — and
+    phase two re-caps the ≤ B·N survivors per domain.  Output is
+    IDENTICAL to the one-phase form (the global N smallest order-hashes
+    are each among their own bucket's N smallest — test-pinned), while
+    the hot domain's single-task row bound drops from |domain| to B·N.
+    Default ``None`` keeps the one-window plan (right below ~10⁶ rows
+    per domain); set B ≈ parallelism when one domain can dominate a
+    crawl slice."""
     if max_per_domain < 1:
         raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    if prefilter_buckets is not None and prefilter_buckets < 2:
+        raise ValueError(
+            f"prefilter_buckets must be >= 2 (or None), got {prefilter_buckets}"
+        )
     dom = registered_domain(F.col(url_col), extra_suffixes)
     tagged = docs.withColumn("_dom", dom)
     with_dom = tagged.filter(F.col("_dom").isNotNull())
     order = F.xxhash64(F.col(id_col), F.lit(salt))
+    if prefilter_buckets is not None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt + "|b")), F.lit(prefilter_buckets))
+        w1 = Window.partitionBy("_dom", "_db").orderBy(order, F.col(id_col))
+        with_dom = (
+            with_dom.withColumn("_db", bucket)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= max_per_domain)
+            .drop("_rn", "_db")
+        )
     w = Window.partitionBy("_dom").orderBy(order, F.col(id_col))
     capped = (
         with_dom.withColumn("_rn", F.row_number().over(w))

@@ -161,3 +161,25 @@ def test_warc_to_url_curation_composition(spark, tmp_path):
         capped.select("doc_id", "text"), min_quality=0.0, near_dup_threshold=None
     )
     assert kept.count() == 4
+
+
+def test_domain_cap_two_phase_identical_to_one_phase(spark):
+    """prefilter_buckets engages the KMV-style pre-prune; the kept set
+    must be IDENTICAL (the global N smallest order-hashes are each among
+    their own bucket's N smallest), across bucket counts and layouts."""
+    rows = [(i, f"http://hot.example.com/p{i}") for i in range(400)] + [
+        (1000 + i, f"http://site{i % 7}.org/x{i}") for i in range(60)
+    ] + [(5000, "junk")]
+    docs = spark.createDataFrame(rows, "doc_id long, uri string")
+    base = {r.doc_id for r in domain_cap(docs, 12).collect()}
+    for b in (2, 8, 32):
+        two = {r.doc_id for r in domain_cap(docs, 12, prefilter_buckets=b).collect()}
+        assert two == base, b
+    # layout independence of the two-phase form
+    again = {
+        r.doc_id
+        for r in domain_cap(docs.repartition(11), 12, prefilter_buckets=8).collect()
+    }
+    assert again == base
+    with pytest.raises(ValueError, match="prefilter_buckets"):
+        domain_cap(docs, 12, prefilter_buckets=1)

@@ -782,6 +782,8 @@ def prepare_training_set(
     quality_model_threshold: float = 0.5,
     known_fingerprints: DataFrame | None = None,
     known_bloom=None,
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -844,6 +846,15 @@ def prepare_training_set(
     twin takes the identical pair of knobs, so batch and stream drop the
     same already-known documents.
 
+    ``url_col`` (r12) prepends the crawl front door: canonical-URL dedup
+    (``urls.url_dedup``) and, with ``max_per_domain``, the
+    RefinedWeb-style per-domain cap (``urls.domain_cap``) — BEFORE the
+    PII scrub and every content stage, because URL work costs ~nothing
+    next to content work and every page it drops never pays scrubbing,
+    scoring, fingerprinting, or a shuffle.  The URL column rides through
+    the whole ladder only as far as curation needs it; output schema is
+    unchanged (chunks never carry it).
+
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
     verbatim ``decontam_ngram``-token run with it are removed AFTER dedup
@@ -854,6 +865,14 @@ def prepare_training_set(
     content-hash assignment is a pure projection, recomputing it on the
     chunk rows is identical to joining the doc-level assignment (and free).
     """
+    if max_per_domain is not None and url_col is None:
+        raise ValueError("max_per_domain requires url_col (no domain without a URL)")
+    if url_col is not None:
+        from .urls import domain_cap, url_dedup
+
+        docs = url_dedup(docs, url_col, id_col)
+        if max_per_domain is not None:
+            docs = domain_cap(docs, max_per_domain, url_col, id_col)
     if scrub:
         from .text import scrub_pii
 

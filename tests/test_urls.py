@@ -183,3 +183,30 @@ def test_domain_cap_two_phase_identical_to_one_phase(spark):
     assert again == base
     with pytest.raises(ValueError, match="prefilter_buckets"):
         domain_cap(docs, 12, prefilter_buckets=1)
+
+
+def test_prepare_training_set_url_front_door(spark):
+    """url_col/max_per_domain through the whole pipeline: URL-duplicate
+    and over-cap pages produce NO chunks, schema is the canonical chunk
+    shape (no URL column), and the guard rejects a cap without a URL."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, text + f" page {i}", f"http://hot.example.com/p{i}") for i in range(6)]
+    rows += [(100, text + " cold page", "http://cold.org/q/"),
+             (101, text + " cold page copy", "HTTP://COLD.org:80/q")]  # same URL
+    docs = spark.createDataFrame(rows, "doc_id long, text string, uri string")
+    out = prepare_training_set(
+        docs, min_quality=0.0, near_dup_threshold=None,
+        chunk_tokens=8, overlap_tokens=2,
+        url_col="uri", max_per_domain=2,
+    )
+    assert set(out.columns) == {"doc_id", "chunk_id", "n_chunk_tokens", "chunk_text", "split"}
+    kept_docs = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    hot_kept = {d for d in kept_docs if d < 100}
+    assert len(hot_kept) == 2  # capped
+    assert kept_docs - hot_kept == {100}  # URL-duplicate 101 collapsed to min id
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_training_set(docs, url_col=None, max_per_domain=2)

@@ -67,9 +67,9 @@ from pyspark.sql import functions as F
 _RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
 
 #: Output schema shared by both readers (payload as string — WARC text
-#: payloads; binary media payloads survive as replacement-char-damaged
-#: strings in the fast path, use the strict reader + payload_binary for
-#: those).
+#: payloads; binary media payloads come through as replacement-char-
+#: damaged strings on either path — media extraction belongs to the
+#: multimodal binary-column pipeline, not this text front door).
 WARC_SCHEMA = (
     "warc_type string, record_id string, target_uri string, warc_date string, "
     "content_type string, content_length long, payload string"
@@ -82,14 +82,9 @@ def _header(block: Column, name: str) -> Column:
     return F.nullif(F.regexp_extract(block, rf"(?m)^{name}:[ \t]*([^\r\n]*)", 1), F.lit(""))
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Splittable expression-only WARC reader (see module docstring for
-    the framing caveat).  One row per record, WARC headers parsed into
-    columns, payload = everything after the header block's blank line,
-    with the Content-Length prefix applied when the payload is LONGER
-    than declared (separator-in-payload damage shows up as a mismatch
-    the strict reader would not produce)."""
-    raw = spark.read.option("lineSep", _RECORD_SEP).text(path)
+def _parse_records(raw: DataFrame) -> DataFrame:
+    """The shared expression-only record projection behind the batch and
+    streaming fast paths (every step stateless, hence stream-legal)."""
     # the first record of each file keeps its leading magic; later rows
     # had it consumed by the separator — normalize it away
     rec = F.regexp_replace(F.col("value"), r"\A(WARC/1\.0\r\n)", "")
@@ -119,6 +114,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         payload.alias("payload"),
     )
     return out.filter(F.col("warc_type").isNotNull())
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Splittable expression-only WARC reader (see module docstring for
+    the framing caveat).  One row per record, WARC headers parsed into
+    columns, payload = everything after the header block's blank line,
+    with the Content-Length prefix applied when the payload is LONGER
+    than declared (separator-in-payload damage shows up as a mismatch
+    the strict reader would not produce)."""
+    return _parse_records(spark.read.option("lineSep", _RECORD_SEP).text(path))
 
 
 def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
@@ -177,6 +182,27 @@ def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
 
     raw = spark.read.format("binaryFile").load(path).select("content")
     return raw.mapInPandas(parse, WARC_SCHEMA).filter(F.col("warc_type").isNotNull())
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING twin of :func:`read_warc`: watch a directory for new
+    WARC members (the live-crawl landing zone) and emit parsed records
+    as they arrive.  Every parsing step is a stateless projection —
+    regexp header extraction, one split, the Content-Length trim — so
+    the whole reader is append-legal as-is; compose with
+    :func:`warc_documents` (also stateless) and feed
+    ``streaming.training.stream_training_chunks`` for the end-to-end
+    live pipeline.  Fast-path framing caveat applies unchanged; the
+    strict reader has no streaming form (binaryFile is not a stream
+    source) — exact re-framing of hostile members is the nightly batch
+    pass's job, the usual division of labor."""
+    raw = (
+        spark.readStream.option("lineSep", _RECORD_SEP)
+        .format("text")
+        .schema("value string")
+        .load(path)
+    )
+    return _parse_records(raw)
 
 
 def html_to_text(html: Column) -> Column:

@@ -156,3 +156,45 @@ def test_fast_path_desync_is_detectable_strict_is_not(spark, tmp_path):
     # at it (Content-Length mismatch is the detectable symptom)
     fast_a = next(r for r in fast if r.record_id == "<urn:uuid:00a>")
     assert len(fast_a.payload) < fast_a.content_length
+
+
+def test_stream_warc_drain_parity_with_batch(spark, tmp_path):
+    """The streaming front door: stream_warc over a landing directory
+    drains to EXACTLY read_warc's record set, and the composed
+    stream -> warc_documents path emits the same documents — every
+    stage stateless/append-legal."""
+    from real_time_financial_data_pipeline_spark.sources.warc import (
+        read_warc,
+        stream_warc,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "m0.warc").write_bytes(_warc_bytes())
+    blob2 = _record(
+        "response", "200", "http://c.example/z", "2024-03-05T08:00:00Z",
+        _http_response(b"<p>late arriving member</p>"),
+    )
+    (land / "m1.warc").write_bytes(blob2)
+
+    q = (
+        warc_documents(stream_warc(spark, str(land)))
+        .writeStream.format("memory")
+        .queryName("warc_stream_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.doc_id, r.uri, r.text) for r in spark.table("warc_stream_docs").collect()
+    }
+    batch = {
+        (r.doc_id, r.uri, r.text)
+        for r in warc_documents(read_warc(spark, str(land))).collect()
+    }
+    assert streamed == batch
+    assert {u for _, u, _ in streamed} == {
+        "http://a.example/x", "http://b.example/y", "http://c.example/z"
+    }

@@ -724,3 +724,34 @@ def test_classifier_scoring_total_over_arbitrary_text(spark, texts):
     for r in hscored:
         assert r.quality_prob is not None and 0.0 <= r.quality_prob <= 1.0
     assert set(feats) == {i for i, _ in rows}
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=200, unique=True,
+    ),
+    fpp=st.sampled_from([0.3, 0.05, 0.01]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative_over_full_int64(keys, fpp):
+    """Totality of the zero-false-negative guarantee over the whole
+    int64 domain (incl. the 2^53+ magnitudes the r11 advisor flagged in
+    the Column path): every inserted key tests positive, pure numpy —
+    the same kernel the broadcast probe runs per Arrow batch."""
+    import numpy as np
+
+    from real_time_financial_data_pipeline_spark.operators.bloom import (
+        LocalBloom,
+        bloom_params,
+    )
+
+    arr = np.array(keys, dtype=np.int64)
+    n_bits, n_hashes = bloom_params(len(arr), fpp)
+    b = LocalBloom(n_bits, n_hashes)
+    b.add_many(arr)
+    assert b.might_contain_many(arr).all()
+    # and the bitmap is insertion-order independent (set semantics)
+    b2 = LocalBloom(n_bits, n_hashes)
+    b2.add_many(arr[::-1].copy())
+    assert np.array_equal(b.bits, b2.bits)

@@ -210,3 +210,20 @@ def test_prepare_training_set_url_front_door(spark):
     assert kept_docs - hot_kept == {100}  # URL-duplicate 101 collapsed to min id
     with pytest.raises(ValueError, match="url_col"):
         prepare_training_set(docs, url_col=None, max_per_domain=2)
+
+
+def test_domain_cap_plan_shape(spark):
+    """Scale contract in the plan: the cap is keyed-window work — hash
+    partitioning on the domain, no product joins in either phase form."""
+    docs = spark.createDataFrame(
+        [(i, f"http://s{i % 9}.com/p{i}") for i in range(100)],
+        "doc_id long, uri string",
+    )
+    for kw in ({}, {"prefilter_buckets": 8}):
+        plan = (
+            domain_cap(docs, 5, **kw)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "hashpartitioning(_dom" in plan  # the keyed window shuffle

@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.sketches import kmv_estimate, kmv_sketch, merge_kmv_tables
+from ..operators.sketches import (
+    kmv_estimate,
+    kmv_sample_sketch,
+    kmv_sketch,
+    merge_kmv_tables,
+)
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
 
@@ -87,6 +92,7 @@ def make_sketch_folder(
     key_cols: list[str] | None = None,
     k: int = 1024,
     keep_versions: int | None = None,
+    sample_id_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed (like ``ingest.make_batch_writer``)
     so replay semantics are directly testable: call it twice with the
@@ -96,12 +102,29 @@ def make_sketch_folder(
     Each call: sketch the micro-batch, merge with the latest snapshot,
     write ``v=<batch_id>`` (overwrite — a replayed batch atomically
     rewrites its own version), then prune versions older than
-    ``keep_versions`` if set."""
+    ``keep_versions`` if set.
+
+    ``sample_id_col`` switches the fold to the bottom-k SAMPLE sketch
+    (``kmv_sample_sketch`` — the id-hash-ordered value sample whose
+    merges are exact under the same order algebra): the snapshot column
+    becomes ``kmv_sample`` and quantile/mean trends come from
+    ``sample_quantile``/``sample_mean`` over any retained version.
+    Replay idempotence holds under the sample sketch's own contract —
+    the id must map to ONE value across deliveries (a re-delivered id
+    re-enters at the same (hash, value) and the distinct-merge absorbs
+    it; an id that CHANGES value across deliveries is the same
+    double-entry hazard the batch operator documents)."""
     keys = list(key_cols or [])
+    sketch_col = "kmv" if sample_id_col is None else "kmv_sample"
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_sketch = kmv_sketch(batch_df, value_col, keys or None, k)
+        if sample_id_col is None:
+            batch_sketch = kmv_sketch(batch_df, value_col, keys or None, k)
+        else:
+            batch_sketch = kmv_sample_sketch(
+                batch_df, value_col, sample_id_col, keys or None, k
+            )
         # an empty micro-batch adds no information: skip the version
         # entirely (the global-sketch merge is a cross join that would
         # otherwise annihilate the snapshot against zero rows)
@@ -111,7 +134,9 @@ def make_sketch_folder(
         if prev is None:
             merged = batch_sketch
         else:
-            merged = merge_kmv_tables(prev[1], batch_sketch, keys or None)
+            merged = merge_kmv_tables(
+                prev[1], batch_sketch, keys or None, sketch_col=sketch_col
+            )
         merged.coalesce(1).write.mode("overwrite").parquet(
             f"{sketch_path}/v={batch_id}"
         )
@@ -136,14 +161,18 @@ def stream_kmv_fold(
     keep_versions: int | None = None,
     trigger_available_now: bool = False,
     processing_time: str | None = None,
+    sample_id_col: str | None = None,
 ) -> StreamingQuery:
     """Run the fold as a streaming query.  ``availableNow`` drains the
     backlog then stops (the batch-parity mode the tests use); the folded
-    snapshot then EQUALS ``kmv_sketch`` over everything that arrived —
-    exactly, as arrays, by the merge identity."""
+    snapshot then EQUALS ``kmv_sketch`` (or ``kmv_sample_sketch`` with
+    ``sample_id_col``) over everything that arrived — exactly, as
+    arrays, by the merge identity."""
     if not stream.isStreaming:
         raise ValueError("stream must be a streaming DataFrame (use kmv_sketch)")
-    fold = make_sketch_folder(sketch_path, value_col, key_cols, k, keep_versions)
+    fold = make_sketch_folder(
+        sketch_path, value_col, key_cols, k, keep_versions, sample_id_col
+    )
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
     )
@@ -172,7 +201,13 @@ def read_kmv_trend(
     for v in versions:
         snap = spark.read.parquet(f"{sketch_path}/v={v}")
         field = next(f for f in snap.schema.fields if f.name == sketch_col)
-        k = int(dict(field.metadata or {})["kmv_k"])
+        md = dict(field.metadata or {})
+        if md.get("kmv_kind", "distinct") != "distinct":
+            raise ValueError(
+                "read_kmv_trend estimates DISTINCT counts; read sample-"
+                "sketch snapshots with sample_quantile/sample_mean instead"
+            )
+        k = int(md["kmv_k"])
         part = snap.select(
             F.lit(v).alias("version"),
             *keys,

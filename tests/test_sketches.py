@@ -438,3 +438,52 @@ def test_stream_fold_rejects_batch_frame(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="streaming"):
         stream_kmv_fold(df, "/tmp/x", "/tmp/ck", "text")
+
+
+def test_stream_sample_sketch_fold_equals_batch(spark, tmp_path):
+    """sample_id_col switches the fold to the bottom-k SAMPLE sketch:
+    drained snapshot == kmv_sample_sketch over everything that arrived
+    (exact, as struct arrays), replay stays idempotent, and the trend
+    reader refuses sample snapshots (estimator-kind safety)."""
+    from real_time_financial_data_pipeline_spark.operators.sketches import (
+        kmv_sample_sketch,
+        sample_quantile,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        latest_kmv_snapshot,
+        make_sketch_folder,
+        read_kmv_trend,
+    )
+
+    sketch_path = str(tmp_path / "kmv_sample_fold")
+    fold = make_sketch_folder(
+        sketch_path, "v", ["lang"], k=8, sample_id_col="rid"
+    )
+    b0 = spark.createDataFrame(
+        [("en", i, float(i)) for i in range(25)], "lang string, rid long, v double"
+    )
+    b1 = spark.createDataFrame(
+        [("en", i, float(i)) for i in range(10, 40)] + [("de", 1000, 5.0)],
+        "lang string, rid long, v double",
+    )
+    fold(b0, 0)
+    fold(b1, 1)
+    fold(b1, 1)  # crash replay
+    _, snap = latest_kmv_snapshot(spark, sketch_path)
+    snap = snap.withColumnRenamed("kmv_sample", "s")
+    direct = kmv_sample_sketch(
+        b0.unionByName(b1), "v", "rid", ["lang"], k=8
+    ).withColumnRenamed("kmv_sample", "s")
+    got = {r.lang: [(x.h, x.v) for x in r.s] for r in snap.collect()}
+    want = {r.lang: [(x.h, x.v) for x in r.s] for r in direct.collect()}
+    assert got == want
+    # quantiles read straight off the folded snapshot
+    import pyspark.sql.functions as SF
+
+    q = {
+        r.lang: r.q
+        for r in snap.select("lang", sample_quantile(SF.col("s"), 0.5).alias("q")).collect()
+    }
+    assert q["de"] == 5.0
+    with pytest.raises(ValueError, match="sample_quantile"):
+        read_kmv_trend(spark, sketch_path, ["lang"], sketch_col="kmv_sample")

@@ -174,7 +174,13 @@ def might_contain(bloom: LocalBloom, col: Column | str) -> Column:
     if spark is None:  # pragma: no cover - requires no-session misuse
         raise RuntimeError("might_contain requires an active SparkSession")
     n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
-    bc_bits = spark.sparkContext.broadcast(bloom.bits)
+    # one broadcast PER LocalBloom instance, memoized — building the probe
+    # column repeatedly (per nightly slice, per micro-batch restart) must
+    # not ratchet up bitmap-sized broadcasts for the session's lifetime
+    bc_bits = getattr(bloom, "_bc_bits", None)
+    if bc_bits is None:
+        bc_bits = spark.sparkContext.broadcast(bloom.bits)
+        bloom._bc_bits = bc_bits
 
     @F.pandas_udf("boolean")
     def _probe(keys: pd.Series, isnull: pd.Series) -> pd.Series:
@@ -185,8 +191,14 @@ def might_contain(bloom: LocalBloom, col: Column | str) -> Column:
         return pd.Series(out)
 
     c = F.col(col) if isinstance(col, str) else col
-    key_i64 = F.coalesce(c.cast("long"), F.lit(0).cast("long"))
-    return _probe(key_i64, c.isNull())
+    # null-flag on the CAST result, not the raw column: under non-ANSI
+    # sessions cast('long') quietly nulls unparsable values, and flagging
+    # only source-nulls would send those rows to the bitmap as literal 0
+    # ('definitely new' on a miss — an exactness-contract breach).  Cast
+    # nulls route to 'maybe' and the verify join instead.
+    key_long = c.cast("long")
+    key_i64 = F.coalesce(key_long, F.lit(0).cast("long"))
+    return _probe(key_i64, key_long.isNull())
 
 
 def anti_join_known(

@@ -78,6 +78,7 @@ def fuzzy_signatures(
     mode: str = "char",
     shingle_n: int = 3,
     num_hashes: int = 32,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Persistable MinHash signature table for one side of a fuzzy join —
     build nightly for the big reference catalog and pass as
@@ -85,17 +86,21 @@ def fuzzy_signatures(
     as ``minhash`` column METADATA (survives the parquet round trip —
     the same artifact-carries-its-params contract as
     ``dedup.substring_window_index``), and :func:`fuzzy_join` raises on
-    a mismatched query instead of silently never colliding."""
+    a mismatched query instead of silently never colliding.
+
+    ``check_unique_ids=False`` is the same big-corpus escape hatch
+    :func:`fuzzy_join` documents — the nightly index build over a huge
+    catalog is exactly where the guard's (id, text) shuffle is real
+    money, and an index built from lake-minted-unique ids can skip it."""
     from .dedup import minhash_signatures
 
     eff_n = 1 if mode == "char" else shingle_n
-    proj = _guard_unique_id(
-        df.select(
-            F.col(id_col).alias("_lk_id"),
-            _linkage_text(F.col(col), mode, shingle_n).alias("_lk_text"),
-        ),
-        "right", id_col,
+    proj = df.select(
+        F.col(id_col).alias("_lk_id"),
+        _linkage_text(F.col(col), mode, shingle_n).alias("_lk_text"),
     )
+    if check_unique_ids:
+        proj = _guard_unique_id(proj, "signature-index", id_col)
     meta = {"mode": mode, "shingle_n": shingle_n, "num_hashes": num_hashes}
     return minhash_signatures(proj, "_lk_text", "_lk_id", num_hashes, eff_n).select(
         "_lk_id", F.col("minhash").alias("minhash", metadata=meta)

@@ -43,13 +43,27 @@ MULTI_SUFFIXES = (
 
 def canonical_url(url: Column) -> Column:
     """Canonical spelling for exact-URL identity: lowercase scheme+host,
-    strip the fragment, default ports (:80/:443), duplicate slashes in
-    the path, and one trailing slash; query string KEPT verbatim (query
-    params are content-bearing — dropping utm_* style noise is a
-    site-specific policy, not an identity rule).  Null-safe: a null or
-    unparsable URL canonicalizes to NULL (parse_url returns null hosts),
-    so junk never aliases to a real page."""
+    strip the fragment, DEFAULT ports only (:80 for http, :443 for
+    https — a NON-default port names a different server and is kept:
+    ``parse_url``'s HOST part drops every port, so the port is
+    re-extracted from AUTHORITY and re-appended unless it is the
+    scheme's default), duplicate slashes in the path, and one trailing
+    slash; query string KEPT verbatim (query params are content-bearing
+    — dropping utm_* style noise is a site-specific policy, not an
+    identity rule).  Null-safe: a null or unparsable URL canonicalizes
+    to NULL (parse_url returns null hosts), so junk never aliases to a
+    real page."""
     host = F.lower(F.parse_url(url, F.lit("HOST")))
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.nullif(F.regexp_extract(authority, r":(\d+)$", 1), F.lit(""))
+    default_port = F.when(proto == "http", F.lit("80")).when(
+        proto == "https", F.lit("443")
+    )
+    kept_port = F.when(
+        port.isNotNull() & ~port.eqNullSafe(default_port),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, "//+", "/")
     path = F.regexp_replace(path, "/\\Z", "")
@@ -58,6 +72,7 @@ def canonical_url(url: Column) -> Column:
     # the same PAGE for dedup purposes (crawlers canonicalize to https)
     base = F.concat(
         host,
+        kept_port,
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
@@ -160,13 +175,16 @@ def domain_profile(
     """Per-registered-domain corpus shares — the before/after view for
     ``domain_cap`` decisions (the URL-keyed sibling of
     ``training.domain_mix``).  One map-side-combined aggregate; the
-    share window runs over the aggregated (one row per domain) table.
+    corpus total comes from a second one-row aggregate broadcast onto
+    the per-domain table — NOT an unpartitioned window, which would
+    funnel every per-domain row (a web crawl has 10⁷–10⁸ registered
+    domains) through one task.
     Output: (domain, n_docs, doc_share), unparsable URLs under NULL."""
     dom = registered_domain(F.col(url_col), extra_suffixes)
     per = docs.groupBy(dom.alias("domain")).agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
-    return per.select(
+    total = per.agg(F.sum("n_docs").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
         "domain",
         "n_docs",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(F.col("n_docs") / F.col("_tot"), 6).alias("doc_share"),
     )

@@ -64,7 +64,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
+def _record_sep(version: str) -> str:
+    return f"\r\n\r\nWARC/{version}\r\n"
 
 #: Output schema shared by both readers (payload as string — WARC text
 #: payloads; binary media payloads come through as replacement-char-
@@ -82,12 +83,32 @@ def _header(block: Column, name: str) -> Column:
     return F.nullif(F.regexp_extract(block, rf"(?m)^{name}:[ \t]*([^\r\n]*)", 1), F.lit(""))
 
 
-def _parse_records(raw: DataFrame) -> DataFrame:
+def _parse_records(raw: DataFrame, version: str) -> DataFrame:
     """The shared expression-only record projection behind the batch and
-    streaming fast paths (every step stateless, hence stream-legal)."""
+    streaming fast paths (every step stateless, hence stream-legal).
+
+    Version guard: the separator is a LITERAL (lineSep takes no regex),
+    so a member written by a different WARC revision would silently
+    collapse into one row per file and the Content-Length trim would
+    quietly truncate it to its first record.  Each file's first row
+    keeps its leading magic — if that magic names a different version
+    than the separator was built for, the row fails LOUDLY in-plan
+    instead of losing records 2..n."""
+    magic = F.regexp_extract(F.col("value"), r"\A(WARC/\d+\.\d+)", 1)
+    guarded = F.when(
+        (magic != "") & (magic != f"WARC/{version}"),
+        F.raise_error(
+            F.format_string(
+                "read_warc(version='" + version + "'): member starts with "
+                "%s — pass version= to match (or use read_warc_strict, "
+                "which accepts any WARC/x.y)",
+                magic,
+            )
+        ).cast("string"),
+    ).otherwise(F.col("value"))
     # the first record of each file keeps its leading magic; later rows
     # had it consumed by the separator — normalize it away
-    rec = F.regexp_replace(F.col("value"), r"\A(WARC/1\.0\r\n)", "")
+    rec = F.regexp_replace(guarded, r"\A(WARC/\d+\.\d+\r\n)", "")
     parts = F.split(rec, r"\r\n\r\n", 2)
     headers = F.element_at(parts, 1)
     body = F.coalesce(F.element_at(parts, 2), F.lit(""))
@@ -116,14 +137,20 @@ def _parse_records(raw: DataFrame) -> DataFrame:
     return out.filter(F.col("warc_type").isNotNull())
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame:
     """Splittable expression-only WARC reader (see module docstring for
     the framing caveat).  One row per record, WARC headers parsed into
     columns, payload = everything after the header block's blank line,
     with the Content-Length prefix applied when the payload is LONGER
     than declared (separator-in-payload damage shows up as a mismatch
-    the strict reader would not produce)."""
-    return _parse_records(spark.read.option("lineSep", _RECORD_SEP).text(path))
+    the strict reader would not produce).  ``version`` selects the
+    record magic the splitter frames on ("1.0" — Common Crawl's — or
+    "1.1", the current ISO revision); a member written under a
+    DIFFERENT version fails loudly instead of silently losing records
+    (see ``_parse_records``)."""
+    return _parse_records(
+        spark.read.option("lineSep", _record_sep(version)).text(path), version
+    )
 
 
 def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
@@ -184,7 +211,7 @@ def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse, WARC_SCHEMA).filter(F.col("warc_type").isNotNull())
 
 
-def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+def stream_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame:
     """STREAMING twin of :func:`read_warc`: watch a directory for new
     WARC members (the live-crawl landing zone) and emit parsed records
     as they arrive.  Every parsing step is a stateless projection —
@@ -197,12 +224,12 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
     source) — exact re-framing of hostile members is the nightly batch
     pass's job, the usual division of labor."""
     raw = (
-        spark.readStream.option("lineSep", _RECORD_SEP)
+        spark.readStream.option("lineSep", _record_sep(version))
         .format("text")
         .schema("value string")
         .load(path)
     )
-    return _parse_records(raw)
+    return _parse_records(raw, version)
 
 
 def html_to_text(html: Column) -> Column:
@@ -213,9 +240,12 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    # '&amp;' decodes LAST: decoding it first would double-decode
+    # double-escaped entities ('&amp;lt;' — a page DISPLAYING the text
+    # '&lt;' — must come out as '&lt;', not '<')
     for ent, ch in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         t = F.regexp_replace(t, ent, ch)
     return F.trim(F.regexp_replace(t, r"\s+", " "))

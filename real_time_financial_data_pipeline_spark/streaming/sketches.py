@@ -137,9 +137,24 @@ def make_sketch_folder(
             merged = merge_kmv_tables(
                 prev[1], batch_sketch, keys or None, sketch_col=sketch_col
             )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{sketch_path}/v={batch_id}"
-        )
+        # CRASH-REPLAY SAFETY: a replay of the LATEST batch merges v=n
+        # while writing v=n — a direct overwrite deletes the lazy scan's
+        # input files mid-job (whether it fails or silently corrupts
+        # depends on which stages materialized first).  Stage-and-rename
+        # instead: the read completes against the old files while the
+        # write targets the staging dir, then the swap is two metadata
+        # ops.  A crash between delete and rename only loses v=n itself,
+        # which the next replay rebuilds from v=n-1 — never a corrupt or
+        # half-written snapshot.
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{sketch_path}/_staging_v{batch_id}")
+        final = jvm.org.apache.hadoop.fs.Path(f"{sketch_path}/v={batch_id}")
+        fs = final.getFileSystem(conf)
+        merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        if fs.exists(final):
+            fs.delete(final, True)
+        fs.rename(tmp, final)
         if keep_versions is not None:
             versions = _list_versions(spark, sketch_path)
             jvm = spark.sparkContext._jvm

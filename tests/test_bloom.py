@@ -265,3 +265,44 @@ def test_batch_ladder_known_content_composition(spark):
     rows_fast = {(r.doc_id, r.chunk_id, r.chunk_text) for r in chunks_fast.collect()}
     assert rows_plain == rows_fast
     assert {d for d, _, _ in rows_fast} == set(range(4, 10))
+
+
+def test_probe_broadcast_memoized_per_bloom(spark, monkeypatch):
+    """Review-caught leak: building the probe column repeatedly must not
+    create a fresh bitmap-sized broadcast each time — one broadcast per
+    LocalBloom instance, memoized."""
+    keys = _rand_keys(500, seed=11)
+    n_bits, n_hashes = bloom_params(len(keys), 0.01)
+    b = LocalBloom(n_bits, n_hashes)
+    b.add_many(keys)
+    sc = spark.sparkContext
+    count = [0]
+    orig = sc.broadcast
+
+    def spy(value):
+        count[0] += 1
+        return orig(value)
+
+    monkeypatch.setattr(sc, "broadcast", spy)
+    for _ in range(4):
+        might_contain(b, "k")
+    assert count[0] == 1
+
+
+def test_unparsable_string_keys_route_to_verify_join(spark):
+    """Review-caught exactness breach: non-ANSI cast('long') nulls an
+    unparsable string key; flagging the CAST result (not the source
+    column) sends those rows to 'maybe' and the exact verify join, so
+    anti_join_known stays row-identical to the plain anti join even on
+    a string fingerprint column."""
+    known = spark.createDataFrame([("alpha",), ("beta",)], "fingerprint string")
+    batch = spark.createDataFrame(
+        [("alpha", "dup"), ("gamma", "new1"), ("42", "numericstr"), (None, "nullkey")],
+        "fingerprint string, payload string",
+    )
+    bloom = build_bloom(
+        spark.createDataFrame([(1,), (2,)], "fingerprint long"), fpp=0.01
+    )  # bitmap contents are irrelevant: every string key must bypass it
+    plain = {r.payload for r in batch.join(known, "fingerprint", "left_anti").collect()}
+    fast = {r.payload for r in anti_join_known(batch, known, bloom=bloom).collect()}
+    assert fast == plain == {"new1", "numericstr", "nullkey"}

@@ -297,9 +297,14 @@ def test_fuzzy_join_duplicate_ids_raise_in_plan(spark):
     )
     with pytest.raises(PySparkException, match="duplicate cid.*right"):
         fuzzy_join(left, dup_right, "qname", "cname", "qid", "cid").collect()
-    # the persisted-index builder enforces the same contract
-    with pytest.raises(PySparkException, match="duplicate cid.*right"):
+    # the persisted-index builder enforces the same contract (its own
+    # side label), and exposes the same documented off-switch
+    with pytest.raises(PySparkException, match="duplicate cid.*signature-index"):
         fuzzy_signatures(dup_right, "cname", "cid").collect()
+    # off-switch: the duplicate id then SILENTLY collapses into one
+    # signature row (min over the union of both strings' shingles) —
+    # exactly the quiet corruption the default guard exists to prevent
+    assert fuzzy_signatures(dup_right, "cname", "cid", check_unique_ids=False).count() == 5
     # unique ids keep working unchanged
     assert fuzzy_join(left, right, "qname", "cname", "qid", "cid").count() > 0
 

@@ -487,3 +487,31 @@ def test_stream_sample_sketch_fold_equals_batch(spark, tmp_path):
     assert q["de"] == 5.0
     with pytest.raises(ValueError, match="sample_quantile"):
         read_kmv_trend(spark, sketch_path, ["lang"], sketch_col="kmv_sample")
+
+
+def test_fold_replay_of_latest_batch_keyless(spark, tmp_path):
+    """The review-caught crash-replay wedge: replaying the LATEST batch
+    merges snapshot v=n while writing v=n — the stage-and-rename swap
+    must make that safe (a direct overwrite deletes the lazy scan's
+    input mid-job), for the GLOBAL sketch whose cross-join merge has no
+    early shuffle to accidentally save it."""
+    from real_time_financial_data_pipeline_spark.operators.sketches import kmv_sketch
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        latest_kmv_snapshot,
+        make_sketch_folder,
+    )
+
+    sketch_path = str(tmp_path / "kmv_global_replay")
+    fold = make_sketch_folder(sketch_path, "text", None, k=8)
+    b0 = spark.createDataFrame([(f"a{i}",) for i in range(30)], "text string")
+    b1 = spark.createDataFrame([(f"b{i}",) for i in range(30)], "text string")
+    fold(b0, 0)
+    fold(b1, 1)
+    fold(b1, 1)  # replay of the LATEST batch: reads v=1 while writing v=1
+    fold(b1, 1)  # and again (every restart replays it)
+    v, snap = latest_kmv_snapshot(spark, sketch_path)
+    assert v == 1
+    direct = kmv_sketch(b0.unionByName(b1), "text", None, k=8)
+    assert [list(r.kmv) for r in snap.collect()] == [
+        list(r.kmv) for r in direct.collect()
+    ]

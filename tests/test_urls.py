@@ -227,3 +227,18 @@ def test_domain_cap_plan_shape(spark):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "hashpartitioning(_dom" in plan  # the keyed window shuffle
+
+
+def test_canonical_url_keeps_non_default_ports(spark):
+    """Review-caught aliasing: parse_url's HOST drops every port, so a
+    non-default port must be re-appended — two services on :8080 and :80
+    are different resources and must not dedup together."""
+    assert _canon(spark, "http://example.com:8080/x") == "example.com:8080/x"
+    assert _canon(spark, "http://example.com:8080/x") != _canon(
+        spark, "http://example.com/x"
+    )
+    # defaults still strip, per scheme
+    assert _canon(spark, "http://example.com:80/x") == "example.com/x"
+    assert _canon(spark, "https://example.com:443/x") == "example.com/x"
+    # a port that is the OTHER scheme's default is kept
+    assert _canon(spark, "https://example.com:80/x") == "example.com:80/x"

@@ -198,3 +198,38 @@ def test_stream_warc_drain_parity_with_batch(spark, tmp_path):
     assert {u for _, u, _ in streamed} == {
         "http://a.example/x", "http://b.example/y", "http://c.example/z"
     }
+
+
+def test_fast_path_version_guard_and_strict_accepts_1_1(spark, tmp_path):
+    """Review-caught silent loss: a WARC/1.1 member framed with the 1.0
+    separator collapses to one row and quietly drops records 2..n.  The
+    fast path now fails LOUDLY on a version mismatch (both directions);
+    version='1.1' and the strict reader handle 1.1 members fully."""
+    from pyspark.errors import PySparkException
+
+    blob_11 = _warc_bytes().replace(b"WARC/1.0\r\n", b"WARC/1.1\r\n")
+    p = tmp_path / "v11" / "m.warc"
+    p.parent.mkdir()
+    p.write_bytes(blob_11)
+    with pytest.raises(PySparkException, match="WARC/1.1"):
+        read_warc(spark, str(p)).collect()
+    assert read_warc(spark, str(p), version="1.1").count() == 5
+    assert read_warc_strict(spark, str(p)).count() == 5
+    # and the reverse mismatch (1.0 member read as 1.1) also raises
+    p10 = tmp_path / "v10" / "m.warc"
+    p10.parent.mkdir()
+    p10.write_bytes(_warc_bytes())
+    with pytest.raises(PySparkException, match="WARC/1.0"):
+        read_warc(spark, str(p10), version="1.1").collect()
+
+
+def test_html_double_escaped_entities_decode_once(spark):
+    """Review-caught corpus corruption: '&amp;lt;' is a page DISPLAYING
+    the text '&lt;' — decoding '&amp;' first double-decoded it to '<'.
+    '&amp;' now decodes last."""
+    df = spark.createDataFrame(
+        [("<p>use &amp;lt; to write a less-than sign, &amp; enjoy</p>",)],
+        "h string",
+    )
+    out = df.select(html_to_text(F.col("h")).alias("t")).first().t
+    assert out == "use &lt; to write a less-than sign, & enjoy"

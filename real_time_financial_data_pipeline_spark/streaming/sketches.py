@@ -154,7 +154,11 @@ def make_sketch_folder(
         merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
         if fs.exists(final):
             fs.delete(final, True)
-        fs.rename(tmp, final)
+        if not fs.rename(tmp, final):  # Hadoop rename signals by return value
+            raise IOError(
+                f"kmv fold: rename {tmp} -> {final} failed; snapshot v={batch_id} "
+                "not committed (staging left in place for inspection)"
+            )
         if keep_versions is not None:
             versions = _list_versions(spark, sketch_path)
             jvm = spark.sparkContext._jvm

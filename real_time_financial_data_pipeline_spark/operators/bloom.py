@@ -79,6 +79,13 @@ class LocalBloom:
         )
 
     def add_many(self, keys: np.ndarray) -> None:
+        # mutating the bitmap invalidates any memoized broadcast of it
+        # (might_contain would otherwise keep probing the stale bits);
+        # probe columns ALREADY built still hold the old broadcast —
+        # rebuild them after adding, the bitmap is effectively
+        # copy-on-probe
+        self._bc_bits = None
+        self._bc_ctx = None
         h1, h2 = _h1_h2(keys)
         mask = np.uint64(self.n_bits - 1)
         for i in range(self.n_hashes):
@@ -176,11 +183,18 @@ def might_contain(bloom: LocalBloom, col: Column | str) -> Column:
     n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
     # one broadcast PER LocalBloom instance, memoized — building the probe
     # column repeatedly (per nightly slice, per micro-batch restart) must
-    # not ratchet up bitmap-sized broadcasts for the session's lifetime
+    # not ratchet up bitmap-sized broadcasts for the session's lifetime.
+    # The memo is validated against the CURRENT SparkContext: a bloom
+    # reused across a session restart would otherwise probe through a
+    # broadcast owned by the dead context and fail at task time — context
+    # change means re-broadcast, not reuse.  add_many() drops the memo
+    # too, so a mutated bitmap never probes stale.
+    sc = spark.sparkContext
     bc_bits = getattr(bloom, "_bc_bits", None)
-    if bc_bits is None:
-        bc_bits = spark.sparkContext.broadcast(bloom.bits)
+    if bc_bits is None or getattr(bloom, "_bc_ctx", None) is not sc:
+        bc_bits = sc.broadcast(bloom.bits)
         bloom._bc_bits = bc_bits
+        bloom._bc_ctx = sc
 
     @F.pandas_udf("boolean")
     def _probe(keys: pd.Series, isnull: pd.Series) -> pd.Series:

@@ -61,10 +61,15 @@ def _guard_unique_id(proj: DataFrame, side: str, id_name: str) -> DataFrame:
     guarded = F.when(
         F.count(F.lit(1)).over(w) > 1,
         F.raise_error(
+            # id_name/side ride as %s ARGUMENTS, never spliced into the
+            # format string — a '%' in a caller-supplied column name must
+            # not garble the duplicate-id error being raised about it
             F.format_string(
-                "fuzzy_join: duplicate " + id_name + " %s on the " + side
-                + " side; ids must be unique per table (dedup or re-key first)",
+                "fuzzy_join: duplicate %s %s on the %s side; "
+                "ids must be unique per table (dedup or re-key first)",
+                F.lit(id_name),
                 F.col("_lk_id").cast("string"),
+                F.lit(side),
             )
         ).cast(proj.schema["_lk_id"].dataType),
     ).otherwise(F.col("_lk_id"))

@@ -50,7 +50,10 @@ def canonical_url(url: Column) -> Column:
     scheme's default), duplicate slashes in the path, and one trailing
     slash; query string KEPT verbatim (query params are content-bearing
     — dropping utm_* style noise is a site-specific policy, not an
-    identity rule).  Null-safe: a null or unparsable URL canonicalizes
+    identity rule).  Scheme handling: http and https collapse to one
+    scheme-relative identity (the crawler convention); every OTHER
+    scheme keeps a ``scheme://`` prefix so ftp://host/x never aliases
+    https://host/x.  Null-safe: a null or unparsable URL canonicalizes
     to NULL (parse_url returns null hosts), so junk never aliases to a
     real page."""
     host = F.lower(F.parse_url(url, F.lit("HOST")))
@@ -68,9 +71,18 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_replace(path, "//+", "/")
     path = F.regexp_replace(path, "/\\Z", "")
     query = F.parse_url(url, F.lit("QUERY"))
-    # scheme-relative identity: http and https of the same resource are
-    # the same PAGE for dedup purposes (crawlers canonicalize to https)
+    # scheme-relative identity for the WEB schemes only: http and https
+    # of the same resource are the same PAGE for dedup purposes (crawlers
+    # canonicalize to https).  Any OTHER scheme names a different
+    # protocol endpoint — ftp://host/x and https://host/x must NOT alias
+    # — so the non-web canonical form keeps its scheme prefix (and its
+    # port: only http/https default ports are stripped above, other
+    # schemes have no default registered here).
+    scheme_prefix = F.when(
+        proto.isin("http", "https") | proto.isNull(), F.lit("")
+    ).otherwise(F.concat(proto, F.lit("://")))
     base = F.concat(
+        scheme_prefix,
         host,
         kept_port,
         F.when(path == "", F.lit("/")).otherwise(path),

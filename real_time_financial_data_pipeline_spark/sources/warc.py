@@ -98,10 +98,14 @@ def _parse_records(raw: DataFrame, version: str) -> DataFrame:
     guarded = F.when(
         (magic != "") & (magic != f"WARC/{version}"),
         F.raise_error(
+            # version rides as a %s ARGUMENT, never spliced into the
+            # format string — a '%' in a caller value must not garble
+            # the error being raised about it
             F.format_string(
-                "read_warc(version='" + version + "'): member starts with "
+                "read_warc(version='%s'): member starts with "
                 "%s — pass version= to match (or use read_warc_strict, "
                 "which accepts any WARC/x.y)",
+                F.lit(version),
                 magic,
             )
         ).cast("string"),
@@ -153,30 +157,60 @@ def read_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame
     )
 
 
-def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
+#: warc_type stamped on the synthetic row ``read_warc_strict`` emits (in
+#: ``on_desync="flag"`` mode) when a member's bytes stop framing as WARC
+#: records before the end of the file — the quarantine-not-drop marker.
+DESYNC_TYPE = "__desync__"
+
+
+def read_warc_strict(
+    spark: SparkSession, path: str, on_desync: str = "error"
+) -> DataFrame:
     """Exact Content-Length-framed WARC reader: ``binaryFile`` + a
     sequential per-file parser (one task per member file — the WARC
     corpus unit).  Immune to separator-in-payload splits; the one to use
-    when payloads may be binary or adversarial."""
+    when payloads may be binary or adversarial.
+
+    Desync is LOUD, never silent: a sequential parser that hits bytes it
+    cannot frame (a header block that does not start with ``WARC/``, a
+    missing blank line, a Content-Length that walks past a malformed
+    region) can no longer trust any later offset — but silently dropping
+    the rest of a ~1 GB member would let ONE crafted record censor
+    everything after it.  ``on_desync`` picks the failure mode:
+
+    - ``"error"`` (default): raise, naming the file, the byte offset,
+      and how many records parsed cleanly before the desync.
+    - ``"flag"``: keep the clean prefix and append ONE synthetic row per
+      desynced file — ``warc_type = DESYNC_TYPE``, ``target_uri`` = the
+      file path, ``content_length`` = unparsed bytes remaining,
+      ``record_id`` = the byte offset — the repo's quarantine-not-drop
+      convention.  Downstream ``warc_documents`` filters on
+      ``warc_type == "response"`` so the flag row never enters the text
+      ladder, but it stays queryable for monitoring.
+
+    Trailing CRLF padding after the final record is not a desync."""
+    if on_desync not in ("error", "flag"):
+        raise ValueError(f"on_desync must be 'error' or 'flag', got {on_desync!r}")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
 
         for pdf in batches:
             rows = []
-            for blob in pdf["content"]:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if data[:2] == b"\x1f\x8b":  # gz member (binaryFile gives raw bytes)
                     data = gzip.decompress(data)
                 pos = 0
                 n = len(data)
+                n_clean = 0
                 while pos < n:
                     head_end = data.find(b"\r\n\r\n", pos)
                     if head_end < 0:
                         break
                     head = data[pos:head_end].decode("utf-8", "replace")
                     if not head.startswith("WARC/"):
-                        break  # desynced: stop rather than emit garbage
+                        break  # desynced: stop framing, report below
                     fields = {}
                     for line in head.split("\r\n")[1:]:
                         k, _, v = line.partition(":")
@@ -195,10 +229,27 @@ def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
                             body.decode("utf-8", "replace"),
                         )
                     )
+                    n_clean += 1
                     pos = head_end + 4 + clen
                     # skip the inter-record CRLFs
                     while data.startswith(b"\r\n", pos):
                         pos += 2
+                # anything left that is not bare CRLF padding means the
+                # member stopped framing before its end — never silent
+                if pos < n and data[pos:].strip(b"\r\n"):
+                    remaining = n - pos
+                    if on_desync == "error":
+                        raise ValueError(
+                            f"read_warc_strict: {fpath} desynced at byte {pos} "
+                            f"({n_clean} records parsed cleanly, {remaining} "
+                            "bytes unparsed) — malformed or adversarial member; "
+                            "pass on_desync='flag' to keep the clean prefix "
+                            "with a quarantine row instead"
+                        )
+                    rows.append(
+                        (DESYNC_TYPE, str(pos), str(fpath), None, None,
+                         remaining, None)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -207,7 +258,7 @@ def read_warc_strict(spark: SparkSession, path: str) -> DataFrame:
                 ],
             )
 
-    raw = spark.read.format("binaryFile").load(path).select("content")
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
     return raw.mapInPandas(parse, WARC_SCHEMA).filter(F.col("warc_type").isNotNull())
 
 

@@ -114,6 +114,13 @@ def make_sketch_folder(
     re-enters at the same (hash, value) and the distinct-merge absorbs
     it; an id that CHANGES value across deliveries is the same
     double-entry hazard the batch operator documents)."""
+    # fail-fast like the module's k / max_per_domain guards: 0 would make
+    # versions[:-0] the EMPTY slice (nothing ever pruned, silently
+    # behaving like None) and a negative value prunes a surprising prefix
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be None or >= 1, got {keep_versions}"
+        )
     keys = list(key_cols or [])
     sketch_col = "kmv" if sample_id_col is None else "kmv_sample"
 

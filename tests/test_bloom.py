@@ -306,3 +306,30 @@ def test_unparsable_string_keys_route_to_verify_join(spark):
     plain = {r.payload for r in batch.join(known, "fingerprint", "left_anti").collect()}
     fast = {r.payload for r in anti_join_known(batch, known, bloom=bloom).collect()}
     assert fast == plain == {"new1", "numericstr", "nullkey"}
+
+
+def test_probe_memo_invalidated_on_mutation_and_context_change(spark):
+    """Review-caught staleness: the per-bloom broadcast memo must not
+    outlive either (a) a bitmap mutation via add_many — a NEW probe
+    column must see the new keys — or (b) the SparkContext it was
+    created under — a bloom reused across a session restart must
+    re-broadcast, not probe through the dead context's handle."""
+    keys = spark.createDataFrame([(11,), (22,)], "k long")
+    bloom = build_bloom(keys, "k", expected_items=64)
+    probe_df = spark.range(1).select(F.lit(33).alias("k"))
+    first = probe_df.select(might_contain(bloom, "k").alias("m")).first().m
+    assert first is False  # 33 not yet added (fpp negligible at this size)
+    bc_before = bloom._bc_bits
+    assert bc_before is not None
+    # (a) mutation drops the memo; the next probe column re-broadcasts
+    # the NEW bitmap and finds the added key
+    bloom.add_many(np.array([33], dtype=np.int64))
+    assert bloom._bc_bits is None
+    assert probe_df.select(might_contain(bloom, "k").alias("m")).first().m is True
+    assert bloom._bc_bits is not bc_before
+    # (b) a memo stamped by a DIFFERENT context is not reused
+    bc_mut = bloom._bc_bits
+    bloom._bc_ctx = object()  # simulate a restarted SparkContext
+    probe_df.select(might_contain(bloom, "k").alias("m")).first()
+    assert bloom._bc_bits is not bc_mut
+    assert bloom._bc_ctx is spark.sparkContext

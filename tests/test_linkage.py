@@ -326,3 +326,20 @@ def test_fuzzy_join_unique_id_guard_off_switch(spark):
         ).collect()
     }
     assert on == off
+
+
+def test_duplicate_id_error_survives_percent_in_names(spark):
+    """Review-caught format_string splice: a '%' in the id column name
+    must come through the duplicate-id error verbatim — the guard's
+    message is built from caller-supplied names."""
+    import pytest
+
+    from real_time_financial_data_pipeline_spark.operators.linkage import (
+        _guard_unique_id,
+    )
+
+    proj = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "`id%col` long, t string"
+    ).select(F.col("id%col").alias("_lk_id"), F.col("t").alias("_lk_text"))
+    with pytest.raises(Exception, match=r"duplicate id%col 1 on the left side"):
+        _guard_unique_id(proj, "left", "id%col").collect()

@@ -515,3 +515,18 @@ def test_fold_replay_of_latest_batch_keyless(spark, tmp_path):
     assert [list(r.kmv) for r in snap.collect()] == [
         list(r.kmv) for r in direct.collect()
     ]
+
+
+def test_fold_keep_versions_validated(spark, tmp_path):
+    """Review-caught silent no-op: keep_versions=0 made versions[:-0] the
+    empty slice (nothing ever pruned, behaving like None) and negatives
+    pruned a surprising prefix — both now fail fast at construction."""
+    import pytest
+
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        make_sketch_folder,
+    )
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_versions"):
+            make_sketch_folder(str(tmp_path / "s"), "text", None, keep_versions=bad)

@@ -242,3 +242,20 @@ def test_canonical_url_keeps_non_default_ports(spark):
     assert _canon(spark, "https://example.com:443/x") == "example.com/x"
     # a port that is the OTHER scheme's default is kept
     assert _canon(spark, "https://example.com:80/x") == "example.com:80/x"
+
+
+def test_non_web_scheme_keeps_protocol_identity(spark):
+    """Review-caught aliasing: scheme-relative identity is an http/https
+    convention only — ftp://host/x names a different protocol endpoint
+    than https://host/x and must not dedup against it, while two
+    spellings of the SAME non-web URL still canonicalize together."""
+    assert _canon(spark, "ftp://example.com/x") == "ftp://example.com/x"
+    assert _canon(spark, "ftp://example.com/x") != _canon(
+        spark, "https://example.com/x"
+    )
+    # same-scheme normalization still applies (case, trailing slash)
+    assert _canon(spark, "FTP://Example.COM/x/") == "ftp://example.com/x"
+    # non-web schemes have no default-port rule here: ports are kept
+    assert _canon(spark, "ftp://example.com:21/x") == "ftp://example.com:21/x"
+    # web schemes unchanged: still scheme-relative
+    assert _canon(spark, "https://example.com/x") == "example.com/x"

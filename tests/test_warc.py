@@ -233,3 +233,67 @@ def test_html_double_escaped_entities_decode_once(spark):
     )
     out = df.select(html_to_text(F.col("h")).alias("t")).first().t
     assert out == "use &lt; to write a less-than sign, & enjoy"
+
+
+def test_strict_desync_raises_by_default_and_flag_quarantines(spark, tmp_path):
+    """Review-caught silent truncation: a record with NO Content-Length
+    desyncs the strict parser (clen defaults to 0, the next frame lands
+    mid-payload) — the reader recommended for adversarial members must
+    not silently drop everything after it.  Default = raise naming the
+    file/offset; on_desync='flag' keeps the clean prefix plus ONE
+    queryable quarantine row that warc_documents never ingests."""
+    from real_time_financial_data_pipeline_spark.sources.warc import DESYNC_TYPE
+
+    poisoned = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:bad>\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\nContent-Type: application/http\r\n"
+        b"\r\n"  # no Content-Length header at all
+        + _http_response(b"<p>poison</p>")
+        + b"\r\n\r\n"
+    )
+    blob = (
+        _record("response", "0c1", "http://c.example/1", "2024-03-01T00:00:00Z",
+                _http_response(b"<p>clean one</p>"))
+        + poisoned
+        + _record("response", "0c2", "http://c.example/2", "2024-03-01T00:00:01Z",
+                  _http_response(b"<p>censored victim</p>"))
+    )
+    p = tmp_path / "poison" / "m.warc"
+    p.parent.mkdir()
+    p.write_bytes(blob)
+    with pytest.raises(Exception, match="desynced at byte"):
+        read_warc_strict(spark, str(p)).collect()
+    flagged = read_warc_strict(spark, str(p), on_desync="flag").collect()
+    types = [r.warc_type for r in flagged]
+    assert types.count(DESYNC_TYPE) == 1
+    # the Content-Length-less record itself still frames (empty payload);
+    # everything AFTER its unframed payload bytes is the desynced region
+    assert {r.record_id for r in flagged if r.warc_type == "response"} == {
+        "<urn:uuid:0c1>",
+        "<urn:uuid:bad>",
+    }
+    flag = next(r for r in flagged if r.warc_type == DESYNC_TYPE)
+    assert flag.target_uri.endswith("m.warc")
+    assert flag.content_length > 0  # bytes that never framed
+    # the quarantine row never reaches the documents ladder
+    docs = warc_documents(
+        read_warc_strict(spark, str(p), on_desync="flag")
+    ).collect()
+    assert len(docs) == 1 and "clean one" in docs[0].text
+    # trailing CRLF padding after the final record is NOT a desync
+    clean = tmp_path / "padded" / "m.warc"
+    clean.parent.mkdir()
+    clean.write_bytes(_warc_bytes() + b"\r\n\r\n")
+    assert read_warc_strict(spark, str(clean)).count() == 5
+    with pytest.raises(ValueError, match="on_desync"):
+        read_warc_strict(spark, str(p), on_desync="bogus")
+
+
+def test_version_guard_message_survives_percent_in_version(spark, tmp_path):
+    """Review-caught format_string splice: a '%' in the caller's version
+    value must come through the mismatch error verbatim, not garble it."""
+    p = tmp_path / "pct" / "m.warc"
+    p.parent.mkdir()
+    p.write_bytes(_warc_bytes())
+    with pytest.raises(Exception, match=r"version='1%s\.0'"):
+        read_warc(spark, str(p), version="1%s.0").collect()

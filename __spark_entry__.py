@@ -1208,6 +1208,155 @@ def _jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAGED_WARC_DIR = "/root/repo/spark-warehouse/staged/warc_ingest"
+
+
+def _warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validated WARC (Common Crawl) ingestion (sources/warc.py) —
+    end-to-end through a REAL file round trip, the jsonl_ingest_docs
+    convention: the documents table is serialized into one ISO-28500
+    WARC member (response records with an HTTP envelope and the text
+    HTML-escaped into a page body, alongside style/comment noise the
+    reducer must drop), read back with the STRICT Content-Length-framed
+    reader (which now RAISES on any framing desync — a mis-written
+    member fails this row loudly rather than truncating), and reduced
+    to the canonical documents shape by ``warc_documents``
+    (HTTP-envelope split + ``html_to_text`` + ISO WARC-Date parse).
+    The oracle re-derives the expected output DIRECTLY from the raw
+    documents table (the member construction is a pure function of it):
+    text must come back as its whitespace-collapsed trim (tag strip +
+    entity escape/decode cancel exactly), ts as the per-doc synthetic
+    WARC-Date, and every doc whose text survives non-empty — any
+    framing slip, Content-Length byte-vs-char error, envelope mis-split,
+    entity double-decode, or dropped record mismatches.  The member is
+    assembled driver-side (documents is the corpus' SMALLEST table —
+    ~1.5 MB of text at sf0.1 — and this is fixture CONSTRUCTION for the
+    reader under test, not a query path; real ingestion reads members
+    that already exist)."""
+    import os
+
+    from real_time_financial_data_pipeline_spark.sources.warc import (
+        read_warc_strict,
+        warc_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    members = []
+    for r in rows:
+        esc = (
+            r.text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        html = (
+            f"<html><head><style>p{{margin:0}}</style></head>"
+            f"<body><!-- gen --><p>{esc}</p></body></html>"
+        )
+        payload = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + html
+        ).encode("utf-8")
+        mm, ss = divmod(int(r.doc_id) % 3600, 60)
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:doc:{r.doc_id}>\r\n"
+            f"WARC-Target-URI: http://corpus.example/doc/{r.doc_id}\r\n"
+            f"WARC-Date: 2024-03-01T00:{mm:02d}:{ss:02d}Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        members.append(head + payload + b"\r\n\r\n")
+    os.makedirs(_STAGED_WARC_DIR, exist_ok=True)
+    with open(os.path.join(_STAGED_WARC_DIR, "member-00000.warc"), "wb") as f:
+        f.write(b"".join(members))
+    parsed = warc_documents(read_warc_strict(spark, _STAGED_WARC_DIR))
+    return parsed.select(
+        F.regexp_extract("uri", r"/doc/(-?\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+        "ts",
+    )
+
+
+def _url_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl curation (operators/urls.py) — canonical-URL
+    dedup + per-domain cap, hash-checked end-to-end with ZERO staging.
+    A deterministic messy-URL fabric is constructed from doc_id with
+    shared-SQL arithmetic (both engines build the IDENTICAL strings):
+    mixed-case schemes and hosts, default and non-default ports,
+    duplicate-slash paths, optional trailing slash, query strings,
+    fragments, multi-part public suffixes (co.uk / com.au), an ftp
+    scheme, and outright junk rows.  Spark then runs the REAL operators
+    — ``url_dedup`` (canonical min-id survivor) and ``domain_cap``
+    (max-N pages per registered domain, order-hash take) — while DuckDB
+    re-derives the canonicalization RULE TABLE from first principles
+    (scheme-relative identity for http/https only, per-scheme default
+    port strip, fragment drop, slash normalization, eTLD+1 suffix
+    table), replays the min-id group and the cap rank, and must land on
+    the same kept set with the same canonical spellings.  The cap order
+    rides the operator's ``order_hash`` swap point as ``md5(id||salt)``
+    (the token_budget_sample_docs convention) so the TAKE ORDER itself
+    is content-replayable without xxhash64.  Junk rows prove the
+    null-safety contract: unparsable URLs group with nothing, cap
+    nothing, and pass through with NULL canonical/domain."""
+    from real_time_financial_data_pipeline_spark.operators.urls import (
+        canonical_url,
+        domain_cap,
+        registered_domain,
+        url_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = F.abs(F.col("doc_id"))
+    i = a % 12
+    j = a % 5
+    scheme = (
+        F.when(i % 3 == 0, F.lit("http"))
+        .when(i % 3 == 1, F.lit("HTTPS"))
+        .otherwise(F.lit("ftp"))
+    )
+    host = (
+        F.when(j == 0, F.lit("WWW.Example.COM"))
+        .when(j == 1, F.lit("example.com"))
+        .when(j == 2, F.lit("news.Example.co.uk"))
+        .when(j == 3, F.lit("a.b.example.com.au"))
+        .otherwise(F.lit("cdn.example.org"))
+    )
+    port = (
+        F.when(i % 4 == 1, F.lit(":80"))
+        .when(i % 4 == 2, F.lit(":443"))
+        .when(i % 4 == 3, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p//"),
+        (a % 50).cast("string"),
+        F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qstr = F.when(
+        i % 2 == 1, F.concat(F.lit("?q="), (a % 20).cast("string"))
+    ).otherwise(F.lit(""))
+    frag = F.when(j % 2 == 1, F.lit("#sec")).otherwise(F.lit(""))
+    uri = F.when(
+        a % 11 == 0,
+        F.concat(F.lit("junk url "), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port, path, qstr, frag))
+    tagged = docs.withColumn("uri", uri)
+    kept = domain_cap(
+        url_dedup(tagged),
+        20,
+        order_hash=lambda key, salt: F.md5(
+            F.concat(key.cast("string"), F.lit(salt))
+        ),
+    )
+    return kept.select(
+        "doc_id",
+        "uri",
+        canonical_url(F.col("uri")).alias("canon"),
+        registered_domain(F.col("uri")).alias("domain"),
+    )
+
+
 def _training_set_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM pipeline's pipeline_gold_daily: the END-TO-END
     prepare_training_set composition (training.py) hash-checked as ONE
@@ -2017,7 +2166,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       BENCH_OVERRIDES and gains a plan-audit entry)
       -> kmv_sketch_docs IN (operators/sketches.py — staged-hash oracle:
       DuckDB re-derives distinct/k-smallest/packing/estimator and the
-      merge≡union identity on two snapshot sketches)."""
+      merge≡union identity on two snapshot sketches).
+
+    Round-13 rotation — the r12 crawl-ingestion families (WARC reader,
+    URL-level curation) get oracle rows; two kernel-overlap rows retire,
+    both keeping in-test DuckDB oracles (the segment_stats convention):
+
+    - vwap_daily OUT (every kernel appears verbatim in live rows: the
+      JSON ``$.k`` prop extraction AND the sum(price*size)/sum(size)
+      ratio-of-sums VWAP are both inside the live activity_bars_ticks
+      oracle; the calendar date_trunc bucket grouping is ohlcv_daily's;
+      twap/high/low are pricing_summary's avg and ohlcv's min/max
+      shapes; the operator keeps pandas-parity tests in test_finance.py
+      plus a NEW in-test DuckDB oracle, test_vwap_daily_duckdb_oracle)
+      -> warc_ingest_docs IN (sources/warc.py — a REAL file round trip:
+      documents -> ISO-28500 member bytes -> strict Content-Length-
+      framed read -> HTTP-envelope split -> html_to_text; the oracle
+      re-derives the whole expected corpus from raw documents);
+    - events_quality_report OUT (its oracle is five sum(CASE WHEN rule)
+      conditional aggregates + a count-minus-count-distinct uniqueness
+      check — conditional-share aggregation and exact distinct counting
+      are both inside the live corpus_report_docs oracle, range/set
+      predicates inside clean_events'; the operator keeps its rule-DSL
+      tests plus a NEW in-test DuckDB oracle,
+      test_events_quality_report_duckdb_oracle)
+      -> url_curation_docs IN (operators/urls.py — canonical dedup +
+      md5-order domain cap, ZERO staging: the messy-URL fabric is
+      shared doc_id arithmetic and DuckDB re-derives the rule table,
+      the min-id survivor group, and the cap rank from first
+      principles)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -2035,7 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kyle_lambda_ticks": _kyle_lambda_ticks,
         "clean_events": _clean_events,
         "ema_macd_daily": _ema_macd_daily,
-        "vwap_daily": _vwap_daily,
+        "warc_ingest_docs": _warc_ingest_docs,
         "correlation_click_purchase": _correlation,
         "latest_per_user": _latest_per_user,
         "pricing_summary": _pricing_summary,
@@ -2044,7 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_docs": _corpus_report_docs,
         "order_priority_counts": _order_priority,
         "kmv_sketch_docs": _kmv_sketch_docs,
-        "events_quality_report": _events_quality_report,
+        "url_curation_docs": _url_curation_docs,
         "range_join_windows": _range_join_windows,
         "asof_purchase_click": _asof_purchase_click,
         "portfolio_daily": _portfolio_daily,
@@ -2700,31 +2877,9 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS close_ts
         FROM tagged GROUP BY 1, 2
     """
-    # the same rule predicates, evaluated engine-side in DuckDB (violation =
-    # predicate false OR null, exactly as Q.check counts them)
-    sqls["events_quality_report"] = """
-        WITH agg AS (
-            SELECT count(*) AS total,
-                   sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v_user,
-                   sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS v_ts,
-                   sum(CASE WHEN value >= 0 AND value <= 1000 THEN 0 ELSE 1 END) AS v_range,
-                   sum(CASE WHEN event_type IN ('click','view','purchase','scroll','search')
-                        THEN 0 ELSE 1 END) AS v_set,
-                   count(*) - count(DISTINCT event_id) AS v_uniq
-            FROM events
-        )
-        SELECT r.rule,
-               CAST(r.violations AS BIGINT) AS violations,
-               CAST(agg.total AS BIGINT) AS total,
-               r.violations = 0 AS passed
-        FROM agg, LATERAL (VALUES
-            ('user_id_not_null', v_user),
-            ('ts_not_null', v_ts),
-            ('value_in_range', v_range),
-            ('event_type_in_set', v_set),
-            ('event_id_unique', v_uniq)
-        ) AS r(rule, violations)
-    """
+    # (events_quality_report retired r13 — its DuckDB oracle moved
+    # in-test, tests/test_entry_contract.py::
+    # test_events_quality_report_duckdb_oracle)
     sqls["asof_purchase_click"] = """
         WITH purchases AS (
             SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
@@ -2932,25 +3087,8 @@ def oracle_sql() -> dict[str, str]:
         FROM scored WHERE cos9 >= 0.3
         GROUP BY id_a, id_b
     """
-    # vwap_daily: ratio-of-sums VWAP + TWAP per (event_type, day); trade
-    # size comes out of the JSON props column on both engines
-    sqls["vwap_daily"] = """
-        WITH ticks AS (
-            SELECT event_type, ts, value AS price,
-                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
-            FROM events
-        )
-        SELECT event_type,
-               CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
-               round(CASE WHEN sum(size) > 0
-                     THEN sum(price * size) / sum(size) END, 6) AS vwap,
-               round(avg(price), 6) AS twap,
-               round(sum(size), 6) AS volume,
-               count(price) AS n_trades,
-               max(price) AS high,
-               min(price) AS low
-        FROM ticks GROUP BY 1, 2
-    """
+    # (vwap_daily retired r13 — its DuckDB oracle moved in-test,
+    # tests/test_entry_contract.py::test_vwap_daily_duckdb_oracle)
     # tech_indicators_daily: the window ladder re-derived with the SAME
     # explicit sum/sum2 variance arithmetic the Spark expressions use
     # (operators/finance.py:window_indicators) — engine sums differ only in
@@ -3124,6 +3262,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, '', lang, source, CAST(NULL AS BIGINT),
                'text_length_band'
         FROM documents WHERE doc_id % 31 != 0 AND doc_id % 29 = 1
+    """
+    # warc_ingest_docs: the WARC member the Spark side writes is a PURE
+    # FUNCTION of the documents table, so the oracle re-derives the
+    # expected post-ingestion corpus directly from raw documents: the
+    # HTML wrap (escape -> tag strip -> entity decode) cancels to the
+    # whitespace-collapsed trim of the original text, and the synthetic
+    # WARC-Date is doc_id-arithmetic.  Any strict-framing slip (byte vs
+    # char Content-Length, envelope mis-split, separator damage),
+    # entity double-decode, or record drop mismatches here.
+    sqls["warc_ingest_docs"] = """
+        WITH collapsed AS (
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               text,
+               TIMESTAMP '2024-03-01 00:00:00'
+                   + (doc_id % 3600) * INTERVAL 1 SECOND AS ts
+        FROM collapsed
+        WHERE length(text) > 0
+    """
+    # url_curation_docs: ZERO staging — the messy-URL fabric is shared
+    # doc_id arithmetic, the canonicalization is re-derived from the RULE
+    # TABLE (not by re-running any URL parser): scheme-relative identity
+    # for http/https only, per-scheme default-port strip, fragment drop,
+    # dup-slash/trailing-slash normalization, lowercase host, eTLD+1
+    # multi-part-suffix table; then the min-id survivor group and the
+    # md5-order domain cap replay the operators' take exactly.  Junk rows
+    # must pass through ungrouped and uncapped with NULL canon/domain.
+    sqls["url_curation_docs"] = """
+        WITH fab AS (
+            SELECT doc_id, abs(doc_id) AS a,
+                   abs(doc_id) % 12 AS i, abs(doc_id) % 5 AS j
+            FROM documents
+        ), built AS (
+            SELECT doc_id, a, i, j,
+                   CASE WHEN i % 3 = 0 THEN 'http'
+                        WHEN i % 3 = 1 THEN 'HTTPS' ELSE 'ftp' END AS scheme,
+                   CASE j WHEN 0 THEN 'WWW.Example.COM'
+                          WHEN 1 THEN 'example.com'
+                          WHEN 2 THEN 'news.Example.co.uk'
+                          WHEN 3 THEN 'a.b.example.com.au'
+                          ELSE 'cdn.example.org' END AS host,
+                   CASE i % 4 WHEN 1 THEN ':80' WHEN 2 THEN ':443'
+                              WHEN 3 THEN ':8080' ELSE '' END AS port,
+                   '/p//' || CAST(a % 50 AS VARCHAR)
+                       || (CASE WHEN i % 2 = 0 THEN '/' ELSE '' END) AS path,
+                   CASE WHEN i % 2 = 1
+                        THEN '?q=' || CAST(a % 20 AS VARCHAR)
+                        ELSE '' END AS qstr,
+                   CASE WHEN j % 2 = 1 THEN '#sec' ELSE '' END AS frag,
+                   a % 11 = 0 AS junk
+            FROM fab
+        ), urls AS (
+            SELECT doc_id, a, i, j, scheme, host, port, qstr, junk,
+                   CASE WHEN junk
+                        THEN 'junk url ' || CAST(doc_id AS VARCHAR)
+                        ELSE scheme || '://' || host || port
+                             || path || qstr || frag END AS uri
+            FROM built
+        ), canonized AS (
+            SELECT *,
+                CASE WHEN junk THEN NULL
+                     ELSE (CASE WHEN lower(scheme) IN ('http', 'https')
+                                THEN ''
+                                ELSE lower(scheme) || '://' END)
+                          || lower(host)
+                          || (CASE WHEN (lower(scheme) = 'http' AND port = ':80')
+                                     OR (lower(scheme) = 'https' AND port = ':443')
+                                   THEN '' ELSE port END)
+                          || '/p/' || CAST(a % 50 AS VARCHAR)
+                          || qstr
+                END AS canon,
+                CASE WHEN junk THEN NULL
+                     WHEN j IN (0, 1) THEN 'example.com'
+                     WHEN j = 2 THEN 'example.co.uk'
+                     WHEN j = 3 THEN 'example.com.au'
+                     ELSE 'example.org' END AS domain
+            FROM urls
+        ), survivors AS (
+            SELECT * FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY canon) AS keeper
+                FROM canonized
+            ) WHERE junk OR doc_id = keeper
+        ), capped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'domcap'), doc_id
+                ) AS rn
+                FROM survivors
+            ) WHERE junk OR rn <= 20
+        )
+        SELECT doc_id, uri, canon, domain FROM capped
     """
     # bpe_token_count_docs: full encode replay from the staged (rank, a, b)
     # merge table.  Each distinct pre-token piece is seeded as a

@@ -130,6 +130,7 @@ def domain_cap(
     salt: str = "domcap",
     extra_suffixes: tuple[str, ...] = (),
     prefilter_buckets: int | None = None,
+    order_hash=None,
 ) -> DataFrame:
     """At most ``max_per_domain`` documents per registered domain, chosen
     by deterministic content-hash order (``xxhash64(id, salt)`` with the
@@ -150,7 +151,15 @@ def domain_cap(
     the hot domain's single-task row bound drops from |domain| to B·N.
     Default ``None`` keeps the one-window plan (right below ~10⁶ rows
     per domain); set B ≈ parallelism when one domain can dominate a
-    crawl slice."""
+    crawl slice.
+
+    ``order_hash(id_column, salt)`` swaps the take-order hash (default
+    ``xxhash64(id, salt)``) for another pure content hash — e.g.
+    ``md5(id || salt)`` when the kept set must be replayable by an
+    engine without xxhash64 (the DuckDB oracle row uses exactly that;
+    same swap-point contract as ``training.token_budget_sample``).  The
+    phase-one BUCKET hash stays xxhash64 — bucketing never changes the
+    output, only which task ranks which rows."""
     if max_per_domain < 1:
         raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
     if prefilter_buckets is not None and prefilter_buckets < 2:
@@ -160,7 +169,11 @@ def domain_cap(
     dom = registered_domain(F.col(url_col), extra_suffixes)
     tagged = docs.withColumn("_dom", dom)
     with_dom = tagged.filter(F.col("_dom").isNotNull())
-    order = F.xxhash64(F.col(id_col), F.lit(salt))
+    order = (
+        order_hash(F.col(id_col), salt)
+        if order_hash is not None
+        else F.xxhash64(F.col(id_col), F.lit(salt))
+    )
     if prefilter_buckets is not None:
         bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt + "|b")), F.lit(prefilter_buckets))
         w1 = Window.partitionBy("_dom", "_db").orderBy(order, F.col(id_col))

@@ -122,3 +122,79 @@ def test_partitioned_scan_equivalence(spark):
     got = {tuple(r) for r in pruned.collect()}
     want = {tuple(r) for r in direct.collect()}
     assert got == want and len(got) > 0
+
+
+def test_vwap_daily_duckdb_oracle(spark):
+    """Retirement anchor for the vwap_daily oracle row (rotated out in
+    round 13 for warc_ingest_docs — its JSON-prop extraction and
+    ratio-of-sums VWAP kernels live on verbatim inside the
+    activity_bars_ticks oracle): the exact comparison the driver row
+    performed, at sf0.001."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._vwap_daily(spark, SF).collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH ticks AS (
+                SELECT event_type, ts, value AS price,
+                       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
+                FROM read_parquet('{SF}/events.parquet')
+            )
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+                   round(CASE WHEN sum(size) > 0
+                         THEN sum(price * size) / sum(size) END, 6) AS vwap,
+                   round(avg(price), 6) AS twap,
+                   round(sum(size), 6) AS volume,
+                   count(price) AS n_trades,
+                   max(price) AS high,
+                   min(price) AS low
+            FROM ticks GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_events_quality_report_duckdb_oracle(spark):
+    """Retirement anchor for the events_quality_report oracle row
+    (rotated out in round 13 for url_curation_docs — its conditional
+    sum(CASE)/count-distinct kernels stay live in the
+    corpus_report_docs oracle): the exact comparison the driver row
+    performed, at sf0.001."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._events_quality_report(spark, SF).collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH agg AS (
+                SELECT count(*) AS total,
+                       sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v_user,
+                       sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS v_ts,
+                       sum(CASE WHEN value >= 0 AND value <= 1000 THEN 0 ELSE 1 END) AS v_range,
+                       sum(CASE WHEN event_type IN ('click','view','purchase','scroll','search')
+                            THEN 0 ELSE 1 END) AS v_set,
+                       count(*) - count(DISTINCT event_id) AS v_uniq
+                FROM read_parquet('{SF}/events.parquet')
+            )
+            SELECT r.rule,
+                   CAST(r.violations AS BIGINT) AS violations,
+                   CAST(agg.total AS BIGINT) AS total,
+                   r.violations = 0 AS passed
+            FROM agg, LATERAL (VALUES
+                ('user_id_not_null', v_user),
+                ('ts_not_null', v_ts),
+                ('value_in_range', v_range),
+                ('event_type_in_set', v_set),
+                ('event_id_unique', v_uniq)
+            ) AS r(rule, violations)
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 5

@@ -259,3 +259,39 @@ def test_non_web_scheme_keeps_protocol_identity(spark):
     assert _canon(spark, "ftp://example.com:21/x") == "ftp://example.com:21/x"
     # web schemes unchanged: still scheme-relative
     assert _canon(spark, "https://example.com/x") == "example.com/x"
+
+
+def test_domain_cap_order_hash_swap_point(spark):
+    """The md5 swap point (the token_budget_sample convention): the kept
+    set under order_hash=md5(id||salt) is exactly the N smallest md5
+    ranks per domain — content-replayable by an engine without xxhash64
+    — and the two-phase prefilter form returns the IDENTICAL set under
+    the swapped hash too."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"http://d{i % 3}.com/p{i}") for i in range(90)],
+        "doc_id long, uri string",
+    )
+    md5_order = lambda key, salt: F.md5(
+        F.concat(key.cast("string"), F.lit(salt))
+    )
+    got = {
+        r.doc_id
+        for r in domain_cap(docs, 4, order_hash=md5_order).collect()
+    }
+    want = set()
+    for dom in range(3):
+        ids = sorted(
+            (i for i in range(90) if i % 3 == dom),
+            key=lambda i: (hashlib.md5(f"{i}domcap".encode()).hexdigest(), i),
+        )
+        want |= set(ids[:4])
+    assert got == want
+    two_phase = {
+        r.doc_id
+        for r in domain_cap(
+            docs, 4, order_hash=md5_order, prefilter_buckets=4
+        ).collect()
+    }
+    assert two_phase == got

@@ -39,6 +39,12 @@ CHECKS = {
     "top_customers": dict(partial_agg=True, topk=True, no_cartesian=True,
                           pre_agg_key="l_orderkey"),
     "simhash_pairs_docs": dict(no_cartesian=True),
+    # URL curation (r13): min-id survivor semi join + the cap's keyed
+    # window — hash joins/windows only, no product shapes anywhere
+    "url_curation_docs": dict(no_cartesian=True, no_bnlj=True),
+    # WARC ingestion (r13): binaryFile scan -> mapInPandas frame ->
+    # stateless projections; no join at all, so no product shapes
+    "warc_ingest_docs": dict(no_cartesian=True, no_bnlj=True),
     # token-budget sampler: ONE broadcast (the budget lookup map) + ONE
     # hash-partitioned window shuffle — the budget map must never become
     # the shuffle side of a join
@@ -197,6 +203,8 @@ def main() -> None:
         "simhash_pairs_docs": entrymod._simhash_pairs_docs,
         "ofi_daily": entrymod._ofi_daily,
         "ann_lsh_topk": entrymod._ann_lsh_topk,
+        "vwap_daily": entrymod._vwap_daily,
+        "events_quality_report": entrymod._events_quality_report,
     }
     failures = 0
     for name, spec in CHECKS.items():

@@ -302,6 +302,27 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def warc_page_links(warc: DataFrame) -> DataFrame:
+    """Hyperlink edges straight off the crawl: response records ->
+    (src, dst) resolved page links, extracted from the RAW HTML body
+    before :func:`warc_documents`' text reduction throws the markup
+    away.  Stateless projections end-to-end (regexp extraction +
+    explode + string resolution), so it composes with both the batch
+    and streaming WARC readers; feed ``operators.crawl_graph.
+    host_graph`` -> ``pagerank`` for the domain quality prior."""
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import extract_links
+
+    responses = warc.filter(
+        (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
+    )
+    http_parts = F.split(F.col("payload"), r"\r\n\r\n", 2)
+    body = F.coalesce(F.element_at(http_parts, 2), F.element_at(http_parts, 1))
+    pages = responses.select(
+        F.col("target_uri").alias("uri"), body.alias("html")
+    )
+    return extract_links(pages, "html", "uri")
+
+
 def warc_documents(
     warc: DataFrame,
     source: str = "warc",

@@ -1,0 +1,240 @@
+"""Crawl-graph family (operators/crawl_graph.py): href extraction and
+RFC-lite resolution, the weighted host graph, distributed PageRank
+against a numpy power-iteration reference (dangling + weighted +
+convergence), the domain quality-prior join, and the end-to-end
+WARC -> links -> graph -> rank -> prior composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+    extract_links,
+    host_graph,
+    pagerank,
+    with_domain_rank,
+)
+
+
+def test_extract_links_href_forms_and_resolution(spark):
+    html = (
+        '<html><body>'
+        '<a href="https://other.example/x">abs</a>'
+        "<a class='z' href='//cdn.example/lib.js'>proto-rel</a>"
+        '<a href="/root/page">root-rel</a>'
+        '<a href="sibling.html">rel</a>'
+        '<a href="#frag">fragment-only (skipped)</a>'
+        '<a href="mailto:a@b.c">mail (dropped)</a>'
+        '<a href="javascript:void(0)">js (dropped)</a>'
+        '<A HREF="HTTPS://UPPER.example/Y">case-insensitive tag</A>'
+        '<a href="https://twice.example/t">1</a>'
+        '<a href="https://twice.example/t">2</a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("http://site.example/dir/page.html", html)], "uri string, html string"
+    )
+    got = [
+        r.dst for r in extract_links(pages, "html", "uri").orderBy("dst").collect()
+    ]
+    assert got == sorted(
+        [
+            "https://other.example/x",
+            "http://cdn.example/lib.js",
+            "http://site.example/root/page",
+            "http://site.example/dir/sibling.html",
+            "HTTPS://UPPER.example/Y",
+            "https://twice.example/t",
+            "https://twice.example/t",  # duplicates preserved as weight
+        ]
+    )
+    # unparsable base resolves everything to NULL -> dropped
+    junk = spark.createDataFrame(
+        [("not a url", '<a href="/x">y</a>')], "uri string, html string"
+    )
+    assert extract_links(junk, "html", "uri").count() == 0
+
+
+def test_host_graph_weights_self_loops_and_suffixes(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.example.com/1", "http://b.other.org/x"),
+            ("http://www.example.com/2", "http://other.org/y"),  # same domain pair
+            ("http://a.example.com/1", "http://deep.example.com/self"),  # self-loop
+            ("http://news.site.co.uk/p", "http://example.com/z"),
+            ("not a url", "http://example.com/z"),  # unparsable src dropped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r.src_domain, r.dst_domain): r.weight for r in host_graph(links).collect()
+    }
+    assert got == {
+        ("example.com", "other.org"): 2,
+        ("site.co.uk", "example.com"): 1,
+    }
+
+
+def _numpy_pagerank(edges, d=0.85, iters=200):
+    """Dense reference: row-normalized transition + uniform dangling +
+    teleport, iterated to fixpoint."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, t, w in edges:
+        M[idx[t], idx[s]] += w
+    col = M.sum(axis=0)
+    dangling = col == 0
+    M[:, ~dangling] /= col[~dangling]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Weighted digraph with a dangling node and an asymmetric hub —
+    the distributed iterate must match the dense reference to 1e-9."""
+    edges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("c", "d", 1.0),
+        ("e", "a", 2.0),  # d and (nothing->e) make d dangling, e source-only
+    ]
+    df = spark.createDataFrame(edges, "src_domain string, dst_domain string, weight double")
+    # d=0.6 contracts at 0.6^k, so tol=1e-12 is reached well inside the
+    # budget with a comfortable margin (error at stop <= tol/(1-d))
+    got = {r.node: r.rank for r in pagerank(df, d=0.6, tol=1e-12, max_iter=80).collect()}
+    want = _numpy_pagerank(edges, d=0.6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_fixed_budget_and_convergence_modes(spark):
+    edges = [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0)]
+    df = spark.createDataFrame(edges, "src_domain string, dst_domain string, weight double")
+    # tol=None runs exactly max_iter rounds: 1 round from uniform is the
+    # one-step iterate, reproduced by the reference with iters=1
+    got1 = {r.node: r.rank for r in pagerank(df, tol=None, max_iter=1).collect()}
+    want1 = _numpy_pagerank(edges, iters=1)
+    for k in want1:
+        assert got1[k] == pytest.approx(want1[k], abs=1e-12)
+    # an unreachable tol under require_convergence raises; reached passes
+    with pytest.raises(RuntimeError, match="not reached"):
+        pagerank(df, tol=1e-30, max_iter=2, require_convergence=True)
+    out = pagerank(df, d=0.5, tol=1e-10, max_iter=100, require_convergence=True)
+    assert out.count() == 3
+    # invalid knobs fail fast
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, d=1.0)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(df, max_iter=0)
+
+
+def test_pagerank_unweighted_and_empty(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src_domain string, dst_domain string"
+    )
+    # weight=None: duplicate rows still count once each as uniform weight
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, weight=None, d=0.55, tol=1e-12, max_iter=80).collect()
+    }
+    want = _numpy_pagerank([("a", "b", 1.0), ("a", "b", 1.0), ("a", "c", 1.0)], d=0.55)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    empty = spark.createDataFrame([], "src_domain string, dst_domain string, weight double")
+    assert pagerank(empty).count() == 0
+
+
+def test_with_domain_rank_prior_join(spark):
+    ranks = spark.createDataFrame(
+        [("example.com", 0.6), ("other.org", 0.4)], "node string, rank double"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.example.com/a"),
+            (2, "https://deep.other.org/b"),
+            (3, "http://unknown.net/c"),
+            (4, "junk"),
+        ],
+        "doc_id long, uri string",
+    )
+    got = {r.doc_id: r.domain_rank for r in with_domain_rank(docs, ranks).collect()}
+    assert got == {1: 0.6, 2: 0.4, 3: None, 4: None}
+    filled = {
+        r.doc_id: r.domain_rank
+        for r in with_domain_rank(docs, ranks, fill=0.0).collect()
+    }
+    assert filled == {1: 0.6, 2: 0.4, 3: 0.0, 4: 0.0}
+    # schema preserved + the join is a broadcast (map-side at any size)
+    out = with_domain_rank(docs, ranks)
+    assert set(out.columns) == {"doc_id", "uri", "domain_rank"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_pagerank_plan_no_products(spark):
+    """The per-round join must stay a keyed hash join — a product shape
+    here would be O(|edges| x |nodes|) per round at crawl scale."""
+    edges = spark.createDataFrame(
+        [(f"d{i}", f"d{(i * 7 + 1) % 40}", 1.0) for i in range(200)],
+        "src_domain string, dst_domain string, weight double",
+    )
+    out = pagerank(edges, tol=None, max_iter=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_warc_to_prior_composition(spark, tmp_path):
+    """End to end: a WARC member whose pages interlink -> warc_page_links
+    -> host_graph -> pagerank -> the prior joined back onto the parsed
+    documents.  The heavily-cited domain must outrank the link farm."""
+    from real_time_financial_data_pipeline_spark.sources.warc import (
+        read_warc_strict,
+        warc_documents,
+        warc_page_links,
+    )
+
+    def record(rid, uri, body):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            f"Content-Type: application/http\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    cite = b'<p>w</p><a href="https://hub.example/home">hub</a>'
+    blob = (
+        record("p1", "http://one.example/a", cite)
+        + record("p2", "http://two.example/b", cite)
+        + record("p3", "http://three.example/c", cite)
+        + record("p4", "https://hub.example/home",
+                 b'<p>hub page</p><a href="http://one.example/a">back</a>')
+        + record("p5", "http://farm.example/spam",
+                 b'<a href="/self1">s</a><a href="/self2">s</a>')
+    )
+    p = tmp_path / "graph" / "m.warc"
+    p.parent.mkdir()
+    p.write_bytes(blob)
+    warc = read_warc_strict(spark, str(p))
+    ranks = pagerank(host_graph(warc_page_links(warc)), d=0.5, tol=1e-12, max_iter=100)
+    rank_map = {r.node: r.rank for r in ranks.collect()}
+    assert rank_map["hub.example"] == max(rank_map.values())
+    assert "farm.example" not in rank_map  # only self-links -> no edges
+    docs = warc_documents(warc)
+    prior = with_domain_rank(docs, ranks, url_col="uri", fill=0.0)
+    got = {r.uri: r.domain_rank for r in prior.collect()}
+    assert got["https://hub.example/home"] == rank_map["hub.example"]
+    assert got["http://farm.example/spam"] == 0.0

@@ -150,6 +150,8 @@ def pagerank(
     tol: float | None = 1e-6,
     checkpoint_every: int = 5,
     require_convergence: bool = False,
+    init_ranks: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed PageRank over a weighted directed edge table —
     returns (node, rank) with Σ rank = 1 (up to float accumulation).
@@ -178,7 +180,23 @@ def pagerank(
     shape (the Perron eigenvalue gap of the damped walk), so 20–50
     rounds is the whole story even at 10^8 nodes — there is no
     pathological-diameter blowup to guard against, unlike label
-    propagation."""
+    propagation.
+
+    ``init_ranks`` warm-starts the iteration from a previous (node,
+    rank) snapshot — the NIGHTLY INCREMENTAL form: merge tonight's
+    edges into the persisted graph (``merge_host_graphs``), re-rank
+    from yesterday's fixpoint.  The damped walk has a UNIQUE stationary
+    distribution, so the warm fixpoint equals the cold one to ``tol``
+    — the warm start only changes how fast you get there (a nightly
+    edge delta moves the fixpoint a little, so the old iterate is
+    already close and convergence needs a handful of rounds, not
+    20–50; test-pinned).  Unseen nodes enter at the uniform floor and
+    the vector is renormalized to sum 1 before iterating.
+
+    ``stats``, when a dict is passed, is filled in place with
+    ``n_iter`` / ``converged`` / ``delta`` — the monitoring hook the
+    nightly job logs (out-param so the return type stays a plain
+    DataFrame)."""
     if not 0 < d < 1:
         raise ValueError(f"damping d must be in (0, 1), got {d}")
     if max_iter < 1:
@@ -202,8 +220,19 @@ def pagerank(
         .cache()
     )
     shares.count()  # materialize once; every round reuses this layout
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).cache()
+    if init_ranks is not None:
+        warm = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("_r0")), "node", "left"
+        ).select("node", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
+        tot = warm.agg(F.sum("rank")).first()[0] or 1.0
+        ranks = warm.select(
+            "node", (F.col("rank") / F.lit(tot)).alias("rank")
+        ).cache()
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).cache()
     converged = tol is None
+    delta = None
+    it = -1
     for it in range(max_iter):
         contribs = (
             shares.join(ranks.withColumnRenamed("node", "_src"), "_src")
@@ -243,12 +272,34 @@ def pagerank(
             new.count()  # materialize so the old cache can drop
             ranks.unpersist()
             ranks = new
+    # the final iterate is materialized (cached + acted on every round),
+    # so the loop-only tables can release their executor storage now —
+    # a nightly job re-ranking many slices must not ratchet up caches
+    shares.unpersist()
+    nodes.unpersist()
+    if stats is not None:
+        stats.update(n_iter=it + 1, converged=converged, delta=delta)
     if require_convergence and not converged:
         raise RuntimeError(
             f"pagerank: tol={tol} not reached within max_iter={max_iter} "
             f"(power iteration contracts at d^k = {d}^k — raise max_iter)"
         )
     return ranks.select("node", "rank")
+
+
+def merge_host_graphs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two weighted domain-edge tables, summing weights — the
+    nightly incremental step: fold tonight's crawl slice's
+    ``host_graph`` into the persisted graph, then re-rank warm-started
+    from the previous snapshot (``pagerank(init_ranks=...)``).  One
+    hash aggregate; weight addition is associative/commutative, so
+    folding slices in any order equals one ``host_graph`` over the
+    union of all links (test-pinned)."""
+    return (
+        a.unionByName(b)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("weight").alias("weight"))
+    )
 
 
 def with_domain_rank(

@@ -784,6 +784,8 @@ def prepare_training_set(
     known_bloom=None,
     url_col: str | None = None,
     max_per_domain: int | None = None,
+    domain_ranks: DataFrame | None = None,
+    min_domain_rank: float | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -855,6 +857,16 @@ def prepare_training_set(
     the whole ladder only as far as curation needs it; output schema is
     unchanged (chunks never carry it).
 
+    ``domain_ranks`` + ``min_domain_rank`` (r13) add the web-graph prior
+    to the same front door: documents whose registered domain ranks
+    BELOW the threshold in a ``crawl_graph.pagerank`` table are dropped
+    before any content stage (link-farm domains never pay scrubbing or
+    scoring).  The rank table broadcasts (``with_domain_rank``), so the
+    gate is map-only.  Docs whose domain is absent from the table — or
+    whose URL does not parse — PASS unexamined: unknown is not low-rank,
+    and the content gates own them (the same convention as unparsable
+    URLs in ``url_dedup``/``domain_cap``).
+
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
     verbatim ``decontam_ngram``-token run with it are removed AFTER dedup
@@ -867,12 +879,24 @@ def prepare_training_set(
     """
     if max_per_domain is not None and url_col is None:
         raise ValueError("max_per_domain requires url_col (no domain without a URL)")
+    if min_domain_rank is not None and (domain_ranks is None or url_col is None):
+        raise ValueError(
+            "min_domain_rank requires domain_ranks (a pagerank table) and url_col"
+        )
     if url_col is not None:
         from .urls import domain_cap, url_dedup
 
         docs = url_dedup(docs, url_col, id_col)
         if max_per_domain is not None:
             docs = domain_cap(docs, max_per_domain, url_col, id_col)
+        if min_domain_rank is not None:
+            from .crawl_graph import with_domain_rank
+
+            docs = with_domain_rank(docs, domain_ranks, url_col, "_dom_rank")
+            docs = docs.filter(
+                F.col("_dom_rank").isNull()
+                | (F.col("_dom_rank") >= min_domain_rank)
+            ).drop("_dom_rank")
     if scrub:
         from .text import scrub_pii
 

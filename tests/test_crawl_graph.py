@@ -238,3 +238,88 @@ def test_warc_to_prior_composition(spark, tmp_path):
     got = {r.uri: r.domain_rank for r in prior.collect()}
     assert got["https://hub.example/home"] == rank_map["hub.example"]
     assert got["http://farm.example/spam"] == 0.0
+
+
+def test_pagerank_warm_start_incremental_fold(spark):
+    """The nightly incremental form: merge tonight's edge slice into the
+    persisted graph (merge_host_graphs fold == one host_graph over the
+    union of all links), re-rank warm-started from yesterday's fixpoint
+    — the warm fixpoint equals the cold recompute to tol and arrives in
+    FEWER rounds (the damped walk's stationary distribution is unique;
+    the warm start only changes the distance to it)."""
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        merge_host_graphs,
+    )
+
+    def links(pairs):
+        return spark.createDataFrame(
+            [(f"http://{s}/p", f"http://{t}/q") for s, t in pairs],
+            "src string, dst string",
+        )
+
+    night1 = [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
+              ("a.com", "b.com")]
+    night2 = [("c.com", "d.com"), ("d.com", "a.com"), ("b.com", "c.com")]
+    g1 = host_graph(links(night1))
+    folded = merge_host_graphs(g1, host_graph(links(night2)))
+    direct = host_graph(links(night1 + night2))
+    assert {tuple(r) for r in folded.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    cold_stats, warm_stats = {}, {}
+    y0 = pagerank(g1, d=0.6, tol=1e-12, max_iter=100)
+    cold = pagerank(folded, d=0.6, tol=1e-12, max_iter=100, stats=cold_stats)
+    warm = pagerank(
+        folded, d=0.6, tol=1e-12, max_iter=100, init_ranks=y0, stats=warm_stats
+    )
+    c = {r.node: r.rank for r in cold.collect()}
+    w = {r.node: r.rank for r in warm.collect()}
+    assert set(c) == set(w)
+    for k in c:
+        assert w[k] == pytest.approx(c[k], abs=1e-9)
+    assert warm_stats["converged"] and cold_stats["converged"]
+    assert warm_stats["n_iter"] < cold_stats["n_iter"]
+    assert sum(w.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_training_set_min_domain_rank_gate(spark):
+    """prepare_training_set(domain_ranks=, min_domain_rank=): docs on a
+    below-threshold domain are dropped BEFORE any content stage; docs on
+    unknown domains (or with unparsable URLs) pass unexamined — unknown
+    is not low-rank."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog and keeps going"
+    docs = spark.createDataFrame(
+        [
+            (1, body, "http://good.example/a"),
+            (2, body + " two", "http://farm.example/spam"),
+            (3, body + " three", "http://unknown.example/x"),
+            (4, body + " four", "junk url"),
+        ],
+        "doc_id long, text string, uri string",
+    )
+    ranks = spark.createDataFrame(
+        [("good.example", 0.8), ("farm.example", 0.01)], "node string, rank double"
+    )
+    out = prepare_training_set(
+        docs,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        chunk_tokens=64,
+        overlap_tokens=8,
+        url_col="uri",
+        domain_ranks=ranks,
+        min_domain_rank=0.1,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept == {1, 3, 4}  # low-rank dropped; unknown + junk pass
+    assert set(out.columns) == {
+        "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text", "split"
+    }
+    with pytest.raises(ValueError, match="min_domain_rank requires"):
+        prepare_training_set(docs, min_domain_rank=0.1, url_col="uri")
+    with pytest.raises(ValueError, match="min_domain_rank requires"):
+        prepare_training_set(docs, min_domain_rank=0.1, domain_ranks=ranks)

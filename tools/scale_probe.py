@@ -311,6 +311,38 @@ def main() -> None:
         f"{rep}x": median_of(lambda: epoch_write(docsN, rep)),
     }
 
+    # --- PageRank, fixed 5 rounds over an Nx synthetic domain graph ------
+    # per round = one keyed hash join (cached pre-normalized shares x
+    # ranks) + one hash aggregate; with nodes AND edges both scaled Nx the
+    # wall should stay ~linear in |edges| — round count is shape-free
+    # (d^k contraction), so fixed rounds isolate the per-round cost
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        pagerank,
+    )
+
+    def graph_edges(scale):
+        n_nodes, n_edges = 2_000 * scale, 40_000 * scale
+        return spark.range(n_edges).select(
+            F.concat(
+                F.lit("d"), F.pmod(F.xxhash64("id"), F.lit(n_nodes)).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"),
+                F.pmod(F.xxhash64("id", F.lit("t")), F.lit(n_nodes)).cast("string"),
+            ).alias("dst_domain"),
+            (F.pmod(F.xxhash64("id", F.lit("w")), F.lit(9)) + 1)
+            .cast("double")
+            .alias("weight"),
+        )
+
+    g1, gN = graph_edges(1).persist(), graph_edges(rep).persist()
+    g1.count(), gN.count()
+    results["pagerank_5rounds"] = {
+        "1x": median_of(lambda: noop(pagerank(g1, tol=None, max_iter=5))),
+        f"{rep}x": median_of(lambda: noop(pagerank(gN, tol=None, max_iter=5))),
+    }
+    g1.unpersist(), gN.unpersist()
+
     for name, r in results.items():
         r["ratio"] = round(r[f"{rep}x"] / r["1x"], 2) if r["1x"] else None
 

@@ -323,3 +323,55 @@ def test_training_set_min_domain_rank_gate(spark):
         prepare_training_set(docs, min_domain_rank=0.1, url_col="uri")
     with pytest.raises(ValueError, match="min_domain_rank requires"):
         prepare_training_set(docs, min_domain_rank=0.1, domain_ranks=ranks)
+
+
+def test_warc_page_links_is_stream_legal(spark, tmp_path):
+    """warc_page_links is stateless projections end-to-end, so the
+    live-crawl landing zone can emit link edges in append mode; the
+    drained edge set equals the batch extraction exactly."""
+    from real_time_financial_data_pipeline_spark.sources.warc import (
+        read_warc,
+        stream_warc,
+        warc_page_links,
+    )
+
+    def record(rid, uri, body):
+        payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            f"Content-Type: application/http\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "m0.warc").write_bytes(
+        record("L1", "http://one.example/a",
+               b'<a href="https://two.example/x">t</a><a href="/local">l</a>')
+        + record("L2", "http://two.example/b",
+                 b'<a href="//cdn.example/r">c</a>')
+    )
+    q = (
+        warc_page_links(stream_warc(spark, str(land)))
+        .writeStream.format("memory")
+        .queryName("warc_stream_links")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.src, r.dst) for r in spark.table("warc_stream_links").collect()
+    }
+    batch = {
+        (r.src, r.dst)
+        for r in warc_page_links(read_warc(spark, str(land))).collect()
+    }
+    assert streamed == batch
+    assert ("http://one.example/a", "http://one.example/local") in streamed
+    assert ("http://two.example/b", "http://cdn.example/r") in streamed

@@ -3279,8 +3279,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                text,
+               -- ((x % m) + m) % m = Python's non-negative modulo, matching
+               -- the fixture's int(doc_id) % 3600 even for negative ids
+               -- (DuckDB's % is C-style, negative for negative dividends)
                TIMESTAMP '2024-03-01 00:00:00'
-                   + (doc_id % 3600) * INTERVAL 1 SECOND AS ts
+                   + (((doc_id % 3600) + 3600) % 3600) * INTERVAL 1 SECOND AS ts
         FROM collapsed
         WHERE length(text) > 0
     """

@@ -201,6 +201,8 @@ def pagerank(
         raise ValueError(f"damping d must be in (0, 1), got {d}")
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -210,6 +212,9 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
+        if stats is not None:
+            stats.update(n_iter=0, converged=True, delta=None)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     out_tot = edges.groupBy(F.col(src).alias("_src")).agg(F.sum(w).alias("_wout"))
     shares = (
@@ -234,10 +239,14 @@ def pagerank(
     delta = None
     it = -1
     for it in range(max_iter):
+        # cached BEFORE the scalar action: the dangling-mass aggregate
+        # and the new-rank materialization are separate actions, and an
+        # uncached contribs would re-run the round's join+aggregate twice
         contribs = (
             shares.join(ranks.withColumnRenamed("node", "_src"), "_src")
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("_share") * F.col("rank")).alias("_c"))
+            .cache()
         )
         # Σ contribs = Σ rank over non-dangling sources; ranks sum to 1
         # by the update's own invariant, so the dangling mass is the gap
@@ -263,6 +272,7 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
                 .first()[0]
             )
+            contribs.unpersist()  # new is materialized; round scratch drops
             ranks.unpersist()
             ranks = new
             if delta is not None and delta < tol:
@@ -270,6 +280,7 @@ def pagerank(
                 break
         else:
             new.count()  # materialize so the old cache can drop
+            contribs.unpersist()
             ranks.unpersist()
             ranks = new
     # the final iterate is materialized (cached + acted on every round),

@@ -883,6 +883,11 @@ def prepare_training_set(
         raise ValueError(
             "min_domain_rank requires domain_ranks (a pagerank table) and url_col"
         )
+    if domain_ranks is not None and min_domain_rank is None:
+        raise ValueError(
+            "domain_ranks without min_domain_rank would silently gate nothing "
+            "— pass the threshold too"
+        )
     if url_col is not None:
         from .urls import domain_cap, url_dedup
 

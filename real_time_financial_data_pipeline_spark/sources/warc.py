@@ -216,7 +216,16 @@ def read_warc_strict(
                         k, _, v = line.partition(":")
                         if _:
                             fields[k.strip()] = v.strip()
-                    clen = int(fields.get("Content-Length", "0") or 0)
+                    try:
+                        clen = int(fields.get("Content-Length", "0") or 0)
+                    except ValueError:
+                        break  # non-numeric Content-Length: desync, report below
+                    # a declared length running PAST the member is the
+                    # oversized-Content-Length attack (one crafted record
+                    # swallowing everything after it) — desync, not a
+                    # record; the guard below makes it loud
+                    if clen < 0 or head_end + 4 + clen > n:
+                        break
                     body = data[head_end + 4 : head_end + 4 + clen]
                     rows.append(
                         (
@@ -302,6 +311,17 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def _http_body(payload: Column) -> Column:
+    """Body of an HTTP message payload: everything after the first blank
+    line (status line + headers split off); a payload with no envelope
+    is all body.  ONE definition shared by the text ladder
+    (:func:`warc_documents`) and the link graph
+    (:func:`warc_page_links`) so the two can never disagree on which
+    bytes are the body."""
+    parts = F.split(payload, r"\r\n\r\n", 2)
+    return F.coalesce(F.element_at(parts, 2), F.element_at(parts, 1))
+
+
 def warc_page_links(warc: DataFrame) -> DataFrame:
     """Hyperlink edges straight off the crawl: response records ->
     (src, dst) resolved page links, extracted from the RAW HTML body
@@ -315,10 +335,8 @@ def warc_page_links(warc: DataFrame) -> DataFrame:
     responses = warc.filter(
         (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
     )
-    http_parts = F.split(F.col("payload"), r"\r\n\r\n", 2)
-    body = F.coalesce(F.element_at(http_parts, 2), F.element_at(http_parts, 1))
     pages = responses.select(
-        F.col("target_uri").alias("uri"), body.alias("html")
+        F.col("target_uri").alias("uri"), _http_body(F.col("payload")).alias("html")
     )
     return extract_links(pages, "html", "uri")
 
@@ -336,11 +354,9 @@ def warc_documents(
     result straight into ``training.prepare_training_set`` /
     ``curate_documents``."""
     responses = warc.filter(F.col("warc_type") == "response")
-    http_parts = F.split(F.col("payload"), r"\r\n\r\n", 2)
-    body = F.coalesce(F.element_at(http_parts, 2), F.element_at(http_parts, 1))
     return responses.select(
         F.xxhash64(F.col("record_id")).alias("doc_id"),
-        html_to_text(body).alias("text"),
+        html_to_text(_http_body(F.col("payload"))).alias("text"),
         F.lit(source).alias("source"),
         F.to_timestamp(F.col("warc_date")).alias("ts"),
         F.col("target_uri").alias("uri"),

@@ -375,3 +375,33 @@ def test_warc_page_links_is_stream_legal(spark, tmp_path):
     assert streamed == batch
     assert ("http://one.example/a", "http://one.example/local") in streamed
     assert ("http://two.example/b", "http://cdn.example/r") in streamed
+
+
+def test_pagerank_review_guards(spark):
+    """Review-caught edges: checkpoint_every=0 must fail fast (not
+    ZeroDivisionError mid-loop with caches pinned); the empty-graph
+    early return fills the stats hook and leaves no cache behind;
+    domain_ranks without min_domain_rank raises instead of silently
+    gating nothing."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src_domain string, dst_domain string, weight double"
+    )
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, checkpoint_every=0)
+    s = {}
+    empty = spark.createDataFrame(
+        [], "src_domain string, dst_domain string, weight double"
+    )
+    assert pagerank(empty, stats=s).count() == 0
+    assert s == {"n_iter": 0, "converged": True, "delta": None}
+    docs = spark.createDataFrame(
+        [(1, "text body here", "http://a.example/x")],
+        "doc_id long, text string, uri string",
+    )
+    ranks = spark.createDataFrame([("a.example", 0.5)], "node string, rank double")
+    with pytest.raises(ValueError, match="domain_ranks without min_domain_rank"):
+        prepare_training_set(docs, url_col="uri", domain_ranks=ranks)

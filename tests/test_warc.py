@@ -297,3 +297,44 @@ def test_version_guard_message_survives_percent_in_version(spark, tmp_path):
     p.write_bytes(_warc_bytes())
     with pytest.raises(Exception, match=r"version='1%s\.0'"):
         read_warc(spark, str(p), version="1%s.0").collect()
+
+
+def test_strict_desync_on_oversized_and_nonnumeric_content_length(spark, tmp_path):
+    """Review-caught censorship bypass: a crafted Content-Length that
+    runs PAST the member (or does not parse as a number) must hit the
+    same loud desync path as a framing break — not clamp at EOF and
+    silently swallow every later record (oversized), and not crash the
+    task with a raw int() ValueError (non-numeric)."""
+    from real_time_financial_data_pipeline_spark.sources.warc import DESYNC_TYPE
+
+    def poisoned(clen_value):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+            b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            b"Content-Type: application/http\r\n"
+            b"Content-Length: " + clen_value + b"\r\n\r\n"
+            + _http_response(b"<p>poison</p>")
+            + b"\r\n\r\n"
+        )
+
+    for clen in (b"1000000000", b"abc", b"-7"):
+        blob = (
+            _record("response", "0d1", "http://d.example/1", "2024-03-01T00:00:00Z",
+                    _http_response(b"<p>clean</p>"))
+            + poisoned(clen)
+            + _record("response", "0d2", "http://d.example/2", "2024-03-01T00:00:01Z",
+                      _http_response(b"<p>victim</p>"))
+        )
+        p = tmp_path / f"poison_{clen.decode(errors='replace')}"
+        p.mkdir()
+        (p / "m.warc").write_bytes(blob)
+        with pytest.raises(Exception, match="desynced at byte"):
+            read_warc_strict(spark, str(p)).collect()
+        flagged = read_warc_strict(spark, str(p), on_desync="flag").collect()
+        assert [r.warc_type for r in flagged].count(DESYNC_TYPE) == 1
+        # the crafted record itself is NOT emitted, the victim is lost to
+        # the quarantined region, the clean prefix survives
+        assert {r.record_id for r in flagged if r.warc_type == "response"} == {
+            "<urn:uuid:0d1>"
+        }

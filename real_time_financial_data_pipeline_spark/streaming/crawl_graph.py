@@ -1,0 +1,138 @@
+"""Streaming crawl-graph fold: maintain the weighted domain-edge table
+of a live crawl as a versioned snapshot ladder — the continuous form of
+the nightly ``operators.crawl_graph`` cadence (fold tonight's links,
+re-rank warm-started when the trend is wanted).
+
+The replay problem, stated honestly: unlike the KMV fold next door
+(``streaming/sketches.py``), whose bottom-k-of-union merge is
+IDEMPOTENT, edge-weight addition is NOT — re-merging a replayed
+micro-batch would double-count its link weights.  So this fold buys its
+effectively-once semantics a different way, from the version ladder
+itself:
+
+    batch edges (one bounded aggregate over the micro-batch's links)
+      -> merge with the latest snapshot whose version is STRICTLY BELOW
+         this batch_id
+      -> stage-and-rename write as snapshot v=<batch_id>
+
+An at-least-once replay of batch n re-reads v=n-1 (never the v=n the
+crashed attempt may have half-committed or fully committed) and
+atomically rewrites v=n — same inputs, same output, idempotent by
+construction rather than by algebra.  The strictly-below rule is the
+whole trick; the stage-and-rename swap (same as the KMV fold) keeps a
+crash between delete and rename from corrupting anything: v=n is lost,
+and the next replay rebuilds it from v=n-1.
+
+Scale shape: per batch, one hash aggregate over the micro-batch's links
+(``host_graph``) plus a merge against the snapshot — a per-domain-PAIR
+table (the web's ~10^8 domain edges at full crawl scale; at that size
+drop the one-file coalesce and let the merge write partitioned).  The
+snapshot is what the nightly ``pagerank(init_ranks=...)`` re-rank
+consumes; ranking stays a batch job by design — a power iteration is
+not a streaming operator, and the rank trend only moves nightly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.crawl_graph import host_graph, merge_host_graphs
+from .sketches import _list_versions
+
+
+def latest_graph_snapshot(
+    spark: SparkSession, graph_path: str, below: int | None = None
+) -> tuple[int, DataFrame] | None:
+    """(version, edge table) of the newest snapshot — optionally the
+    newest STRICTLY BELOW ``below`` (the replay-safe read the fold
+    itself uses), or None before the first fold."""
+    versions = _list_versions(spark, graph_path)
+    if below is not None:
+        versions = [v for v in versions if v < below]
+    if not versions:
+        return None
+    v = versions[-1]
+    return v, spark.read.parquet(f"{graph_path}/v={v}")
+
+
+def make_graph_folder(
+    graph_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    extra_suffixes: tuple[str, ...] = (),
+    keep_versions: int | None = None,
+):
+    """The foreachBatch body, exposed (like ``make_sketch_folder``) so
+    replay semantics are directly testable: call it twice with the same
+    batch frame and batch_id — the resulting snapshot is identical,
+    because the fold reads only versions strictly below its own."""
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be None or >= 1, got {keep_versions}"
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_graph = host_graph(batch_df, src, dst, extra_suffixes)
+        # an empty micro-batch adds no edges: skip the version entirely
+        if not batch_graph.take(1):
+            return
+        prev = latest_graph_snapshot(spark, graph_path, below=batch_id)
+        merged = (
+            batch_graph if prev is None else merge_host_graphs(prev[1], batch_graph)
+        )
+        # stage-and-rename, exactly the KMV fold's crash-replay rule: the
+        # read (possibly of v=n under replay-adjacent listings) completes
+        # against old files while the write targets staging; the swap is
+        # two metadata ops and a crash loses only v=n itself
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{graph_path}/_staging_v{batch_id}")
+        final = jvm.org.apache.hadoop.fs.Path(f"{graph_path}/v={batch_id}")
+        fs = final.getFileSystem(conf)
+        merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        if fs.exists(final):
+            fs.delete(final, True)
+        if not fs.rename(tmp, final):
+            raise IOError(
+                f"graph fold: rename {tmp} -> {final} failed; snapshot "
+                f"v={batch_id} not committed (staging left for inspection)"
+            )
+        if keep_versions is not None:
+            for old in _list_versions(spark, graph_path)[:-keep_versions]:
+                p = jvm.org.apache.hadoop.fs.Path(f"{graph_path}/v={old}")
+                p.getFileSystem(conf).delete(p, True)
+
+    return fold_batch
+
+
+def stream_host_graph_fold(
+    links: DataFrame,
+    graph_path: str,
+    checkpoint: str,
+    src: str = "src",
+    dst: str = "dst",
+    extra_suffixes: tuple[str, ...] = (),
+    keep_versions: int | None = None,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Run the fold as a streaming query over a link-edge stream (e.g.
+    ``warc_page_links(stream_warc(...))`` — stateless, so it composes
+    as the source here).  ``availableNow`` drains the backlog then
+    stops; the folded snapshot then EQUALS ``host_graph`` over every
+    link that arrived (weights exactly — test-pinned), ready for the
+    nightly ``pagerank(init_ranks=latest)`` re-rank."""
+    if not links.isStreaming:
+        raise ValueError("links must be a streaming DataFrame (use host_graph)")
+    fold = make_graph_folder(graph_path, src, dst, extra_suffixes, keep_versions)
+    writer = links.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -405,3 +405,85 @@ def test_pagerank_review_guards(spark):
     ranks = spark.createDataFrame([("a.example", 0.5)], "node string, rank double")
     with pytest.raises(ValueError, match="domain_ranks without min_domain_rank"):
         prepare_training_set(docs, url_col="uri", domain_ranks=ranks)
+
+
+def test_stream_host_graph_fold_replay_and_drain_parity(spark, tmp_path):
+    """The streaming graph fold: weight addition is NOT idempotent (the
+    KMV fold's algebra trick doesn't apply), so effectively-once comes
+    from the version ladder — each fold reads only snapshots STRICTLY
+    BELOW its own batch_id.  Pinned: (a) replaying a batch (same frame,
+    same id) leaves the snapshot bit-identical — no double counting;
+    (b) an availableNow drain over a landing directory folds to EXACTLY
+    host_graph over every link; (c) keep_versions prunes; (d) empty
+    batches add no version."""
+    from real_time_financial_data_pipeline_spark.streaming.crawl_graph import (
+        latest_graph_snapshot,
+        make_graph_folder,
+        stream_host_graph_fold,
+    )
+
+    gp = str(tmp_path / "graph")
+    fold = make_graph_folder(gp, keep_versions=2)
+
+    def links(pairs):
+        return spark.createDataFrame(
+            [(f"http://{s}/p", f"http://{t}/q") for s, t in pairs],
+            "src string, dst string",
+        )
+
+    b0 = links([("a.com", "b.com"), ("a.com", "b.com"), ("b.com", "c.com")])
+    b1 = links([("a.com", "b.com"), ("c.com", "a.com")])
+    fold(b0, 0)
+    fold(b1, 1)
+    after = {
+        (r.src_domain, r.dst_domain): r.weight
+        for r in latest_graph_snapshot(spark, gp)[1].collect()
+    }
+    assert after == {
+        ("a.com", "b.com"): 3, ("b.com", "c.com"): 1, ("c.com", "a.com"): 1,
+    }
+    # (a) replay of the LATEST batch: reads v=0 (strictly below 1), not
+    # the v=1 it is rewriting — snapshot unchanged, no double count
+    fold(b1, 1)
+    v, snap = latest_graph_snapshot(spark, gp)
+    assert v == 1
+    assert {
+        (r.src_domain, r.dst_domain): r.weight for r in snap.collect()
+    } == after
+    # (d) empty batch adds no version
+    fold(links([]), 2)
+    assert latest_graph_snapshot(spark, gp)[0] == 1
+    # (c) retention: a third real fold prunes v=0
+    fold(links([("d.com", "a.com")]), 3)
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        _list_versions,
+    )
+    assert _list_versions(spark, gp) == [1, 3]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_versions"):
+        make_graph_folder(gp, keep_versions=0)
+
+    # (b) the streaming form drains to host_graph-over-everything
+    land = tmp_path / "landing"
+    land.mkdir()
+    all_pairs = [("x.com", "y.com"), ("x.com", "y.com"), ("y.com", "z.com")]
+    links(all_pairs[:2]).write.mode("overwrite").parquet(str(land / "p0"))
+    links(all_pairs[2:]).write.mode("append").parquet(str(land / "p0"))
+    schema = spark.read.parquet(str(land / "p0")).schema
+    stream = spark.readStream.schema(schema).parquet(str(land / "p0"))
+    gp2 = str(tmp_path / "graph2")
+    q = stream_host_graph_fold(
+        stream, gp2, str(tmp_path / "ck"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    folded = {
+        (r.src_domain, r.dst_domain): r.weight
+        for r in latest_graph_snapshot(spark, gp2)[1].collect()
+    }
+    direct = {
+        (r.src_domain, r.dst_domain): r.weight
+        for r in host_graph(links(all_pairs)).collect()
+    }
+    assert folded == direct
+    with pytest.raises(ValueError, match="streaming"):
+        stream_host_graph_fold(links(all_pairs), gp2, str(tmp_path / "ck2"))

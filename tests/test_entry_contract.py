@@ -198,3 +198,27 @@ def test_events_quality_report_duckdb_oracle(spark):
         ).fetchall()
     }
     assert got == want and len(got) == 5
+
+
+def test_correlation_duckdb_oracle(spark):
+    """Retirement anchor for the correlation_click_purchase oracle row
+    (rotated out in round 13 for pagerank_domains — its Pearson moment
+    arithmetic stays live in the kyle_lambda_ticks cov/var replay): the
+    exact comparison the driver row performed, at sf0.001."""
+    import duckdb
+
+    got = entrymod._correlation(spark, SF).first().correlation
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT round(corr(a, b), 6) AS correlation FROM (
+            SELECT date_trunc('hour', ts) AS bucket,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS a,
+                   avg(CASE WHEN event_type = 'purchase' THEN value END) AS b
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        )
+        """
+    ).fetchone()[0]
+    assert got == want and want is not None

@@ -45,6 +45,9 @@ CHECKS = {
     # WARC ingestion (r13): binaryFile scan -> mapInPandas frame ->
     # stateless projections; no join at all, so no product shapes
     "warc_ingest_docs": dict(no_cartesian=True, no_bnlj=True),
+    # PageRank (r13): the per-round shares x ranks join must stay a
+    # keyed hash join; partial agg on the contribution sums
+    "pagerank_domains": dict(partial_agg=True, no_cartesian=True, no_bnlj=True),
     # token-budget sampler: ONE broadcast (the budget lookup map) + ONE
     # hash-partitioned window shuffle — the budget map must never become
     # the shuffle side of a join

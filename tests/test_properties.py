@@ -755,3 +755,108 @@ def test_bloom_never_false_negative_over_full_int64(keys, fpp):
     b2 = LocalBloom(n_bits, n_hashes)
     b2.add_many(arr[::-1].copy())
     assert np.array_equal(b.bits, b2.bits)
+
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # src node id
+        st.integers(0, 11),  # dst node id (wider: some nodes dangling)
+        st.integers(1, 5),  # weight
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda es: any(s != t for s, t, _ in es))
+
+
+@given(edges=_edges_strategy)
+@_settings
+def test_pagerank_invariants_and_numpy_parity_any_graph(spark, edges):
+    """PageRank on ANY weighted digraph (self-loops kept by the operator
+    if fed directly — host_graph drops them upstream — so drop them here
+    to match the numpy reference's normalization): ranks sum to 1, every
+    rank >= (1-d)/n (the teleport floor), and the fixed 3-round iterate
+    matches the dense numpy reference to 1e-9."""
+    import numpy as np
+
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        pagerank,
+    )
+
+    es = [(f"n{s}", f"n{t}", float(w)) for s, t, w in edges if s != t]
+    if not es:
+        return
+    df = spark.createDataFrame(
+        es, "src_domain string, dst_domain string, weight double"
+    )
+    got = {
+        r.node: r.rank for r in pagerank(df, tol=None, max_iter=3).collect()
+    }
+    # dense reference (same construction as test_crawl_graph.py)
+    nodes = sorted({e[0] for e in es} | {e[1] for e in es})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, t, w in es:
+        M[idx[t], idx[s]] += w
+    col = M.sum(axis=0)
+    dangling = col == 0
+    M[:, ~dangling] /= col[~dangling]
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(3):
+        r = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
+    want = dict(zip(nodes, r))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    floor = (1 - d) / n
+    assert all(v >= floor - 1e-12 for v in got.values())
+
+
+_href_strategy = st.one_of(
+    st.from_regex(r"[A-Za-z][A-Za-z0-9+.\-]{0,5}://[a-z0-9.]{1,12}/[a-z0-9/]{0,10}", fullmatch=True),
+    st.from_regex(r"//[a-z0-9.]{1,12}/[a-z0-9]{0,8}", fullmatch=True),
+    st.from_regex(r"/[a-z0-9/]{0,12}", fullmatch=True),
+    st.from_regex(r"[a-z0-9][a-z0-9./]{0,12}", fullmatch=True),
+    st.from_regex(r"(mailto|javascript|data|tel):[a-z0-9@()]{1,10}", fullmatch=True),
+)
+
+
+@given(hrefs=st.lists(_href_strategy, min_size=1, max_size=20))
+@_settings
+def test_resolve_href_always_absolute_or_null(spark, hrefs):
+    """Reference resolution totality: for ANY href shape against a valid
+    base, the result is either NULL (non-hierarchical / unresolvable)
+    or an ABSOLUTE URL — scheme://... — never a relative leak that
+    would corrupt the link graph's src/dst symmetry; and resolving the
+    result again is a fixpoint (absolute in, absolute out unchanged)."""
+    import pyspark.sql.functions as F
+
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        resolve_href,
+    )
+
+    base = "http://site.example/dir/page.html"
+    df = spark.createDataFrame(
+        [(h, base) for h in hrefs], "href string, base string"
+    )
+    out = df.select(
+        F.col("href"),
+        resolve_href(F.col("href"), F.col("base")).alias("dst"),
+    ).collect()
+    import re as _re
+
+    abs_re = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    for r in out:
+        assert r.dst is None or abs_re.match(r.dst), (r.href, r.dst)
+    # fixpoint: feeding resolved absolutes back resolves to themselves
+    resolved = [(r.dst,) for r in out if r.dst is not None]
+    if resolved:
+        df2 = spark.createDataFrame(resolved, "dst string")
+        again = df2.select(
+            F.col("dst"),
+            resolve_href(F.col("dst"), F.lit(base)).alias("dst2"),
+        ).collect()
+        for r in again:
+            assert r.dst2 == r.dst

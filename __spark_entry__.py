@@ -1272,11 +1272,14 @@ def _warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(_STAGED_WARC_DIR, "member-00000.warc"), "wb") as f:
         f.write(b"".join(members))
     parsed = warc_documents(read_warc_strict(spark, _STAGED_WARC_DIR))
+    # the oracle keeps only docs whose text survives non-empty — match it
+    # by construction so a whitespace-only source document can't produce
+    # a spurious row-count mismatch (review-caught asymmetry)
     return parsed.select(
         F.regexp_extract("uri", r"/doc/(-?\d+)$", 1).cast("long").alias("doc_id"),
         "text",
         "ts",
-    )
+    ).filter(F.length("text") > 0)
 
 
 def _pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:

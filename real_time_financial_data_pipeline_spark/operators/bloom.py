@@ -83,7 +83,19 @@ class LocalBloom:
         # (might_contain would otherwise keep probing the stale bits);
         # probe columns ALREADY built still hold the old broadcast —
         # rebuild them after adding, the bitmap is effectively
-        # copy-on-probe
+        # copy-on-probe.  The stale broadcast is unpersisted explicitly
+        # (non-blocking): a mutate-then-probe cycle per nightly slice
+        # would otherwise leave bitmap-sized executor blocks alive until
+        # the JVM ContextCleaner happens to reclaim the dropped handle —
+        # the exact storage ratchet the memo exists to prevent.  The
+        # context-CHANGE path in might_contain stays a plain drop: the
+        # old context is dead, there is nothing to unpersist.
+        old = getattr(self, "_bc_bits", None)
+        if old is not None:
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass  # dead context / already destroyed — nothing held
         self._bc_bits = None
         self._bc_ctx = None
         h1, h2 = _h1_h2(keys)

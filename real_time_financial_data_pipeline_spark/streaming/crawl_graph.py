@@ -68,9 +68,18 @@ def make_graph_folder(
     replay semantics are directly testable: call it twice with the same
     batch frame and batch_id — the resulting snapshot is identical,
     because the fold reads only versions strictly below its own."""
-    if keep_versions is not None and keep_versions < 1:
+    # >= 2 here where the KMV fold accepts >= 1: the KMV merge is
+    # idempotent, so its replay can re-read the latest snapshot
+    # INCLUDING v=n; this fold's replay safety comes from re-reading the
+    # newest version STRICTLY BELOW n, so after committing v=n the
+    # penultimate version must survive the prune — keep_versions=1 would
+    # delete it and a replay of batch n would silently rewrite the
+    # snapshot as that one batch's edges, losing the accumulated graph.
+    if keep_versions is not None and keep_versions < 2:
         raise ValueError(
-            f"keep_versions must be None or >= 1, got {keep_versions}"
+            "keep_versions must be None or >= 2 for the graph fold (the "
+            "strictly-below replay read needs the penultimate version "
+            f"retained), got {keep_versions}"
         )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -323,8 +323,24 @@ def test_probe_memo_invalidated_on_mutation_and_context_change(spark):
     assert bc_before is not None
     # (a) mutation drops the memo; the next probe column re-broadcasts
     # the NEW bitmap and finds the added key
+    # review-caught storage ratchet: the superseded broadcast must be
+    # UNPERSISTED on mutation (non-blocking), not just dropped — a
+    # dropped-but-live handle keeps bitmap-sized executor blocks until
+    # JVM GC.  unpersist (not destroy) on purpose: probe columns built
+    # before the mutation still hold the old handle, and unpersist
+    # keeps it re-fetchable from the driver (copy-on-probe semantics)
+    # while freeing the executor-side blocks.
+    unpersist_calls = []
+    orig_unpersist = bc_before.unpersist
+
+    def spy(blocking=False):
+        unpersist_calls.append(blocking)
+        return orig_unpersist(blocking)
+
+    bc_before.unpersist = spy
     bloom.add_many(np.array([33], dtype=np.int64))
     assert bloom._bc_bits is None
+    assert unpersist_calls == [False]
     assert probe_df.select(might_contain(bloom, "k").alias("m")).first().m is True
     assert bloom._bc_bits is not bc_before
     # (b) a memo stamped by a DIFFERENT context is not reused

@@ -484,6 +484,11 @@ def test_stream_host_graph_fold_replay_and_drain_parity(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep_versions"):
         make_graph_folder(gp, keep_versions=0)
+    # keep_versions=1 is valid for the KMV fold but NOT here: a replay of
+    # batch n reads strictly below n, so the penultimate version must
+    # survive the prune (review-caught replay-safety breach)
+    with _pytest.raises(ValueError, match="penultimate"):
+        make_graph_folder(gp, keep_versions=1)
 
     # (b) the streaming form drains to host_graph-over-everything
     land = tmp_path / "landing"

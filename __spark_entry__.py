@@ -1316,6 +1316,61 @@ def _pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+_STAGED_GRAPH_FOLD_DIR = "/root/repo/spark-warehouse/staged/stream_graph_fold"
+
+
+def _stream_graph_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned streaming host-graph fold (streaming/crawl_graph.py) —
+    the effectively-once snapshot ladder, oracle-anchored END TO END
+    with ZERO staging reads: a deterministic link fabric is built from
+    doc_id arithmetic (both engines derive the IDENTICAL edge multiset),
+    split into three micro-batch slices, and folded through the REAL
+    ``make_graph_folder`` foreachBatch body — v=1, v=2, v=3 snapshots
+    with ``keep_versions=2`` pruning — after which batch 3 is folded
+    AGAIN with the same batch_id (the at-least-once crash replay).  The
+    returned latest snapshot must equal ``host_graph`` over every link
+    that ever arrived, weights EXACTLY: a replay that double-counts
+    (broken strictly-below read), a prune that deletes the penultimate
+    version the replay needs, a desynced stage-and-rename swap, or a
+    self-edge/domain slip all mismatch the oracle, which re-derives the
+    whole weighted domain graph from raw documents in one aggregate.
+    Single-label ``.com`` hosts make eTLD+1 the host itself, so the
+    oracle needs no suffix table; rows with doc_id % 11 == 0 link a
+    domain to ITSELF and must vanish (the self-edge drop).  The live
+    streaming wiring (writeStream + availableNow drain == this fold) is
+    pinned by test_stream_host_graph_fold_replay_and_drain_parity."""
+    import shutil
+
+    from real_time_financial_data_pipeline_spark.streaming.crawl_graph import (
+        latest_graph_snapshot,
+        make_graph_folder,
+    )
+
+    shutil.rmtree(_STAGED_GRAPH_FOLD_DIR, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = F.abs(F.col("doc_id"))
+    same = F.col("doc_id") % 11 == 0
+    src = F.when(
+        same, F.concat(F.lit("http://same"), (a % 4).cast("string"), F.lit(".com/p"))
+    ).otherwise(
+        F.concat(F.lit("http://s"), (a % 5).cast("string"), F.lit(".com/p"))
+    )
+    dst = F.when(
+        same, F.concat(F.lit("http://same"), (a % 4).cast("string"), F.lit(".com/q"))
+    ).otherwise(
+        F.concat(F.lit("http://t"), (a % 3).cast("string"), F.lit(".com/q"))
+    )
+    links = docs.select("doc_id", src.alias("src"), dst.alias("dst")).withColumn(
+        "_slice", a % 3
+    )
+    fold = make_graph_folder(_STAGED_GRAPH_FOLD_DIR, keep_versions=2)
+    for batch_id in (1, 2, 3, 3):  # the second 3 IS the replay
+        fold(links.filter(F.col("_slice") == batch_id - 1).drop("_slice"), batch_id)
+    version, snapshot = latest_graph_snapshot(spark, _STAGED_GRAPH_FOLD_DIR)
+    assert version == 3, f"fold ladder ended at v={version}, expected 3"
+    return snapshot.select("src_domain", "dst_domain", "weight")
+
+
 def _url_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level crawl curation (operators/urls.py) — canonical-URL
     dedup + per-domain cap, hash-checked end-to-end with ZERO staging.
@@ -2251,7 +2306,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       share normalization, both contribution rounds, the dangling
       correction and the teleport; convergence/warm-start behavior
       beyond a fixed budget stays numpy-pinned in
-      tests/test_crawl_graph.py)."""
+      tests/test_crawl_graph.py).
+
+    Round-14 rotation — the versioned streaming snapshot fold (the r13
+    verdict's "oracle-anchor a fold next rotation" item) gets a
+    zero-staging oracle row; one window-kernel-overlap row retires with
+    an in-test DuckDB oracle (the segment_stats convention):
+
+    - portfolio_daily OUT (every kernel stays live in other oracle
+      rows: the lag-ratio return is tech_indicators/ema_macd's window
+      shape, the weighted day-grain sum is activity_bars' ratio-of-sums
+      discipline, and the running log-sum equity curve is the same
+      UNBOUNDED-PRECEDING running-window kernel token_budget_sample_docs
+      and activity_bars_ticks hash-check every round; the operator keeps
+      its pandas-parity + sticky-wipe-out tests in test_finance.py, a
+      NEW in-test DuckDB oracle running the row's exact SQL
+      (test_portfolio_daily_duckdb_oracle), and its plan contract in
+      tools/plan_audit.py)
+      -> stream_graph_fold_docs IN (streaming/crawl_graph.py — the
+      effectively-once versioned fold driven through a real v=1..3
+      ladder WITH a batch-3 replay and keep_versions pruning; DuckDB
+      re-derives the final weighted domain graph from raw documents, so
+      double-counted replays, broken strictly-below reads, or pruned
+      penultimate versions all mismatch)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
@@ -2281,7 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_curation_docs": _url_curation_docs,
         "range_join_windows": _range_join_windows,
         "asof_purchase_click": _asof_purchase_click,
-        "portfolio_daily": _portfolio_daily,
+        "stream_graph_fold_docs": _stream_graph_fold_docs,
         "user_retention_cohorts": _user_retention_cohorts,
         "scd2_customer_dim": _scd2_customer_dim,
         "revenue_rollup": _revenue_rollup,
@@ -2995,34 +3072,28 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases l
         ASOF LEFT JOIN clicks r ON l.user_id = r.user_id AND l.ts >= r.ts
     """
-    # portfolio_daily: lag returns, literal CASE weights, day-grain sum,
-    # running log-sum equity curve with the sticky wipe-out branch — the
-    # whole operator is window SQL
-    sqls["portfolio_daily"] = """
-        WITH bars AS (
-            SELECT event_type,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   arg_max(value, ts) AS close
-            FROM events GROUP BY 1, 2
-        ),
-        r AS (
-            SELECT day,
-                   close / lag(close) OVER (PARTITION BY event_type ORDER BY day) - 1 AS ret,
-                   CASE event_type WHEN 'purchase' THEN 0.5
-                                   WHEN 'click' THEN 0.3
-                                   WHEN 'view' THEN 0.2 END AS w
-            FROM bars WHERE event_type IN ('purchase', 'click', 'view')
-        ),
-        d AS (SELECT day, sum(w * ret) AS pr FROM r GROUP BY day)
-        SELECT day,
-               round(pr, 6) AS portfolio_return,
-               CASE WHEN min(coalesce(1 + pr, 1.0)) OVER (
-                        ORDER BY day ROWS UNBOUNDED PRECEDING) <= 0
-                    THEN NULL
-                    ELSE round(sum(ln(1 + coalesce(pr, 0.0))) OVER (
-                        ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
-               END AS cum_log_growth
-        FROM d
+    # stream_graph_fold_docs: ZERO staging — the link fabric is shared
+    # doc_id arithmetic, and because the fold is effectively-once (the
+    # strictly-below replay read + stage-and-rename swap), the latest
+    # snapshot must equal ONE aggregate over every link that ever
+    # arrived: same-domain rows (doc_id % 11 = 0) vanish as self-edges,
+    # everything else counts exactly once even though batch 3 was
+    # folded twice.  Single-label .com hosts make eTLD+1 the host
+    # itself, so no suffix-table replay is needed.
+    sqls["stream_graph_fold_docs"] = """
+        WITH edges AS (
+            SELECT CASE WHEN doc_id % 11 = 0
+                        THEN 'same' || (abs(doc_id) % 4) || '.com'
+                        ELSE 's' || (abs(doc_id) % 5) || '.com' END AS src_domain,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'same' || (abs(doc_id) % 4) || '.com'
+                        ELSE 't' || (abs(doc_id) % 3) || '.com' END AS dst_domain
+            FROM documents
+        )
+        SELECT src_domain, dst_domain, count(*) AS weight
+        FROM edges
+        WHERE src_domain != dst_domain
+        GROUP BY 1, 2
     """
     sqls["scd2_customer_dim"] = """
         WITH dim AS (

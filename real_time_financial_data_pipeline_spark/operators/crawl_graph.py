@@ -27,10 +27,12 @@ Scale shape, stated up front:
   rank-sized, no collect of anything graph-sized.  The only driver-side
   values are two SCALARS per round (the dangling mass and the L1
   delta), which is how every published Spark/Pregel PageRank runs.
-  Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
-  rounds — an iterative DataFrame loop otherwise re-plans a growing
-  DAG (documented Spark iterative-algorithm practice; use a reliable
-  checkpoint dir on a cluster where executor loss matters).
+  Lineage is cut every ``checkpoint_every`` rounds — an iterative
+  DataFrame loop otherwise re-plans a growing DAG (documented Spark
+  iterative-algorithm practice): ``localCheckpoint`` by default,
+  reliable ``checkpoint()`` when ``checkpoint_dir=`` is set (the
+  cluster mode — executor loss no longer kills the iteration), and
+  superseded checkpoint storage is released at each cut either way.
 
 Weighted edges: a domain linking another domain 10k times counts 10k
 (or pass ``weight=None`` after pre-deduping for the unweighted form) —
@@ -52,8 +54,14 @@ from pyspark.sql import functions as F
 from real_time_financial_data_pipeline_spark.operators.urls import registered_domain
 
 #: href extraction: the value of the first href attribute of each <a>
-#: tag, both quote styles, fragment-only targets excluded at the match.
+#: tag, fragment-only targets excluded at the match.  Two passes —
+#: quoted (both quote styles) and UNQUOTED (``href=foo``, legal HTML
+#: and common in old crawl data; value runs to whitespace/``>``/a
+#: quote, the HTML5 unquoted-attribute charset).  The unquoted
+#: pattern's first-char class excludes quotes, so no anchor matches
+#: both passes.
 _HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']"""
+_HREF_UNQUOTED_RE = r"""(?is)<a\s[^>]*?href\s*=\s*([^\s"'<>`#][^\s"'<>`]*)"""
 
 #: scheme-prefixed but NON-hierarchical targets (mailto:, javascript:,
 #: data:, tel:) — linkable, not crawlable; resolved to NULL.
@@ -105,8 +113,14 @@ def extract_links(
     in ``sources/warc.py`` for the composed front door).  Unresolvable
     and fragment-only targets are dropped; one row per anchor
     occurrence (duplicates preserved — ``host_graph`` counts them as
-    weight)."""
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
+    weight).  Quoted and unquoted href forms both extract (two
+    regexp passes whose matches are disjoint by construction — see
+    ``_HREF_RE``); the graph is order-insensitive, so concatenating
+    the two match arrays loses nothing."""
+    hrefs = F.concat(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1),
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_UNQUOTED_RE), 1),
+    )
     exploded = pages.select(
         F.col(base_col).alias("src"), F.explode(hrefs).alias("_href")
     )
@@ -140,6 +154,40 @@ def host_graph(
     )
 
 
+def _checkpointed_jrdd(df: DataFrame):
+    """The JVM RDD a checkpointed Dataset's ``LogicalRDD`` leaf wraps —
+    the handle needed to release superseded checkpoint state (Spark's
+    public API offers no way back from ``Dataset.checkpoint`` to the
+    RDD it persisted).  Defensive: returns None if the plan is not the
+    expected leaf shape, and callers treat release as best-effort."""
+    try:
+        return df._jdf.queryExecution().logical().rdd()
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return None
+
+
+def _release_checkpoint(df: DataFrame, reliable: bool) -> None:
+    """Free a SUPERSEDED checkpoint's storage: unpersist the block-backed
+    RDD (local mode) or delete the checkpoint files (reliable mode).
+    Only call once a NEWER checkpoint is materialized — the released
+    iterate becomes unrecoverable by design."""
+    jrdd = _checkpointed_jrdd(df)
+    if jrdd is None:
+        return
+    try:
+        if reliable:
+            f = jrdd.getCheckpointFile()
+            if f.isDefined():
+                jvm = df.sparkSession.sparkContext._jvm
+                conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+                p = jvm.org.apache.hadoop.fs.Path(f.get())
+                p.getFileSystem(conf).delete(p, True)
+        else:
+            jrdd.unpersist(False)
+    except Exception:  # pragma: no cover - release is best-effort
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src_domain",
@@ -152,6 +200,7 @@ def pagerank(
     require_convergence: bool = False,
     init_ranks: DataFrame | None = None,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Distributed PageRank over a weighted directed edge table —
     returns (node, rank) with Σ rank = 1 (up to float accumulation).
@@ -196,7 +245,21 @@ def pagerank(
     ``stats``, when a dict is passed, is filled in place with
     ``n_iter`` / ``converged`` / ``delta`` — the monitoring hook the
     nightly job logs (out-param so the return type stays a plain
-    DataFrame)."""
+    DataFrame).
+
+    Lineage cuts and their storage: every ``checkpoint_every`` rounds
+    the iterate is checkpointed, and the PREVIOUS checkpoint's storage
+    is released as soon as the new one is materialized — a long session
+    re-ranking many slices must not ratchet up superseded checkpoint
+    blocks waiting for JVM GC.  By default the cut is
+    ``localCheckpoint`` (executor-local blocks — fast, but an executor
+    loss mid-iteration kills the job).  Pass ``checkpoint_dir`` to use
+    RELIABLE ``checkpoint()`` into that directory instead: the iterate
+    survives executor loss at the cost of a filesystem write per cut —
+    the right mode on a real cluster ranking the full crawl graph.
+    Superseded reliable checkpoint files are deleted the same way; the
+    final iterate's files remain until the caller removes the
+    directory."""
     if not 0 < d < 1:
         raise ValueError(f"damping d must be in (0, 1), got {d}")
     if max_iter < 1:
@@ -235,9 +298,13 @@ def pagerank(
         ).cache()
     else:
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).cache()
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     converged = tol is None
     delta = None
     it = -1
+    live_ck = None  # the newest MATERIALIZED checkpoint backing `ranks`
     for it in range(max_iter):
         # cached BEFORE the scalar action: the dangling-mass aggregate
         # and the new-rank materialization are separate actions, and an
@@ -263,8 +330,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=False)
+        cut = (it + 1) % checkpoint_every == 0
+        if cut:
+            new = (
+                new.checkpoint(eager=False)
+                if reliable
+                else new.localCheckpoint(eager=False)
+            )
         new = new.cache()
         if tol is not None:
             delta = (
@@ -274,15 +346,24 @@ def pagerank(
             )
             contribs.unpersist()  # new is materialized; round scratch drops
             ranks.unpersist()
-            ranks = new
-            if delta is not None and delta < tol:
-                converged = True
-                break
         else:
             new.count()  # materialize so the old cache can drop
             contribs.unpersist()
             ranks.unpersist()
-            ranks = new
+        if cut:
+            # the new checkpoint is materialized (the action above ran),
+            # so the previous one is superseded: release its blocks/files
+            # NOW rather than letting them ratchet until JVM GC — the
+            # long-session leak the review caught.  Everything still
+            # referenced (the cached `new`) recomputes from the new
+            # checkpoint, never the released one.
+            if live_ck is not None:
+                _release_checkpoint(live_ck, reliable)
+            live_ck = new
+        ranks = new
+        if tol is not None and delta is not None and delta < tol:
+            converged = True
+            break
     # the final iterate is materialized (cached + acted on every round),
     # so the loop-only tables can release their executor storage now —
     # a nightly job re-ranking many slices must not ratchet up caches
@@ -320,23 +401,44 @@ def with_domain_rank(
     rank_col: str = "domain_rank",
     extra_suffixes: tuple[str, ...] = (),
     fill: float | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Join the PageRank prior back onto a documents frame by
     registered domain — the per-document quality prior the content
     gates consume (down-weight link-farm domains before scoring a
     single token).  Docs whose domain is absent from the rank table
     (or whose URL does not parse) get ``fill`` (default NULL — let the
-    caller decide whether unknown means suspect).  The rank table is a
-    per-domain aggregate — orders of magnitude smaller than the doc
-    table — so it broadcasts; the join is map-side at any corpus
-    size."""
+    caller decide whether unknown means suspect).
+
+    Join strategy (``broadcast``): the rank table is a per-domain
+    aggregate — usually orders of magnitude smaller than the doc table
+    — but "smaller" is not "small": a full crawl graph has ~10^8
+    registered domains, multiple GB as a broadcast, past the 8 GB
+    absolute broadcast ceiling and enough to OOM an executor.  So the
+    hint is SIZE-GATED, never forced blind:
+
+    - ``None`` (default): no forced hint — Catalyst/AQE pick a
+      broadcast when the rank table's ACTUAL runtime size clears
+      ``spark.sql.autoBroadcastJoinThreshold`` (AQE re-plans on real
+      stats, the most reliable size gate there is), and a shuffled
+      join otherwise;
+    - ``True``: force ``F.broadcast`` — the caller asserts the rank
+      table fits (e.g. a curated-domain subset);
+    - ``False``: force a SHUFFLED HASH join (``shuffle_hash`` hint —
+      one partitioned hash build, no sort of the doc table) — the
+      rank-table-too-big mode at full crawl scale.
+
+    Either way the join stays keyed on the domain — no product shape
+    (plan-audited both ways in tests)."""
     keyed = ranks.select(
         F.col("node").alias("_rank_dom"), F.col("rank").alias(rank_col)
     )
+    if broadcast is True:
+        keyed = F.broadcast(keyed)
+    elif broadcast is False:
+        keyed = keyed.hint("shuffle_hash")
     dom = registered_domain(F.col(url_col), extra_suffixes)
-    joined = docs.withColumn("_rank_dom", dom).join(
-        F.broadcast(keyed), "_rank_dom", "left"
-    )
+    joined = docs.withColumn("_rank_dom", dom).join(keyed, "_rank_dom", "left")
     if fill is not None:
         joined = joined.withColumn(rank_col, F.coalesce(F.col(rank_col), F.lit(fill)))
     return joined.drop("_rank_dom")

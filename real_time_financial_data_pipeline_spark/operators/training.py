@@ -786,6 +786,7 @@ def prepare_training_set(
     max_per_domain: int | None = None,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
+    min_domain_rank_quantile: float | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -861,11 +862,24 @@ def prepare_training_set(
     to the same front door: documents whose registered domain ranks
     BELOW the threshold in a ``crawl_graph.pagerank`` table are dropped
     before any content stage (link-farm domains never pay scrubbing or
-    scoring).  The rank table broadcasts (``with_domain_rank``), so the
-    gate is map-only.  Docs whose domain is absent from the table — or
-    whose URL does not parse — PASS unexamined: unknown is not low-rank,
-    and the content gates own them (the same convention as unparsable
-    URLs in ``url_dedup``/``domain_cap``).
+    scoring).  The rank join is ``with_domain_rank`` with its size-gated
+    strategy (AQE broadcasts a small table, shuffles a crawl-scale one).
+    Docs whose domain is absent from the table — or whose URL does not
+    parse — PASS unexamined: unknown is not low-rank, and the content
+    gates own them (the same convention as unparsable URLs in
+    ``url_dedup``/``domain_cap``).
+
+    ``min_domain_rank`` thresholds a RAW rank value — but ranks sum to
+    1, so a fixed raw threshold means "N× the uniform floor" only at a
+    fixed graph size: as the nightly graph grows, every rank shrinks
+    ~1/N and the same number silently tightens the gate.
+    ``min_domain_rank_quantile`` (r14) is the scale-stable form: drop
+    documents whose domain sits in the bottom ``q`` fraction of the
+    RANK TABLE (e.g. 0.05 = the worst 5% of ranked domains), resolved
+    to a concrete threshold once per run via a single-pass quantile
+    sketch over the per-domain table — the gate's meaning survives
+    graph doubling (test-pinned).  Exactly one of the two forms may be
+    given.
 
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
@@ -879,11 +893,26 @@ def prepare_training_set(
     """
     if max_per_domain is not None and url_col is None:
         raise ValueError("max_per_domain requires url_col (no domain without a URL)")
-    if min_domain_rank is not None and (domain_ranks is None or url_col is None):
+    if min_domain_rank is not None and min_domain_rank_quantile is not None:
+        raise ValueError(
+            "min_domain_rank and min_domain_rank_quantile are two forms of "
+            "the same gate — pass exactly one"
+        )
+    if min_domain_rank_quantile is not None and not (
+        0.0 <= min_domain_rank_quantile < 1.0
+    ):
+        raise ValueError(
+            "min_domain_rank_quantile must be in [0, 1), got "
+            f"{min_domain_rank_quantile}"
+        )
+    _rank_gate = min_domain_rank if min_domain_rank is not None else (
+        min_domain_rank_quantile
+    )
+    if _rank_gate is not None and (domain_ranks is None or url_col is None):
         raise ValueError(
             "min_domain_rank requires domain_ranks (a pagerank table) and url_col"
         )
-    if domain_ranks is not None and min_domain_rank is None:
+    if domain_ranks is not None and _rank_gate is None:
         raise ValueError(
             "domain_ranks without min_domain_rank would silently gate nothing "
             "— pass the threshold too"
@@ -894,13 +923,24 @@ def prepare_training_set(
         docs = url_dedup(docs, url_col, id_col)
         if max_per_domain is not None:
             docs = domain_cap(docs, max_per_domain, url_col, id_col)
-        if min_domain_rank is not None:
+        if _rank_gate is not None:
             from .crawl_graph import with_domain_rank
 
+            threshold = min_domain_rank
+            if min_domain_rank_quantile is not None:
+                # resolve the quantile ONCE against the per-domain rank
+                # table (graph-sized, never doc-sized): a single-pass
+                # Greenwald-Khanna sketch, 1e-3 relative rank error —
+                # a curation knob, not an exact cut, and stable as the
+                # graph grows because the threshold moves with the
+                # distribution instead of sitting on a raw value
+                threshold = domain_ranks.approxQuantile(
+                    "rank", [min_domain_rank_quantile], 1e-3
+                )[0]
             docs = with_domain_rank(docs, domain_ranks, url_col, "_dom_rank")
             docs = docs.filter(
                 F.col("_dom_rank").isNull()
-                | (F.col("_dom_rank") >= min_domain_rank)
+                | (F.col("_dom_rank") >= threshold)
             ).drop("_dom_rank")
     if scrub:
         from .text import scrub_pii

@@ -200,6 +200,51 @@ def test_events_quality_report_duckdb_oracle(spark):
     assert got == want and len(got) == 5
 
 
+def test_portfolio_daily_duckdb_oracle(spark):
+    """Retirement anchor for the portfolio_daily oracle row (rotated out
+    in round 14 for stream_graph_fold_docs — its lag-ratio, weighted-sum
+    and running log-sum kernels stay live in the tech-indicator,
+    activity-bars and budget-sampler oracles): the exact comparison the
+    driver row performed, at sf0.001."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._portfolio_daily(spark, SF).collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH bars AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       arg_max(value, ts) AS close
+                FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT day,
+                       close / lag(close) OVER (
+                           PARTITION BY event_type ORDER BY day) - 1 AS ret,
+                       CASE event_type WHEN 'purchase' THEN 0.5
+                                       WHEN 'click' THEN 0.3
+                                       WHEN 'view' THEN 0.2 END AS w
+                FROM bars WHERE event_type IN ('purchase', 'click', 'view')
+            ),
+            d AS (SELECT day, sum(w * ret) AS pr FROM r GROUP BY day)
+            SELECT day,
+                   round(pr, 6) AS portfolio_return,
+                   CASE WHEN min(coalesce(1 + pr, 1.0)) OVER (
+                            ORDER BY day ROWS UNBOUNDED PRECEDING) <= 0
+                        THEN NULL
+                        ELSE round(sum(ln(1 + coalesce(pr, 0.0))) OVER (
+                            ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+                   END AS cum_log_growth
+            FROM d
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_correlation_duckdb_oracle(spark):
     """Retirement anchor for the correlation_click_purchase oracle row
     (rotated out in round 13 for pagerank_domains — its Pearson moment

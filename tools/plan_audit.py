@@ -208,6 +208,7 @@ def main() -> None:
         "ann_lsh_topk": entrymod._ann_lsh_topk,
         "vwap_daily": entrymod._vwap_daily,
         "events_quality_report": entrymod._events_quality_report,
+        "portfolio_daily": entrymod._portfolio_daily,
     }
     failures = 0
     for name, spec in CHECKS.items():

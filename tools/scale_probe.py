@@ -341,10 +341,39 @@ def main() -> None:
         "1x": median_of(lambda: noop(pagerank(g1, tol=None, max_iter=5))),
         f"{rep}x": median_of(lambda: noop(pagerank(gN, tol=None, max_iter=5))),
     }
-    g1.unpersist(), gN.unpersist()
+    g1.unpersist()
 
     for name, r in results.items():
         r["ratio"] = round(r[f"{rep}x"] / r["1x"], 2) if r["1x"] else None
+
+    # --- PageRank warm start: the nightly-delta wall win -----------------
+    # the claim (test-pinned in test_crawl_graph.py) is that re-ranking
+    # after a small nightly edge fold converges in FEWER ROUNDS from
+    # yesterday's fixpoint; this measures what that buys in WALL on the
+    # Nx graph.  Yesterday = the graph minus a ~1% "tonight" edge slice;
+    # both runs converge to the same fixpoint (unique stationary
+    # distribution), so rounds and wall are the only deltas.  Production
+    # d=0.85; single timed run each — the signal is tens of rounds, not
+    # run-to-run noise.
+    yesterday = gN.filter(F.pmod(F.xxhash64("src_domain", "dst_domain"), F.lit(100)) != 0)
+    y_prev = pagerank(yesterday, d=0.85, tol=1e-6, max_iter=100).persist()
+    y_prev.count()
+    c_stats, w_stats = {}, {}
+    t0 = time.perf_counter()
+    noop(pagerank(gN, d=0.85, tol=1e-6, max_iter=100, stats=c_stats))
+    cold_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    noop(pagerank(gN, d=0.85, tol=1e-6, max_iter=100, init_ranks=y_prev,
+                  stats=w_stats))
+    warm_s = round(time.perf_counter() - t0, 3)
+    warm_res = {
+        "cold_s": cold_s,
+        "warm_s": warm_s,
+        "cold_rounds": c_stats["n_iter"],
+        "warm_rounds": w_stats["n_iter"],
+        "wall_ratio": round(warm_s / cold_s, 2) if cold_s else None,
+    }
+    y_prev.unpersist(), gN.unpersist()
 
     # --- Bloom-gated known-content exclusion -----------------------------
     # healthy-stream shape: 1/rep of the batch content already landed
@@ -404,6 +433,7 @@ def main() -> None:
         "replication": rep,
         "sf_dir": sf_dir,
         "timings": results,
+        "pagerank_warm_start": warm_res,
         "bloom_exclusion": bloom_res,
     }))
 

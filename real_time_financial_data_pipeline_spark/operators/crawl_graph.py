@@ -201,6 +201,7 @@ def pagerank(
     init_ranks: DataFrame | None = None,
     stats: dict | None = None,
     checkpoint_dir: str | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed PageRank over a weighted directed edge table —
     returns (node, rank) with Σ rank = 1 (up to float accumulation).
@@ -241,6 +242,19 @@ def pagerank(
     already close and convergence needs a handful of rounds, not
     20–50; test-pinned).  Unseen nodes enter at the uniform floor and
     the vector is renormalized to sum 1 before iterating.
+
+    ``teleport`` switches to PERSONALIZED PageRank — the TrustRank
+    form (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) crawl curation
+    uses to propagate trust from a hand-audited seed set: a (node,
+    weight) frame replaces the uniform restart vector, so both the
+    (1-d) teleport and the dangling redistribution flow to the seeds
+    (normalized over the seeds present in the graph; duplicates sum;
+    negative weights and seed sets disjoint from the graph fail fast).
+    Nodes unreachable from the seed set get rank EXACTLY 0 — the
+    property that makes the score a trust prior rather than a
+    popularity prior (a link farm no trusted domain points at scores
+    zero no matter how densely it links itself).  The default
+    ``teleport=None`` is the uniform vector, i.e. classic PageRank.
 
     ``stats``, when a dict is passed, is filled in place with
     ``n_iter`` / ``converged`` / ``delta`` — the monitoring hook the
@@ -288,6 +302,30 @@ def pagerank(
         .cache()
     )
     shares.count()  # materialize once; every round reuses this layout
+    # the restart vector t as a (node, _t) table the loop joins against:
+    # uniform 1/n (classic), or the normalized seed weights (TrustRank).
+    # The personalized base caches (it carries a join); the uniform base
+    # is a projection off the already-cached nodes table — free.
+    base_cached = teleport is not None
+    if teleport is not None:
+        seeds = teleport.groupBy("node").agg(
+            F.sum(F.col("weight").cast("double")).alias("_tw")
+        )
+        raw = nodes.join(seeds, "node", "left").select(
+            "node", F.coalesce("_tw", F.lit(0.0)).alias("_t")
+        )
+        t_tot, t_min = raw.agg(F.sum("_t"), F.min("_t")).first()
+        if t_min is not None and t_min < 0:
+            raise ValueError(f"teleport weights must be >= 0, min was {t_min}")
+        if not t_tot or t_tot <= 0:
+            raise ValueError(
+                "teleport: no seed with positive weight appears in the graph "
+                "— the restart vector would be zero"
+            )
+        base = raw.select("node", (F.col("_t") / F.lit(t_tot)).alias("_t")).cache()
+        base.count()
+    else:
+        base = nodes.select("node", F.lit(1.0 / n).alias("_t"))
     if init_ranks is not None:
         warm = nodes.join(
             init_ranks.select("node", F.col("rank").alias("_r0")), "node", "left"
@@ -297,7 +335,10 @@ def pagerank(
             "node", (F.col("rank") / F.lit(tot)).alias("rank")
         ).cache()
     else:
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).cache()
+        # cold start AT the restart vector — uniform for classic, the
+        # seed distribution for personalized (the textbook choice; any
+        # start converges to the same unique fixpoint)
+        ranks = base.select("node", F.col("_t").alias("rank")).cache()
     reliable = checkpoint_dir is not None
     if reliable:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -319,14 +360,20 @@ def pagerank(
         # by the update's own invariant, so the dangling mass is the gap
         c_tot = contribs.agg(F.sum("_c")).first()[0] or 0.0
         dangling = max(0.0, 1.0 - c_tot)
+        # rank' = (1-d)·t + d·(Mᵀrank + dangling·t): both the teleport
+        # and the dangling redistribution flow along the restart vector
+        # (uniform t reduces this to the classic Page et al. update)
         new = (
-            nodes.join(contribs, "node", "left")
+            base.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit((1.0 - d) / n)
+                    F.lit(1.0 - d) * F.col("_t")
                     + F.lit(d)
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("_t")
+                    )
                 ).alias("rank"),
             )
         )
@@ -369,6 +416,8 @@ def pagerank(
     # a nightly job re-ranking many slices must not ratchet up caches
     shares.unpersist()
     nodes.unpersist()
+    if base_cached:
+        base.unpersist()
     if stats is not None:
         stats.update(n_iter=it + 1, converged=converged, delta=delta)
     if require_convergence and not converged:

@@ -82,9 +82,10 @@ def test_host_graph_weights_self_loops_and_suffixes(spark):
     }
 
 
-def _numpy_pagerank(edges, d=0.85, iters=200):
-    """Dense reference: row-normalized transition + uniform dangling +
-    teleport, iterated to fixpoint."""
+def _numpy_pagerank(edges, d=0.85, iters=200, teleport=None):
+    """Dense reference: row-normalized transition + dangling + teleport
+    along the restart vector (uniform, or normalized seed weights for
+    the personalized/TrustRank form), iterated to fixpoint."""
     nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
@@ -94,9 +95,17 @@ def _numpy_pagerank(edges, d=0.85, iters=200):
     col = M.sum(axis=0)
     dangling = col == 0
     M[:, ~dangling] /= col[~dangling]
-    r = np.full(n, 1.0 / n)
+    if teleport is None:
+        t = np.full(n, 1.0 / n)
+    else:
+        t = np.zeros(n)
+        for k, v in teleport.items():
+            if k in idx:
+                t[idx[k]] += v
+        t = t / t.sum()
+    r = t.copy()
     for _ in range(iters):
-        r = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
+        r = (1 - d) * t + d * (M @ r + r[dangling].sum() * t)
     return dict(zip(nodes, r))
 
 
@@ -154,6 +163,51 @@ def test_pagerank_unweighted_and_empty(spark):
         assert got[k] == pytest.approx(want[k], abs=1e-9)
     empty = spark.createDataFrame([], "src_domain string, dst_domain string, weight double")
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_personalized_teleport_trustrank(spark):
+    """teleport= switches to personalized PageRank (the TrustRank form):
+    the restart vector AND the dangling redistribution flow to the seed
+    set.  Parity against the dense numpy reference on the weighted
+    dangling-hub graph; the defining trust property — a node unreachable
+    from the seeds scores EXACTLY zero, however it is linked FROM — and
+    the fail-fast knob semantics (duplicate seeds sum, out-of-graph
+    seeds drop from normalization, negative/empty-intersection raise)."""
+    edges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("c", "d", 1.0),
+        ("e", "a", 2.0),  # e is source-only: NO in-links
+    ]
+    df = spark.createDataFrame(
+        edges, "src_domain string, dst_domain string, weight double"
+    )
+    seeds = spark.createDataFrame(
+        # duplicate 'a' rows sum to 2.0; 'zzz' is not in the graph and
+        # must drop out of the normalization, not distort it
+        [("a", 1.0), ("a", 1.0), ("c", 1.0), ("zzz", 5.0)],
+        "node string, weight double",
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, d=0.6, tol=1e-12, max_iter=80, teleport=seeds)
+        .collect()
+    }
+    want = _numpy_pagerank(edges, d=0.6, teleport={"a": 2.0, "c": 1.0})
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the trust property: e has no in-links and is not a seed, so no
+    # walk from the seed set ever reaches it — rank EXACTLY 0.0, not
+    # merely small (with uniform teleport e would get the (1-d)/n floor)
+    assert got["e"] == 0.0
+    assert want["e"] == 0.0
+    with pytest.raises(ValueError, match=">= 0"):
+        pagerank(df, max_iter=1, teleport=spark.createDataFrame(
+            [("a", -1.0)], "node string, weight double"))
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, max_iter=1, teleport=spark.createDataFrame(
+            [("zzz", 1.0)], "node string, weight double"))
 
 
 def test_with_domain_rank_prior_join(spark):

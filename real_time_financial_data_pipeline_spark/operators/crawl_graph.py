@@ -103,8 +103,16 @@ def resolve_href(href: Column, base: Column) -> Column:
     )
 
 
+#: whole <a ...>inner</a> elements, for the anchor-text path (nested
+#: anchors are illegal HTML, so non-greedy inner capture is exact).
+_ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a>"
+
+
 def extract_links(
-    pages: DataFrame, html_col: str = "payload", base_col: str = "uri"
+    pages: DataFrame,
+    html_col: str = "payload",
+    base_col: str = "uri",
+    with_text: bool = False,
 ) -> DataFrame:
     """(src, dst) page-level link edges out of raw HTML — one
     ``regexp_extract_all`` + explode + the resolver above, all
@@ -116,7 +124,39 @@ def extract_links(
     weight).  Quoted and unquoted href forms both extract (two
     regexp passes whose matches are disjoint by construction — see
     ``_HREF_RE``); the graph is order-insensitive, so concatenating
-    the two match arrays loses nothing."""
+    the two match arrays loses nothing.
+
+    ``with_text=True`` adds an ``anchor_text`` column — what the
+    LINKING page calls the target, the classic external-description
+    signal (search engines index it; crawl curation uses aggregated
+    anchor text as a target-page relevance/label source).  The inner
+    HTML is reduced with the same ``html_to_text`` pass the document
+    ladder uses (tag strip + entity decode + whitespace collapse), so
+    ``<a href=x>Click <b>here</b></a>`` yields ``Click here``; an
+    anchor with no text yields ``''``.  Still map-only JVM regexps,
+    but a different extraction grain: whole ``<a ...>...</a>``
+    elements, so anchors never closed (malformed markup) are skipped
+    in this mode — a documented approximation the default edge-only
+    path does not share.  Default stays the cheaper two-pass form."""
+    if with_text:
+        from real_time_financial_data_pipeline_spark.sources.warc import html_to_text
+
+        elems = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_ELEM_RE), 0)
+        exploded = pages.select(
+            F.col(base_col).alias("src"), F.explode(elems).alias("_a")
+        )
+        quoted = F.regexp_extract("_a", _HREF_RE, 1)
+        unquoted = F.regexp_extract("_a", _HREF_UNQUOTED_RE, 1)
+        href = F.when(quoted != "", quoted).otherwise(unquoted)
+        inner = F.regexp_extract("_a", r"(?is)<a\s[^>]*>(.*)</a>", 1)
+        dst = resolve_href(href, F.col("src"))
+        return (
+            exploded.filter(href != "")
+            .select(
+                "src", dst.alias("dst"), html_to_text(inner).alias("anchor_text")
+            )
+            .filter(F.col("dst").isNotNull())
+        )
     hrefs = F.concat(
         F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1),
         F.regexp_extract_all(F.col(html_col), F.lit(_HREF_UNQUOTED_RE), 1),

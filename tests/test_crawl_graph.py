@@ -62,6 +62,41 @@ def test_extract_links_href_forms_and_resolution(spark):
     assert extract_links(junk, "html", "uri").count() == 0
 
 
+def test_extract_links_with_anchor_text(spark):
+    """with_text=True: the anchor's inner HTML reduces to text with the
+    SAME html_to_text pass documents get (tag strip + entity decode +
+    whitespace collapse); href semantics (quoted/unquoted, fragment-only
+    and mailto drops, resolution) match the default path.  The one
+    documented divergence: never-closed anchors are skipped in text
+    mode (element-grain extraction) while the default edge-only path
+    still yields their edge."""
+    html = (
+        '<a href="https://t1.example/x">Click <b>here</b></a>'
+        "<a href='/rel'>R&amp;D   dept</a>"
+        "<a href=bare.html rel=nofollow>bare text</a>"
+        '<a href="https://t1.example/x"></a>'
+        '<a href="#frag">fragment skipped</a>'
+        '<a href="mailto:a@b.c">mail skipped</a>'
+        '<a href="https://open.example/y">never closed'
+    )
+    pages = spark.createDataFrame(
+        [("http://site.example/dir/page.html", html)], "uri string, html string"
+    )
+    got = {
+        (r.dst, r.anchor_text)
+        for r in extract_links(pages, "html", "uri", with_text=True).collect()
+    }
+    assert got == {
+        ("https://t1.example/x", "Click here"),
+        ("http://site.example/rel", "R&D dept"),
+        ("http://site.example/dir/bare.html", "bare text"),
+        ("https://t1.example/x", ""),
+    }
+    # the default path extracts the never-closed anchor's edge too
+    dsts = [r.dst for r in extract_links(pages, "html", "uri").collect()]
+    assert "https://open.example/y" in dsts and len(dsts) == 5
+
+
 def test_host_graph_weights_self_loops_and_suffixes(spark):
     links = spark.createDataFrame(
         [

@@ -366,26 +366,35 @@ def pagerank(
         base.count()
     else:
         base = nodes.select("node", F.lit(1.0 / n).alias("_t"))
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    live_ck = None  # the newest MATERIALIZED checkpoint backing `ranks`
     if init_ranks is not None:
         warm = nodes.join(
             init_ranks.select("node", F.col("rank").alias("_r0")), "node", "left"
         ).select("node", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
         tot = warm.agg(F.sum("rank")).first()[0] or 1.0
-        ranks = warm.select(
-            "node", (F.col("rank") / F.lit(tot)).alias("rank")
-        ).cache()
+        r0 = warm.select("node", (F.col("rank") / F.lit(tot)).alias("rank"))
+        # lineage-cut the init like any other round: the caller's
+        # init_ranks is typically LAST NIGHT'S pagerank output, whose
+        # logical plan is the whole previous iteration — without a cut
+        # every warm round re-analyzes that plan inside its own
+        # (measured ~8x wall on the per-round cost before the first
+        # in-loop cut; caching alone does not truncate plans)
+        r0 = r0.checkpoint(eager=False) if reliable else r0.localCheckpoint(
+            eager=False
+        )
+        ranks = r0.cache()
+        live_ck = ranks
     else:
         # cold start AT the restart vector — uniform for classic, the
         # seed distribution for personalized (the textbook choice; any
         # start converges to the same unique fixpoint)
         ranks = base.select("node", F.col("_t").alias("rank")).cache()
-    reliable = checkpoint_dir is not None
-    if reliable:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     converged = tol is None
     delta = None
     it = -1
-    live_ck = None  # the newest MATERIALIZED checkpoint backing `ranks`
     for it in range(max_iter):
         # cached BEFORE the scalar action: the dangling-mass aggregate
         # and the new-rank materialization are separate actions, and an

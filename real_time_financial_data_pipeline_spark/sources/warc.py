@@ -322,14 +322,16 @@ def _http_body(payload: Column) -> Column:
     return F.coalesce(F.element_at(parts, 2), F.element_at(parts, 1))
 
 
-def warc_page_links(warc: DataFrame) -> DataFrame:
+def warc_page_links(warc: DataFrame, with_text: bool = False) -> DataFrame:
     """Hyperlink edges straight off the crawl: response records ->
     (src, dst) resolved page links, extracted from the RAW HTML body
     before :func:`warc_documents`' text reduction throws the markup
     away.  Stateless projections end-to-end (regexp extraction +
     explode + string resolution), so it composes with both the batch
     and streaming WARC readers; feed ``operators.crawl_graph.
-    host_graph`` -> ``pagerank`` for the domain quality prior."""
+    host_graph`` -> ``pagerank`` for the domain quality prior.
+    ``with_text=True`` forwards to ``extract_links``' anchor-text mode
+    (adds the ``anchor_text`` column — still stateless/stream-legal)."""
     from real_time_financial_data_pipeline_spark.operators.crawl_graph import extract_links
 
     responses = warc.filter(
@@ -338,7 +340,7 @@ def warc_page_links(warc: DataFrame) -> DataFrame:
     pages = responses.select(
         F.col("target_uri").alias("uri"), _http_body(F.col("payload")).alias("html")
     )
-    return extract_links(pages, "html", "uri")
+    return extract_links(pages, "html", "uri", with_text=with_text)
 
 
 def warc_documents(

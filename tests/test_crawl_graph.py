@@ -698,6 +698,39 @@ def test_stream_host_graph_fold_replay_and_drain_parity(spark, tmp_path):
         stream_host_graph_fold(links(all_pairs), gp2, str(tmp_path / "ck2"))
 
 
+def test_pagerank_warm_init_lineage_cut(spark):
+    """Probe-caught warm-start perf bug: init_ranks is typically LAST
+    NIGHT'S pagerank output, whose logical plan is the entire previous
+    iteration — without a lineage cut at init, every warm round
+    re-analyzes that plan inside its own (measured ~8x the per-round
+    wall; caching does not truncate plans).  Pinned structurally: with
+    in-loop cuts disabled, the warm result's plan must bottom out in a
+    checkpoint leaf (Scan ExistingRDD) and be no bigger for a deep-DAG
+    init than for a flat one — the cut normalizes both to a leaf."""
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)],
+        "src_domain string, dst_domain string, weight double",
+    )
+    # a deep-plan init: 4 uncut rounds of a previous ranking
+    deep = pagerank(edges, d=0.6, tol=None, max_iter=4, checkpoint_every=100)
+    flat = spark.createDataFrame(
+        [("a", 0.4), ("b", 0.3), ("c", 0.3)], "node string, rank double"
+    )
+
+    def warm_plan(init):
+        out = pagerank(
+            edges, d=0.6, tol=None, max_iter=2, checkpoint_every=100,
+            init_ranks=init,
+        )
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    deep_plan, flat_plan = warm_plan(deep), warm_plan(flat)
+    assert "ExistingRDD" in deep_plan  # the init checkpoint leaf
+    # without the cut the deep init's whole iteration DAG rides inside:
+    # the plan string would be several times the flat-init one
+    assert len(deep_plan) < 2 * len(flat_plan) + 500
+
+
 def test_pagerank_releases_superseded_checkpoints(spark):
     """Review-caught long-session heap ratchet: the iteration's lineage
     cuts must RELEASE the previous checkpoint's blocks once the new one

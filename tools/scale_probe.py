@@ -341,7 +341,7 @@ def main() -> None:
         "1x": median_of(lambda: noop(pagerank(g1, tol=None, max_iter=5))),
         f"{rep}x": median_of(lambda: noop(pagerank(gN, tol=None, max_iter=5))),
     }
-    g1.unpersist()
+    g1.unpersist(), gN.unpersist()
 
     for name, r in results.items():
         r["ratio"] = round(r[f"{rep}x"] / r["1x"], 2) if r["1x"] else None
@@ -350,20 +350,49 @@ def main() -> None:
     # the claim (test-pinned in test_crawl_graph.py) is that re-ranking
     # after a small nightly edge fold converges in FEWER ROUNDS from
     # yesterday's fixpoint; this measures what that buys in WALL on the
-    # Nx graph.  Yesterday = the graph minus a ~1% "tonight" edge slice;
-    # both runs converge to the same fixpoint (unique stationary
-    # distribution), so rounds and wall are the only deltas.  Production
-    # d=0.85; single timed run each — the signal is tens of rounds, not
-    # run-to-run noise.
-    yesterday = gN.filter(F.pmod(F.xxhash64("src_domain", "dst_domain"), F.lit(100)) != 0)
-    y_prev = pagerank(yesterday, d=0.85, tol=1e-6, max_iter=100).persist()
+    # Nx graph.  The graph here must have SKEWED in-degree (cubic-biased
+    # destinations): the hash-uniform graph above is near-regular, its
+    # fixpoint is near-uniform, and a cold start FROM uniform is then
+    # already converged — the degenerate shape where warm starts buy
+    # nothing (the r13 test fix documents the same trap).  Yesterday =
+    # the graph minus a ~1% "tonight" edge slice; both runs converge to
+    # the same fixpoint (unique stationary distribution), so rounds and
+    # wall are the only deltas.  d=0.6 / tol=1e-8 keeps the three
+    # iterations near ~100 total rounds — round counts scale as
+    # ln(tol)/ln(1/d), so the RELATIVE warm/cold gap is the
+    # d-independent signal (a d=0.85 variant OOMed the driver with AQE
+    # execution metadata for no extra information).  Single timed run
+    # each — the signal is tens of rounds, not run-to-run noise.
+    n_nodes = 2_000 * rep
+    u = F.pmod(F.xxhash64("id", F.lit("d")), F.lit(10_000)).cast("double") / 10_000.0
+    gS = (
+        spark.range(40_000 * rep)
+        .select(
+            F.concat(
+                F.lit("d"), F.pmod(F.xxhash64("id"), F.lit(n_nodes)).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"),
+                F.floor(F.pow(u, F.lit(3.0)) * n_nodes).cast("long").cast("string"),
+            ).alias("dst_domain"),
+            (F.pmod(F.xxhash64("id", F.lit("w")), F.lit(9)) + 1)
+            .cast("double")
+            .alias("weight"),
+        )
+        .persist()
+    )
+    gS.count()
+    yesterday = gS.filter(
+        F.pmod(F.xxhash64("src_domain", "dst_domain"), F.lit(100)) != 0
+    )
+    y_prev = pagerank(yesterday, d=0.6, tol=1e-8, max_iter=60).persist()
     y_prev.count()
     c_stats, w_stats = {}, {}
     t0 = time.perf_counter()
-    noop(pagerank(gN, d=0.85, tol=1e-6, max_iter=100, stats=c_stats))
+    noop(pagerank(gS, d=0.6, tol=1e-8, max_iter=60, stats=c_stats))
     cold_s = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    noop(pagerank(gN, d=0.85, tol=1e-6, max_iter=100, init_ranks=y_prev,
+    noop(pagerank(gS, d=0.6, tol=1e-8, max_iter=60, init_ranks=y_prev,
                   stats=w_stats))
     warm_s = round(time.perf_counter() - t0, 3)
     warm_res = {
@@ -373,7 +402,7 @@ def main() -> None:
         "warm_rounds": w_stats["n_iter"],
         "wall_ratio": round(warm_s / cold_s, 2) if cold_s else None,
     }
-    y_prev.unpersist(), gN.unpersist()
+    y_prev.unpersist(), gS.unpersist()
 
     # --- Bloom-gated known-content exclusion -----------------------------
     # healthy-stream shape: 1/rep of the batch content already landed

@@ -936,6 +936,10 @@ def _resolve_two_phase_star(
         .distinct()
         .localCheckpoint()
     )
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        _release_checkpoint,
+    )
+
     converged = False
     rounds = 0
     for _ in range(max_rounds):
@@ -945,11 +949,21 @@ def _resolve_two_phase_star(
         # exact fixpoint test: same cardinality and nothing new on either
         # side (both are distinct sets, so one-sided subtract suffices
         # once the counts match)
-        if new_edges.count() == edges.count() and new_edges.subtract(edges).isEmpty():
-            converged = True
-            edges = new_edges
-            break
+        done = (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).isEmpty()
+        )
+        # the old round's checkpoint is superseded (new_edges is an
+        # EAGER checkpoint, already materialized; the fixpoint test
+        # above was its last reader) — release its blocks now instead
+        # of ratcheting them until JVM GC, the same long-session leak
+        # the pagerank loop fixed (r14 review item)
+        old = edges
         edges = new_edges
+        _release_checkpoint(old, reliable=False)
+        if done:
+            converged = True
+            break
     if not converged:
         # silent exit would emit WRONG components (edge set still moving)
         raise RuntimeError(
@@ -1014,7 +1028,15 @@ def _resolve_min_label(
             .filter(F.col("u.label") != F.col("l.label"))
             .count()
         )
+        # the changed-count was the old checkpoint's last reader —
+        # release its blocks as in the two-phase resolver above
+        old = labels
         labels = updated
+        from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+            _release_checkpoint,
+        )
+
+        _release_checkpoint(old, reliable=False)
         if changed == 0:
             break
     if changed != 0:

@@ -599,3 +599,45 @@ def test_merge_dup_clusters_idempotent_and_empty_batch(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     same = merge_dup_clusters(labels, empty)
     assert {tuple(r) for r in same.collect()} == {tuple(r) for r in labels.collect()}
+
+
+def test_cc_resolvers_release_superseded_checkpoints(spark):
+    """r14 review follow-through: the connected-components loops
+    checkpoint per round, and — like the pagerank loop — must RELEASE
+    each superseded round's blocks instead of ratcheting them until JVM
+    GC kills a long nightly session.  Pinned structurally: the number
+    of persistent RDDs a resolution leaves behind must not grow with
+    the round count (chain length drives rounds for two-phase star;
+    both resolvers checked)."""
+    from real_time_financial_data_pipeline_spark.operators.dedup import (
+        _resolve_min_label,
+        _resolve_two_phase_star,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.getPersistentRDDs().size()
+
+    def chain(n):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+
+    # chain sizes per resolver: min-label is O(diameter) with a 20-round
+    # budget (the chain is its documented pathology), so it gets 8/16;
+    # two-phase star is O(log n) and gets 8/64
+    for resolver, sizes in (
+        (_resolve_two_phase_star, (8, 64)),
+        (_resolve_min_label, (8, 16)),
+    ):
+        for n in sizes:  # the larger chain needs strictly more rounds
+            before = n_persistent()
+            resolver(chain(n)).count()
+            residue = n_persistent() - before
+            # a BOUND, not equality: Spark's ContextCleaner may reclaim
+            # earlier runs' unreferenced leftovers between measurements
+            # (async), which can only LOWER a count — while the ratchet
+            # this pins would leave ~one checkpoint per round (7+ on the
+            # 64-chain), far above the final-state bound
+            assert residue <= 3, (resolver.__name__, n, residue)

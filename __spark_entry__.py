@@ -1075,6 +1075,105 @@ def _kmv_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAGED_KMV_FOLD_DIR = "/root/repo/spark-warehouse/staged/stream_kmv_fold"
+_STAGED_KMV_FOLD_HASHES = "/root/repo/spark-warehouse/staged/stream_kmv_fold_hashes"
+
+
+def _stream_kmv_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned streaming KMV fold (streaming/sketches.py) — the
+    idempotent-algebra snapshot ladder, oracle-anchored end-to-end: the
+    documents corpus is sliced into three micro-batches (doc_id % 3)
+    and folded through the REAL ``make_sketch_folder`` foreachBatch
+    body — per-lang k=64 sketches at v=1, v=2, v=3 with
+    ``keep_versions=2`` pruning — after which batch 3 is folded AGAIN
+    with the same batch_id (the at-least-once crash replay; unlike the
+    graph fold's strictly-below ladder, THIS fold's replay safety is
+    pure algebra — bottom-k-of-union merging is idempotent, so the
+    replay merges v=3 into itself and must change nothing).  Staged-
+    hashes oracle (the kmv_sketch_docs convention, whose kernels this
+    row strictly supersedes): only (slice, lang, xxhash64) rows are
+    staged; DuckDB replays the LADDER ITSELF — bottom-64 of slice 1,
+    then bottom-64 of (that ∪ slice 2's sketch), then ∪ slice 3's —
+    and re-derives the packed CSV, the (k-1)/u_k estimator on its
+    exact/underfull branch split, and the fold≡direct-union identity
+    (the final snapshot must equal the one-pass sketch of the whole
+    corpus).  A double-counted replay, a broken merge, a pruned-wrong
+    version, or a desynced stage-and-rename all mismatch.  The live
+    streaming wiring (writeStream + availableNow drain == this fold)
+    stays pinned by tests/test_sketches.py."""
+    import shutil
+
+    from real_time_financial_data_pipeline_spark.streaming.sketches import (
+        _list_versions,
+        latest_kmv_snapshot,
+        make_sketch_folder,
+    )
+
+    k = 64
+    shutil.rmtree(_STAGED_KMV_FOLD_DIR, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    sliced = docs.withColumn("_slice", F.abs(F.col("doc_id")) % 3)
+    sliced.select(
+        (F.col("_slice") + 1).alias("snap"), "lang", F.xxhash64("text").alias("h")
+    ).coalesce(1).write.mode("overwrite").parquet(_STAGED_KMV_FOLD_HASHES)
+    fold = make_sketch_folder(
+        _STAGED_KMV_FOLD_DIR, "text", ["lang"], k=k, keep_versions=2
+    )
+    for batch_id in (1, 2, 3, 3):  # the second 3 IS the replay
+        fold(sliced.filter(F.col("_slice") == batch_id - 1).drop("_slice"), batch_id)
+    versions = _list_versions(spark, _STAGED_KMV_FOLD_DIR)
+    assert versions == [2, 3], f"fold ladder left versions {versions}, expected [2, 3]"
+    _, snap = latest_kmv_snapshot(spark, _STAGED_KMV_FOLD_DIR)
+    direct = kmv_sketch(docs, "text", ["lang"], k=k).withColumnRenamed(
+        "kmv", "_direct"
+    )
+    return snap.join(direct, "lang", "left").select(
+        "lang",
+        F.size("kmv").cast("long").alias("n_folded"),
+        F.array_join(
+            F.transform("kmv", lambda x: x.cast("string")), ","
+        ).alias("sketch_csv"),
+        F.round(kmv_estimate(F.col("kmv"), k), 1).alias("est_folded"),
+        (F.col("kmv") == F.col("_direct")).alias("fold_eq_direct"),
+    )
+
+
+def _anchor_profile_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profile per target domain
+    (operators/crawl_graph.py:anchor_profile) — "what the web calls this
+    page", the external-description signal aggregated from the
+    ``extract_links(with_text=True)`` surface.  The link fabric is
+    shared doc_id arithmetic (both engines build the IDENTICAL rows):
+    each document contributes one link whose target is
+    ``http://[www.]d<doc_id%7>.com/p<doc_id>`` (the www. prefix on even
+    ids pins eTLD+1 collapsing) with the document's text as the anchor
+    text; rows with doc_id % 13 == 0 carry an UNPARSEABLE target and
+    must vanish (the null-domain drop rule).  The operator tokenizes,
+    drops stopwords, counts per (target registered domain, term) — the
+    one vocabulary-bounded shuffle — and windows to the top-3 terms per
+    domain with ties broken on term order; DuckDB re-derives the whole
+    aggregate from raw documents with zero staging.  The HTML-extraction
+    front door and the with_anchor_terms feature join stay pinned by
+    tests/test_crawl_graph.py."""
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.abs(F.col("doc_id"))
+    host = F.concat(
+        F.when(a % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"),
+        (a % 7).cast("string"),
+        F.lit(".com"),
+    )
+    dst = F.when(F.col("doc_id") % 13 == 0, F.lit("not a url")).otherwise(
+        F.concat(F.lit("http://"), host, F.lit("/p"), F.col("doc_id").cast("string"))
+    )
+    links = docs.select(dst.alias("dst"), F.col("text").alias("anchor_text"))
+    return anchor_profile(links, k=3)
+
+
 def _corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus data card (operators/text.py:corpus_report) in
     its exact sketch-twin mode (the registry convention for sketch
@@ -2328,12 +2427,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ladder WITH a batch-3 replay and keep_versions pruning; DuckDB
       re-derives the final weighted domain graph from raw documents, so
       double-counted replays, broken strictly-below reads, or pruned
-      penultimate versions all mismatch)."""
+      penultimate versions all mismatch).
+
+    Round-15 rotation — the r14 verdict's two asks (rotate the KMV
+    streaming fold in; give the new anchor-text consumer an oracle row)
+    land; two kernel-overlap rows retire, both keeping in-test DuckDB
+    oracles (the segment_stats convention):
+
+    - kmv_sketch_docs OUT (STRICTLY SUPERSEDED by the new fold row:
+      stream_kmv_fold_docs replays distinct / k-smallest selection /
+      CSV packing / the (k-1)/u_k estimator branch split / the
+      merge≡union identity — every kernel the batch row checked — PLUS
+      the versioned ladder, replay idempotence and retention pruning;
+      the operator also keeps the exact retired comparison as
+      test_kmv_sketch_docs_duckdb_oracle)
+      -> stream_kmv_fold_docs IN (streaming/sketches.py — the
+      idempotent-algebra snapshot fold driven through a real v=1..3
+      ladder with a batch-3 replay and keep_versions pruning; DuckDB
+      replays the ladder itself from staged hashes);
+    - tfidf_top_docs OUT (its tokenize+explode / vocabulary-bounded
+      count / desc-count-then-term top-k window kernels stay live in
+      the new anchor row, which runs the SAME top_terms machinery; the
+      idf ln-smoothing join keeps the exact retired comparison as
+      test_tfidf_top_docs_duckdb_oracle, and ln-arithmetic stays live
+      in the perplexity_trigram_docs oracle)
+      -> anchor_profile_domains IN (operators/crawl_graph.py — the
+      anchor-text consumer the r14 verdict asked for: top-3 anchor
+      terms per target registered domain over a shared-arithmetic link
+      fabric with an unparseable-target drop case, zero staging)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
         "chunk_docs": _chunk_docs,
         "split_assignment_events": _split_assignment_events,
-        "tfidf_top_docs": _tfidf_top_docs,
+        "anchor_profile_domains": _anchor_profile_domains,
         "contamination_docs": _contamination_docs,
         "pack_chunks_docs": _pack_chunks_docs,
         "ann_int8_topk": _ann_int8_topk,
@@ -2354,7 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "corpus_report_docs": _corpus_report_docs,
         "order_priority_counts": _order_priority,
-        "kmv_sketch_docs": _kmv_sketch_docs,
+        "stream_kmv_fold_docs": _stream_kmv_fold_docs,
         "url_curation_docs": _url_curation_docs,
         "range_join_windows": _range_join_windows,
         "asof_purchase_click": _asof_purchase_click,
@@ -2909,36 +3035,60 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
-    # kmv_sketch_docs (r12): staged-hashes oracle — only the xxhash64
-    # VALUES come from staging; distinct, k-smallest selection, array
-    # packing (CSV-compared), the (k-1)/u_k estimator on its exact/
-    # underfull branch split, and the merge≡union-sketch identity are
-    # all re-derived here.  k = 64 to match the Spark side.
-    sqls["kmv_sketch_docs"] = f"""
+    # (kmv_sketch_docs retired r15 — strictly superseded by
+    # stream_kmv_fold_docs below; its exact DuckDB comparison moved
+    # in-test, tests/test_entry_contract.py::
+    # test_kmv_sketch_docs_duckdb_oracle)
+    # stream_kmv_fold_docs (r15): staged-hashes oracle — only the
+    # xxhash64 VALUES come from staging; DuckDB replays the fold LADDER
+    # itself: s1 = bottom-64 of slice 1, s2 = bottom-64 of (s1 ∪ slice
+    # 2's sketch), s3 = bottom-64 of (s2 ∪ slice 3's sketch).  The
+    # batch-3 replay is a no-op here BY ALGEBRA (bottom-k-of-union is
+    # idempotent) — which is exactly the property the Spark side's
+    # replayed fold must exhibit to hash-match.  fold≡direct compares
+    # the ladder result against the one-pass bottom-64 of the whole
+    # corpus (the associativity identity).  k = 64, estimator
+    # (k-1)/u_k with u = h·2⁻⁶⁴ + 0.5 on the exact/underfull split.
+    sqls["stream_kmv_fold_docs"] = f"""
         WITH h AS (
             SELECT DISTINCT snap, lang, h
-            FROM read_parquet('{_STAGED_KMV_DIR}/*.parquet')
+            FROM read_parquet('{_STAGED_KMV_FOLD_HASHES}/*.parquet')
         ),
-        ka AS (
+        b1 AS (
             SELECT lang, h FROM (
                 SELECT lang, h, row_number() OVER (
                     PARTITION BY lang ORDER BY h) AS rn
-                FROM h WHERE snap = 'a'
+                FROM h WHERE snap = 1
             ) WHERE rn <= 64
         ),
-        kb AS (
+        b2 AS (
             SELECT lang, h FROM (
                 SELECT lang, h, row_number() OVER (
                     PARTITION BY lang ORDER BY h) AS rn
-                FROM h WHERE snap = 'b'
+                FROM h WHERE snap = 2
             ) WHERE rn <= 64
         ),
-        m AS (
+        b3 AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rn
+                FROM h WHERE snap = 3
+            ) WHERE rn <= 64
+        ),
+        s2 AS (
             SELECT lang, h FROM (
                 SELECT lang, h, row_number() OVER (
                     PARTITION BY lang ORDER BY h) AS rn
                 FROM (SELECT DISTINCT lang, h FROM (
-                    SELECT lang, h FROM ka UNION ALL SELECT lang, h FROM kb))
+                    SELECT lang, h FROM b1 UNION ALL SELECT lang, h FROM b2))
+            ) WHERE rn <= 64
+        ),
+        s3 AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rn
+                FROM (SELECT DISTINCT lang, h FROM (
+                    SELECT lang, h FROM s2 UNION ALL SELECT lang, h FROM b3))
             ) WHERE rn <= 64
         ),
         d AS (
@@ -2951,34 +3101,51 @@ def oracle_sql() -> dict[str, str]:
         agg AS (
             SELECT lang, count(*) AS n, max(h) AS h_k,
                    string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS csv
-            FROM m GROUP BY lang
+            FROM s3 GROUP BY lang
         ),
-        agg_a AS (SELECT lang, count(*) AS n, max(h) AS h_k FROM ka GROUP BY lang),
-        agg_b AS (SELECT lang, count(*) AS n, max(h) AS h_k FROM kb GROUP BY lang),
         agg_d AS (
             SELECT lang, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS csv
             FROM d GROUP BY lang
         )
         SELECT agg.lang,
-               agg.n AS n_merged,
+               CAST(agg.n AS BIGINT) AS n_folded,
                agg.csv AS sketch_csv,
                round(CASE WHEN agg.n < 64 THEN CAST(agg.n AS DOUBLE)
                      ELSE CAST(63 AS DOUBLE)
                           / (CAST(agg.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
-                     END, 1) AS est_merged,
-               round(CASE WHEN agg_a.n < 64 THEN CAST(agg_a.n AS DOUBLE)
-                     ELSE CAST(63 AS DOUBLE)
-                          / (CAST(agg_a.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
-                     END, 1) AS est_a,
-               round(CASE WHEN agg_b.n < 64 THEN CAST(agg_b.n AS DOUBLE)
-                     ELSE CAST(63 AS DOUBLE)
-                          / (CAST(agg_b.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
-                     END, 1) AS est_b,
-               (agg.csv = agg_d.csv) AS merge_eq_union
+                     END, 1) AS est_folded,
+               (agg.csv = agg_d.csv) AS fold_eq_direct
         FROM agg
-        LEFT JOIN agg_a USING (lang)
-        LEFT JOIN agg_b USING (lang)
         LEFT JOIN agg_d USING (lang)
+    """
+    # anchor_profile_domains (r15): zero staging — the link fabric is
+    # shared doc_id arithmetic (www. prefix collapses at eTLD+1 grain,
+    # doc_id % 13 == 0 rows carry an unparseable target and vanish),
+    # then tokenize + stopword drop + per-(domain, term) count + top-3
+    # window with the desc-count-then-term tie break.
+    sqls["anchor_profile_domains"] = f"""
+        WITH links AS (
+            SELECT 'd' || CAST(abs(doc_id) % 7 AS VARCHAR) || '.com'
+                       AS dst_domain,
+                   lower(text) AS t
+            FROM documents
+            WHERE doc_id % 13 != 0
+        ),
+        toks AS (
+            SELECT dst_domain, unnest({_DUCK_TOKS.format(src='t')}) AS term
+            FROM links
+        ),
+        counts AS (
+            SELECT dst_domain, term, count(*) AS n
+            FROM toks
+            WHERE term NOT IN ('the','a','and','of','to','in','is','on','for','as')
+            GROUP BY 1, 2
+        )
+        SELECT dst_domain, term, CAST(n AS BIGINT) AS n, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY dst_domain ORDER BY n DESC, term) AS rank
+            FROM counts
+        ) WHERE rank <= 3
     """
     # range_join_windows: the oracle joins on the RAW inequality predicate
     # (what the operator's bucket decomposition must be equivalent to) and
@@ -3797,31 +3964,10 @@ def _training_family_oracles() -> dict[str, str]:
                     ELSE CAST(n_rows AS BIGINT) END AS n_rows
         FROM frac
     """
-    sqls["tfidf_top_docs"] = f"""
-        WITH toks AS (
-            SELECT doc_id, unnest({_DUCK_TOKS.format(src='lower(text)')}) AS term
-            FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, term, count(*) AS tf
-            FROM toks
-            WHERE term NOT IN ('the','a','and','of','to','in','is','on','for','as')
-            GROUP BY 1, 2
-        ),
-        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (
-            SELECT tf.doc_id, tf.term, tf.tf,
-                   round(round(tf.tf * (ln(((SELECT CAST(n_docs AS DOUBLE) FROM n) + 1)
-                                           / (dfreq.df + 1.0)) + 1.0), 9), 6) AS tf_idf
-            FROM tf JOIN dfreq USING (term)
-        )
-        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tf_idf, rank FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rank
-            FROM scored
-        ) WHERE rank <= 5
-    """
+    # (tfidf_top_docs retired r15 — its tokenize/count/top-k-window
+    # kernels stay live in anchor_profile_domains; the exact DuckDB
+    # comparison moved in-test, tests/test_entry_contract.py::
+    # test_tfidf_top_docs_duckdb_oracle)
     sqls["contamination_docs"] = f"""
         WITH g AS (
             SELECT doc_id,

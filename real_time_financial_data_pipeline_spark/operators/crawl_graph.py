@@ -48,20 +48,37 @@ part of the beyond-reference training-data-pipeline charter.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from real_time_financial_data_pipeline_spark.operators.urls import registered_domain
 
+_log = logging.getLogger(__name__)
+
 #: href extraction: the value of the first href attribute of each <a>
 #: tag, fragment-only targets excluded at the match.  Two passes —
 #: quoted (both quote styles) and UNQUOTED (``href=foo``, legal HTML
 #: and common in old crawl data; value runs to whitespace/``>``/a
-#: quote, the HTML5 unquoted-attribute charset).  The unquoted
-#: pattern's first-char class excludes quotes, so no anchor matches
-#: both passes.
-_HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']"""
-_HREF_UNQUOTED_RE = r"""(?is)<a\s[^>]*?href\s*=\s*([^\s"'<>`#][^\s"'<>`]*)"""
+#: quote, the HTML5 unquoted-attribute charset).  The attribute-scan
+#: prefix is QUOTE-AWARE — it consumes quoted attribute values
+#: atomically (``"[^"]*"`` / ``'[^']*'``) so the scan can never stop
+#: INSIDE one and read e.g. ``title="see href=foo"`` as a link — and
+#: the lookbehind pins ``href`` to an attribute boundary
+#: (whitespace or a closing quote), so ``data-href=...`` is not an
+#: href.  The unquoted pattern's first value char excludes quotes, so
+#: for an anchor with a single href attribute exactly one pass
+#: matches; an anchor carrying DUPLICATE href attributes of mixed
+#: styles (pathological markup) can still emit one edge per style —
+#: the domain-grain graph tolerates the extra weight.
+_ATTR_PREFIX = r"""(?:[^>"']|"[^"]*"|'[^']*')*?(?<=[\s"'])"""
+_HREF_RE = (
+    r"(?is)<a\s" + _ATTR_PREFIX + r"""href\s*=\s*["']([^"'#][^"']*)["']"""
+)
+_HREF_UNQUOTED_RE = (
+    r"(?is)<a\s" + _ATTR_PREFIX + r"""href\s*=\s*([^\s"'<>`#][^\s"'<>`]*)"""
+)
 
 #: scheme-prefixed but NON-hierarchical targets (mailto:, javascript:,
 #: data:, tel:) — linkable, not crawlable; resolved to NULL.
@@ -122,9 +139,10 @@ def extract_links(
     and fragment-only targets are dropped; one row per anchor
     occurrence (duplicates preserved — ``host_graph`` counts them as
     weight).  Quoted and unquoted href forms both extract (two
-    regexp passes whose matches are disjoint by construction — see
-    ``_HREF_RE``); the graph is order-insensitive, so concatenating
-    the two match arrays loses nothing.
+    regexp passes with a quote-aware attribute scan, disjoint per
+    href attribute — see ``_HREF_RE`` for the one pathological
+    duplicate-href carve-out); the graph is order-insensitive, so
+    concatenating the two match arrays loses nothing.
 
     ``with_text=True`` adds an ``anchor_text`` column — what the
     LINKING page calls the target, the classic external-description
@@ -194,15 +212,37 @@ def host_graph(
     )
 
 
+def _warn_release_drift(detail: str) -> None:
+    """Warn ONCE per process when the checkpoint-release reach-through
+    fails — without this signal, any Spark-internal drift would
+    silently reinstate the storage ratchet the release path exists to
+    fix (review-caught observability gap).  One warning, not one per
+    round: a nightly job cutting every 5 iterations must not flood."""
+    global _RELEASE_DRIFT_WARNED
+    if not _RELEASE_DRIFT_WARNED:
+        _RELEASE_DRIFT_WARNED = True
+        _log.warning(
+            "superseded-checkpoint release disabled for this session "
+            "(Spark internal API drift?): %s — checkpoint storage of "
+            "superseded iterates will accumulate until GC / session end",
+            detail,
+        )
+
+
+_RELEASE_DRIFT_WARNED = False
+
+
 def _checkpointed_jrdd(df: DataFrame):
     """The JVM RDD a checkpointed Dataset's ``LogicalRDD`` leaf wraps —
     the handle needed to release superseded checkpoint state (Spark's
     public API offers no way back from ``Dataset.checkpoint`` to the
-    RDD it persisted).  Defensive: returns None if the plan is not the
-    expected leaf shape, and callers treat release as best-effort."""
+    RDD it persisted).  Defensive: returns None (warning once) if the
+    plan is not the expected leaf shape, and callers treat release as
+    best-effort."""
     try:
         return df._jdf.queryExecution().logical().rdd()
-    except Exception:  # pragma: no cover - internal-API drift guard
+    except Exception as exc:  # pragma: no cover - internal-API drift guard
+        _warn_release_drift(f"logical-plan->RDD reach-through failed: {exc!r}")
         return None
 
 
@@ -224,8 +264,8 @@ def _release_checkpoint(df: DataFrame, reliable: bool) -> None:
                 p.getFileSystem(conf).delete(p, True)
         else:
             jrdd.unpersist(False)
-    except Exception:  # pragma: no cover - release is best-effort
-        pass
+    except Exception as exc:  # pragma: no cover - release is best-effort
+        _warn_release_drift(f"release of superseded checkpoint failed: {exc!r}")
 
 
 def pagerank(
@@ -313,7 +353,10 @@ def pagerank(
     the right mode on a real cluster ranking the full crawl graph.
     Superseded reliable checkpoint files are deleted the same way; the
     final iterate's files remain until the caller removes the
-    directory."""
+    directory.  ``checkpoint_dir`` necessarily goes through the
+    session-global ``setCheckpointDir``; any previously-set directory
+    is restored on exit (when none was set, ours remains — Spark has
+    no unset API)."""
     if not 0 < d < 1:
         raise ValueError(f"damping d must be in (0, 1), got {d}")
     if max_iter < 1:
@@ -348,15 +391,20 @@ def pagerank(
     # is a projection off the already-cached nodes table — free.
     base_cached = teleport is not None
     if teleport is not None:
+        # validate on the RAW frame, BEFORE the node join: a negative
+        # weight on a seed absent from the graph must fail fast too
+        # (review-caught — the post-join check silently dropped it),
+        # and summed duplicates must not mask a negative component
+        t_min = teleport.agg(F.min(F.col("weight").cast("double"))).first()[0]
+        if t_min is not None and t_min < 0:
+            raise ValueError(f"teleport weights must be >= 0, min was {t_min}")
         seeds = teleport.groupBy("node").agg(
             F.sum(F.col("weight").cast("double")).alias("_tw")
         )
         raw = nodes.join(seeds, "node", "left").select(
             "node", F.coalesce("_tw", F.lit(0.0)).alias("_t")
         )
-        t_tot, t_min = raw.agg(F.sum("_t"), F.min("_t")).first()
-        if t_min is not None and t_min < 0:
-            raise ValueError(f"teleport weights must be >= 0, min was {t_min}")
+        t_tot = raw.agg(F.sum("_t")).first()[0]
         if not t_tot or t_tot <= 0:
             raise ValueError(
                 "teleport: no seed with positive weight appears in the graph "
@@ -366,9 +414,20 @@ def pagerank(
         base.count()
     else:
         base = nodes.select("node", F.lit(1.0 / n).alias("_t"))
+    # setCheckpointDir is SESSION-GLOBAL state; save the previous dir and
+    # restore it after the run so a later caller's Dataset.checkpoint
+    # does not silently inherit ours (review-caught).  Caveat, documented:
+    # Spark offers no unset API, so when no dir was set before, ours
+    # remains set afterwards; and the restore re-issues setCheckpointDir
+    # on the RESOLVED previous path (Spark nests a fresh UUID subdir
+    # under it), which keeps later checkpoints inside the caller's
+    # original tree rather than ours.
     reliable = checkpoint_dir is not None
+    prev_ck_dir = None
     if reliable:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = edges.sparkSession.sparkContext
+        prev_ck_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
     live_ck = None  # the newest MATERIALIZED checkpoint backing `ranks`
     if init_ranks is not None:
         warm = nodes.join(
@@ -467,6 +526,8 @@ def pagerank(
     nodes.unpersist()
     if base_cached:
         base.unpersist()
+    if reliable and prev_ck_dir is not None:
+        sc.setCheckpointDir(prev_ck_dir)
     if stats is not None:
         stats.update(n_iter=it + 1, converged=converged, delta=delta)
     if require_convergence and not converged:
@@ -540,3 +601,87 @@ def with_domain_rank(
     if fill is not None:
         joined = joined.withColumn(rank_col, F.coalesce(F.col(rank_col), F.lit(fill)))
     return joined.drop("_rank_dom")
+
+
+def anchor_profile(
+    links: DataFrame,
+    dst_col: str = "dst",
+    text_col: str = "anchor_text",
+    k: int = 5,
+    extra_suffixes: tuple[str, ...] = (),
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k anchor terms per TARGET registered domain — "what the web
+    calls this page", the classic external-description signal (anchor
+    text is the one quality feature the linked page cannot write for
+    itself; search engines have indexed it since PageRank's own paper,
+    and crawl curation uses the aggregate as a relevance/label source).
+    Consumes the ``extract_links(with_text=True)`` surface: (dst,
+    anchor_text) link rows in, (dst_domain, term, n, rank) out, rank
+    1..k per domain by term frequency with ties broken on term order
+    (fully deterministic).
+
+    Scale shape is ``top_terms``'s (operators/text.py): tokenize +
+    explode run in the scan stage, the ONLY shuffle carries (domain,
+    term, partial count) with map-side combine — bounded by domain
+    count x vocabulary, not by link count, which is what survives a
+    full-crawl link table.  Rows whose target has no parseable
+    registered domain are dropped (same rule as ``host_graph``);
+    stopwords default to the corpus list (pass ``[]`` to keep all)."""
+    from .text import top_terms
+
+    dom = registered_domain(F.col(dst_col), extra_suffixes)
+    frame = links.select(
+        dom.alias("dst_domain"), F.col(text_col).alias("_anchor")
+    ).filter(F.col("dst_domain").isNotNull())
+    return top_terms(
+        frame, text_col="_anchor", group_col="dst_domain", k=k,
+        stopwords=stopwords,
+    )
+
+
+def with_anchor_terms(
+    docs: DataFrame,
+    profile: DataFrame,
+    url_col: str = "uri",
+    out_col: str = "anchor_terms",
+    extra_suffixes: tuple[str, ...] = (),
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Join an ``anchor_profile`` back onto a documents frame by
+    registered domain as ONE text feature column: the domain's top
+    anchor terms, rank-ordered and space-joined (``out_col``; NULL for
+    domains nobody links to or unparseable URLs).  This is the feature-
+    table wiring that lets the web's description of a domain feed the
+    trained quality classifier (append ``anchor_terms`` to the text the
+    hashed featurizer sees) or serve as a human-auditable column next
+    to ``with_domain_rank``'s prior.
+
+    The profile collapses to one row per domain first (vocabulary-
+    bounded aggregate, ``array_agg`` sorted by rank), so the join is a
+    keyed left join against a per-domain table — same size story as
+    ``with_domain_rank`` and the same three-way ``broadcast`` gate:
+    ``None`` lets AQE pick on runtime size, ``True`` forces broadcast
+    (curated subset), ``False`` forces a shuffled-hash join (full-crawl
+    profile)."""
+    collapsed = profile.groupBy(F.col("dst_domain").alias("_anchor_dom")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rank"), F.col("term")))
+                ),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias(out_col)
+    )
+    if broadcast is True:
+        collapsed = F.broadcast(collapsed)
+    elif broadcast is False:
+        collapsed = collapsed.hint("shuffle_hash")
+    dom = registered_domain(F.col(url_col), extra_suffixes)
+    return (
+        docs.withColumn("_anchor_dom", dom)
+        .join(collapsed, "_anchor_dom", "left")
+        .drop("_anchor_dom")
+    )

@@ -910,7 +910,8 @@ def prepare_training_set(
     )
     if _rank_gate is not None and (domain_ranks is None or url_col is None):
         raise ValueError(
-            "min_domain_rank requires domain_ranks (a pagerank table) and url_col"
+            "min_domain_rank / min_domain_rank_quantile requires domain_ranks "
+            "(a pagerank table) and url_col"
         )
     if domain_ranks is not None and _rank_gate is None:
         raise ValueError(
@@ -934,9 +935,19 @@ def prepare_training_set(
                 # a curation knob, not an exact cut, and stable as the
                 # graph grows because the threshold moves with the
                 # distribution instead of sitting on a raw value
-                threshold = domain_ranks.approxQuantile(
+                qs = domain_ranks.approxQuantile(
                     "rank", [min_domain_rank_quantile], 1e-3
-                )[0]
+                )
+                # approxQuantile returns [] on an empty / all-null rank
+                # table — surface a curation-level error instead of a
+                # bare IndexError (review-caught)
+                if not qs:
+                    raise ValueError(
+                        "min_domain_rank_quantile: domain_ranks has no "
+                        "non-null rank values — cannot resolve a quantile "
+                        "threshold (empty or unranked graph?)"
+                    )
+                threshold = qs[0]
             docs = with_domain_rank(docs, domain_ranks, url_col, "_dom_rank")
             docs = docs.filter(
                 F.col("_dom_rank").isNull()

@@ -25,8 +25,14 @@ and the next replay rebuilds it from v=n-1.
 
 Scale shape: per batch, one hash aggregate over the micro-batch's links
 (``host_graph``) plus a merge against the snapshot — a per-domain-PAIR
-table (the web's ~10^8 domain edges at full crawl scale; at that size
-drop the one-file coalesce and let the merge write partitioned).  The
+table (the web's ~10^8 domain edges at full crawl scale).  The write
+shape is caller-controlled via ``n_files``: the default ``n_files=1``
+is the right snapshot for the test/SF scale (one file per version, cheap
+to list and re-read), while ``n_files=None`` drops the coalesce entirely
+and lets the merge write at its shuffle parallelism — at full crawl
+scale the single-file form would funnel the ENTIRE merged edge table
+through one task per micro-batch (the exact single-task spill cliff the
+rest of this repo avoids), so crawl-scale callers pass ``None``.  The
 snapshot is what the nightly ``pagerank(init_ranks=...)`` re-rank
 consumes; ranking stays a batch job by design — a power iteration is
 not a streaming operator, and the rank trend only moves nightly.
@@ -63,11 +69,23 @@ def make_graph_folder(
     dst: str = "dst",
     extra_suffixes: tuple[str, ...] = (),
     keep_versions: int | None = None,
+    n_files: int | None = 1,
 ):
     """The foreachBatch body, exposed (like ``make_sketch_folder``) so
     replay semantics are directly testable: call it twice with the same
     batch frame and batch_id — the resulting snapshot is identical,
-    because the fold reads only versions strictly below its own."""
+    because the fold reads only versions strictly below its own.
+
+    ``n_files`` controls the snapshot write shape: a positive int
+    coalesces the merged edge table to that many files (1 = the compact
+    single-file snapshot, right at test scale); ``None`` writes at the
+    merge's own shuffle parallelism — required at full crawl scale,
+    where coalescing ~10^8 edges into one task is the single-task
+    spill/OOM cliff (module docstring)."""
+    if n_files is not None and n_files < 1:
+        raise ValueError(
+            f"n_files must be None (partitioned write) or >= 1, got {n_files}"
+        )
     # >= 2 here where the KMV fold accepts >= 1: the KMV merge is
     # idempotent, so its replay can re-read the latest snapshot
     # INCLUDING v=n; this fold's replay safety comes from re-reading the
@@ -101,7 +119,8 @@ def make_graph_folder(
         tmp = jvm.org.apache.hadoop.fs.Path(f"{graph_path}/_staging_v{batch_id}")
         final = jvm.org.apache.hadoop.fs.Path(f"{graph_path}/v={batch_id}")
         fs = final.getFileSystem(conf)
-        merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        out = merged if n_files is None else merged.coalesce(n_files)
+        out.write.mode("overwrite").parquet(str(tmp))
         if fs.exists(final):
             fs.delete(final, True)
         if not fs.rename(tmp, final):
@@ -125,6 +144,7 @@ def stream_host_graph_fold(
     dst: str = "dst",
     extra_suffixes: tuple[str, ...] = (),
     keep_versions: int | None = None,
+    n_files: int | None = 1,
     trigger_available_now: bool = False,
     processing_time: str | None = None,
 ) -> StreamingQuery:
@@ -136,7 +156,9 @@ def stream_host_graph_fold(
     nightly ``pagerank(init_ranks=latest)`` re-rank."""
     if not links.isStreaming:
         raise ValueError("links must be a streaming DataFrame (use host_graph)")
-    fold = make_graph_folder(graph_path, src, dst, extra_suffixes, keep_versions)
+    fold = make_graph_folder(
+        graph_path, src, dst, extra_suffixes, keep_versions, n_files
+    )
     writer = links.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
     )

@@ -62,6 +62,42 @@ def test_extract_links_href_forms_and_resolution(spark):
     assert extract_links(junk, "html", "uri").count() == 0
 
 
+def test_extract_links_quote_aware_attribute_scan(spark):
+    """Review-caught false positives in the attribute-scan prefix: the
+    old lazy ``[^>]*?`` could stop INSIDE a quoted attribute value
+    (``title="see href=foo"``) and emit its content as a second edge,
+    and ``data-href=...`` could pass as an href.  The quote-aware
+    prefix consumes quoted values atomically and the boundary
+    lookbehind pins ``href`` to a real attribute position — pinned in
+    BOTH extraction modes (default two-pass and with_text element
+    grain)."""
+    html = (
+        '<a title="see href=foo" href="/real">quoted decoy</a>'
+        "<a title='see href=bar' href=/real2>unquoted target after decoy</a>"
+        '<a data-href="/not-a-link">data-href only</a>'
+        "<a data-href=/also-not>unquoted data-href only</a>"
+        '<a data-href="/decoy" href="/kept">data-href plus real</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://site.example/", html)], "uri string, html string"
+    )
+    got = sorted(r.dst for r in extract_links(pages, "html", "uri").collect())
+    assert got == [
+        "http://site.example/kept",
+        "http://site.example/real",
+        "http://site.example/real2",
+    ]
+    with_text = {
+        (r.dst, r.anchor_text)
+        for r in extract_links(pages, "html", "uri", with_text=True).collect()
+    }
+    assert with_text == {
+        ("http://site.example/real", "quoted decoy"),
+        ("http://site.example/real2", "unquoted target after decoy"),
+        ("http://site.example/kept", "data-href plus real"),
+    }
+
+
 def test_extract_links_with_anchor_text(spark):
     """with_text=True: the anchor's inner HTML reduces to text with the
     SAME html_to_text pass documents get (tag strip + entity decode +
@@ -240,6 +276,15 @@ def test_pagerank_personalized_teleport_trustrank(spark):
     with pytest.raises(ValueError, match=">= 0"):
         pagerank(df, max_iter=1, teleport=spark.createDataFrame(
             [("a", -1.0)], "node string, weight double"))
+    # validation runs BEFORE the node join: a negative weight on a seed
+    # ABSENT from the graph fails fast too (review-caught), and a
+    # negative component summed away by a positive duplicate still fails
+    with pytest.raises(ValueError, match=">= 0"):
+        pagerank(df, max_iter=1, teleport=spark.createDataFrame(
+            [("not-in-graph", -1.0), ("a", 1.0)], "node string, weight double"))
+    with pytest.raises(ValueError, match=">= 0"):
+        pagerank(df, max_iter=1, teleport=spark.createDataFrame(
+            [("a", -1.0), ("a", 2.0)], "node string, weight double"))
     with pytest.raises(ValueError, match="no seed"):
         pagerank(df, max_iter=1, teleport=spark.createDataFrame(
             [("zzz", 1.0)], "node string, weight double"))
@@ -285,6 +330,110 @@ def test_with_domain_rank_prior_join(spark):
         # statically and AQE respects the hint.
         got = {r.doc_id: r.domain_rank for r in o.collect()}
         assert got == want
+        plan = o._jdf.queryExecution().executedPlan().toString()
+        assert expect in plan, (mode, plan)
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_anchor_profile_top_terms_per_target_domain(spark):
+    """anchor_profile: (dst, anchor_text) link rows -> top-k anchor
+    terms per TARGET registered domain — frequency-ranked, ties broken
+    on term order, stopwords dropped, unparseable targets dropped, and
+    the grouping at eTLD+1 grain (www./deep hosts collapse)."""
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("http://www.shop.example/a", "cheap widgets store"),
+            ("http://shop.example/b", "widgets and the best widgets"),
+            ("http://deep.shop.example/c", "cheap deals"),
+            ("http://news.example/x", "daily news"),
+            ("not a url", "dropped entirely"),
+        ],
+        "dst string, anchor_text string",
+    )
+    got = [
+        (r.dst_domain, r.term, r.n, r.rank)
+        for r in anchor_profile(links, k=2)
+        .orderBy("dst_domain", "rank")
+        .collect()
+    ]
+    # shop.example: widgets x3, cheap x2 ("and"/"the" are stopwords);
+    # news.example: daily/news tie at 1 -> term order breaks it
+    assert got == [
+        ("news.example", "daily", 1, 1),
+        ("news.example", "news", 1, 2),
+        ("shop.example", "widgets", 3, 1),
+        ("shop.example", "cheap", 2, 2),
+    ]
+    # stopwords=[] keeps everything
+    all_terms = {
+        r.term
+        for r in anchor_profile(links, k=10, stopwords=[]).collect()
+    }
+    assert {"and", "the"} <= all_terms
+
+
+def test_anchor_profile_ladder_from_html_and_feature_join(spark):
+    """The full anchor ladder: raw HTML pages -> extract_links
+    (with_text=True) -> anchor_profile -> with_anchor_terms — the
+    extraction's quote/entity handling feeds the aggregate, and the
+    collapsed rank-ordered feature column joins back onto docs by
+    registered domain (NULL where nobody links)."""
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+        extract_links,
+        with_anchor_terms,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://a.example/p1",
+                '<a href="http://target.example/x">great <b>tools</b></a>'
+                "<a href='http://target.example/y'>great R&amp;D tools</a>",
+            ),
+            (
+                "http://b.example/p2",
+                "<a href=http://target.example/z>free tools</a>"
+                '<a href="http://other.example/q">boring page</a>',
+            ),
+        ],
+        "uri string, html string",
+    )
+    prof = anchor_profile(
+        extract_links(pages, "html", "uri", with_text=True), k=2
+    )
+    got = [
+        (r.dst_domain, r.term, r.n, r.rank)
+        for r in prof.orderBy("dst_domain", "rank").collect()
+    ]
+    # target.example: tools x3, great x2; other.example: boring/page tie
+    assert got == [
+        ("other.example", "boring", 1, 1),
+        ("other.example", "page", 1, 2),
+        ("target.example", "tools", 3, 1),
+        ("target.example", "great", 2, 2),
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.target.example/landing"),
+            (2, "http://nobody-links.example/p"),
+            (3, "junk"),
+        ],
+        "doc_id long, uri string",
+    )
+    feat = {
+        r.doc_id: r.anchor_terms
+        for r in with_anchor_terms(docs, prof).collect()
+    }
+    assert feat == {1: "tools great", 2: None, 3: None}
+    # join strategy gate mirrors with_domain_rank: keyed join, no product
+    for mode, expect in ((True, "BroadcastHashJoin"), (False, "ShuffledHashJoin")):
+        o = with_anchor_terms(docs, prof, broadcast=mode)
+        assert {r.doc_id: r.anchor_terms for r in o.collect()} == feat
         plan = o._jdf.queryExecution().executedPlan().toString()
         assert expect in plan, (mode, plan)
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
@@ -527,6 +676,16 @@ def test_training_set_domain_rank_quantile_gate_is_scale_stable(spark):
             docs, url_col="uri", domain_ranks=ranks1,
             min_domain_rank_quantile=1.0,
         )
+    # an empty (or all-null-rank) table cannot yield a quantile — a
+    # descriptive curation error, not a bare IndexError (review-caught)
+    empty_ranks = spark.createDataFrame([], "node string, rank double")
+    with pytest.raises(ValueError, match="no non-null rank"):
+        kept(empty_ranks, min_domain_rank_quantile=0.3)
+    null_ranks = spark.createDataFrame(
+        [("a.example", None)], "node string, rank double"
+    )
+    with pytest.raises(ValueError, match="no non-null rank"):
+        kept(null_ranks, min_domain_rank_quantile=0.3)
 
 
 def test_warc_page_links_is_stream_legal(spark, tmp_path):
@@ -697,6 +856,30 @@ def test_stream_host_graph_fold_replay_and_drain_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="streaming"):
         stream_host_graph_fold(links(all_pairs), gp2, str(tmp_path / "ck2"))
 
+    # (e) write-shape knob: n_files=None writes the snapshot at the
+    # merge's own parallelism (crawl scale — no single-task funnel),
+    # n_files=k coalesces to k files; the FOLDED VALUES are identical
+    # under every shape, including under replay (the ladder semantics
+    # are orthogonal to the write shape)
+    import glob as _glob
+    gp3 = str(tmp_path / "graph3")
+    fold_part = make_graph_folder(gp3, keep_versions=2, n_files=None)
+    fold_part(b0, 0)
+    fold_part(b1, 1)
+    fold_part(b1, 1)  # replay, partitioned shape
+    v3, snap3 = latest_graph_snapshot(spark, gp3)
+    assert v3 == 1
+    assert {
+        (r.src_domain, r.dst_domain): r.weight for r in snap3.collect()
+    } == after
+    # single-file shape really is one data file; partitioned shape is
+    # free to be many (and at least exists as a committed version dir)
+    one_file = _glob.glob(f"{gp}/v=3/part-*.parquet")
+    assert len(one_file) == 1
+    assert _glob.glob(f"{gp3}/v=1/part-*.parquet")
+    with pytest.raises(ValueError, match="n_files"):
+        make_graph_folder(gp3, n_files=0)
+
 
 def test_pagerank_warm_init_lineage_cut(spark):
     """Probe-caught warm-start perf bug: init_ranks is typically LAST
@@ -791,3 +974,21 @@ def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
         if d.startswith("rdd-")
     ]
     assert len(rdd_dirs) == 1
+    # session-global hygiene (review-caught): a previously-set
+    # checkpoint dir is RESTORED after the run, so later callers'
+    # Dataset.checkpoint does not silently inherit pagerank's directory
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
+    try:
+        prior = str(tmp_path / "caller_ck")
+        sc.setCheckpointDir(prior)
+        resolved_prior = sc.getCheckpointDir()
+        pagerank(edges, d=0.6, tol=None, max_iter=2, checkpoint_every=1,
+                 checkpoint_dir=str(tmp_path / "pr_ck2"))
+        restored = sc.getCheckpointDir()
+        # restore re-issues setCheckpointDir on the resolved prior path
+        # (a fresh UUID nests under it) — the caller's TREE is restored
+        assert restored is not None and restored.startswith(resolved_prior)
+    finally:
+        if before is not None:
+            sc.setCheckpointDir(before)

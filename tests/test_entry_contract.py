@@ -245,6 +245,145 @@ def test_portfolio_daily_duckdb_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_tfidf_top_docs_duckdb_oracle(spark):
+    """Retirement anchor for the tfidf_top_docs oracle row (rotated out
+    in round 15 for anchor_profile_domains — its tokenize/count/top-k
+    window kernels stay live there; the idf ln-smoothing join is the
+    kernel THIS anchor keeps checked): the exact comparison the driver
+    row performed, at sf0.001."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._tfidf_top_docs(spark, SF).collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x != '')) AS term
+                FROM read_parquet('{SF}/documents.parquet')
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks
+                WHERE term NOT IN
+                    ('the','a','and','of','to','in','is','on','for','as')
+                GROUP BY 1, 2
+            ),
+            n AS (
+                SELECT count(DISTINCT doc_id) AS n_docs
+                FROM read_parquet('{SF}/documents.parquet')
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(round(tf.tf *
+                           (ln(((SELECT CAST(n_docs AS DOUBLE) FROM n) + 1)
+                               / (dfreq.df + 1.0)) + 1.0), 9), 6) AS tf_idf
+                FROM tf JOIN dfreq USING (term)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tf_idf, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_kmv_sketch_docs_duckdb_oracle(spark):
+    """Retirement anchor for the kmv_sketch_docs oracle row (rotated out
+    in round 15, strictly superseded by stream_kmv_fold_docs — which
+    replays the same distinct/k-smallest/packing/estimator/merge≡union
+    kernels through the versioned fold ladder): the exact staged-hash
+    comparison the driver row performed, at sf0.001.  Running the Spark
+    side first (re)writes the staging this SQL reads, so the pair is
+    self-consistent at this SF."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._kmv_sketch_docs(spark, SF).collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH h AS (
+                SELECT DISTINCT snap, lang, h
+                FROM read_parquet('{entrymod._STAGED_KMV_DIR}/*.parquet')
+            ),
+            ka AS (
+                SELECT lang, h FROM (
+                    SELECT lang, h, row_number() OVER (
+                        PARTITION BY lang ORDER BY h) AS rn
+                    FROM h WHERE snap = 'a'
+                ) WHERE rn <= 64
+            ),
+            kb AS (
+                SELECT lang, h FROM (
+                    SELECT lang, h, row_number() OVER (
+                        PARTITION BY lang ORDER BY h) AS rn
+                    FROM h WHERE snap = 'b'
+                ) WHERE rn <= 64
+            ),
+            m AS (
+                SELECT lang, h FROM (
+                    SELECT lang, h, row_number() OVER (
+                        PARTITION BY lang ORDER BY h) AS rn
+                    FROM (SELECT DISTINCT lang, h FROM (
+                        SELECT lang, h FROM ka
+                        UNION ALL SELECT lang, h FROM kb))
+                ) WHERE rn <= 64
+            ),
+            d AS (
+                SELECT lang, h FROM (
+                    SELECT lang, h, row_number() OVER (
+                        PARTITION BY lang ORDER BY h) AS rn
+                    FROM (SELECT DISTINCT lang, h FROM h)
+                ) WHERE rn <= 64
+            ),
+            agg AS (
+                SELECT lang, count(*) AS n, max(h) AS h_k,
+                       string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS csv
+                FROM m GROUP BY lang
+            ),
+            agg_a AS (
+                SELECT lang, count(*) AS n, max(h) AS h_k FROM ka GROUP BY lang),
+            agg_b AS (
+                SELECT lang, count(*) AS n, max(h) AS h_k FROM kb GROUP BY lang),
+            agg_d AS (
+                SELECT lang, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS csv
+                FROM d GROUP BY lang
+            )
+            SELECT agg.lang,
+                   agg.n AS n_merged,
+                   agg.csv AS sketch_csv,
+                   round(CASE WHEN agg.n < 64 THEN CAST(agg.n AS DOUBLE)
+                         ELSE CAST(63 AS DOUBLE)
+                              / (CAST(agg.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
+                         END, 1) AS est_merged,
+                   round(CASE WHEN agg_a.n < 64 THEN CAST(agg_a.n AS DOUBLE)
+                         ELSE CAST(63 AS DOUBLE)
+                              / (CAST(agg_a.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
+                         END, 1) AS est_a,
+                   round(CASE WHEN agg_b.n < 64 THEN CAST(agg_b.n AS DOUBLE)
+                         ELSE CAST(63 AS DOUBLE)
+                              / (CAST(agg_b.h_k AS DOUBLE) * power(2.0, -64) + 0.5)
+                         END, 1) AS est_b,
+                   (agg.csv = agg_d.csv) AS merge_eq_union
+            FROM agg
+            LEFT JOIN agg_a USING (lang)
+            LEFT JOIN agg_b USING (lang)
+            LEFT JOIN agg_d USING (lang)
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_correlation_duckdb_oracle(spark):
     """Retirement anchor for the correlation_click_purchase oracle row
     (rotated out in round 13 for pagerank_domains — its Pearson moment

@@ -139,7 +139,14 @@ CHECKS = {
     "fuzzy_linkage_docs": dict(no_cartesian=True, no_bnlj=True),
     # KMV sketches: the sketch aggregates keep their map-side partial
     # phase (the mapInPandas pre-prune bounds reducer input), no products
+    # (retired r15 — superseded by stream_kmv_fold_docs; contract stays)
     "kmv_sketch_docs": dict(partial_agg=True, no_cartesian=True),
+    # streaming KMV fold serving edge: snapshot-vs-direct join stays
+    # keyed on lang, sketch aggregates keep the partial phase
+    "stream_kmv_fold_docs": dict(partial_agg=True, no_cartesian=True),
+    # anchor profile: the ONLY shuffle carries (domain, term, partial
+    # count) — map-side combine mandatory, vocabulary-bounded reduce
+    "anchor_profile_domains": dict(partial_agg=True, no_cartesian=True),
     # retired r12 (oracle rotation, plan contracts stay audited):
     "ann_lsh_topk": dict(no_cartesian=True),
     "value_percentiles": dict(partial_agg=True, no_cartesian=True),
@@ -209,6 +216,8 @@ def main() -> None:
         "vwap_daily": entrymod._vwap_daily,
         "events_quality_report": entrymod._events_quality_report,
         "portfolio_daily": entrymod._portfolio_daily,
+        "tfidf_top_docs": entrymod._tfidf_top_docs,
+        "kmv_sketch_docs": entrymod._kmv_sketch_docs,
     }
     failures = 0
     for name, spec in CHECKS.items():

@@ -685,3 +685,347 @@ def apply_quality_classifier_hashed(
     out = df.withColumn(logit_col, logit)
     out = out.withColumn(prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col))))
     return out.withColumn(keep_col, F.col(logit_col) >= F.lit(logit_threshold))
+
+
+# ---------------------------------------------------------------------------
+# Multi-class (softmax) hashed variant: the fastText lang-id shape
+# ---------------------------------------------------------------------------
+#
+# CommonCrawl-scale language-ID is not a binary keep/drop — it is a
+# K-class assignment (fastText's lid.176 is the de-facto tool), and the
+# marker-list heuristic in ``text.lang_id`` only knows the handful of
+# languages someone hand-listed stopwords for.  This is the same hashed
+# n-gram machinery as the binary model above — identical rolling
+# pair-hash bucketing (the ONE scheme both trainers version-stamp into
+# the weights metadata) — with one weight array PER CLASS and a softmax
+# head.  The apply path stays a zero-exchange map-only projection: ONE
+# ``aggregate`` pass over the gram array accumulates all K per-class
+# weight sums in a struct accumulator (the bucketing evaluates once, not
+# K times), and the argmax is a ``greatest`` over (logit, tiebreak)
+# structs — deterministic, streaming-legal, codegen'd.
+
+
+def _multiclass_logits(
+    buckets: Column, biases: list[float], ws: list[list[float]]
+) -> list[Column]:
+    """Per-class logits ``bias_c + mean(w_c[bucket])`` with ONE pass over
+    the gram array: the fold's accumulator is a struct of K running sums,
+    so the (hot) bucketing expression is referenced — and therefore
+    evaluated — exactly once.  Empty doc -> per-class biases."""
+    k = len(ws)
+    warrs = [F.lit(w) for w in ws]
+    zero = F.struct(*[F.lit(0.0).alias(f"s{c}") for c in range(k)])
+    totals = F.aggregate(
+        buckets,
+        zero,
+        lambda acc, b: F.struct(
+            *[
+                (acc[f"s{c}"] + F.element_at(warrs[c], b + F.lit(1))).alias(f"s{c}")
+                for c in range(k)
+            ]
+        ),
+    )
+    n = F.size(buckets)
+    return [
+        F.lit(biases[c])
+        + F.coalesce(F.try_divide(totals[f"s{c}"], n), F.lit(0.0))
+        for c in range(k)
+    ]
+
+
+def train_multiclass_hashed(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ngram: int = 2,
+    iters: int = 40,
+    step: float = 4.0,
+    reg_param: float = 1e-3,
+    balance_classes: bool = False,
+) -> DataFrame:
+    """Fit a K-class softmax over hashed n-gram buckets; return a SPARSE
+    weights table ``(bucket int, label string, weight double)`` with one
+    intercept row per class at ``bucket = -1`` (always present, even at
+    0.0 — the bias rows ARE the class roster) and the bucketing contract
+    riding as column metadata, exactly like the binary trainer.
+
+    Classes are the distinct ``label_col`` strings, ordered
+    lexicographically (the order is part of the model: ties at apply
+    break toward the FIRST class).  Full-batch softmax gradient descent
+    on the weak-label sample: per iteration one scoring projection
+    (numerically stable max-shifted softmax, all K logits from the
+    single struct-accumulator pass) and ONE explode -> hash aggregate
+    carrying the K residual columns — shuffle bounded by n_buckets rows
+    of K sums, never the sample.  L2-regularized mean cross-entropy;
+    ``balance_classes`` reweights by n/(K·n_class) so each class
+    contributes equally no matter how lopsided the crawl is.
+
+    With K=2 and labels {'neg','pos'} this is the binary model in
+    one-vs-rest parametrization; the binary trainer stays the right tool
+    for keep/drop gates (one array instead of two).  For language ID,
+    train on a labeled sample and apply with
+    :func:`lang_id_trained` — the upgrade path ``text.lang_id``'s
+    docstring points at."""
+    if n_buckets < 2 or ngram < 1:
+        raise ValueError(
+            f"need n_buckets >= 2 and ngram >= 1, got {n_buckets}, {ngram}"
+        )
+    spark = df.sparkSession
+    staged = (
+        df.select(
+            F.col(label_col).cast("string").alias("_y"),
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ngram).alias("_b"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    try:
+        counts = {
+            r["_y"]: r["n"]
+            for r in staged.groupBy("_y").agg(F.count("*").alias("n")).collect()
+        }
+        if None in counts:
+            raise ValueError("labels must be non-null strings")
+        classes = sorted(counts)
+        k = len(classes)
+        if k < 2:
+            raise ValueError(f"need >= 2 classes, got {classes}")
+        n_rows = sum(counts.values())
+        if balance_classes:
+            rw = F.lit(None).cast("double")
+            for c in classes:
+                rw = F.when(
+                    F.col("_y") == c, F.lit(n_rows / (k * counts[c]))
+                ).otherwise(rw)
+        else:
+            rw = F.lit(1.0)
+        n_eff = float(n_rows)
+        w = np.zeros((k, n_buckets))
+        biases = np.zeros(k)
+        for _ in range(iters):
+            zs = _multiclass_logits(
+                F.col("_b"), biases.tolist(), [w[c].tolist() for c in range(k)]
+            )
+            m = F.greatest(*zs) if k > 1 else zs[0]
+            es = [F.exp(z - m) for z in zs]
+            denom = es[0]
+            for e in es[1:]:
+                denom = denom + e
+            resid_cols = [
+                (
+                    (es[c] / denom
+                     - F.when(F.col("_y") == classes[c], F.lit(1.0)).otherwise(
+                         F.lit(0.0)
+                     ))
+                    * rw
+                ).alias(f"_r{c}")
+                for c in range(k)
+            ]
+            scored = staged.select(
+                F.col("_b"), F.size(F.col("_b")).alias("_l"), *resid_cols
+            )
+            # ONE action per iteration: each bucket occurrence contributes
+            # resid/len (mean pooling) and a SENTINEL entry at j = -1
+            # carries the raw residual, so the bias gradient rides the
+            # same explode -> hash aggregate as the bucket gradients
+            # (empty docs emit only the sentinel — they still move the
+            # bias, never a bucket)
+            entries = F.concat(
+                F.transform(
+                    "_b",
+                    lambda b: F.struct(
+                        b.alias("j"),
+                        *[
+                            (F.col(f"_r{c}") / F.col("_l")).alias(f"g{c}")
+                            for c in range(k)
+                        ],
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("j"),
+                        *[F.col(f"_r{c}").alias(f"g{c}") for c in range(k)],
+                    )
+                ),
+            )
+            grads = (
+                scored.select(F.explode(entries).alias("_e"))
+                .groupBy(F.col("_e.j").alias("_j"))
+                .agg(*[F.sum(f"_e.g{c}").alias(f"_g{c}") for c in range(k)])
+                .collect()
+            )
+            g = np.zeros((k, n_buckets))
+            bg = np.zeros(k)
+            for r in grads:
+                if r["_j"] == -1:
+                    for c in range(k):
+                        bg[c] = (r[f"_g{c}"] or 0.0) / n_eff
+                else:
+                    for c in range(k):
+                        g[c, r["_j"]] = r[f"_g{c}"] / n_eff
+            w -= step * (g + reg_param * w)
+            biases -= step * bg
+    finally:
+        staged.unpersist()
+    rows = [(-1, classes[c], float(biases[c])) for c in range(k)] + [
+        (j, classes[c], float(w[c, j]))
+        for c in range(k)
+        for j in range(n_buckets)
+        if w[c, j] != 0.0
+    ]
+    out = spark.createDataFrame(rows, "bucket int, label string, weight double")
+    return out.select(
+        "bucket",
+        "label",
+        F.col("weight").alias(
+            "weight",
+            metadata={
+                "qc_n_buckets": n_buckets,
+                "qc_ngram": ngram,
+                "qc_hash": QC_HASH_SCHEME,
+            },
+        ),
+    )
+
+
+def _multiclass_weights(
+    weights: DataFrame,
+) -> tuple[list[str], list[float], list[list[float]], int, int]:
+    """(classes, biases, dense per-class weights, n_buckets, ngram) from a
+    multiclass weights table.  Classes come from the mandatory bias rows
+    (lexicographic order re-imposed, so a shuffled parquet round trip
+    cannot reorder the tie-break); bucketing params from the metadata
+    contract shared with the binary hashed model."""
+    n_buckets, ngram = _hashed_params(weights)
+    rows = weights.select("bucket", "label", "weight").collect()
+    biases_by: dict[str, float] = {}
+    for r in rows:
+        if r["bucket"] == -1:
+            biases_by[r["label"]] = float(r["weight"])
+    if len(biases_by) < 2:
+        raise ValueError(
+            "multiclass weights need a bucket = -1 bias row per class "
+            f"(found {sorted(biases_by)}) — train with train_multiclass_hashed"
+        )
+    classes = sorted(biases_by)
+    idx = {c: i for i, c in enumerate(classes)}
+    dense = [[0.0] * n_buckets for _ in classes]
+    for r in rows:
+        b = r["bucket"]
+        if b == -1:
+            continue
+        if r["label"] not in idx:
+            raise ValueError(f"weight row for unknown class {r['label']!r}")
+        if not 0 <= b < n_buckets:
+            raise ValueError(f"bucket {b} outside [0, {n_buckets})")
+        dense[idx[r["label"]]][b] = float(r["weight"])
+    return classes, [biases_by[c] for c in classes], dense, n_buckets, ngram
+
+
+def _multiclass_argmax_broadcast(
+    df_spark, buckets: Column, classes: list[str],
+    biases: list[float], ws: list[list[float]],
+) -> Column:
+    """(pred, z[]) via an explicitly broadcast (K, n_buckets) weight
+    matrix — the above-cap twin of the literal path, same cumsum fold
+    order per class, ties toward the first (lexicographically smallest)
+    class via argmax-on-first-max.  The kernel returns the raw LOGIT
+    vector (class order) and leaves the softmax to JVM expressions, so
+    probabilities are bit-identical across paths — numpy's exp and the
+    JVM's disagree in the last ulp, the logit arithmetic does not."""
+    bc = df_spark.sparkContext.broadcast(np.asarray(ws, dtype=np.float64))
+    b_arr = np.asarray(biases, dtype=np.float64)
+
+    @F.pandas_udf("pred string, z array<double>")
+    def _score(bks: pd.Series) -> pd.DataFrame:
+        wm = bc.value
+        preds, zss = [], []
+        for b in bks:
+            arr = np.asarray(b, dtype=np.int64)
+            if arr.size == 0:
+                z = b_arr.copy()
+            else:
+                z = b_arr + np.cumsum(wm[:, arr], axis=1)[:, -1] / arr.size
+            preds.append(classes[int(np.argmax(z))])  # first max = smallest class
+            zss.append([float(v) for v in z])
+        return pd.DataFrame({"pred": preds, "z": zss})
+
+    return _score(buckets)
+
+
+def apply_multiclass_hashed(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    out_col: str = "pred",
+    prob_col: str | None = None,
+    literal_cap: int = HASHED_LITERAL_CAP,
+) -> DataFrame:
+    """Assign every document its argmax class; optionally append the
+    softmax probability of the winner (``prob_col``).
+
+    Up to ``literal_cap`` TOTAL weights (K·n_buckets) the model folds
+    into K array literals and the pass is a zero-exchange codegen'd
+    projection: one struct-accumulator fold over the gram array (the
+    bucketing evaluates once), then ``greatest`` over (logit, tiebreak,
+    label) structs — ties break toward the lexicographically smallest
+    class.  Above the cap the weight MATRIX ships as one explicit
+    broadcast probed by an Arrow-batched numpy kernel — same map-only
+    shape, same tie rule (parity test-pinned).  Streaming-legal either
+    way."""
+    classes, biases, dense, n_buckets, ngram = _multiclass_weights(weights)
+    k = len(classes)
+    buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, ngram)
+    if k * n_buckets <= literal_cap:
+        zs = _multiclass_logits(buckets, biases, dense)
+        # greatest over (z, tiebreak, label): equal logits pick the row
+        # with the LARGER tiebreak = the SMALLER class index
+        cands = [
+            F.struct(
+                zs[c].alias("z"),
+                F.lit(k - 1 - c).alias("tb"),
+                F.lit(classes[c]).alias("label"),
+            )
+            for c in range(k)
+        ]
+        best = F.greatest(*cands)
+        out = df.withColumn(out_col, best["label"])
+        if prob_col is not None:
+            m = F.greatest(*zs)
+            denom = F.exp(zs[0] - m)
+            for z in zs[1:]:
+                denom = denom + F.exp(z - m)
+            out = out.withColumn(prob_col, F.exp(best["z"] - m) / denom)
+        return out
+    scored = _multiclass_argmax_broadcast(
+        df.sparkSession, buckets, classes, biases, dense
+    )
+    out = df.withColumn("_mc", scored).withColumn(out_col, F.col("_mc")["pred"])
+    if prob_col is not None:
+        # softmax JVM-side from the returned logit vector, same fold
+        # order as the literal path (0.0 + e_0 is exact, so the leading
+        # zero of the aggregate changes nothing) -> bit-identical probs
+        z = F.col("_mc")["z"]
+        m = F.array_max(z)
+        denom = F.aggregate(z, F.lit(0.0), lambda acc, x: acc + F.exp(x - m))
+        out = out.withColumn(prob_col, F.exp(m - m) / denom)
+    return out.drop("_mc")
+
+
+def lang_id_trained(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    prob_col: str | None = None,
+) -> DataFrame:
+    """Trained language ID — the fastText-shape upgrade to the marker
+    heuristic ``text.lang_id``: same output column, but the decision
+    comes from a :func:`train_multiclass_hashed` softmax over hashed
+    n-grams (which knows whatever languages the labeled sample taught
+    it) instead of a hand-listed stopword table.  Drop-in for the
+    curation ladder's lang gate; zero-exchange, streaming-legal."""
+    return apply_multiclass_hashed(
+        df, weights, text_col, out_col=out_col, prob_col=prob_col
+    )

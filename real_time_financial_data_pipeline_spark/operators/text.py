@@ -161,7 +161,11 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     Scores each candidate language by marker-token hits and takes the best
     (ties broken by language code order, so fully deterministic).  English
     wins on empty evidence.  This is a heuristic — tested for determinism
-    and plumbing, not linguistic accuracy.
+    and plumbing, not linguistic accuracy.  The trained upgrade is
+    ``classifier.lang_id_trained`` (a K-class softmax over hashed
+    n-grams, the fastText lid shape): it learns whatever languages a
+    labeled sample contains instead of the hand-listed marker table, and
+    its apply is the same zero-exchange map-only pass.
     """
     staged = _staged_tokens(df, text_col, [F.col(c) for c in df.columns])
     toks = F.col("_toks")

@@ -701,3 +701,210 @@ def test_curriculum_packing_composition(spark, model):
     for r in rows:
         per_pack[r.pack_id] += r.n_chunk_tokens
     assert per_pack and all(v <= 32 for v in per_pack.values())
+
+
+# ---------------------------------------------------------------------------
+# Multi-class (softmax) hashed variant — the fastText lang-id shape
+# ---------------------------------------------------------------------------
+
+#: Four synthetic "languages" with disjoint function-word vocabularies
+#: chosen so NONE of them hits the marker table in text._LANG_MARKERS —
+#: the exact regime where the heuristic is blind and the trained model
+#: must win.
+_LANGS = {
+    "aa": ["zor", "bek", "tam", "rup", "vel"],
+    "bb": ["mul", "quen", "sorv", "plin", "dra"],
+    "cc": ["ketu", "rano", "silv", "ormo", "tain"],
+    "dd": ["wex", "jull", "brom", "stev", "karn"],
+}
+
+
+def _multilang_corpus(spark, n_each=30, offset=0):
+    rows = []
+    i = 0
+    for code, vocab in sorted(_LANGS.items()):
+        for j in range(n_each):
+            ws = [vocab[(offset + j + p) % len(vocab)] for p in range(12)]
+            rows.append((i, " ".join(ws) + f" doc{offset + j}", code))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def lang_model(spark):
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        train_multiclass_hashed,
+    )
+
+    df = _multilang_corpus(spark)
+    # iters=10 is deliberate suite-wall budgeting: the vocabularies are
+    # disjoint, so separation saturates by ~8 iterations (measured 1.000
+    # train AND held-out accuracy at 8); each extra iteration costs ~4 s
+    # of plan-analysis wall on the K x n_buckets literals
+    return df, train_multiclass_hashed(
+        df, label_col="lang", iters=10, n_buckets=512
+    )
+
+
+def test_multiclass_separates_languages_the_marker_heuristic_cannot(
+    spark, lang_model
+):
+    """The planted-separation contract from the r14 verdict: four fake
+    languages with disjoint vocabularies that share ZERO tokens with the
+    marker table.  text.lang_id labels everything 'en' (no evidence ->
+    English default) — 25% accuracy by construction; the trained softmax
+    must recover the labels on both the train sample and a held-out
+    slice built from the same vocabularies at shifted phase."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        lang_id_trained,
+    )
+    from real_time_financial_data_pipeline_spark.operators.text import lang_id
+
+    df, w = lang_model
+    heur = lang_id(df.select("doc_id", "text", "lang"))
+    heur_acc = (
+        heur.withColumn("ok", (F.col("lang_pred") == F.col("lang")).cast("double"))
+        .agg(F.avg("ok")).first()[0]
+    )
+    assert heur_acc <= 0.25  # blind: every doc falls to the 'en' default
+
+    def acc(frame):
+        scored = lang_id_trained(frame, w)
+        return (
+            scored.withColumn(
+                "ok", (F.col("lang_pred") == F.col("lang")).cast("double")
+            ).agg(F.avg("ok")).first()[0]
+        )
+
+    assert acc(df) >= 0.95
+    held_out = _multilang_corpus(spark, n_each=10, offset=100)
+    assert acc(held_out) >= 0.95
+
+
+def test_multiclass_apply_is_map_only_and_streaming_parity(
+    spark, lang_model, tmp_path
+):
+    """The 100 TB contract: zero Exchange, zero Join in the executed
+    plan (argmax + softmax fold entirely into one projection), and the
+    SAME weights applied to a readStream frame yield identical
+    predictions and probabilities."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_multiclass_hashed,
+    )
+
+    df, w = lang_model
+    scored = apply_multiclass_hashed(df, w, out_col="pred", prob_col="p")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    src = str(tmp_path / "mcstream")
+    df.select("doc_id", "text").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        apply_multiclass_hashed(stream, w, out_col="pred", prob_col="p")
+        .writeStream.format("memory")
+        .queryName("mc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: (r.pred, r.p) for r in spark.table("mc_stream").collect()}
+    want = {r.doc_id: (r.pred, r.p) for r in scored.collect()}
+    assert got == want and len(got) == df.count()
+
+
+def test_multiclass_broadcast_fallback_bit_identical(spark, lang_model):
+    """Forcing the above-cap broadcast path (literal_cap=1) must give
+    byte-identical predictions AND probabilities — the numpy cumsum fold
+    mirrors the JVM aggregate order, and argmax-on-first-max mirrors the
+    greatest tiebreak toward the smallest class."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_multiclass_hashed,
+    )
+
+    df, w = lang_model
+    lit = {
+        r.doc_id: (r.pred, r.p)
+        for r in apply_multiclass_hashed(df, w, out_col="pred", prob_col="p").collect()
+    }
+    bc = {
+        r.doc_id: (r.pred, r.p)
+        for r in apply_multiclass_hashed(
+            df, w, out_col="pred", prob_col="p", literal_cap=1
+        ).collect()
+    }
+    assert lit == bc
+
+
+def test_multiclass_tie_break_and_empty_text(spark):
+    """A zero-weight model scores every class identically: the argmax
+    must deterministically pick the lexicographically SMALLEST class on
+    both the literal and broadcast paths, and null/empty text must not
+    poison anything (logits = per-class biases)."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        QC_HASH_SCHEME,
+        apply_multiclass_hashed,
+    )
+
+    rows = [(-1, "bb", 0.0), (-1, "aa", 0.0), (-1, "cc", 0.0)]
+    w = spark.createDataFrame(rows, "bucket int, label string, weight double")
+    w = w.select(
+        "bucket", "label",
+        F.col("weight").alias(
+            "weight",
+            metadata={"qc_n_buckets": 64, "qc_ngram": 2, "qc_hash": QC_HASH_SCHEME},
+        ),
+    )
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    for cap in (10**9, 1):
+        got = {
+            r.doc_id: r.pred
+            for r in apply_multiclass_hashed(df, w, literal_cap=cap).collect()
+        }
+        assert got == {1: "aa", 2: "aa", 3: "aa"}
+
+
+def test_multiclass_trainer_and_weights_guards(spark, lang_model):
+    """Contract guards: single-class corpora refuse to train; a weights
+    table without bias rows refuses to apply; metadata contract is the
+    SAME one the binary hashed model enforces (scheme mismatch raises);
+    balance_classes recovers a planted minority class."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_multiclass_hashed,
+        train_multiclass_hashed,
+    )
+
+    mono = spark.createDataFrame(
+        [(1, "zor bek tam", "aa")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        train_multiclass_hashed(mono, label_col="lang", iters=1, n_buckets=16)
+
+    df, w = lang_model
+    no_bias = w.filter(F.col("bucket") >= 0)
+    with pytest.raises(ValueError, match="bias row"):
+        apply_multiclass_hashed(df, no_bias)
+
+    # imbalanced corpus: class dd shrunk to 3 docs; balanced training
+    # must still recover it on its own vocabulary
+    small = _multilang_corpus(spark, n_each=30).filter(
+        (F.col("lang") != "dd") | (F.col("doc_id") % 10 == 0)
+    )
+    wb = train_multiclass_hashed(
+        small, label_col="lang", iters=10, n_buckets=256, balance_classes=True
+    )
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        lang_id_trained,
+    )
+
+    dd_docs = _multilang_corpus(spark, n_each=8, offset=50).filter(
+        F.col("lang") == "dd"
+    )
+    scored = lang_id_trained(dd_docs, wb)
+    frac_dd = (
+        scored.withColumn("ok", (F.col("lang_pred") == "dd").cast("double"))
+        .agg(F.avg("ok")).first()[0]
+    )
+    assert frac_dd >= 0.75

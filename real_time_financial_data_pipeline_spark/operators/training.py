@@ -613,12 +613,20 @@ def curate_documents(
     quality_model_threshold: float = 0.5,
     known_fingerprints: DataFrame | None = None,
     known_bloom=None,
+    lang_model: DataFrame | None = None,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
     quality gate -> (optional) model quality gate -> (optional) language
     gate -> (optional) repetition gate -> (optional) LM perplexity gate ->
     (optional) known-content exclusion -> exact dedup -> MinHash-LSH
     near-dup removal -> (optional) SemDedup semantic near-dup removal.
+
+    ``lang_model`` (a weights table from
+    ``classifier.train_multiclass_hashed``) upgrades the language gate
+    to the TRAINED fastText-shape decision (``lang_id_trained``) — same
+    cost slot (map-only, zero shuffle), but the gate knows whatever
+    languages the labeled sample taught it instead of the hand-listed
+    marker table; requires ``langs`` (the codes to keep).
 
     ``known_fingerprints`` (a frame with a ``fingerprint`` column — e.g.
     ``text.fingerprint`` over the landed lake corpus) drops documents
@@ -704,7 +712,23 @@ def curate_documents(
 
         kept = quality_model_gate(kept, quality_model, text_col, quality_model_threshold)
     if langs is not None:
-        kept = lang_id(kept, text_col).filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
+        # lang_model switches the language gate from the marker-list
+        # heuristic to the trained K-class softmax
+        # (classifier.lang_id_trained) — same plan shape (map-only
+        # scoring projection + filter, zero shuffle), but the decision
+        # knows whatever languages the labeled sample taught it
+        if lang_model is not None:
+            from .classifier import lang_id_trained
+
+            kept = lang_id_trained(kept, lang_model, text_col)
+        else:
+            kept = lang_id(kept, text_col)
+        kept = kept.filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
+    elif lang_model is not None:
+        raise ValueError(
+            "lang_model without langs gates nothing — pass the language "
+            "codes to keep"
+        )
     if repetition_gate:
         kept = repetition_filter(kept, text_col)
     if perplexity_lm is not None and max_perplexity is not None:
@@ -787,6 +811,7 @@ def prepare_training_set(
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
     min_domain_rank_quantile: float | None = None,
+    lang_model: DataFrame | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -969,6 +994,7 @@ def prepare_training_set(
         quality_model_threshold=quality_model_threshold,
         known_fingerprints=known_fingerprints,
         known_bloom=known_bloom,
+        lang_model=lang_model,
     )
     if benchmark is not None:
         curated = remove_contaminated(

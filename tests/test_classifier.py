@@ -908,3 +908,25 @@ def test_multiclass_trainer_and_weights_guards(spark, lang_model):
         .agg(F.avg("ok")).first()[0]
     )
     assert frac_dd >= 0.75
+
+
+def test_multiclass_lang_gate_in_curation_ladder(spark, lang_model):
+    """lang_model= upgrades the ladder's language gate: on the planted
+    fake-language corpus the marker heuristic routes EVERYTHING to 'en'
+    (so langs=['aa'] keeps nothing), while the trained gate keeps
+    exactly the aa documents — same ladder, same slot, different
+    decision.  lang_model without langs fails fast."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+    )
+
+    df, w = lang_model
+    base = dict(min_quality=0.0, near_dup_threshold=None)
+    heur = curate_documents(df, langs=["aa"], **base)
+    assert heur.count() == 0  # heuristic is blind: everything is 'en'
+    trained = curate_documents(df, langs=["aa"], lang_model=w, **base)
+    got = {r.doc_id for r in trained.select("doc_id").collect()}
+    want = {r.doc_id for r in df.filter(F.col("lang") == "aa").collect()}
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError, match="lang_model without langs"):
+        curate_documents(df, lang_model=w, **base)

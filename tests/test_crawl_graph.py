@@ -490,7 +490,12 @@ def test_warc_to_prior_composition(spark, tmp_path):
     p.parent.mkdir()
     p.write_bytes(blob)
     warc = read_warc_strict(spark, str(p))
-    ranks = pagerank(host_graph(warc_page_links(warc)), d=0.5, tol=1e-12, max_iter=100)
+    # tol=1e-6, not 1e-12 (r15 suite-wall trim): this test pins the
+    # COMPOSITION and the rank ORDERING (hub >> everything, farm absent),
+    # both settled long before 1e-6; numeric fixpoint precision is the
+    # numpy-parity tests' job, and the prior-join equality below compares
+    # the same iterate's values, exact at any tol
+    ranks = pagerank(host_graph(warc_page_links(warc)), d=0.5, tol=1e-6, max_iter=100)
     rank_map = {r.node: r.rank for r in ranks.collect()}
     assert rank_map["hub.example"] == max(rank_map.values())
     assert "farm.example" not in rank_map  # only self-links -> no edges
@@ -527,25 +532,31 @@ def test_pagerank_warm_start_incremental_fold(spark):
     assert {tuple(r) for r in folded.collect()} == {
         tuple(r) for r in direct.collect()
     }
-    # new-node delta (d.com enters): warm fixpoint == cold recompute.
-    # tol=1e-10, NOT 1e-12: the L1 delta bounds the distance to the
-    # fixpoint by delta * d/(1-d) = 1.5x at d=0.6, so both iterates are
-    # within 1.5e-10 of the same stationary vector and the 1e-9 equality
-    # below holds with margin — while each call runs ~10 fewer rounds
-    # (2 Spark actions per round; the tighter tol OOMed an 8 GB driver
-    # heap late in a long shared-session suite for no extra coverage)
-    cold_stats, warm_stats = {}, {}
-    y0 = pagerank(g1, d=0.6, tol=1e-10, max_iter=100)
-    cold = pagerank(folded, d=0.6, tol=1e-10, max_iter=100, stats=cold_stats)
+    # new-node delta (d.com enters): the warm iterate must land on the
+    # SAME fixpoint a cold recompute would.  r15 suite-wall trim: the
+    # cold side is the NUMPY dense reference (200 exact rounds) instead
+    # of a second ~45-round Spark fit — a stronger independent oracle
+    # and ~1/3 of this scenario's Spark-job bill; tol=1e-8 bounds the
+    # warm iterate's distance to the fixpoint by delta*d/(1-d) = 1.5e-8
+    # at d=0.6, so the 5e-8 equality holds with margin.  (The default
+    # checkpoint_every=5 stays: an attempted every-10 trim OOMed the
+    # driver heap — the frequent cut is what bounds plan/heap growth in
+    # a long shared-session suite, not just checkpoint storage.)
+    warm_stats = {}
+    y0 = pagerank(g1, d=0.6, tol=1e-8, max_iter=100)
     warm = pagerank(
-        folded, d=0.6, tol=1e-10, max_iter=100, init_ranks=y0, stats=warm_stats
+        folded, d=0.6, tol=1e-8, max_iter=100, init_ranks=y0,
+        stats=warm_stats,
     )
-    c = {r.node: r.rank for r in cold.collect()}
     w = {r.node: r.rank for r in warm.collect()}
-    assert set(c) == set(w)
-    for k in c:
-        assert w[k] == pytest.approx(c[k], abs=1e-9)
-    assert warm_stats["converged"] and cold_stats["converged"]
+    ref = _numpy_pagerank(
+        [(r.src_domain, r.dst_domain, float(r.weight)) for r in folded.collect()],
+        d=0.6,
+    )
+    assert set(w) == set(ref)
+    for k in ref:
+        assert w[k] == pytest.approx(ref[k], abs=5e-8)
+    assert warm_stats["converged"]
     assert sum(w.values()) == pytest.approx(1.0, abs=1e-9)
     # fewer-rounds claim, on a structurally-tiny delta: the base graph is
     # asymmetric (multi-out-edge nodes, so its fixpoint is NOT uniform —
@@ -570,7 +581,8 @@ def test_pagerank_warm_start_incremental_fold(spark):
     y_base = pagerank(base, d=0.6, tol=1e-9, max_iter=100)
     cs, ws = {}, {}
     pagerank(bumped, d=0.6, tol=1e-9, max_iter=100, stats=cs)
-    pagerank(bumped, d=0.6, tol=1e-9, max_iter=100, init_ranks=y_base, stats=ws)
+    pagerank(bumped, d=0.6, tol=1e-9, max_iter=100, init_ranks=y_base,
+             stats=ws)
     assert cs["converged"] and ws["converged"]
     assert ws["n_iter"] < cs["n_iter"] - 5
 
@@ -612,9 +624,9 @@ def test_training_set_min_domain_rank_gate(spark):
     assert set(out.columns) == {
         "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text", "split"
     }
-    with pytest.raises(ValueError, match="min_domain_rank requires"):
+    with pytest.raises(ValueError, match="requires domain_ranks"):
         prepare_training_set(docs, min_domain_rank=0.1, url_col="uri")
-    with pytest.raises(ValueError, match="min_domain_rank requires"):
+    with pytest.raises(ValueError, match="requires domain_ranks"):
         prepare_training_set(docs, min_domain_rank=0.1, domain_ranks=ranks)
 
 

@@ -186,6 +186,23 @@ class TestIdleTtlGuard:
             .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
             .start()
         )
-        q.awaitTermination(120)
-        out = spark.table("hh_ttl_stream").toPandas()
+        # A stateful query with ProcessingTimeTimeout keeps scheduling
+        # timer batches, so availableNow does NOT self-terminate here —
+        # a bare awaitTermination(120) burned its full budget every
+        # suite run (r15 suite-wall fix).  Poll for the drained result,
+        # then stop the query explicitly; the 120 s budget remains the
+        # failure bound, not the happy-path cost.
+        import time
+
+        deadline = time.time() + 120
+        out = None
+        while time.time() < deadline:
+            if q.awaitTermination(2):
+                break
+            got = spark.table("hh_ttl_stream").toPandas()
+            if len(got) and int(got[got.group == "g1"].approx_count.max()) == 10:
+                out = got
+                break
+        q.stop()
+        out = spark.table("hh_ttl_stream").toPandas() if out is None else out
         assert int(out[out.group == "g1"].approx_count.max()) == 10

@@ -1029,3 +1029,62 @@ def lang_id_trained(
     return apply_multiclass_hashed(
         df, weights, text_col, out_col=out_col, prob_col=prob_col
     )
+
+
+def multiclass_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class precision/recall/F1 + support against held-out labels —
+    the K-class analogue of :func:`threshold_report`, and how a lang-id
+    model actually gets accepted ("≥99% F1 on every language we keep").
+
+    One corpus pass: the only corpus-sized work is a hash aggregate onto
+    the (label, pred) confusion pairs (≤ K² rows, map-side combined);
+    per-class supports and true positives then derive from that tiny
+    frame, full-outer joined so a class that appears ONLY in labels
+    (never predicted — recall 0) or ONLY in predictions (a phantom class
+    — precision 0) still gets its row.  Rows with a NULL label are
+    excluded, same rule as ``threshold_report``: a partially labeled
+    eval set must not count unlabeled rows as errors.  Output, one row
+    per class: (class, n_true, n_pred, tp, precision, recall, f1) with
+    the 6-dp serving round; precision/recall are NULL when their
+    denominator is zero (never a divide error)."""
+    pairs = (
+        scored.filter(F.col(label_col).isNotNull())
+        .groupBy(
+            F.col(label_col).alias("_y"), F.col(pred_col).alias("_p")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    truth = pairs.groupBy(F.col("_y").alias("class")).agg(
+        F.sum("_n").alias("n_true")
+    )
+    preds = pairs.groupBy(F.col("_p").alias("class")).agg(
+        F.sum("_n").alias("n_pred")
+    )
+    tp = pairs.filter(F.col("_y") == F.col("_p")).select(
+        F.col("_y").alias("class"), F.col("_n").alias("tp")
+    )
+    out = (
+        truth.join(preds, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    precision = F.try_divide(F.col("tp").cast("double"), F.col("n_pred"))
+    recall = F.try_divide(F.col("tp").cast("double"), F.col("n_true"))
+    f1 = F.try_divide(
+        F.lit(2.0) * F.col("tp"), (F.col("n_pred") + F.col("n_true")).cast("double")
+    )
+    return out.select(
+        "class", "n_true", "n_pred", "tp",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("class")

@@ -930,3 +930,57 @@ def test_multiclass_lang_gate_in_curation_ladder(spark, lang_model):
     assert got == want and len(want) > 0
     with pytest.raises(ValueError, match="lang_model without langs"):
         curate_documents(df, lang_model=w, **base)
+
+
+def test_multiclass_report_confusion_metrics(spark):
+    """multiclass_report against a hand-computed confusion table,
+    including the two degenerate class shapes: a class that is never
+    predicted (recall 0, precision NULL) and a phantom class predicted
+    but never true (precision 0, recall NULL); NULL labels excluded."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        multiclass_report,
+    )
+
+    rows = (
+        [("aa", "aa")] * 3 + [("aa", "bb")] * 1        # aa: 3 tp of 4 true
+        + [("bb", "bb")] * 2 + [("bb", "cc")] * 2      # bb: 2 tp of 4 true
+        + [("dd", "aa")] * 2                           # dd never predicted
+        + [(None, "aa")]                               # unlabeled: excluded
+    )
+    scored = spark.createDataFrame(rows, "label string, pred string")
+    got = {r["class"]: r.asDict() for r in multiclass_report(scored).collect()}
+    assert set(got) == {"aa", "bb", "cc", "dd"}
+    aa = got["aa"]
+    # n_pred counts only LABELED rows: 3 (aa,aa) + 2 (dd,aa); the
+    # unlabeled (None, aa) row is excluded from every count
+    assert (aa["n_true"], aa["n_pred"], aa["tp"]) == (4, 5, 3)
+    assert aa["precision"] == 0.6 and aa["recall"] == 0.75
+    assert aa["f1"] == 0.666667
+    bb = got["bb"]
+    assert (bb["n_true"], bb["n_pred"], bb["tp"]) == (4, 3, 2)
+    # cc: phantom class — predicted twice, never true
+    cc = got["cc"]
+    assert (cc["n_true"], cc["n_pred"], cc["tp"]) == (0, 2, 0)
+    assert cc["precision"] == 0.0 and cc["recall"] is None and cc["f1"] == 0.0
+    # dd: never predicted — recall 0, precision undefined
+    dd = got["dd"]
+    assert (dd["n_true"], dd["n_pred"], dd["tp"]) == (2, 0, 0)
+    assert dd["precision"] is None and dd["recall"] == 0.0 and dd["f1"] == 0.0
+
+
+def test_multiclass_report_on_trained_model(spark, lang_model):
+    """End to end: the trained planted-language model's report shows
+    perfect per-class metrics on its separable corpus — and the report's
+    totals reconcile (Σ n_pred == Σ n_true == corpus size)."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        lang_id_trained,
+        multiclass_report,
+    )
+
+    df, w = lang_model
+    scored = lang_id_trained(df, w)
+    rep = multiclass_report(scored, label_col="lang", pred_col="lang_pred")
+    rows = rep.collect()
+    assert {r["class"] for r in rows} == {"aa", "bb", "cc", "dd"}
+    assert all(r.f1 == 1.0 for r in rows)
+    assert sum(r.n_pred for r in rows) == sum(r.n_true for r in rows) == df.count()

@@ -1116,7 +1116,10 @@ def _stream_kmv_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(_STAGED_KMV_FOLD_DIR, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     sliced = docs.withColumn("_slice", F.abs(F.col("doc_id")) % 3)
-    sliced.select(
+    # null-text rows must not stage the null-input hash: kmv_sketch /
+    # make_sketch_folder exclude null values, so the staged hash set has
+    # to match the sketch convention or the DuckDB ladder desyncs
+    sliced.filter(F.col("text").isNotNull()).select(
         (F.col("_slice") + 1).alias("snap"), "lang", F.xxhash64("text").alias("h")
     ).coalesce(1).write.mode("overwrite").parquet(_STAGED_KMV_FOLD_HASHES)
     fold = make_sketch_folder(
@@ -2001,30 +2004,46 @@ def _stream_tumbling_daily_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate measuring the operator rather than /tmp's fsync latency.  Each
     run still gets a FRESH checkpoint (wiped before start) so the drain
     re-executes fully; the ORACLE row keeps the driver-parity temp
-    checkpoint."""
+    checkpoint.
+
+    Second hygiene change (r16): the stream's shuffle partitions — which
+    size the STATE STORE, one HDFSBackedStateStore instance + per-batch
+    commit file per partition — are pinned to 8 for the drain instead of
+    the session's batch default (32).  The aggregate emits ~150 rows at
+    sf0.1; 32 state stores is pure fixed overhead at that cardinality
+    (measured: 32 parts 1.78-2.91 s vs 8 parts 1.17 s median, idle host).
+    At production scale the state partition count must track keys x open
+    windows, not the batch shuffle default — this pin is that sizing rule
+    applied at sf0.1, not a local[32] hack.  Conf is restored after the
+    drain (checkpointed streams bake the partition count at first start,
+    so the fresh-checkpoint-per-run contract makes the pin safe)."""
     import os
     import shutil
 
     _STREAM_SEQ[0] += 1
+    # PID in the base dir so two bench processes (e.g. candidate vs
+    # reference engines side by side) can never rmtree each other's live
+    # checkpoint.
     name = f"stream_daily_bench_{_STREAM_SEQ[0]}"
-    base = (
-        "/dev/shm/rtfdp_bench_ck"
-        if os.path.isdir("/dev/shm")
-        else "/tmp/rtfdp_bench_ck"
-    )
-    ck = f"{base}/{name}"
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    ck = f"{root}/rtfdp_bench_ck_{os.getpid()}/{name}"
     shutil.rmtree(ck, ignore_errors=True)
     os.makedirs(ck, exist_ok=True)
     agg = tumbling_ohlc(_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 

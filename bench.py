@@ -76,6 +76,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
+        # One UNMEASURED warm-up execution per query (scale-probe protocol):
+        # the first run carries plan compilation + Python-worker fork, which
+        # a long-lived cluster amortizes; without this, 2-of-3 cold samples
+        # on a loaded host poison a median-of-3 (the r15 gap_fill_daily
+        # pattern: cold 3.3 s vs warm 0.7-0.9 s).
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -429,105 +429,113 @@ def pagerank(
         prev_ck_dir = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
     live_ck = None  # the newest MATERIALIZED checkpoint backing `ranks`
-    if init_ranks is not None:
-        warm = nodes.join(
-            init_ranks.select("node", F.col("rank").alias("_r0")), "node", "left"
-        ).select("node", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
-        tot = warm.agg(F.sum("rank")).first()[0] or 1.0
-        r0 = warm.select("node", (F.col("rank") / F.lit(tot)).alias("rank"))
-        # lineage-cut the init like any other round: the caller's
-        # init_ranks is typically LAST NIGHT'S pagerank output, whose
-        # logical plan is the whole previous iteration — without a cut
-        # every warm round re-analyzes that plan inside its own
-        # (measured ~8x wall on the per-round cost before the first
-        # in-loop cut; caching alone does not truncate plans)
-        r0 = r0.checkpoint(eager=False) if reliable else r0.localCheckpoint(
-            eager=False
-        )
-        ranks = r0.cache()
-        live_ck = ranks
-    else:
-        # cold start AT the restart vector — uniform for classic, the
-        # seed distribution for personalized (the textbook choice; any
-        # start converges to the same unique fixpoint)
-        ranks = base.select("node", F.col("_t").alias("rank")).cache()
-    converged = tol is None
-    delta = None
-    it = -1
-    for it in range(max_iter):
-        # cached BEFORE the scalar action: the dangling-mass aggregate
-        # and the new-rank materialization are separate actions, and an
-        # uncached contribs would re-run the round's join+aggregate twice
-        contribs = (
-            shares.join(ranks.withColumnRenamed("node", "_src"), "_src")
-            .groupBy(F.col("_dst").alias("node"))
-            .agg(F.sum(F.col("_share") * F.col("rank")).alias("_c"))
-            .cache()
-        )
-        # Σ contribs = Σ rank over non-dangling sources; ranks sum to 1
-        # by the update's own invariant, so the dangling mass is the gap
-        c_tot = contribs.agg(F.sum("_c")).first()[0] or 0.0
-        dangling = max(0.0, 1.0 - c_tot)
-        # rank' = (1-d)·t + d·(Mᵀrank + dangling·t): both the teleport
-        # and the dangling redistribution flow along the restart vector
-        # (uniform t reduces this to the classic Page et al. update)
-        new = (
-            base.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - d) * F.col("_t")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.lit(dangling) * F.col("_t")
-                    )
-                ).alias("rank"),
+    # try/finally so a Spark job failure mid-iteration (or any raise
+    # between setCheckpointDir and here) still restores the caller's
+    # checkpoint dir and releases the loop-only executor storage — an
+    # unprotected raise would leave the session pointing at pagerank's
+    # checkpoint directory, the exact leak the save/restore exists to fix
+    # (review-caught).
+    try:
+        if init_ranks is not None:
+            warm = nodes.join(
+                init_ranks.select("node", F.col("rank").alias("_r0")), "node", "left"
+            ).select("node", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
+            tot = warm.agg(F.sum("rank")).first()[0] or 1.0
+            r0 = warm.select("node", (F.col("rank") / F.lit(tot)).alias("rank"))
+            # lineage-cut the init like any other round: the caller's
+            # init_ranks is typically LAST NIGHT'S pagerank output, whose
+            # logical plan is the whole previous iteration — without a cut
+            # every warm round re-analyzes that plan inside its own
+            # (measured ~8x wall on the per-round cost before the first
+            # in-loop cut; caching alone does not truncate plans)
+            r0 = r0.checkpoint(eager=False) if reliable else r0.localCheckpoint(
+                eager=False
             )
-        )
-        cut = (it + 1) % checkpoint_every == 0
-        if cut:
-            new = (
-                new.checkpoint(eager=False)
-                if reliable
-                else new.localCheckpoint(eager=False)
-            )
-        new = new.cache()
-        if tol is not None:
-            delta = (
-                new.join(ranks.withColumnRenamed("rank", "_old"), "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-                .first()[0]
-            )
-            contribs.unpersist()  # new is materialized; round scratch drops
-            ranks.unpersist()
+            ranks = r0.cache()
+            live_ck = ranks
         else:
-            new.count()  # materialize so the old cache can drop
-            contribs.unpersist()
-            ranks.unpersist()
-        if cut:
-            # the new checkpoint is materialized (the action above ran),
-            # so the previous one is superseded: release its blocks/files
-            # NOW rather than letting them ratchet until JVM GC — the
-            # long-session leak the review caught.  Everything still
-            # referenced (the cached `new`) recomputes from the new
-            # checkpoint, never the released one.
-            if live_ck is not None:
-                _release_checkpoint(live_ck, reliable)
-            live_ck = new
-        ranks = new
-        if tol is not None and delta is not None and delta < tol:
-            converged = True
-            break
-    # the final iterate is materialized (cached + acted on every round),
-    # so the loop-only tables can release their executor storage now —
-    # a nightly job re-ranking many slices must not ratchet up caches
-    shares.unpersist()
-    nodes.unpersist()
-    if base_cached:
-        base.unpersist()
-    if reliable and prev_ck_dir is not None:
-        sc.setCheckpointDir(prev_ck_dir)
+            # cold start AT the restart vector — uniform for classic, the
+            # seed distribution for personalized (the textbook choice; any
+            # start converges to the same unique fixpoint)
+            ranks = base.select("node", F.col("_t").alias("rank")).cache()
+        converged = tol is None
+        delta = None
+        it = -1
+        for it in range(max_iter):
+            # cached BEFORE the scalar action: the dangling-mass aggregate
+            # and the new-rank materialization are separate actions, and an
+            # uncached contribs would re-run the round's join+aggregate twice
+            contribs = (
+                shares.join(ranks.withColumnRenamed("node", "_src"), "_src")
+                .groupBy(F.col("_dst").alias("node"))
+                .agg(F.sum(F.col("_share") * F.col("rank")).alias("_c"))
+                .cache()
+            )
+            # Σ contribs = Σ rank over non-dangling sources; ranks sum to 1
+            # by the update's own invariant, so the dangling mass is the gap
+            c_tot = contribs.agg(F.sum("_c")).first()[0] or 0.0
+            dangling = max(0.0, 1.0 - c_tot)
+            # rank' = (1-d)·t + d·(Mᵀrank + dangling·t): both the teleport
+            # and the dangling redistribution flow along the restart vector
+            # (uniform t reduces this to the classic Page et al. update)
+            new = (
+                base.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - d) * F.col("_t")
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("_c"), F.lit(0.0))
+                            + F.lit(dangling) * F.col("_t")
+                        )
+                    ).alias("rank"),
+                )
+            )
+            cut = (it + 1) % checkpoint_every == 0
+            if cut:
+                new = (
+                    new.checkpoint(eager=False)
+                    if reliable
+                    else new.localCheckpoint(eager=False)
+                )
+            new = new.cache()
+            if tol is not None:
+                delta = (
+                    new.join(ranks.withColumnRenamed("rank", "_old"), "node")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+                    .first()[0]
+                )
+                contribs.unpersist()  # new is materialized; round scratch drops
+                ranks.unpersist()
+            else:
+                new.count()  # materialize so the old cache can drop
+                contribs.unpersist()
+                ranks.unpersist()
+            if cut:
+                # the new checkpoint is materialized (the action above ran),
+                # so the previous one is superseded: release its blocks/files
+                # NOW rather than letting them ratchet until JVM GC — the
+                # long-session leak the review caught.  Everything still
+                # referenced (the cached `new`) recomputes from the new
+                # checkpoint, never the released one.
+                if live_ck is not None:
+                    _release_checkpoint(live_ck, reliable)
+                live_ck = new
+            ranks = new
+            if tol is not None and delta is not None and delta < tol:
+                converged = True
+                break
+    finally:
+        # the final iterate is materialized (cached + acted on every round),
+        # so the loop-only tables can release their executor storage now —
+        # a nightly job re-ranking many slices must not ratchet up caches
+        shares.unpersist()
+        nodes.unpersist()
+        if base_cached:
+            base.unpersist()
+        if reliable and prev_ck_dir is not None:
+            sc.setCheckpointDir(prev_ck_dir)
     if stats is not None:
         stats.update(n_iter=it + 1, converged=converged, delta=delta)
     if require_convergence and not converged:

@@ -623,6 +623,62 @@ def _quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAGED_MC_W_DIR = "/root/repo/spark-warehouse/staged/multiclass_weights"
+_STAGED_MC_BK_DIR = "/root/repo/spark-warehouse/staged/multiclass_buckets"
+_MC_N_BUCKETS = 512
+
+
+def _lang_id_trained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained K-class language ID (classifier.train_multiclass_hashed /
+    lang_id_trained) — the fastText-shape softmax over hashed n-grams,
+    trained on the corpus's own lang labels and applied corpus-wide as a
+    zero-exchange projection.
+
+    Two-table staged oracle: the trained sparse weights stage like the
+    binary classifier's (training is GD-derived, not SQL-reproducible),
+    and the per-doc BUCKET arrays stage like minhash candidates (the
+    rolling xxhash64 pair-hash is Spark-specific) — but everything
+    downstream is re-derived in DuckDB: per-class densify, the mean-pool
+    fold in the SAME left-to-right IEEE order (list_reduce; the leading
+    0.0 of Spark's aggregate is exact), bias add, and the argmax with
+    ties toward the lexicographically smallest class.  The Spark side
+    recomputes buckets FRESH from raw text, so the hash-match also
+    witnesses that staging equals an independent recomputation.  The
+    compared columns are the argmax class plus every per-class logit at
+    6 dp; softmax probabilities stay out (exp is libm-dependent)."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        _multiclass_logits,
+        _multiclass_weights,
+        hashed_ngram_buckets,
+        lang_id_trained,
+        train_multiclass_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # iters=6: the oracle checks the SCORING replay, not weight
+    # optimality (the quality_classifier_docs doctrine) — every
+    # iteration is two jobs, and six already yields a non-degenerate
+    # boundary on the lang labels
+    weights = train_multiclass_hashed(
+        docs, label_col="lang", text_col="text", n_buckets=_MC_N_BUCKETS, iters=6
+    )
+    staged_w = _stage_and_return(weights, _STAGED_MC_W_DIR)
+    docs.select(
+        "doc_id",
+        hashed_ngram_buckets(F.col("text"), _MC_N_BUCKETS, 2).alias("bks"),
+    ).coalesce(1).write.mode("overwrite").parquet(_STAGED_MC_BK_DIR)
+    classes, biases, dense, n_buckets, ngram = _multiclass_weights(staged_w)
+    scored = lang_id_trained(docs, staged_w, out_col="pred")
+    zs = _multiclass_logits(
+        hashed_ngram_buckets(F.col("text"), n_buckets, ngram), biases, dense
+    )
+    return scored.select(
+        "doc_id",
+        "pred",
+        *[F.round(zs[c], 6).alias(f"z_{classes[c]}") for c in range(len(classes))],
+    )
+
+
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, sf_dir, "documents")).select("doc_id", "quality_score")
 
@@ -2521,7 +2577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       fabric with an unparseable-target drop case, zero staging)."""
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ohlcv_daily": _ohlcv_query("D"),
-        "chunk_docs": _chunk_docs,
+        # chunk_docs retired r16 (its chunk-universe re-derivation lives on
+        # inside pack_chunks_docs' oracle invariant (a); exact comparison
+        # kept in-test: test_entry_contract.test_chunk_docs_duckdb_oracle)
+        # -> lang_id_trained_docs IN (the r15 verdict's rotation ask: the
+        # multiclass softmax was the one trained-model family without a
+        # DuckDB-hash-checked registry row)
+        "lang_id_trained_docs": _lang_id_trained_docs,
         "split_assignment_events": _split_assignment_events,
         "anchor_profile_domains": _anchor_profile_domains,
         "contamination_docs": _contamination_docs,
@@ -3992,12 +4054,57 @@ _CHUNK_UNIVERSE_SQL = f"""
 
 def _training_family_oracles() -> dict[str, str]:
     sqls: dict[str, str] = {}
-    sqls["chunk_docs"] = f"""
-        WITH u AS ({_CHUNK_UNIVERSE_SQL})
-        SELECT doc_id, chunk_id,
-               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-               array_to_string(chunk, ' ') AS chunk_text
-        FROM u
+    # (chunk_docs retired r16 — the chunk universe stays re-derived and
+    # error()-reconciled inside pack_chunks_docs' oracle; the exact
+    # per-chunk comparison moved in-test, tests/test_entry_contract.py::
+    # test_chunk_docs_duckdb_oracle)
+    # trained multiclass lang-id: weights + per-doc bucket arrays taken
+    # from staging (GD fit and xxhash64 bucketing are not
+    # SQL-reproducible), then the ENTIRE scoring pass re-derived: dense
+    # per-class weight lists, the mean-pool fold in Spark's exact IEEE
+    # order (list_reduce left-assoc == aggregate's 0.0-seeded fold), bias
+    # add, and argmax with ties toward the lexicographically smallest
+    # class.  Probabilities (exp) excluded; logits compared at 6 dp.
+    sqls["lang_id_trained_docs"] = f"""
+        WITH w AS (
+            SELECT bucket, label, weight
+            FROM read_parquet('{_STAGED_MC_W_DIR}/*.parquet')
+        ),
+        cls AS (SELECT label, weight AS bias FROM w WHERE bucket = -1),
+        dense AS (
+            SELECT c.label, c.bias,
+                   list(coalesce(w2.weight, 0.0) ORDER BY i.range) AS wl
+            FROM cls c
+            CROSS JOIN range({_MC_N_BUCKETS}) i
+            LEFT JOIN w w2
+              ON w2.label = c.label AND w2.bucket = i.range
+            GROUP BY c.label, c.bias
+        ),
+        z AS (
+            SELECT b.doc_id, d.label,
+                   d.bias + CASE WHEN len(b.bks) = 0 THEN 0.0
+                        ELSE list_reduce(
+                                 list_transform(b.bks, x -> d.wl[x + 1]),
+                                 (a, v) -> a + v) / len(b.bks)
+                        END AS z
+            FROM read_parquet('{_STAGED_MC_BK_DIR}/*.parquet') b
+            CROSS JOIN dense d
+        ),
+        ranked AS (
+            SELECT doc_id, label, z,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY z DESC, label ASC) AS rn
+            FROM z
+        )
+        SELECT doc_id,
+               max(CASE WHEN rn = 1 THEN label END) AS pred,
+               round(max(CASE WHEN label = 'de' THEN z END), 6) AS z_de,
+               round(max(CASE WHEN label = 'en' THEN z END), 6) AS z_en,
+               round(max(CASE WHEN label = 'es' THEN z END), 6) AS z_es,
+               round(max(CASE WHEN label = 'fr' THEN z END), 6) AS z_fr,
+               round(max(CASE WHEN label = 'zh' THEN z END), 6) AS z_zh
+        FROM ranked
+        GROUP BY doc_id
     """
     # staged split assignment: summary recomputed from staging, with the
     # operator's two invariants enforced in-query — any violation error()s

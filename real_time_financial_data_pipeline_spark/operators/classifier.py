@@ -733,6 +733,37 @@ def _multiclass_logits(
     ]
 
 
+def _multiclass_z_broadcast(
+    df_spark, buckets: Column, biases: list[float], ws: list[list[float]]
+) -> tuple[Column, "object"]:
+    """Per-class logit VECTOR ``array<double>`` via an explicitly
+    broadcast (K, n_buckets) weight matrix — the scoring kernel the
+    TRAINER uses above the literal cap (the apply path's
+    :func:`_multiclass_argmax_broadcast` is this plus a numpy argmax).
+    Same cumsum fold order as the literal struct-accumulator, so the
+    logits are bit-identical across paths.  Returns (column, broadcast
+    handle) — the trainer re-broadcasts fresh weights every iteration
+    and must unpersist the stale handle after the gradient action, or a
+    40-iteration fit would pin 40 copies of the matrix on the executors."""
+    bc = df_spark.sparkContext.broadcast(np.asarray(ws, dtype=np.float64))
+    b_arr = np.asarray(biases, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _score(bks: pd.Series) -> pd.Series:
+        wm = bc.value
+        out = []
+        for b in bks:
+            arr = np.asarray(b, dtype=np.int64)
+            if arr.size == 0:
+                z = b_arr.copy()
+            else:
+                z = b_arr + np.cumsum(wm[:, arr], axis=1)[:, -1] / arr.size
+            out.append([float(v) for v in z])
+        return pd.Series(out)
+
+    return _score(buckets), bc
+
+
 def train_multiclass_hashed(
     df: DataFrame,
     label_col: str = "label",
@@ -743,6 +774,7 @@ def train_multiclass_hashed(
     step: float = 4.0,
     reg_param: float = 1e-3,
     balance_classes: bool = False,
+    literal_cap: int = 0,
 ) -> DataFrame:
     """Fit a K-class softmax over hashed n-gram buckets; return a SPARSE
     weights table ``(bucket int, label string, weight double)`` with one
@@ -754,8 +786,10 @@ def train_multiclass_hashed(
     lexicographically (the order is part of the model: ties at apply
     break toward the FIRST class).  Full-batch softmax gradient descent
     on the weak-label sample: per iteration one scoring projection
-    (numerically stable max-shifted softmax, all K logits from the
-    single struct-accumulator pass) and ONE explode -> hash aggregate
+    (numerically stable max-shifted softmax; all K logits come from one
+    broadcast-matrix Arrow kernel by default, or from the single
+    struct-accumulator literal fold when ``literal_cap`` admits the
+    model — bit-identical either way) and ONE explode -> hash aggregate
     carrying the K residual columns — shuffle bounded by n_buckets rows
     of K sums, never the sample.  L2-regularized mean cross-entropy;
     ``balance_classes`` reweights by n/(K·n_class) so each class
@@ -804,9 +838,35 @@ def train_multiclass_hashed(
         w = np.zeros((k, n_buckets))
         biases = np.zeros(k)
         for _ in range(iters):
-            zs = _multiclass_logits(
-                F.col("_b"), biases.tolist(), [w[c].tolist() for c in range(k)]
-            )
+            # Training scores via the BROADCAST kernel by default
+            # (literal_cap=0): unlike the apply path — one plan, reused
+            # per batch, where in-plan literals buy whole-stage codegen
+            # — the trainer re-embeds FRESH weights every iteration, so
+            # the literal path pays K x n_buckets of plan analysis per
+            # iteration with nothing amortized (review-measured ~4 s/
+            # iter at K=4/512; 2.4x slower end-to-end even at K=3/64).
+            # The two kernels share the fold order (bit-identical
+            # logits AND therefore bit-identical trained weights —
+            # parity test-pinned), so the gate never changes the fit;
+            # literal_cap stays a parameter so the parity pin can force
+            # either path.
+            bc_handle = None
+            if k * n_buckets <= literal_cap:
+                base = staged
+                zs = _multiclass_logits(
+                    F.col("_b"), biases.tolist(), [w[c].tolist() for c in range(k)]
+                )
+            else:
+                zcol, bc_handle = _multiclass_z_broadcast(
+                    spark,
+                    F.col("_b"),
+                    biases.tolist(),
+                    [w[c].tolist() for c in range(k)],
+                )
+                # name the vector so downstream residuals reference ONE
+                # evaluated ArrowEvalPython column, not K re-evaluations
+                base = staged.select("_y", "_b", zcol.alias("_z"))
+                zs = [F.col("_z")[c] for c in range(k)]
             m = F.greatest(*zs) if k > 1 else zs[0]
             es = [F.exp(z - m) for z in zs]
             denom = es[0]
@@ -822,7 +882,7 @@ def train_multiclass_hashed(
                 ).alias(f"_r{c}")
                 for c in range(k)
             ]
-            scored = staged.select(
+            scored = base.select(
                 F.col("_b"), F.size(F.col("_b")).alias("_l"), *resid_cols
             )
             # ONE action per iteration: each bucket occurrence contributes
@@ -855,6 +915,8 @@ def train_multiclass_hashed(
                 .agg(*[F.sum(f"_e.g{c}").alias(f"_g{c}") for c in range(k)])
                 .collect()
             )
+            if bc_handle is not None:
+                bc_handle.unpersist()
             g = np.zeros((k, n_buckets))
             bg = np.zeros(k)
             for r in grads:

@@ -739,8 +739,7 @@ def lang_model(spark):
     df = _multilang_corpus(spark)
     # iters=10 is deliberate suite-wall budgeting: the vocabularies are
     # disjoint, so separation saturates by ~8 iterations (measured 1.000
-    # train AND held-out accuracy at 8); each extra iteration costs ~4 s
-    # of plan-analysis wall on the K x n_buckets literals
+    # train AND held-out accuracy at 8)
     return df, train_multiclass_hashed(
         df, label_col="lang", iters=10, n_buckets=512
     )
@@ -984,3 +983,102 @@ def test_multiclass_report_on_trained_model(spark, lang_model):
     assert {r["class"] for r in rows} == {"aa", "bb", "cc", "dd"}
     assert all(r.f1 == 1.0 for r in rows)
     assert sum(r.n_pred for r in rows) == sum(r.n_true for r in rows) == df.count()
+
+
+def test_multiclass_trainer_scoring_paths_bit_identical(spark):
+    """The trainer's two scoring kernels (broadcast matrix — the default
+    — vs in-plan literal fold, forced via literal_cap) must produce
+    BYTE-identical trained weight tables: the numpy cumsum fold mirrors
+    the JVM aggregate order, so the per-iteration logits, residuals,
+    and therefore every gradient step agree exactly.  This is what
+    makes the default-path switch (r16: training broadcasts, apply
+    keeps literals below the cap) a pure performance change."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        train_multiclass_hashed,
+    )
+
+    df = _multilang_corpus(spark, n_each=6)
+    kw = dict(label_col="lang", iters=5, n_buckets=64)
+    bc_rows = sorted(
+        (r.bucket, r.label, r.weight)
+        for r in train_multiclass_hashed(df, **kw).collect()
+    )
+    lit_rows = sorted(
+        (r.bucket, r.label, r.weight)
+        for r in train_multiclass_hashed(df, **kw, literal_cap=1 << 30).collect()
+    )
+    assert bc_rows == lit_rows and len(bc_rows) > 4
+
+
+def test_multiclass_apply_at_fasttext_width(spark):
+    """fastText-realistic model width — K=20 classes x 2,097,152 buckets
+    (a 40M-weight, ~335 MB dense matrix, far past HASHED_LITERAL_CAP):
+    the apply must (a) take the broadcast-matrix path without inflating
+    the plan, (b) stay ZERO-exchange map-only (the 100 TB contract: the
+    pass scales with executor count and nothing else), and (c) agree
+    exactly with a driver-side numpy replay of bias + mean-pooled
+    weights + first-max argmax on every document."""
+    import numpy as np
+
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        HASHED_LITERAL_CAP,
+        QC_HASH_SCHEME,
+        apply_multiclass_hashed,
+        hashed_ngram_buckets,
+    )
+
+    k, n_buckets = 20, 1 << 21
+    assert k * n_buckets > HASHED_LITERAL_CAP
+    classes = [f"c{i:02d}" for i in range(k)]
+    # deterministic sparse weights: ~60 nonzero buckets per class plus
+    # distinct biases (distinct biases keep no-evidence docs tie-free;
+    # the tie RULE itself is pinned by test_multiclass_tie_break_*)
+    rows = [(-1, classes[c], 0.01 * c - 0.1) for c in range(k)]
+    for c in range(k):
+        for j in range(60):
+            b = (c * 104729 + j * 34807) % n_buckets
+            rows.append((b, classes[c], ((c * 31 + j * 7) % 11 - 5) * 0.25))
+    w = spark.createDataFrame(
+        rows, "bucket int, label string, weight double"
+    ).select(
+        "bucket",
+        "label",
+        F.col("weight").alias(
+            "weight",
+            metadata={
+                "qc_n_buckets": n_buckets,
+                "qc_ngram": 2,
+                "qc_hash": QC_HASH_SCHEME,
+            },
+        ),
+    )
+    docs = _multilang_corpus(spark, n_each=12).select("doc_id", "text")
+    scored = apply_multiclass_hashed(docs, w, out_col="pred", prob_col="p")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    # numpy replay with the kernel's own fold order
+    dense = np.zeros((k, n_buckets))
+    biases = np.zeros(k)
+    for b, lab, wt in rows:
+        c = classes.index(lab)
+        if b == -1:
+            biases[c] = wt
+        else:
+            dense[c, b] = wt
+    bks = {
+        r.doc_id: list(r.bks)
+        for r in docs.select(
+            "doc_id", hashed_ngram_buckets(F.col("text"), n_buckets, 2).alias("bks")
+        ).collect()
+    }
+    got = {r.doc_id: r.pred for r in scored.collect()}
+    assert len(got) == len(bks) > 0
+    for doc_id, arr in bks.items():
+        a = np.asarray(arr, dtype=np.int64)
+        z = (
+            biases.copy()
+            if a.size == 0
+            else biases + np.cumsum(dense[:, a], axis=1)[:, -1] / a.size
+        )
+        assert got[doc_id] == classes[int(np.argmax(z))], doc_id

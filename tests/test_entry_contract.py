@@ -406,3 +406,34 @@ def test_correlation_duckdb_oracle(spark):
         """
     ).fetchone()[0]
     assert got == want and want is not None
+
+
+def test_chunk_docs_duckdb_oracle(spark):
+    """Retirement anchor for the chunk_docs oracle row (rotated out in
+    round 16 for lang_id_trained_docs): the full per-(doc, chunk) window
+    comparison the driver row performed, at sf0.001.  The chunk-universe
+    re-derivation itself also stays LIVE in the registry — pack_chunks_docs'
+    oracle error()-reconciles its staging against the same
+    _CHUNK_UNIVERSE_SQL — so this anchor pins the chunk_text/token-count
+    projection that row does not compare."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._chunk_docs(spark, SF).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH u AS ({entrymod._CHUNK_UNIVERSE_SQL})
+            SELECT doc_id, chunk_id,
+                   CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(chunk, ' ') AS chunk_text
+            FROM u
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

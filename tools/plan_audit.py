@@ -120,7 +120,14 @@ CHECKS = {
     "bucketed_order_revenue": dict(max_exchange=1, partial_agg=True, no_cartesian=True),
     # chunking must stay a narrow map-only stage: ZERO exchanges, and the
     # scan reads only (doc_id, text)
+    # (retired r16 — oracle moved in-test; plan contract stays audited)
     "chunk_docs": dict(max_exchange=0, no_cartesian=True, pruned_cols="text"),
+    # trained multiclass lang-id apply (r16): same 100 TB contract as the
+    # binary classifier row — the K weight arrays fold into literals (or
+    # broadcast above the cap), so scoring is a ZERO-exchange projection
+    # and the scan must prune to (doc_id, text) even though the query
+    # function loads lang for training
+    "lang_id_trained_docs": dict(max_exchange=0, no_cartesian=True, pruned_cols="text"),
     "tfidf_top_docs": dict(partial_agg=True, no_cartesian=True),
     # decontamination: benchmark gram set must broadcast (the corpus side
     # never shuffles on gram before the join — r8 fix), and the per-doc
@@ -218,6 +225,7 @@ def main() -> None:
         "portfolio_daily": entrymod._portfolio_daily,
         "tfidf_top_docs": entrymod._tfidf_top_docs,
         "kmv_sketch_docs": entrymod._kmv_sketch_docs,
+        "chunk_docs": entrymod._chunk_docs,
     }
     failures = 0
     for name, spec in CHECKS.items():

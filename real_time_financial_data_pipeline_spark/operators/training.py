@@ -614,6 +614,9 @@ def curate_documents(
     known_fingerprints: DataFrame | None = None,
     known_bloom=None,
     lang_model: DataFrame | None = None,
+    anchor_profile: DataFrame | None = None,
+    url_col: str | None = None,
+    anchor_broadcast: bool | None = None,
 ) -> DataFrame:
     """Doc-level curation ladder: (optional) corpus paragraph dedup ->
     quality gate -> (optional) model quality gate -> (optional) language
@@ -643,6 +646,24 @@ def curate_documents(
     (rejected docs never pay the fingerprint hash or the join) and
     before the dedup shuffles (the batch twin of the position
     ``streaming.training.stream_training_chunks`` uses).
+
+    ``anchor_profile`` (a ``crawl_graph.anchor_profile`` table) + ``url_col``
+    feed the web's OWN description of each document's domain into the
+    TRAINED gates: the profile joins on by registered domain
+    (``with_anchor_terms``, the same three-way size-gated join strategy
+    via ``anchor_broadcast``) and the trained quality/language models
+    score ``text + anchor terms`` instead of the text alone — anchor
+    text is the one quality signal the page cannot write for itself, so
+    a borderline page on a well-described domain survives where its
+    prose alone would not (contract test-pinned: the anchor evidence
+    flips a planted borderline doc).  Train the model on the SAME
+    composition (``with_anchor_terms`` + concat) so scoring sees the
+    feature distribution it learned.  Scope: the HEURISTIC gates
+    (quality_score, the marker lang_id, repetition) keep judging the
+    page's own prose — anchor terms are a label-like side channel, not
+    prose, and would skew prose-shape statistics.  Docs on unlinked
+    domains (or with unparseable URLs) score on their text alone
+    (``concat_ws`` skips the NULL), never dropped for missing anchors.
 
     ``quality_model`` (a weights table from
     ``classifier.train_quality_classifier``) inserts the TRAINED quality
@@ -707,10 +728,37 @@ def curate_documents(
     kept = quality_score(docs, text_col).filter(
         F.col("quality_score") >= F.lit(min_quality)
     ).drop("quality_score")
+    # the anchor join sits AFTER the heuristic gate (the shrunken corpus
+    # pays the join) and BEFORE the trained gates (its whole point);
+    # the per-domain profile table is vocabulary x domain bounded, so
+    # AQE's size gate usually broadcasts it (anchor_broadcast overrides)
+    gate_text = text_col
+    if anchor_profile is not None:
+        if url_col is None:
+            raise ValueError(
+                "anchor_profile requires url_col — anchor terms join by "
+                "the document's registered domain"
+            )
+        from .crawl_graph import with_anchor_terms
+
+        kept = with_anchor_terms(
+            kept, anchor_profile, url_col,
+            out_col="_kc_anchor", broadcast=anchor_broadcast,
+        )
+        kept = kept.withColumn(
+            "_kc_gate_text",
+            F.concat_ws(" ", F.col(text_col), F.col("_kc_anchor")),
+        )
+        gate_text = "_kc_gate_text"
+    elif anchor_broadcast is not None:
+        raise ValueError(
+            "anchor_broadcast without anchor_profile gates nothing — pass "
+            "the profile table too"
+        )
     if quality_model is not None:
         from .classifier import quality_model_gate
 
-        kept = quality_model_gate(kept, quality_model, text_col, quality_model_threshold)
+        kept = quality_model_gate(kept, quality_model, gate_text, quality_model_threshold)
     if langs is not None:
         # lang_model switches the language gate from the marker-list
         # heuristic to the trained K-class softmax
@@ -720,8 +768,10 @@ def curate_documents(
         if lang_model is not None:
             from .classifier import lang_id_trained
 
-            kept = lang_id_trained(kept, lang_model, text_col)
+            kept = lang_id_trained(kept, lang_model, gate_text)
         else:
+            # the marker heuristic stays on the page's own prose — see
+            # the anchor_profile scope note in the docstring
             kept = lang_id(kept, text_col)
         kept = kept.filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
     elif lang_model is not None:
@@ -729,6 +779,10 @@ def curate_documents(
             "lang_model without langs gates nothing — pass the language "
             "codes to keep"
         )
+    if anchor_profile is not None:
+        # the trained gates were the last consumers; everything from the
+        # repetition gate on judges / fingerprints the original text
+        kept = kept.drop("_kc_anchor", "_kc_gate_text")
     if repetition_gate:
         kept = repetition_filter(kept, text_col)
     if perplexity_lm is not None and max_perplexity is not None:
@@ -812,6 +866,8 @@ def prepare_training_set(
     min_domain_rank: float | None = None,
     min_domain_rank_quantile: float | None = None,
     lang_model: DataFrame | None = None,
+    anchor_profile: DataFrame | None = None,
+    anchor_broadcast: bool | None = None,
 ) -> DataFrame:
     """The whole training-data pipeline as one composition:
     (optional) PII scrub -> curate (quality/language/repetition/
@@ -894,6 +950,12 @@ def prepare_training_set(
     gates own them (the same convention as unparsable URLs in
     ``url_dedup``/``domain_cap``).
 
+    ``anchor_profile`` (r16) forwards the anchor-text feature into the
+    curation ladder's TRAINED gates (see :func:`curate_documents`):
+    the domain's top anchor terms join on by registered domain and the
+    trained quality / language models score text + anchors.  Requires
+    ``url_col``; ``anchor_broadcast`` picks the join strategy.
+
     ``min_domain_rank`` thresholds a RAW rank value — but ranks sum to
     1, so a fixed raw threshold means "N× the uniform floor" only at a
     fixed graph size: as the nightly graph grows, every rank shrinks
@@ -942,6 +1004,11 @@ def prepare_training_set(
         raise ValueError(
             "domain_ranks without min_domain_rank would silently gate nothing "
             "— pass the threshold too"
+        )
+    if anchor_profile is not None and url_col is None:
+        raise ValueError(
+            "anchor_profile requires url_col — anchor terms join by the "
+            "document's registered domain"
         )
     if url_col is not None:
         from .urls import domain_cap, url_dedup
@@ -995,6 +1062,9 @@ def prepare_training_set(
         known_fingerprints=known_fingerprints,
         known_bloom=known_bloom,
         lang_model=lang_model,
+        anchor_profile=anchor_profile,
+        url_col=url_col,
+        anchor_broadcast=anchor_broadcast,
     )
     if benchmark is not None:
         curated = remove_contaminated(

@@ -1082,3 +1082,112 @@ def test_multiclass_apply_at_fasttext_width(spark):
             else biases + np.cumsum(dense[:, a], axis=1)[:, -1] / a.size
         )
         assert got[doc_id] == classes[int(np.argmax(z))], doc_id
+
+
+def test_anchor_profile_flips_borderline_doc_in_curation_ladder(spark):
+    """End-to-end closure of the anchor-text surface (r15 verdict #3):
+    a quality model TRAINED on text + anchor terms (the same
+    with_anchor_terms composition the ladder applies) keeps a planted
+    borderline document that the text-only ladder drops — the web's
+    description of the domain is the deciding evidence.  Also pins: a
+    doc on an unlinked domain scores on its prose alone (NULL anchor is
+    skipped, never a drop), and the knob guards fail fast."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_quality_classifier_hashed,
+        train_quality_classifier_hashed,
+    )
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+        with_anchor_terms,
+    )
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+        prepare_training_set,
+    )
+
+    vocab_a = "alpha beta gamma delta epsilon zeta eta theta".split()
+    vocab_b = "zork grib mulx vren klop snib trag womp".split()
+    links = spark.createDataFrame(
+        [
+            (f"https://good.example/p{i}", "trusted reference encyclopedia archive")
+            for i in range(6)
+        ]
+        + [
+            (f"https://spam.example/p{i}", "casino pills lottery banner")
+            for i in range(6)
+        ],
+        "dst string, anchor_text string",
+    )
+    profile = anchor_profile(links, k=4, stopwords=[])
+
+    def mk(doc_id, uri, words, label):
+        return (doc_id, uri, " ".join(words), label)
+
+    train_rows = [
+        mk(i, f"https://good.example/p{i}",
+           [vocab_a[(i + p) % 8] for p in range(8)], 1.0)
+        for i in range(12)
+    ] + [
+        mk(100 + i, f"https://spam.example/p{i}",
+           [vocab_b[(i + p) % 8] for p in range(8)], 0.0)
+        for i in range(12)
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, uri string, text string, label double"
+    )
+    # train on the SAME composition the ladder scores with
+    combined = with_anchor_terms(train, profile, "uri", out_col="_a").withColumn(
+        "text_plus", F.concat_ws(" ", F.col("text"), F.col("_a"))
+    )
+    w = train_quality_classifier_hashed(
+        combined, "label", "text_plus", n_buckets=8192, iters=15
+    )
+
+    # borderline doc: one spam-vocab token + three unseen tokens, but it
+    # lives on the well-described domain; control doc: same text on an
+    # unlinked domain
+    borderline_text = "grib quuxone quuxtwo quuxthree"
+    docs = spark.createDataFrame(
+        [
+            (1, "https://good.example/border", borderline_text),
+            (2, "https://unlinked.example/x", borderline_text),
+        ],
+        "doc_id long, uri string, text string",
+    )
+    anchored = with_anchor_terms(docs, profile, "uri", out_col="_a").withColumn(
+        "text_plus", F.concat_ws(" ", F.col("text"), F.col("_a"))
+    )
+    logits = {
+        r.doc_id: (r.text_logit, r.anchored_logit)
+        for r in apply_quality_classifier_hashed(
+            apply_quality_classifier_hashed(
+                anchored, w, "text", logit_col="text_logit",
+                prob_col="_p1", keep_col="_k1",
+            ),
+            w, "text_plus", logit_col="anchored_logit",
+            prob_col="_p2", keep_col="_k2",
+        ).collect()
+    }
+    # the planted geometry: text alone scores negative (spam evidence
+    # only), the anchor terms carry it positive
+    assert logits[1][0] < 0 < logits[1][1]
+    assert logits[2][0] == logits[2][1]  # unlinked: anchors change nothing
+
+    base = dict(min_quality=0.0, near_dup_threshold=None,
+                quality_model=w, quality_model_threshold=0.5)
+    text_only = curate_documents(docs, **base)
+    assert {r.doc_id for r in text_only.collect()} == set()
+    with_anchors = curate_documents(
+        docs, anchor_profile=profile, url_col="uri", **base
+    )
+    assert {r.doc_id for r in with_anchors.collect()} == {1}
+    # anchor scratch columns are dropped: same schema as the plain ladder
+    assert set(with_anchors.columns) == set(text_only.columns)
+    assert not {"_kc_anchor", "_kc_gate_text"} & set(with_anchors.columns)
+
+    with pytest.raises(ValueError, match="anchor_profile requires url_col"):
+        curate_documents(docs, anchor_profile=profile, **base)
+    with pytest.raises(ValueError, match="anchor_broadcast without"):
+        curate_documents(docs, anchor_broadcast=True, **base)
+    with pytest.raises(ValueError, match="anchor_profile requires url_col"):
+        prepare_training_set(docs, anchor_profile=profile)

@@ -647,7 +647,7 @@ def _lang_id_trained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared columns are the argmax class plus every per-class logit at
     6 dp; softmax probabilities stay out (exp is libm-dependent)."""
     from real_time_financial_data_pipeline_spark.operators.classifier import (
-        _multiclass_logits,
+        _multiclass_totals,
         _multiclass_weights,
         hashed_ngram_buckets,
         lang_id_trained,
@@ -669,9 +669,19 @@ def _lang_id_trained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1).write.mode("overwrite").parquet(_STAGED_MC_BK_DIR)
     classes, biases, dense, n_buckets, ngram = _multiclass_weights(staged_w)
     scored = lang_id_trained(docs, staged_w, out_col="pred")
-    zs = _multiclass_logits(
-        hashed_ngram_buckets(F.col("text"), n_buckets, ngram), biases, dense
-    )
+    # per-class logit columns via ONE named fold column (the r16
+    # analysis-cost rule: never embed the literal fold per consumer)
+    bks = hashed_ngram_buckets(F.col("text"), n_buckets, ngram)
+    scored = scored.withColumn(
+        "_o_tot", _multiclass_totals(bks, dense)
+    ).withColumn("_o_n", F.size(bks))
+    zs = [
+        F.lit(biases[c])
+        + F.coalesce(
+            F.try_divide(F.col("_o_tot")[f"s{c}"], F.col("_o_n")), F.lit(0.0)
+        )
+        for c in range(len(classes))
+    ]
     return scored.select(
         "doc_id",
         "pred",

@@ -483,10 +483,26 @@ def hashed_ngram_buckets(text: Column, n_buckets: int, ngram: int = 2) -> Column
     return F.transform(grams, lambda h: F.pmod(h, F.lit(n_buckets)).cast("int"))
 
 
+def _dense_array_lit(w: list[float]) -> Column:
+    """array<double> literal built through ONE parser call instead of
+    ``F.lit(list)``'s one py4j round trip per element — at model widths
+    (thousands of weights) the per-element form costs whole seconds of
+    driver wall per array (measured 1.66 s for 2048 doubles vs 7 ms).
+    ``repr`` emits the shortest round-trip decimal and the ``D`` suffix
+    makes the parser read it as a DOUBLE literal (bare decimals would
+    parse as DECIMAL and re-round), so the values are BIT-IDENTICAL to
+    ``F.lit``'s (test-pinned).  Non-finite values fall back to ``F.lit``
+    — repr's inf/nan spellings are not SQL literals (trained weights are
+    always finite; the fallback keeps the helper total)."""
+    if all(math.isfinite(x) for x in w):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in w) + ")")
+    return F.lit(w)
+
+
 def _hashed_logit(buckets: Column, bias: float, w: list[float]) -> Column:
     """bias + mean(w[bucket]) as a literal-folded expression (empty doc ->
     bias).  Fixed fold order; the array literal is the whole model."""
-    warr = F.lit(w)
+    warr = _dense_array_lit(w)
     total = F.aggregate(
         buckets, F.lit(0.0), lambda acc, b: acc + F.element_at(warr, b + F.lit(1))
     )
@@ -705,17 +721,14 @@ def apply_quality_classifier_hashed(
 # structs — deterministic, streaming-legal, codegen'd.
 
 
-def _multiclass_logits(
-    buckets: Column, biases: list[float], ws: list[list[float]]
-) -> list[Column]:
-    """Per-class logits ``bias_c + mean(w_c[bucket])`` with ONE pass over
-    the gram array: the fold's accumulator is a struct of K running sums,
-    so the (hot) bucketing expression is referenced — and therefore
-    evaluated — exactly once.  Empty doc -> per-class biases."""
+def _multiclass_totals(buckets: Column, ws: list[list[float]]) -> Column:
+    """The K-sum struct accumulator: ONE fold pass over the gram array
+    accumulating all K per-class weight sums (the bucketing expression
+    is referenced — and therefore evaluated — exactly once)."""
     k = len(ws)
-    warrs = [F.lit(w) for w in ws]
+    warrs = [_dense_array_lit(w) for w in ws]
     zero = F.struct(*[F.lit(0.0).alias(f"s{c}") for c in range(k)])
-    totals = F.aggregate(
+    return F.aggregate(
         buckets,
         zero,
         lambda acc, b: F.struct(
@@ -725,6 +738,25 @@ def _multiclass_logits(
             ]
         ),
     )
+
+
+def _multiclass_logits(
+    buckets: Column, biases: list[float], ws: list[list[float]]
+) -> list[Column]:
+    """Per-class logits ``bias_c + mean(w_c[bucket])`` from the single
+    struct-accumulator pass.  Empty doc -> per-class biases.
+
+    CAUTION (the r16 analysis-cost finding): each returned Column embeds
+    the full K x n_buckets literal fold — a consumer that references
+    several of them in one plan multiplies Catalyst's analysis work by
+    the reference count (measured: 18 s of flat driver wall per apply at
+    K=5 x 2048 when the fold appeared ~2K times).  Plan-building code
+    should materialize :func:`_multiclass_totals` as a NAMED column once
+    and derive the logits from the attribute (what
+    :func:`apply_multiclass_hashed` does); this list form is for
+    single-reference consumers."""
+    k = len(ws)
+    totals = _multiclass_totals(buckets, ws)
     n = F.size(buckets)
     return [
         F.lit(biases[c])
@@ -1040,7 +1072,26 @@ def apply_multiclass_hashed(
     k = len(classes)
     buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, ngram)
     if k * n_buckets <= literal_cap:
-        zs = _multiclass_logits(buckets, biases, dense)
+        # materialize the literal-bearing struct fold ONCE as a named
+        # column; every downstream consumer (K logits, the K argmax
+        # structs, the softmax terms) references the ATTRIBUTE.  Embedding
+        # the fold expression per consumer made Catalyst analysis the
+        # dominant cost — ~2K copies of a K x n_buckets literal tree,
+        # measured 18 s of flat driver wall per apply at K=5 x 2048 —
+        # while the named-column form analyzes the fold once.  Runtime is
+        # unchanged (same projection, codegen CSE already de-duplicated
+        # the evaluation); results are bit-identical.
+        tmp = df.withColumn(
+            "_mc_tot", _multiclass_totals(buckets, dense)
+        ).withColumn("_mc_n", F.size(buckets))
+        zs = [
+            F.lit(biases[c])
+            + F.coalesce(
+                F.try_divide(F.col("_mc_tot")[f"s{c}"], F.col("_mc_n")),
+                F.lit(0.0),
+            )
+            for c in range(k)
+        ]
         # greatest over (z, tiebreak, label): equal logits pick the row
         # with the LARGER tiebreak = the SMALLER class index
         cands = [
@@ -1052,14 +1103,14 @@ def apply_multiclass_hashed(
             for c in range(k)
         ]
         best = F.greatest(*cands)
-        out = df.withColumn(out_col, best["label"])
+        out = tmp.withColumn(out_col, best["label"])
         if prob_col is not None:
             m = F.greatest(*zs)
             denom = F.exp(zs[0] - m)
             for z in zs[1:]:
                 denom = denom + F.exp(z - m)
             out = out.withColumn(prob_col, F.exp(best["z"] - m) / denom)
-        return out
+        return out.drop("_mc_tot", "_mc_n")
     scored = _multiclass_argmax_broadcast(
         df.sparkSession, buckets, classes, biases, dense
     )

@@ -1191,3 +1191,29 @@ def test_anchor_profile_flips_borderline_doc_in_curation_ladder(spark):
         curate_documents(docs, anchor_broadcast=True, **base)
     with pytest.raises(ValueError, match="anchor_profile requires url_col"):
         prepare_training_set(docs, anchor_profile=profile)
+
+
+def test_dense_array_lit_bit_identical_to_lit(spark):
+    """_dense_array_lit (the one-parser-call array literal that removed
+    ~6 s of per-element py4j wall from every hashed-model plan build)
+    must produce BIT-identical doubles to F.lit across the value edge
+    cases (signed zero, denormal min, huge/tiny magnitudes), and fall
+    back to F.lit when a value is non-finite."""
+    import math
+    import struct as st
+
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        _dense_array_lit,
+    )
+
+    w = [0.0, -0.0, 1.5, -2.25, 1e-300, -1e300, 5e-324,
+         123456789.123456789, 0.1 + 0.2, math.pi]
+    r = spark.range(1).select(
+        F.lit(w).alias("a"), _dense_array_lit(w).alias("b")
+    ).first()
+    assert [st.pack("<d", x) for x in r.a] == [st.pack("<d", x) for x in r.b]
+    nf = [1.0, float("inf"), 2.0]
+    r2 = spark.range(1).select(
+        F.lit(nf).alias("a"), _dense_array_lit(nf).alias("b")
+    ).first()
+    assert list(r2.a) == list(r2.b) and math.isinf(r2.b[1])

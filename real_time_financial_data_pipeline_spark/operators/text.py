@@ -71,9 +71,13 @@ def _staged_tokens(df: DataFrame, text_col: str, extra_cols: list[Column]) -> Da
     small single-file inputs across cores.  Same trick as ``doc_grams``.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(*extra_cols, tokens(F.col(text_col)).alias("_toks")).repartition(
-        max(parallelism, df.rdd.getNumPartitions())
+    # .rdd is illegal on a streaming frame (r16: the lang gate now also
+    # runs in-flight); the repartition itself is an intra-micro-batch
+    # shuffle, append-legal — only the partition-count peek needs gating
+    n = parallelism if df.isStreaming else max(
+        parallelism, df.rdd.getNumPartitions()
     )
+    return df.select(*extra_cols, tokens(F.col(text_col)).alias("_toks")).repartition(n)
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -103,6 +103,11 @@ def stream_training_chunks(
     semantic_decontam_threshold: float = 0.9,
     quality_model: DataFrame | None = None,
     quality_model_threshold: float = 0.5,
+    langs: list[str] | None = None,
+    lang_model: DataFrame | None = None,
+    anchor_profile: DataFrame | None = None,
+    url_col: str | None = None,
+    anchor_broadcast: bool | None = None,
 ) -> DataFrame:
     """(optional) PII scrub -> quality gate -> (optional) repetition gate
     -> (optional) LM perplexity gate -> (optional) benchmark
@@ -123,6 +128,24 @@ def stream_training_chunks(
     the weights fold into literal expressions, so it is as
     streaming-legal as the heuristic gate and drops exactly the
     documents the batch ladder drops.
+
+    ``langs`` (+ optional ``lang_model``, r16) applies the language gate
+    in-flight with the batch ladder's exact semantics: the marker
+    heuristic (``text.lang_id``) or, with a ``train_multiclass_hashed``
+    weights table, the trained K-class softmax (``lang_id_trained``) —
+    both are zero-exchange scoring projections, so both are
+    append-legal; ``lang_model`` without ``langs`` fails fast like the
+    batch knob.
+
+    ``anchor_profile`` (+ ``url_col``, ``anchor_broadcast``; r16)
+    mirrors the batch ladder's anchor-text feature: the per-domain
+    profile is a STATIC frame joined on by registered domain
+    (stream-static left join — stateless on the stream side,
+    append-legal, re-read per micro-batch so a nightly-refreshed
+    profile takes effect without restarting the query), and the TRAINED
+    gates score text + anchor terms exactly as
+    ``curate_documents(anchor_profile=)`` does.  Heuristic gates stay
+    prose-only; NULL anchors are skipped, never a drop.
 
     Output schema matches ``prepare_training_set``:
     (``id_col``, chunk_id, n_chunk_tokens, chunk_text, split).
@@ -185,13 +208,56 @@ def stream_training_chunks(
         docs = scrub_pii(docs, text_col)
     toks = tokens(F.col(text_col))
     gated = docs.filter(quality_score_expr(toks) >= F.lit(min_quality))
+    # anchor join + gate text: identical composition (and guards) to
+    # curate_documents — the trained gates score text + anchor terms,
+    # the heuristic gates stay on the page's own prose
+    gate_text = text_col
+    if anchor_profile is not None:
+        if url_col is None:
+            raise ValueError(
+                "anchor_profile requires url_col — anchor terms join by "
+                "the document's registered domain"
+            )
+        from ..operators.crawl_graph import with_anchor_terms
+
+        gated = with_anchor_terms(
+            gated, anchor_profile, url_col,
+            out_col="_kc_anchor", broadcast=anchor_broadcast,
+        )
+        gated = gated.withColumn(
+            "_kc_gate_text",
+            F.concat_ws(" ", F.col(text_col), F.col("_kc_anchor")),
+        )
+        gate_text = "_kc_gate_text"
+    elif anchor_broadcast is not None:
+        raise ValueError(
+            "anchor_broadcast without anchor_profile gates nothing — pass "
+            "the profile table too"
+        )
     if quality_model is not None:
         # the trained gate is literal-folded expressions only (no staging,
         # no join), so it composes onto the stream exactly like the
         # heuristic one and drops the same documents as the batch ladder
         from ..operators.classifier import quality_model_gate
 
-        gated = quality_model_gate(gated, quality_model, text_col, quality_model_threshold)
+        gated = quality_model_gate(gated, quality_model, gate_text, quality_model_threshold)
+    if langs is not None:
+        if lang_model is not None:
+            from ..operators.classifier import lang_id_trained
+
+            gated = lang_id_trained(gated, lang_model, gate_text)
+        else:
+            from ..operators.text import lang_id
+
+            gated = lang_id(gated, text_col)
+        gated = gated.filter(F.col("lang_pred").isin(langs)).drop("lang_pred")
+    elif lang_model is not None:
+        raise ValueError(
+            "lang_model without langs gates nothing — pass the language "
+            "codes to keep"
+        )
+    if anchor_profile is not None:
+        gated = gated.drop("_kc_anchor", "_kc_gate_text")
     if repetition_gate:
         from ..operators.text import repetition_filter
 

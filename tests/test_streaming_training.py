@@ -479,3 +479,143 @@ def test_stream_quality_model_gate_matches_batch(spark, tmp_path):
     key = lambda r: (r.doc_id, r.chunk_id)
     assert sorted(got, key=key) == sorted(batch, key=key)
     assert {r.doc_id for r in got} == {i for i, _ in good}
+
+
+def test_stream_lang_and_anchor_gates_match_batch(spark, tmp_path):
+    """r16 knob parity: the streaming twin takes langs= (marker or
+    trained) and anchor_profile= — the lang gate is a zero-exchange
+    scoring projection, the anchor join is stream-static on the
+    registered domain — and keeps EXACTLY the documents the batch
+    composition keeps: the planted borderline doc survives only via its
+    domain's anchor terms, the unlinked twin drops, the French doc
+    passes quality but falls to the language gate.  Guards mirror the
+    batch ladder's."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        train_quality_classifier_hashed,
+    )
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+        with_anchor_terms,
+    )
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        prepare_training_set,
+    )
+
+    vocab_a = "alpha beta gamma delta epsilon zeta eta theta".split()
+    vocab_b = "zork grib mulx vren klop snib trag womp".split()
+    links = spark.createDataFrame(
+        [(f"https://good.example/p{i}", "trusted reference encyclopedia archive")
+         for i in range(6)]
+        + [(f"https://spam.example/p{i}", "casino pills lottery banner")
+           for i in range(6)],
+        "dst string, anchor_text string",
+    )
+    profile = anchor_profile(links, k=4, stopwords=[]).persist()
+    train = spark.createDataFrame(
+        [(i, f"https://good.example/p{i}",
+          " ".join(vocab_a[(i + p) % 8] for p in range(8)), 1.0)
+         for i in range(12)]
+        + [(100 + i, f"https://spam.example/p{i}",
+            " ".join(vocab_b[(i + p) % 8] for p in range(8)), 0.0)
+           for i in range(12)],
+        "doc_id long, uri string, text string, label double",
+    )
+    combined = with_anchor_terms(train, profile, "uri", out_col="_a").withColumn(
+        "text_plus", F.concat_ws(" ", F.col("text"), F.col("_a"))
+    )
+    w = train_quality_classifier_hashed(
+        combined, "label", "text_plus", n_buckets=8192, iters=15
+    ).persist()
+
+    borderline = "grib quuxone quuxtwo quuxthree"
+    docs_rows = [
+        (1, "https://good.example/border", borderline),        # anchors flip -> kept
+        (2, "https://unlinked.example/x", borderline),         # no anchors -> dropped
+        (3, "https://unlinked.example/y",
+         " ".join(vocab_a) + " " + " ".join(vocab_a)),         # good prose -> kept
+        (4, "https://good.example/fr",
+         "le la les et je suis dans la maison " + " ".join(vocab_a)),  # lang-gated
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, uri string, text string")
+    knobs = dict(
+        min_quality=0.0, quality_model=w, quality_model_threshold=0.5,
+        langs=["en"], anchor_profile=profile, url_col="uri",
+        chunk_tokens=8, overlap_tokens=2,
+    )
+    batch_ids = {
+        r.doc_id
+        for r in prepare_training_set(docs, near_dup_threshold=None, **knobs).collect()
+    }
+
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src / "f1"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(stream, **knobs)
+        .writeStream.format("memory")
+        .queryName("anchor_lang_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_al"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_ids = {r.doc_id for r in spark.table("anchor_lang_chunks").collect()}
+    assert stream_ids == batch_ids == {1, 3}
+
+    # guards mirror the batch ladder
+    with pytest.raises(ValueError, match="anchor_profile requires url_col"):
+        stream_training_chunks(stream, anchor_profile=profile)
+    with pytest.raises(ValueError, match="anchor_broadcast without"):
+        stream_training_chunks(stream, anchor_broadcast=True)
+    with pytest.raises(ValueError, match="lang_model without langs"):
+        stream_training_chunks(stream, lang_model=w)
+    profile.unpersist(), w.unpersist()
+
+
+def test_stream_trained_lang_gate_keeps_requested_language(spark, tmp_path):
+    """The trained lang gate (lang_model=) in-flight: on a two-fake-
+    language corpus the marker heuristic routes everything to 'en' (so
+    langs=['aa'] would keep nothing), while the trained softmax keeps
+    exactly the aa documents — same contrast as the batch ladder test,
+    on a streaming frame."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        train_multiclass_hashed,
+    )
+
+    vocab = {"aa": "wuga mupo zelt kravi donk plif".split(),
+             "bb": "xind folu qarn besh trom ylva".split()}
+    rows = [
+        (100 * k + i, " ".join(vocab[code][(i + p) % 6] for p in range(8)), code)
+        for k, code in enumerate(sorted(vocab), start=1)
+        # range(6), not 8: the phase wraps mod 6, so i=6,7 would be exact
+        # content duplicates of i=0,1 and the stream's fingerprint dedup
+        # (correctly) drops them
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = train_multiclass_hashed(df, label_col="lang", n_buckets=256, iters=10)
+
+    src = tmp_path / "docs"
+    df.select("doc_id", "text").write.parquet(str(src / "f1"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream_training_chunks(
+            stream, min_quality=0.0, chunk_tokens=8, overlap_tokens=2,
+            langs=["aa"], lang_model=w,
+        )
+        .writeStream.format("memory")
+        .queryName("trained_lang_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tl"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("trained_lang_chunks").collect()}
+    assert got == {r[0] for r in rows if r[2] == "aa"} and len(got) == 6

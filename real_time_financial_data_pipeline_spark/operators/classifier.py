@@ -832,7 +832,18 @@ def train_multiclass_hashed(
     for keep/drop gates (one array instead of two).  For language ID,
     train on a labeled sample and apply with
     :func:`lang_id_trained` — the upgrade path ``text.lang_id``'s
-    docstring points at."""
+    docstring points at.
+
+    Driver-memory shape (the honest ceiling): the per-iteration gradient
+    collect is <= min(n_buckets, distinct sample grams) rows x K sums,
+    and the weight matrix itself is a dense K x n_buckets float64 array
+    — ~1.6 GB at fastText's 2M x 100.  That bounds THIS trainer to
+    weak-label SAMPLES (the production posture: DCLM/fastText gates are
+    fit on 10^5-10^7 labeled docs, then applied to the full corpus by
+    the zero-exchange scorer, which has no such ceiling — 2M x 20 apply
+    is test-pinned).  A full-corpus fit at fastText width would need
+    weights kept as a DataFrame and joined per iteration — a different
+    cost regime this module deliberately does not enter."""
     if n_buckets < 2 or ngram < 1:
         raise ValueError(
             f"need n_buckets >= 2 and ngram >= 1, got {n_buckets}, {ngram}"

@@ -648,6 +648,45 @@ def anchor_profile(
     )
 
 
+def anchor_term_counts(
+    links: DataFrame,
+    dst_col: str = "dst",
+    text_col: str = "anchor_text",
+    extra_suffixes: tuple[str, ...] = (),
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The MERGEABLE form of :func:`anchor_profile`: the full
+    ``(dst_domain, term, n)`` anchor-term count table — the artifact a
+    nightly crawl actually persists.  A top-k profile does not compose
+    across slices (merging top-ks is lossy: tonight's #6 term may be
+    the all-time #3), but counts are associative, so the incremental
+    posture is: persist tonight's slice's count table, fold it into the
+    running table with ``text.merge_term_counts`` (one hash aggregate,
+    the ``merge_host_graphs`` shape), and derive the serving top-k with
+    :func:`profile_from_counts` — fold ≡ one anchor_profile over the
+    union of all links, test-pinned.  Same scan shape as
+    anchor_profile: the only shuffle is domains x vocabulary bounded."""
+    from .text import term_counts
+
+    dom = registered_domain(F.col(dst_col), extra_suffixes)
+    frame = links.select(
+        dom.alias("dst_domain"), F.col(text_col).alias("_anchor")
+    ).filter(F.col("dst_domain").isNotNull())
+    return term_counts(
+        frame, text_col="_anchor", group_col="dst_domain", stopwords=stopwords
+    )
+
+
+def profile_from_counts(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Serving top-k over an :func:`anchor_term_counts` table — the read
+    side of the nightly fold.  Output schema and tie rule are identical
+    to :func:`anchor_profile`, so ``with_anchor_terms`` and the curation
+    ladder's ``anchor_profile=`` knob consume either form."""
+    from .text import rank_top_terms
+
+    return rank_top_terms(counts, k, group_col="dst_domain")
+
+
 def with_anchor_terms(
     docs: DataFrame,
     profile: DataFrame,

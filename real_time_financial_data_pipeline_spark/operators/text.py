@@ -214,6 +214,59 @@ def gram_set(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
+def term_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The FULL per-group term-count table ``(group, term, n)`` — the
+    MERGEABLE stage of :func:`top_terms`: counts are associative, so
+    slice tables fold with :func:`merge_term_counts` and the fold equals
+    one pass over the union (a top-k table does not compose this way —
+    merging top-ks is lossy).  explode(tokens) → one hash aggregate with
+    map-side combine; tokenize + explode run in the SAME stage as the
+    scan, and the only shuffle carries (group, term, partial count) —
+    bounded by vocabulary, not corpus."""
+    stopwords = STOPWORDS if stopwords is None else stopwords
+    exploded = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    return (
+        exploded.filter(~F.col("term").isin(*stopwords) if stopwords else F.lit(True))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_term_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two ``(group, term, n)`` count tables by summing — the
+    nightly incremental step for any term_counts-derived profile.  One
+    hash aggregate; addition is associative/commutative, so folding
+    slices in any order equals counting the union once (test-pinned)."""
+    group_col, term_col = a.columns[0], a.columns[1]
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, term_col)
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def rank_top_terms(counts: DataFrame, k: int, group_col: str = "source") -> DataFrame:
+    """Per-group top-k over a ``(group, term, n)`` count table — the
+    SERVING stage of :func:`top_terms`.  The window runs on the
+    vocabulary-bounded count table, never the corpus; count ties break
+    on term order, so the k-set and ranks are deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "term", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
 def top_terms(
     df: DataFrame,
     text_col: str = "text",
@@ -221,34 +274,13 @@ def top_terms(
     k: int = 5,
     stopwords: list[str] | None = None,
 ) -> DataFrame:
-    """Top-k most frequent terms per group (corpus vocabulary profiling).
-
-    explode(tokens) → one hash aggregate on (group, term) with map-side
-    combine → per-group top-k window on the (small) term-count table.
-    Tokenize + explode run in the SAME stage as the scan (no staging
-    repartition: the token array is consumed exactly once, so the
-    interpreted-HOF re-evaluation problem _staged_tokens exists for
-    doesn't apply), and the only shuffle carries (group, term, partial
-    count) — bounded by vocabulary, not corpus, which is what makes this
-    viable at 100 TB.  Ranking breaks count ties on term order, so the
-    k-set and ranks are deterministic.
-    """
-    from pyspark.sql import Window
-
-    stopwords = STOPWORDS if stopwords is None else stopwords
-    exploded = df.select(
-        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term")
-    )
-    counts = (
-        exploded.filter(~F.col("term").isin(*stopwords) if stopwords else F.lit(True))
-        .groupBy(group_col, "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(group_col, "term", F.col("n").cast("long").alias("n"), "rank")
+    """Top-k most frequent terms per group (corpus vocabulary profiling):
+    :func:`term_counts` (the mergeable count stage) ranked by
+    :func:`rank_top_terms`.  The only corpus-sized work is the counting
+    aggregate's map side; everything after is vocabulary-bounded — what
+    makes this viable at 100 TB."""
+    return rank_top_terms(
+        term_counts(df, text_col, group_col, stopwords), k, group_col
     )
 
 

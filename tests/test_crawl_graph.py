@@ -1004,3 +1004,70 @@ def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
     finally:
         if before is not None:
             sc.setCheckpointDir(before)
+
+
+def test_anchor_term_counts_fold_equals_direct_profile(spark):
+    """The nightly incremental form (r16): anchor_term_counts is the
+    MERGEABLE artifact — folding slice count tables with
+    merge_term_counts in either order, then ranking with
+    profile_from_counts, must equal one anchor_profile over the union
+    of all links (counts are associative; top-k profiles are NOT
+    mergeable, which is why the count table is what a nightly crawl
+    persists).  The serving form is schema- and tie-rule-identical, so
+    with_anchor_terms consumes either."""
+    from pyspark.sql import functions as F
+
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+        anchor_term_counts,
+        profile_from_counts,
+        with_anchor_terms,
+    )
+    from real_time_financial_data_pipeline_spark.operators.text import (
+        merge_term_counts,
+    )
+
+    terms = ["news", "sports", "maps", "mail", "video"]
+    slices = []
+    rows_all = []
+    for s in range(3):
+        rows = [
+            (
+                f"https://site{(s + i) % 4}.com/p{i}",
+                f"{terms[(s + i) % 5]} {terms[(s + 2 * i) % 5]} portal",
+            )
+            for i in range(12)
+        ]
+        rows_all += rows
+        slices.append(
+            spark.createDataFrame(rows, "dst string, anchor_text string")
+        )
+    all_links = spark.createDataFrame(rows_all, "dst string, anchor_text string")
+
+    counts = [anchor_term_counts(sl, stopwords=[]) for sl in slices]
+    fold_ab_c = merge_term_counts(merge_term_counts(counts[0], counts[1]), counts[2])
+    fold_c_ab = merge_term_counts(counts[2], merge_term_counts(counts[1], counts[0]))
+    direct = anchor_profile(all_links, k=3, stopwords=[])
+
+    want = {tuple(r) for r in direct.collect()}
+    assert {tuple(r) for r in profile_from_counts(fold_ab_c, 3).collect()} == want
+    assert {tuple(r) for r in profile_from_counts(fold_c_ab, 3).collect()} == want
+    assert len(want) > 0
+
+    # the serving form is a drop-in for the join consumer
+    docs = spark.createDataFrame(
+        [(1, "https://site0.com/x"), (2, "https://nowhere.example/y")],
+        "doc_id long, uri string",
+    )
+    via_direct = {
+        (r.doc_id, r.anchor_terms)
+        for r in with_anchor_terms(docs, direct, "uri").collect()
+    }
+    via_fold = {
+        (r.doc_id, r.anchor_terms)
+        for r in with_anchor_terms(
+            docs, profile_from_counts(fold_ab_c, 3), "uri"
+        ).collect()
+    }
+    assert via_direct == via_fold
+    assert any(t is not None for _, t in via_direct)

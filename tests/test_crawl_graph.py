@@ -1071,3 +1071,88 @@ def test_anchor_term_counts_fold_equals_direct_profile(spark):
     }
     assert via_direct == via_fold
     assert any(t is not None for _, t in via_direct)
+
+
+def test_stream_anchor_counts_fold_replay_and_serving(spark, tmp_path):
+    """The anchor-text twin of the streaming graph fold (r16): term-count
+    addition is as non-idempotent as edge-weight addition, so the fold
+    rides the same strictly-below version ladder.  Pinned: (a) replaying
+    a batch leaves the snapshot bit-identical; (b) an availableNow drain
+    folds to EXACTLY anchor_term_counts over every link that arrived,
+    and profile_from_counts over the snapshot equals a direct
+    anchor_profile; (c) the keep_versions >= 2 guard holds."""
+    import pytest as _pytest
+    from real_time_financial_data_pipeline_spark.operators.crawl_graph import (
+        anchor_profile,
+        anchor_term_counts,
+        profile_from_counts,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.crawl_graph import (
+        latest_snapshot,
+        make_anchor_counts_folder,
+        stream_anchor_counts_fold,
+    )
+
+    cp = str(tmp_path / "anchor_counts")
+    fold = make_anchor_counts_folder(cp, stopwords=[], keep_versions=2)
+
+    def links(rows):
+        return spark.createDataFrame(
+            [(f"https://{d}/p", t) for d, t in rows],
+            "dst string, anchor_text string",
+        )
+
+    b0 = links([("a.com", "news portal"), ("a.com", "news daily"),
+                ("b.com", "maps")])
+    b1 = links([("a.com", "news"), ("b.com", "maps maps")])
+    fold(b0, 0)
+    fold(b1, 1)
+    want = {("a.com", "news"): 3, ("a.com", "portal"): 1, ("a.com", "daily"): 1,
+            ("b.com", "maps"): 3}
+    after = {
+        (r.dst_domain, r.term): r.n for r in latest_snapshot(spark, cp)[1].collect()
+    }
+    assert after == want
+    # (a) replay reads v=0 (strictly below), rewrites v=1 identically
+    fold(b1, 1)
+    v, snap = latest_snapshot(spark, cp)
+    assert v == 1 and {(r.dst_domain, r.term): r.n for r in snap.collect()} == want
+    with _pytest.raises(ValueError, match="penultimate"):
+        make_anchor_counts_folder(cp, keep_versions=1)
+
+    # (b) streaming drain == one anchor_term_counts over everything;
+    # serving top-k == direct anchor_profile
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows_a = [("x.com", "video hub"), ("x.com", "video site")]
+    rows_b = [("y.com", "mail"), ("x.com", "video")]
+    links(rows_a).write.mode("overwrite").parquet(str(land / "p0"))
+    links(rows_b).write.mode("overwrite").parquet(str(land / "p1"))
+    schema = spark.read.parquet(str(land / "p0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    cp2 = str(tmp_path / "anchor_counts2")
+    q = stream_anchor_counts_fold(
+        stream, cp2, str(tmp_path / "ck"), stopwords=[],
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    direct_counts = {
+        (r.dst_domain, r.term): r.n
+        for r in anchor_term_counts(links(rows_a + rows_b), stopwords=[]).collect()
+    }
+    folded = latest_snapshot(spark, cp2)[1]
+    assert {
+        (r.dst_domain, r.term): r.n for r in folded.collect()
+    } == direct_counts
+    assert {
+        tuple(r) for r in profile_from_counts(folded, 2).collect()
+    } == {
+        tuple(r)
+        for r in anchor_profile(links(rows_a + rows_b), k=2, stopwords=[]).collect()
+    }
+    with _pytest.raises(ValueError, match="streaming"):
+        stream_anchor_counts_fold(links(rows_a), cp2, str(tmp_path / "ck2"))

@@ -57,9 +57,28 @@ QUALITY_FEATURES = (
 #: Feature name reserved for the intercept row of a weights table.
 BIAS_FEATURE = "__bias__"
 
+#: Dense K x n_buckets float64 ceiling for :func:`train_multiclass_hashed`
+#: — the trainer keeps the whole weight matrix on the driver, so cap it at
+#: ~1.6 GiB (fastText's 2M x 100 shape), the docstring's honest ceiling.
+#: The APPLY path has no such cap (broadcast kernel streams the matrix).
+TRAIN_DENSE_CAP = 200_000_000
+
 # Explicit whitespace class — Java's \s and RE2's \s disagree on \x0b, so
 # both engines get the same spelled-out class.
 _WS = " \\t\\n\\r\\f"
+
+
+def _fresh_name(df: DataFrame, base: str) -> str:
+    """A scratch column name guaranteed absent from ``df``'s schema, so
+    internal ``withColumn``+``drop`` staging can never overwrite (and
+    then silently destroy) a caller column that happens to share the
+    conventional ``_mc*`` spelling."""
+    existing = set(df.columns)
+    name, i = base, 0
+    while name in existing:
+        i += 1
+        name = f"{base}_{i}"
+    return name
 
 
 def quality_feature_exprs(text: Column) -> dict[str, Column]:
@@ -843,7 +862,10 @@ def train_multiclass_hashed(
     the zero-exchange scorer, which has no such ceiling — 2M x 20 apply
     is test-pinned).  A full-corpus fit at fastText width would need
     weights kept as a DataFrame and joined per iteration — a different
-    cost regime this module deliberately does not enter."""
+    cost regime this module deliberately does not enter.  The ceiling is
+    ENFORCED: K·n_buckets above :data:`TRAIN_DENSE_CAP` raises
+    ``ValueError`` before the first iteration rather than OOMing the
+    driver mid-fit."""
     if n_buckets < 2 or ngram < 1:
         raise ValueError(
             f"need n_buckets >= 2 and ngram >= 1, got {n_buckets}, {ngram}"
@@ -868,6 +890,17 @@ def train_multiclass_hashed(
         k = len(classes)
         if k < 2:
             raise ValueError(f"need >= 2 classes, got {classes}")
+        if k * n_buckets > TRAIN_DENSE_CAP:
+            raise ValueError(
+                f"K x n_buckets = {k} x {n_buckets} = {k * n_buckets:,} "
+                f"exceeds the trainer's dense driver-weight ceiling "
+                f"({TRAIN_DENSE_CAP:,} float64 cells ~ "
+                f"{TRAIN_DENSE_CAP * 8 / 2**30:.1f} GiB). This trainer "
+                "fits weak-label SAMPLES (see docstring); a full-corpus "
+                "fit at this width needs weights kept as a DataFrame and "
+                "joined per iteration — a different cost regime this "
+                "module deliberately does not enter."
+            )
         n_rows = sum(counts.values())
         if balance_classes:
             rw = F.lit(None).cast("double")
@@ -1081,6 +1114,11 @@ def apply_multiclass_hashed(
     way."""
     classes, biases, dense, n_buckets, ngram = _multiclass_weights(weights)
     k = len(classes)
+    # scratch names must not shadow caller columns — a frame that already
+    # carries one would get it silently overwritten and then dropped
+    tot_c, n_c, mc_c = (
+        _fresh_name(df, base) for base in ("_mc_tot", "_mc_n", "_mc")
+    )
     buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, ngram)
     if k * n_buckets <= literal_cap:
         # materialize the literal-bearing struct fold ONCE as a named
@@ -1093,12 +1131,12 @@ def apply_multiclass_hashed(
         # unchanged (same projection, codegen CSE already de-duplicated
         # the evaluation); results are bit-identical.
         tmp = df.withColumn(
-            "_mc_tot", _multiclass_totals(buckets, dense)
-        ).withColumn("_mc_n", F.size(buckets))
+            tot_c, _multiclass_totals(buckets, dense)
+        ).withColumn(n_c, F.size(buckets))
         zs = [
             F.lit(biases[c])
             + F.coalesce(
-                F.try_divide(F.col("_mc_tot")[f"s{c}"], F.col("_mc_n")),
+                F.try_divide(F.col(tot_c)[f"s{c}"], F.col(n_c)),
                 F.lit(0.0),
             )
             for c in range(k)
@@ -1121,20 +1159,20 @@ def apply_multiclass_hashed(
             for z in zs[1:]:
                 denom = denom + F.exp(z - m)
             out = out.withColumn(prob_col, F.exp(best["z"] - m) / denom)
-        return out.drop("_mc_tot", "_mc_n")
+        return out.drop(tot_c, n_c)
     scored = _multiclass_argmax_broadcast(
         df.sparkSession, buckets, classes, biases, dense
     )
-    out = df.withColumn("_mc", scored).withColumn(out_col, F.col("_mc")["pred"])
+    out = df.withColumn(mc_c, scored).withColumn(out_col, F.col(mc_c)["pred"])
     if prob_col is not None:
         # softmax JVM-side from the returned logit vector, same fold
         # order as the literal path (0.0 + e_0 is exact, so the leading
         # zero of the aggregate changes nothing) -> bit-identical probs
-        z = F.col("_mc")["z"]
+        z = F.col(mc_c)["z"]
         m = F.array_max(z)
         denom = F.aggregate(z, F.lit(0.0), lambda acc, x: acc + F.exp(x - m))
         out = out.withColumn(prob_col, F.exp(m - m) / denom)
-    return out.drop("_mc")
+    return out.drop(mc_c)
 
 
 def lang_id_trained(

@@ -53,7 +53,9 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from real_time_financial_data_pipeline_spark.operators.urls import registered_domain
+from real_time_financial_data_pipeline_spark.operators.urls import (
+    with_registered_domain,
+)
 
 _log = logging.getLogger(__name__)
 
@@ -198,10 +200,14 @@ def host_graph(
     whose either side has no parseable domain dropped.  ONE hash
     aggregate; this is the collapse that makes the graph tractable —
     the domain grain is what Common Crawl ranks too."""
-    sd = registered_domain(F.col(src), extra_suffixes)
-    dd = registered_domain(F.col(dst), extra_suffixes)
+    staged = with_registered_domain(
+        with_registered_domain(links, src, "src_domain", extra_suffixes),
+        dst,
+        "dst_domain",
+        extra_suffixes,
+    )
     return (
-        links.select(sd.alias("src_domain"), dd.alias("dst_domain"))
+        staged.select("src_domain", "dst_domain")
         .filter(
             F.col("src_domain").isNotNull()
             & F.col("dst_domain").isNotNull()
@@ -604,8 +610,9 @@ def with_domain_rank(
         keyed = F.broadcast(keyed)
     elif broadcast is False:
         keyed = keyed.hint("shuffle_hash")
-    dom = registered_domain(F.col(url_col), extra_suffixes)
-    joined = docs.withColumn("_rank_dom", dom).join(keyed, "_rank_dom", "left")
+    joined = with_registered_domain(
+        docs, url_col, "_rank_dom", extra_suffixes
+    ).join(keyed, "_rank_dom", "left")
     if fill is not None:
         joined = joined.withColumn(rank_col, F.coalesce(F.col(rank_col), F.lit(fill)))
     return joined.drop("_rank_dom")
@@ -638,10 +645,11 @@ def anchor_profile(
     stopwords default to the corpus list (pass ``[]`` to keep all)."""
     from .text import top_terms
 
-    dom = registered_domain(F.col(dst_col), extra_suffixes)
-    frame = links.select(
-        dom.alias("dst_domain"), F.col(text_col).alias("_anchor")
-    ).filter(F.col("dst_domain").isNotNull())
+    frame = (
+        with_registered_domain(links, dst_col, "dst_domain", extra_suffixes)
+        .select("dst_domain", F.col(text_col).alias("_anchor"))
+        .filter(F.col("dst_domain").isNotNull())
+    )
     return top_terms(
         frame, text_col="_anchor", group_col="dst_domain", k=k,
         stopwords=stopwords,
@@ -668,10 +676,11 @@ def anchor_term_counts(
     anchor_profile: the only shuffle is domains x vocabulary bounded."""
     from .text import term_counts
 
-    dom = registered_domain(F.col(dst_col), extra_suffixes)
-    frame = links.select(
-        dom.alias("dst_domain"), F.col(text_col).alias("_anchor")
-    ).filter(F.col("dst_domain").isNotNull())
+    frame = (
+        with_registered_domain(links, dst_col, "dst_domain", extra_suffixes)
+        .select("dst_domain", F.col(text_col).alias("_anchor"))
+        .filter(F.col("dst_domain").isNotNull())
+    )
     return term_counts(
         frame, text_col="_anchor", group_col="dst_domain", stopwords=stopwords
     )
@@ -726,9 +735,8 @@ def with_anchor_terms(
         collapsed = F.broadcast(collapsed)
     elif broadcast is False:
         collapsed = collapsed.hint("shuffle_hash")
-    dom = registered_domain(F.col(url_col), extra_suffixes)
     return (
-        docs.withColumn("_anchor_dom", dom)
+        with_registered_domain(docs, url_col, "_anchor_dom", extra_suffixes)
         .join(collapsed, "_anchor_dom", "left")
         .drop("_anchor_dom")
     )

@@ -739,6 +739,13 @@ def curate_documents(
                 "anchor_profile requires url_col — anchor terms join by "
                 "the document's registered domain"
             )
+        if quality_model is None and lang_model is None:
+            raise ValueError(
+                "anchor_profile without a trained gate (quality_model or "
+                "lang_model+langs) gates nothing — only the trained "
+                "classifiers score text + anchor terms; the heuristic "
+                "gates stay on the page's own prose"
+            )
         from .crawl_graph import with_anchor_terms
 
         kept = with_anchor_terms(

@@ -41,6 +41,127 @@ MULTI_SUFFIXES = (
 )
 
 
+def _fresh(df: DataFrame, base: str) -> str:
+    """A staging column name absent from ``df`` — internal parts columns
+    must never overwrite a caller column."""
+    existing = set(df.columns)
+    name, i = base, 0
+    while name in existing:
+        i += 1
+        name = f"{base}{i}"
+    return name
+
+
+def _canonical_from_parts(
+    host: Column, proto: Column, authority: Column, path: Column, query: Column
+) -> Column:
+    """:func:`canonical_url`'s body over PRE-PARSED part columns.
+
+    The split exists for codegen health, not semantics: each part is
+    referenced 2-4 times below, so building the canonical form straight
+    off the URL re-embeds the whole ``parse_url`` chain per reference —
+    compose a few such columns into one stage and Janino's 64 KB method
+    ceiling kills whole-stage codegen for the plan (observed on the
+    url-curation gate fabric).  With the parts staged as NAMED columns
+    (``with_canonical_url``), every reference here is an attribute and
+    the projection stays a few hundred bytes of generated code.
+    CollapseProject cannot re-inline the parts: they are non-cheap and
+    multiply-referenced, exactly the case its isCheap guard keeps
+    materialized.
+
+    Null contract (``url_dedup``'s host-based split relies on it): the
+    result is null IFF ``host`` is null — every other operand is
+    defaulted non-null (path coalesced, ports/query/scheme fall to ''),
+    so a parseable host always yields a canonical string."""
+    port = F.nullif(F.regexp_extract(authority, r":(\d+)$", 1), F.lit(""))
+    default_port = F.when(proto == "http", F.lit("80")).when(
+        proto == "https", F.lit("443")
+    )
+    kept_port = F.when(
+        port.isNotNull() & ~port.eqNullSafe(default_port),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
+    npath = F.regexp_replace(path, "//+", "/")
+    npath = F.regexp_replace(npath, "/\\Z", "")
+    scheme_prefix = F.when(
+        proto.isin("http", "https") | proto.isNull(), F.lit("")
+    ).otherwise(F.concat(proto, F.lit("://")))
+    base = F.concat(
+        scheme_prefix,
+        host,
+        kept_port,
+        F.when(npath == "", F.lit("/")).otherwise(npath),
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(host.isNotNull(), base)
+
+
+def _domain_of_host(
+    host: Column, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """:func:`registered_domain`'s body over a pre-lowered HOST column —
+    same codegen-health split as :func:`_canonical_from_parts` (the host
+    is referenced ~6 times below)."""
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    suffixes = tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)
+    is_multi = two.isin(*suffixes)
+    dom = F.when(is_multi & (three != ""), three).otherwise(two)
+    return F.when(host.isNotNull() & (dom != ""), dom)
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str, out_col: str
+) -> DataFrame:
+    """``df`` plus ``out_col`` = :func:`canonical_url` of ``url_col``,
+    built through one named-parts staging projection (each ``parse_url``
+    evaluated and codegen'd ONCE) — the DataFrame-level form every
+    corpus-sized consumer should use; the raw Column form re-embeds the
+    parse chain per reference and can blow Janino's 64 KB method limit
+    when composed."""
+    url = F.col(url_col)
+    h, p, a, t, q = (
+        _fresh(df, n)
+        for n in ("_u_host", "_u_proto", "_u_auth", "_u_path", "_u_query")
+    )
+    return (
+        df.withColumns(
+            {
+                h: F.lower(F.parse_url(url, F.lit("HOST"))),
+                p: F.lower(F.parse_url(url, F.lit("PROTOCOL"))),
+                a: F.parse_url(url, F.lit("AUTHORITY")),
+                t: F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
+                q: F.parse_url(url, F.lit("QUERY")),
+            }
+        )
+        .withColumn(
+            out_col,
+            _canonical_from_parts(
+                F.col(h), F.col(p), F.col(a), F.col(t), F.col(q)
+            ),
+        )
+        .drop(h, p, a, t, q)
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    url_col: str,
+    out_col: str,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """``df`` plus ``out_col`` = :func:`registered_domain` of
+    ``url_col`` via a named-host staging projection — one ``parse_url``
+    per row instead of one per reference (see
+    :func:`with_canonical_url`)."""
+    h = _fresh(df, "_u_host")
+    return (
+        df.withColumn(h, F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
+        .withColumn(out_col, _domain_of_host(F.col(h), extra_suffixes))
+        .drop(h)
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical spelling for exact-URL identity: lowercase scheme+host,
     strip the fragment, DEFAULT ports only (:80 for http, :443 for
@@ -55,40 +176,27 @@ def canonical_url(url: Column) -> Column:
     scheme keeps a ``scheme://`` prefix so ftp://host/x never aliases
     https://host/x.  Null-safe: a null or unparsable URL canonicalizes
     to NULL (parse_url returns null hosts), so junk never aliases to a
-    real page."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    authority = F.parse_url(url, F.lit("AUTHORITY"))
-    port = F.nullif(F.regexp_extract(authority, r":(\d+)$", 1), F.lit(""))
-    default_port = F.when(proto == "http", F.lit("80")).when(
-        proto == "https", F.lit("443")
+    real page.
+
+    Scheme-relative identity for the WEB schemes only: http and https
+    of the same resource are the same PAGE for dedup purposes (crawlers
+    canonicalize to https).  Any OTHER scheme names a different
+    protocol endpoint — ftp://host/x and https://host/x must NOT alias
+    — so the non-web canonical form keeps its scheme prefix (and its
+    port: only http/https default ports are stripped, other schemes
+    have no default registered here).
+
+    Expression-composition caveat: this raw Column form re-embeds the
+    ``parse_url`` chain once per part reference; corpus-sized plans
+    should stage through :func:`with_canonical_url` instead (named
+    parts, codegen'd once)."""
+    return _canonical_from_parts(
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.lower(F.parse_url(url, F.lit("PROTOCOL"))),
+        F.parse_url(url, F.lit("AUTHORITY")),
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
+        F.parse_url(url, F.lit("QUERY")),
     )
-    kept_port = F.when(
-        port.isNotNull() & ~port.eqNullSafe(default_port),
-        F.concat(F.lit(":"), port),
-    ).otherwise(F.lit(""))
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
-    path = F.regexp_replace(path, "//+", "/")
-    path = F.regexp_replace(path, "/\\Z", "")
-    query = F.parse_url(url, F.lit("QUERY"))
-    # scheme-relative identity for the WEB schemes only: http and https
-    # of the same resource are the same PAGE for dedup purposes (crawlers
-    # canonicalize to https).  Any OTHER scheme names a different
-    # protocol endpoint — ftp://host/x and https://host/x must NOT alias
-    # — so the non-web canonical form keeps its scheme prefix (and its
-    # port: only http/https default ports are stripped above, other
-    # schemes have no default registered here).
-    scheme_prefix = F.when(
-        proto.isin("http", "https") | proto.isNull(), F.lit("")
-    ).otherwise(F.concat(proto, F.lit("://")))
-    base = F.concat(
-        scheme_prefix,
-        host,
-        kept_port,
-        F.when(path == "", F.lit("/")).otherwise(path),
-        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
-    )
-    return F.when(host.isNotNull(), base)
 
 
 def registered_domain(
@@ -96,14 +204,14 @@ def registered_domain(
 ) -> Column:
     """eTLD+1 approximation (see module docstring): the last two host
     labels, or three when the last two form a known multi-part suffix.
-    ``www.`` is never part of it (stripped by taking trailing labels)."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    suffixes = tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)
-    is_multi = two.isin(*suffixes)
-    dom = F.when(is_multi & (three != ""), three).otherwise(two)
-    return F.when(host.isNotNull() & (dom != ""), dom)
+    ``www.`` is never part of it (stripped by taking trailing labels).
+
+    Corpus-sized plans should stage through
+    :func:`with_registered_domain` (named host, codegen'd once) — this
+    raw Column form re-embeds ``parse_url`` per reference."""
+    return _domain_of_host(
+        F.lower(F.parse_url(url, F.lit("HOST"))), extra_suffixes
+    )
 
 
 def url_dedup(
@@ -113,13 +221,22 @@ def url_dedup(
     deterministic-survivor rule, same as ``exact_dedup_keep_min``).
     Rows whose URL does not parse keep themselves (null canonical forms
     are never grouped together — junk must not dedup against junk).
-    One hash aggregate + a semi join on (canonical, winner)."""
-    canon = canonical_url(F.col(url_col))
-    tagged = docs.withColumn("_cu", canon)
-    parsable = tagged.filter(F.col("_cu").isNotNull())
+    One hash aggregate + a semi join on (canonical, winner).
+
+    The parsable/junk split tests HOST nullity, not ``_cu`` nullity —
+    equivalent by :func:`_canonical_from_parts`'s null contract (the
+    canonical form is null iff the host is), and deliberately minimal:
+    predicate pushdown re-substitutes the filtered column's whole alias
+    chain down to the scan, and the ``_cu`` expression inlines ~13
+    ``parse_url`` copies where the host test inlines one."""
+    tagged = with_canonical_url(docs, url_col, "_cu")
+    has_host = F.parse_url(F.col(url_col), F.lit("HOST")).isNotNull()
+    parsable = tagged.filter(has_host)
     winners = parsable.groupBy("_cu").agg(F.min(id_col).alias(id_col))
     kept = parsable.join(winners, ["_cu", id_col], "left_semi")
-    return kept.unionByName(tagged.filter(F.col("_cu").isNull())).drop("_cu")
+    return kept.unionByName(
+        tagged.filter(F.parse_url(F.col(url_col), F.lit("HOST")).isNull())
+    ).drop("_cu")
 
 
 def domain_cap(
@@ -166,8 +283,7 @@ def domain_cap(
         raise ValueError(
             f"prefilter_buckets must be >= 2 (or None), got {prefilter_buckets}"
         )
-    dom = registered_domain(F.col(url_col), extra_suffixes)
-    tagged = docs.withColumn("_dom", dom)
+    tagged = with_registered_domain(docs, url_col, "_dom", extra_suffixes)
     with_dom = tagged.filter(F.col("_dom").isNotNull())
     order = (
         order_hash(F.col(id_col), salt)
@@ -205,8 +321,11 @@ def domain_profile(
     funnel every per-domain row (a web crawl has 10⁷–10⁸ registered
     domains) through one task.
     Output: (domain, n_docs, doc_share), unparsable URLs under NULL."""
-    dom = registered_domain(F.col(url_col), extra_suffixes)
-    per = docs.groupBy(dom.alias("domain")).agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        with_registered_domain(docs, url_col, "domain", extra_suffixes)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     total = per.agg(F.sum("n_docs").alias("_tot"))
     return per.crossJoin(F.broadcast(total)).select(
         "domain",

@@ -909,6 +909,57 @@ def test_multiclass_trainer_and_weights_guards(spark, lang_model):
     assert frac_dd >= 0.75
 
 
+def test_multiclass_trainer_dense_cap_fails_fast(spark):
+    """The trainer's documented driver-memory ceiling is ENFORCED (r16
+    verdict): K x n_buckets above TRAIN_DENSE_CAP raises a ValueError
+    before the first iteration (and before the dense matrix allocates)
+    instead of OOMing the driver mid-fit."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        TRAIN_DENSE_CAP,
+        train_multiclass_hashed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc", "x"), (2, "dd ee ff", "y")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="dense driver-weight ceiling"):
+        train_multiclass_hashed(
+            df, label_col="lang", iters=1, n_buckets=TRAIN_DENSE_CAP // 2 + 1
+        )
+
+
+def test_multiclass_apply_scratch_names_do_not_clobber_caller_columns(
+    spark, lang_model
+):
+    """A caller frame already carrying _mc_tot/_mc_n/_mc columns must
+    pass through untouched on BOTH apply paths (r16 advice: the literal
+    path silently overwrote then dropped them), with predictions
+    identical to the untagged apply."""
+    from real_time_financial_data_pipeline_spark.operators.classifier import (
+        apply_multiclass_hashed,
+    )
+
+    df, w = lang_model
+    tagged = (
+        df.withColumn("_mc_tot", F.lit(7))
+        .withColumn("_mc_n", F.lit(8))
+        .withColumn("_mc", F.lit(9))
+    )
+    base = {
+        r.doc_id: r.pred
+        for r in apply_multiclass_hashed(df, w, out_col="pred").collect()
+    }
+    for cap_kw in ({}, {"literal_cap": 0}):  # literal and broadcast paths
+        out = apply_multiclass_hashed(
+            tagged, w, out_col="pred", prob_col="p", **cap_kw
+        )
+        assert {"_mc_tot", "_mc_n", "_mc"} <= set(out.columns)
+        rows = out.collect()
+        assert all((r["_mc_tot"], r["_mc_n"], r["_mc"]) == (7, 8, 9) for r in rows)
+        assert {r.doc_id: r.pred for r in rows} == base
+
+
 def test_multiclass_lang_gate_in_curation_ladder(spark, lang_model):
     """lang_model= upgrades the ladder's language gate: on the planted
     fake-language corpus the marker heuristic routes EVERYTHING to 'en'

@@ -283,3 +283,40 @@ def test_cluster_mix_shares(embeddings):
     assert sum(r.n_vecs for r in mix) == embeddings.count()
     by_label = cluster_mix(assigned, strata_col="label").collect()
     assert sum(r.n_vecs for r in by_label) == embeddings.count()
+
+
+def test_anchor_profile_without_trained_gate_fails_fast(spark):
+    """anchor_profile feeds ONLY the trained gates (quality_model /
+    lang_model) — passed with neither configured, the anchor join would
+    run and then gate nothing (r16 advice).  Both ladder twins raise
+    instead, mirroring the sibling anchor_broadcast / lang_model
+    guards; heuristic-only ladders (langs without lang_model) raise
+    too, since the marker heuristic stays on the page's own prose."""
+    from real_time_financial_data_pipeline_spark.operators.training import (
+        curate_documents,
+    )
+    from real_time_financial_data_pipeline_spark.streaming.training import (
+        stream_training_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world text", "http://a.com/x")],
+        "doc_id long, text string, uri string",
+    )
+    profile = spark.createDataFrame(
+        [("a.com", "hello", 3, 1)],
+        "dst_domain string, term string, n long, rank long",
+    )
+    for kwargs in ({}, {"langs": ["en"]}):
+        with pytest.raises(ValueError, match="anchor_profile without a trained gate"):
+            curate_documents(
+                docs,
+                anchor_profile=profile,
+                url_col="uri",
+                near_dup_threshold=None,
+                **kwargs,
+            )
+        with pytest.raises(ValueError, match="anchor_profile without a trained gate"):
+            stream_training_chunks(
+                docs, anchor_profile=profile, url_col="uri", **kwargs
+            )

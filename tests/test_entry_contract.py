@@ -295,6 +295,51 @@ def test_tfidf_top_docs_duckdb_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_anchor_profile_domains_duckdb_oracle(spark):
+    """Retirement anchor for the anchor_profile_domains oracle row
+    (rotated out in round 17, strictly superseded by
+    stream_anchor_fold_docs — which runs the same link fabric and
+    tokenize/stopword/count/ranking kernels over the FOLDED snapshot):
+    the exact comparison the driver row performed, at sf0.001."""
+    import duckdb
+
+    got = {tuple(r) for r in entrymod._anchor_profile_domains(spark, SF).collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH links AS (
+                SELECT 'd' || CAST(abs(doc_id) % 7 AS VARCHAR) || '.com'
+                           AS dst_domain,
+                       lower(text) AS t
+                FROM read_parquet('{SF}/documents.parquet')
+                WHERE doc_id % 13 != 0
+            ),
+            toks AS (
+                SELECT dst_domain,
+                       unnest(list_filter(string_split(t, ' '),
+                                          x -> x != '')) AS term
+                FROM links
+            ),
+            counts AS (
+                SELECT dst_domain, term, count(*) AS n
+                FROM toks
+                WHERE term NOT IN
+                    ('the','a','and','of','to','in','is','on','for','as')
+                GROUP BY 1, 2
+            )
+            SELECT dst_domain, term, CAST(n AS BIGINT) AS n, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY dst_domain ORDER BY n DESC, term) AS rank
+                FROM counts
+            ) WHERE rank <= 3
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_kmv_sketch_docs_duckdb_oracle(spark):
     """Retirement anchor for the kmv_sketch_docs oracle row (rotated out
     in round 15, strictly superseded by stream_kmv_fold_docs — which

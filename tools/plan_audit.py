@@ -153,6 +153,7 @@ CHECKS = {
     "stream_kmv_fold_docs": dict(partial_agg=True, no_cartesian=True),
     # anchor profile: the ONLY shuffle carries (domain, term, partial
     # count) — map-side combine mandatory, vocabulary-bounded reduce
+    # (retired r17 — superseded by stream_anchor_fold_docs; contract stays)
     "anchor_profile_domains": dict(partial_agg=True, no_cartesian=True),
     # retired r12 (oracle rotation, plan contracts stay audited):
     "ann_lsh_topk": dict(no_cartesian=True),
@@ -226,6 +227,7 @@ def main() -> None:
         "tfidf_top_docs": entrymod._tfidf_top_docs,
         "kmv_sketch_docs": entrymod._kmv_sketch_docs,
         "chunk_docs": entrymod._chunk_docs,
+        "anchor_profile_domains": entrymod._anchor_profile_domains,
     }
     failures = 0
     for name, spec in CHECKS.items():

@@ -22,7 +22,7 @@ import __spark_entry__ as entrymod
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def drain(spark, n_parts: int, tag: str) -> float:
+def drain(spark, n_parts: int, tag: str) -> tuple[float, int]:
     ck = f"/dev/shm/rtfdp_exp_ck/{tag}"
     shutil.rmtree(ck, ignore_errors=True)
     os.makedirs(ck, exist_ok=True)

@@ -1535,8 +1535,17 @@ def _stream_graph_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_slice", a % 3
     )
     fold = make_graph_folder(_STAGED_GRAPH_FOLD_DIR, keep_versions=2)
-    for batch_id in (1, 2, 3, 3):  # the second 3 IS the replay
-        fold(links.filter(F.col("_slice") == batch_id - 1).drop("_slice"), batch_id)
+    # pin the eager fold loop's shuffle width (see _stream_anchor_fold_docs)
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for batch_id in (1, 2, 3, 3):  # the second 3 IS the replay
+            fold(
+                links.filter(F.col("_slice") == batch_id - 1).drop("_slice"),
+                batch_id,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     version, snapshot = latest_graph_snapshot(spark, _STAGED_GRAPH_FOLD_DIR)
     assert version == 3, f"fold ladder ended at v={version}, expected 3"
     return snapshot.select("src_domain", "dst_domain", "weight")
@@ -1594,8 +1603,21 @@ def _stream_anchor_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a % 3).alias("_slice"),
     )
     fold = make_anchor_counts_folder(_STAGED_ANCHOR_FOLD_DIR, keep_versions=2)
-    for batch_id in (1, 2, 3, 3):  # the second 3 IS the replay
-        fold(links.filter(F.col("_slice") == batch_id - 1).drop("_slice"), batch_id)
+    # the ladder's per-batch count/merge aggregates run EAGERLY here; on a
+    # vanilla session their shuffles default to 200 partitions of near-empty
+    # tasks — pin a modest count for the fold loop and restore (the
+    # stream_purchase_click_join convention; values are partition-count
+    # independent, test-pinned by the fold≡direct identity)
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for batch_id in (1, 2, 3, 3):  # the second 3 IS the replay
+            fold(
+                links.filter(F.col("_slice") == batch_id - 1).drop("_slice"),
+                batch_id,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     latest = latest_snapshot(spark, _STAGED_ANCHOR_FOLD_DIR)
     assert latest is not None and latest[0] == 3, f"fold ladder: {latest}"
     return profile_from_counts(latest[1], k=1000)

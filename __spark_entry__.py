@@ -658,15 +658,29 @@ def _lang_id_trained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iters=6: the oracle checks the SCORING replay, not weight
     # optimality (the quality_classifier_docs doctrine) — every
     # iteration is two jobs, and six already yields a non-degenerate
-    # boundary on the lang labels
-    weights = train_multiclass_hashed(
-        docs, label_col="lang", text_col="text", n_buckets=_MC_N_BUCKETS, iters=6
-    )
-    staged_w = _stage_and_return(weights, _STAGED_MC_W_DIR)
-    docs.select(
-        "doc_id",
-        hashed_ngram_buckets(F.col("text"), _MC_N_BUCKETS, 2).alias("bks"),
-    ).coalesce(1).write.mode("overwrite").parquet(_STAGED_MC_BK_DIR)
+    # boundary on the lang labels.  The training loop and staging
+    # writes run EAGERLY here, and each iteration's gradient aggregate
+    # is n_buckets-row bounded — under the driver's vanilla session its
+    # 200-partition shuffles are empty-task scheduling (measured 38.6 s
+    # of gate wall), so pin a modest width for the eager phase and
+    # restore (the fold-ladder convention).  Gate-safe by construction:
+    # the oracle replays SCORING from the staged weights, and the Spark
+    # side scores from the same staged table, so both sides see
+    # identical weights whatever width trained them.
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        weights = train_multiclass_hashed(
+            docs, label_col="lang", text_col="text",
+            n_buckets=_MC_N_BUCKETS, iters=6,
+        )
+        staged_w = _stage_and_return(weights, _STAGED_MC_W_DIR)
+        docs.select(
+            "doc_id",
+            hashed_ngram_buckets(F.col("text"), _MC_N_BUCKETS, 2).alias("bks"),
+        ).coalesce(1).write.mode("overwrite").parquet(_STAGED_MC_BK_DIR)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     classes, biases, dense, n_buckets, ngram = _multiclass_weights(staged_w)
     scored = lang_id_trained(docs, staged_w, out_col="pred")
     # per-class logit columns via ONE named fold column (the r16

@@ -61,23 +61,48 @@ def token_count_estimate(
     )
 
 
+def _spread_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin the RAW (narrow) rows across the default parallelism —
+    but only when the input actually has fewer partitions than cores.
+
+    A single-file local scan arrives as 1 partition; without the spread,
+    every map-side expression downstream runs on one core (r17 measured:
+    tokenizing 2M docs on a 4-partition input was 2.5-3x the spread wall).
+    At warehouse scale the scan already has thousands of partitions and the
+    spread is skipped — repartitioning the full corpus "for parallelism"
+    there would be a pure-overhead shuffle (guide §2.4).
+
+    ``.rdd`` is illegal on a streaming frame (the lang/repetition gates run
+    in-flight), so streams always spread: an intra-micro-batch round robin
+    is append-legal and micro-batches are small by construction.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.isStreaming:
+        return df.repartition(parallelism)
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def _staged_tokens(df: DataFrame, text_col: str, extra_cols: list[Column]) -> DataFrame:
-    """(extra_cols..., _toks) with tokenization staged behind an exchange.
+    """(extra_cols..., _toks) with tokenization staged as a NAMED column.
 
     Every multi-metric text operator references the token array several
     times; interpreted higher-order eval re-computes a referenced subtree
-    per use, so materializing the array once behind a repartition (which
-    CollapseProject cannot cross) keeps the work linear — and parallelizes
-    small single-file inputs across cores.  Same trick as ``doc_grams``.
+    per use.  Staging ``_toks`` as its own projection keeps it evaluated
+    once per row: CollapseProject's isCheap guard never inlines a
+    non-cheap alias that the consumer references more than once (the same
+    mechanism the r17 URL staging uses).  Until r17 the barrier was a
+    repartition placed AFTER the tokenize projection — which serialized
+    the expensive split/filter onto the narrow input's partitions (one
+    core for a single-file scan) and shuffled the token ARRAYS (wider
+    than the text).  Measured on 2M synthetic docs, local[32], noop sink,
+    min of 3 warm: tokenize-then-repartition 8.56 s, repartition-raw-
+    then-tokenize 2.99 s (0.35x), plan still evaluates split() once.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    # .rdd is illegal on a streaming frame (r16: the lang gate now also
-    # runs in-flight); the repartition itself is an intra-micro-batch
-    # shuffle, append-legal — only the partition-count peek needs gating
-    n = parallelism if df.isStreaming else max(
-        parallelism, df.rdd.getNumPartitions()
+    return _spread_narrow_input(df).select(
+        *extra_cols, tokens(F.col(text_col)).alias("_toks")
     )
-    return df.select(*extra_cols, tokens(F.col(text_col)).alias("_toks")).repartition(n)
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -455,22 +480,19 @@ def _repetition_metric_cols(toks: Column, lines: Column) -> dict[str, Column]:
 
 
 def _stage_toks_lines(df: DataFrame, text_col: str, keep: list[Column]) -> DataFrame:
-    """(keep..., _toks, _lines) staged behind an exchange — same rationale
-    as ``_staged_tokens``, plus trimmed non-empty raw-case lines.
-
-    Stream-safe: ``.rdd`` is illegal on a streaming frame, so there the
-    exchange width is just the default parallelism (the repartition itself
-    is append-legal — a stateless intra-micro-batch shuffle) and the
-    repetition operators stay usable as in-flight gates."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    """(keep..., _toks, _lines) staged as named columns — same rationale
+    (and the same r17 spread-before-tokenize fix) as ``_staged_tokens``,
+    plus trimmed non-empty raw-case lines.  Multiply-referenced non-cheap
+    aliases stay materialized via CollapseProject's isCheap guard; the
+    spread shuffles the raw text, not the arrays, and is skipped when the
+    batch input is already at least core-count partitions wide."""
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda x: strip_line(x)),
         lambda x: x != F.lit(""),
     )
-    n = parallelism if df.isStreaming else max(parallelism, df.rdd.getNumPartitions())
-    return df.select(
+    return _spread_narrow_input(df).select(
         *keep, tokens(F.col(text_col)).alias("_toks"), lines.alias("_lines")
-    ).repartition(n)
+    )
 
 
 def repetition_stats(

@@ -47,6 +47,35 @@ def test_token_stats_values(spark):
     assert abs(r.stopword_ratio - 1 / 3) < 1e-6
 
 
+def test_staged_tokens_plan_shape(spark):
+    """r17 staging contract: the token array is evaluated ONCE per row
+    (CollapseProject's isCheap guard keeps the multiply-referenced alias
+    materialized), the spread exchange carries the RAW text (tokenize runs
+    AFTER it, on all cores), and the spread is skipped entirely when the
+    batch input is already at least core-count partitions wide — at
+    warehouse scale the corpus must not be shuffled 'for parallelism'."""
+    narrow = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    plan = token_stats(narrow)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1  # single tokenize eval
+    # the exchange input is the raw (doc_id, text) row, not the token array
+    assert "RoundRobinPartitioning" in plan
+    # top-down toString: the tokenize projection prints ABOVE the exchange,
+    # i.e. it executes after it, on the spread partitions
+    assert "split(" in plan.split("Exchange")[0]
+
+    parallelism = spark.sparkContext.defaultParallelism
+    wide = spark.createDataFrame(
+        [(i, "a b c") for i in range(parallelism * 2)], "doc_id long, text string"
+    ).repartition(parallelism * 2)
+    wide_plan = token_stats(wide)._jdf.queryExecution().executedPlan().toString()
+    # exactly the caller's repartition — _staged_tokens adds NO exchange
+    assert wide_plan.count("RoundRobinPartitioning") == 1
+    assert wide_plan.count("split(") == 1
+
+
 def test_quality_score_bands(spark):
     rows = [(1, "the quick brown fox jumps high today"), (2, "x"), (3, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

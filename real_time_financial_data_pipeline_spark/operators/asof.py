@@ -118,31 +118,60 @@ def gap_fill(
 ) -> DataFrame:
     """Densify a per-key calendar and forward-fill observations.
 
-    Missing periods appear with the last observed value (null before the
-    first observation).  The calendar is generated per key from its own
-    min/max — sequence + explode, no driver-side loop.
+    Missing periods appear with the last observed value.  Observations are
+    assumed step-aligned and distinct per (key, period) — e.g. the output
+    of a period-grain aggregate, the operator's intended input.
+
+    Execution (r17): ONE pass over ``df``.  Each observation emits itself
+    plus the missing periods up to (exclusive) the next observation via
+    ``lead`` + ``sequence`` + ``explode`` — no separate min/max bounds
+    aggregate, no calendar build, no join back.  The pre-r17 shape
+    (bounds aggregate + exploded calendar + left join + fill window)
+    instantiated the input subtree TWICE, i.e. two full scans of the
+    feeding table at warehouse scale, plus a join exchange; this shape
+    scans once and reuses the fill window's key partitioning for the gap
+    emit.  The per-column ``last(..., ignorenulls)`` fill window is kept
+    (gap rows emit null and inherit the last non-null observation), so
+    null-valued observations forward-fill exactly as before.
     """
-    bounds = df.groupBy(key_col).agg(
-        F.min(period_col).alias("_mn"), F.max(period_col).alias("_mx")
-    )
-    calendar = bounds.select(
+    step_i = F.expr(f"INTERVAL {step}")
+    w_next = Window.partitionBy(key_col).orderBy(period_col)
+    dense = df.withColumn("_nxt", F.lead(period_col).over(w_next)).select(
         key_col,
+        F.col(period_col).alias("_obs_p"),
         F.explode(
-            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"INTERVAL {step}"))
+            F.sequence(
+                F.col(period_col),
+                # up to the period just before the next observation; the
+                # greatest() guard keeps a duplicate (key, period) input
+                # from producing a negative-range sequence error
+                F.greatest(
+                    F.coalesce(F.col("_nxt") - step_i, F.col(period_col)),
+                    F.col(period_col),
+                ),
+                step_i,
+            )
         ).alias(period_col),
+        *[F.col(c) for c in value_cols],
     )
-    joined = calendar.join(df, [key_col, period_col], "left")
-    w = (
+    w_ff = (
         Window.partitionBy(key_col)
         .orderBy(period_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.select(
+    return dense.select(
         key_col,
         period_col,
-        *[F.last(c, ignorenulls=True).over(w).alias(f"{c}_ff") for c in value_cols],
+        *[
+            F.last(
+                F.when(F.col(period_col) == F.col("_obs_p"), F.col(c)),
+                ignorenulls=True,
+            )
+            .over(w_ff)
+            .alias(f"{c}_ff")
+            for c in value_cols
+        ],
     )
-    return out
 
 
 def range_join(

@@ -82,3 +82,33 @@ def test_gap_fill_densifies_and_forward_fills(spark):
     ).withColumn("period", F.col("period").cast("timestamp"))
     out = {str(r.period)[:10]: r.v_ff for r in gap_fill(df, "key", "period", ["v"]).collect()}
     assert out == {"2024-01-01": 1.0, "2024-01-02": 1.0, "2024-01-03": 1.0, "2024-01-04": 4.0}
+
+
+def test_gap_fill_single_pass_plan_and_null_fill(spark):
+    """r17 contract: gap_fill is ONE pass over its input — no bounds
+    aggregate + calendar join back (which instantiated the feeding subtree
+    twice = two scans at warehouse scale).  Null-valued observations keep
+    the pre-r17 per-column ignorenulls fill: the null observation inherits
+    the last non-null value, gaps after it fill from the same."""
+    rows = [
+        ("k", "2024-01-01 00:00:00", 1.0),
+        ("k", "2024-01-03 00:00:00", None),   # null observation mid-series
+        ("k", "2024-01-06 00:00:00", 6.0),
+        ("m", "2024-02-01 00:00:00", 9.0),    # single-observation key
+    ]
+    df = spark.createDataFrame(rows, "key string, period string, v double").withColumn(
+        "period", F.col("period").cast("timestamp")
+    )
+    out = gap_fill(df, "key", "period", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no calendar join back
+    got = {(r.key, str(r.period)[:10]): r.v_ff for r in out.collect()}
+    assert got == {
+        ("k", "2024-01-01"): 1.0,
+        ("k", "2024-01-02"): 1.0,
+        ("k", "2024-01-03"): 1.0,  # null observation forward-fills through
+        ("k", "2024-01-04"): 1.0,
+        ("k", "2024-01-05"): 1.0,
+        ("k", "2024-01-06"): 6.0,
+        ("m", "2024-02-01"): 9.0,
+    }

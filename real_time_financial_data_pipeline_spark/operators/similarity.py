@@ -65,11 +65,23 @@ def _stack_f64(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.float64)
 
 
-def pairwise_cosine(a: Column, b: Column) -> Column:
+def pairwise_cosine(a: Column, b: Column, single_eval: bool = False) -> Column:
     """Row-wise cosine(a, b) as one vectorized numpy op per Arrow batch.
 
     Each row's score depends only on its own two vectors, so the result is
     bit-deterministic regardless of batch or partition boundaries.
+
+    ``single_eval=True`` marks the UDF non-deterministic — the values are
+    unchanged (see above), but the optimizer may no longer duplicate the
+    evaluation when a FILTER references the scored column: the default
+    filter-pushdown rewrite of ``withColumn(score).filter(score >= t)``
+    plans TWO ArrowEvalPython nodes (one below the pushed filter, one in
+    the surviving projection), so every candidate row pays the kernel and
+    the embeddings cross the Python boundary twice (r17: observed in the
+    semdedup plan; the guide §4.4 shape).  Pass it wherever a threshold
+    filter consumes the score; leave it off for pure projections (top-k
+    windows rank a materialized column and never duplicate) so those keep
+    full optimizer freedom.
     """
 
     @F.pandas_udf(DoubleType())
@@ -82,7 +94,8 @@ def pairwise_cosine(a: Column, b: Column) -> Column:
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         return pd.Series(num / den)
 
-    return _pairwise(a, b)
+    fn = _pairwise.asNondeterministic() if single_eval else _pairwise
+    return fn(a, b)
 
 
 def cosine_topk(
@@ -1012,7 +1025,7 @@ def semdedup_pairs(
     scored = (
         a.join(b, "_sem_cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb")), 9))
+        .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb"), single_eval=True), 9))
         .filter(F.col("_cos9") >= threshold)
     )
     if n_probe > 1:
@@ -1152,7 +1165,7 @@ def semdedup_pairs_between(
     ).select("_sem_cluster", F.col(id_col).alias("id_corpus"), F.col(vec_col).alias("_vb"))
     scored = (
         a.join(b, "_sem_cluster")
-        .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb")), 9))
+        .withColumn("_cos9", F.round(pairwise_cosine(F.col("_va"), F.col("_vb"), single_eval=True), 9))
         .filter(F.col("_cos9") >= threshold)
     )
     if n_probe > 1:

@@ -57,6 +57,22 @@ class TestSemdedupPairs:
                 for b in ids[i + 1 :]:
                     assert (a, b) in got, f"missed planted pair ({a},{b})"
 
+    def test_pairwise_kernel_evaluated_once(self, spark):
+        """r17 single-eval contract: the threshold filter on the pairwise
+        cosine must NOT duplicate the Arrow kernel.  The default
+        filter-pushdown rewrite of ``withColumn(score).filter(score >= t)``
+        plans TWO ArrowEvalPython nodes for the same UDF (one under the
+        pushed filter, one in the surviving projection) — every candidate
+        row then pays the kernel twice and the embeddings cross the Python
+        boundary twice.  ``single_eval=True`` (asNondeterministic) pins it
+        to ONE evaluation; the values are unchanged (row-local math)."""
+        df, _ = _planted(spark, n_topics=2, per_topic=10, dup_groups=1)
+        plan = (
+            semdedup_pairs(df, threshold=0.9, k=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("_pairwise(") == 1
+
     def test_k1_equals_brute_force(self, spark):
         df, _ = _planted(spark, n_topics=2, per_topic=20)
         semantic = {

@@ -31,7 +31,10 @@ from real_time_financial_data_pipeline_spark.operators.query import (
     moving_average,
     preview,
 )
-from real_time_financial_data_pipeline_spark.operators.asof import asof_join, gap_fill
+from real_time_financial_data_pipeline_spark.operators.asof import (
+    asof_join_single_scan,
+    gap_fill,
+)
 from real_time_financial_data_pipeline_spark.operators.dedup import (
     apply_dedup,
     exact_dedup_keep_min,
@@ -310,13 +313,21 @@ def _events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase annotated with the user's most recent
-    prior-or-simultaneous click (trade -> prevailing quote shape)."""
+    prior-or-simultaneous click (trade -> prevailing quote shape).
+    Both sides are disjoint slices of ONE events table, so the r17
+    single-scan form applies: one parquet pass with a conditional tag
+    projection instead of the union's two (row-identical output —
+    asof.py:asof_join_single_scan)."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
+    return asof_join_single_scan(
+        ev,
+        ["user_id"],
+        "ts",
+        left_filter=F.col("event_type") == "purchase",
+        right_filter=F.col("event_type") == "click",
+        left_extra_cols=["event_id", "value"],
+        right_value_cols=["value"],
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    return asof_join(purchases, clicks, ["user_id"], "ts", ["value"])
 
 
 def _gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

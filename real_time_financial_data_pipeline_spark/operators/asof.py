@@ -81,7 +81,24 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in key_cols and c != ts_col],
     )
     unioned = tagged_right.unionByName(tagged_left)
+    left_extra = [c for c in left_cols if c not in key_cols and c != ts_col]
+    return _fill_and_project(
+        unioned, key_cols, ts_col, left_extra, right_value_cols, right_ts_out
+    )
 
+
+def _fill_and_project(
+    tagged: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    left_extra_cols: list[str],
+    right_value_cols: list[str],
+    right_ts_out: str,
+) -> DataFrame:
+    """Forward-fill + final projection shared by the union and single-scan
+    asof forms.  ``tagged`` carries key_cols, ts_col, _tag (0=right,
+    1=left), _tb, _r_ts, _r_{c} per right value col, _l_{c} per left
+    extra col."""
     # right rows sort before left rows at equal ts -> inclusive (<=) asof;
     # among equal-ts right rows the tiebreak orders ascending, so the
     # unbounded-preceding last() picks the max tiebreak (left rows carry a
@@ -91,7 +108,7 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_tag"), F.asc_nulls_first("_tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
+    filled = tagged.select(
         "*",
         F.last("_r_ts", ignorenulls=True).over(w).alias(right_ts_out),
         *[
@@ -102,11 +119,64 @@ def asof_join(
     out = filled.filter(F.col("_tag") == 1).select(
         *key_cols,
         F.col(ts_col),
-        *[F.col(f"_l_{c}").alias(c) for c in left_cols if c not in key_cols and c != ts_col],
+        *[F.col(f"_l_{c}").alias(c) for c in left_extra_cols],
         F.col(right_ts_out),
         *[F.col(f"_ff_{c}").alias(f"{c}_asof") for c in right_value_cols],
     )
     return out
+
+
+def asof_join_single_scan(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    left_filter,
+    right_filter,
+    left_extra_cols: list[str],
+    right_value_cols: list[str],
+    right_ts_out: str = "asof_ts",
+    right_tiebreak_col: str | None = None,
+) -> DataFrame:
+    """``asof_join`` for the common case where BOTH sides are row-disjoint
+    slices of ONE table (trades and quotes in one tick stream; purchases
+    and clicks in one event log).  Row-identical to::
+
+        asof_join(df.filter(left_filter).select(keys + ts + left_extra_cols),
+                  df.filter(right_filter).select(keys + ts + right_value_cols),
+                  ...)
+
+    but built from a SINGLE scan (r17, guide §1.2): the union form
+    instantiates the source subtree twice — two full passes over the
+    table at any scale, each shuffled into the same window exchange —
+    where one pass with a conditional tag projection suffices.
+
+    Precondition: ``left_filter`` and ``right_filter`` must be mutually
+    exclusive (one event can't be both a trade and a quote).  A row
+    matching both is tagged LEFT only, where the union form would emit
+    it on both sides.
+    """
+    # three-valued logic guard: a row passing the (left OR right) filter
+    # with a NULL left_filter must route as RIGHT, exactly as the union
+    # form does (its left branch drops the null, its right branch keeps
+    # it) — so the markers coalesce NULL to false before negating
+    is_left = F.coalesce(left_filter, F.lit(False))
+    is_right = ~is_left
+    tagged = df.filter(left_filter | right_filter).select(
+        *key_cols,
+        F.col(ts_col),
+        is_left.cast("int").alias("_tag"),
+        (
+            F.when(is_right, F.col(right_tiebreak_col))
+            if right_tiebreak_col
+            else F.lit(0)
+        ).alias("_tb"),
+        F.when(is_right, F.col(ts_col)).alias("_r_ts"),
+        *[F.when(is_right, F.col(c)).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.when(is_left, F.col(c)).alias(f"_l_{c}") for c in left_extra_cols],
+    )
+    return _fill_and_project(
+        tagged, key_cols, ts_col, left_extra_cols, right_value_cols, right_ts_out
+    )
 
 
 def gap_fill(

@@ -681,9 +681,12 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     # one shared, persisted gram table feeds BOTH signatures and verify
     docs = doc_grams(df, text_col, id_col, shingle_n, "grams").persist()
-    docs.count()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, grams_df=docs).persist()
-    sigs.count()  # force: joins below must plan against the cached relation
+    # ONE eager job materializes BOTH caches (computing the signatures
+    # scans the persisted gram relation, filling it as a side effect) —
+    # a separate docs.count() would be a redundant full gram pass (r17).
+    # The count also forces: joins below must plan against cached relations.
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     verified = (
         cands.join(docs.withColumnsRenamed({id_col: "id_a", "grams": "grams_a"}), "id_a")
@@ -731,11 +734,10 @@ def minhash_pairs_between(
     """
     rows_per_band = num_hashes // bands
     new_grams = doc_grams(new_docs, text_col, id_col, shingle_n, "grams").persist()
-    new_grams.count()
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n, grams_df=new_grams
     ).persist()
-    new_sigs.count()
+    new_sigs.count()  # one job fills BOTH caches (grams via the sig scan, r17)
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
     cands = (

@@ -112,3 +112,72 @@ def test_gap_fill_single_pass_plan_and_null_fill(spark):
         ("k", "2024-01-06"): 6.0,
         ("m", "2024-02-01"): 9.0,
     }
+
+
+def test_asof_join_single_scan_matches_union_form(spark):
+    """r17 single-scan form: row-identical to asof_join on two disjoint
+    filtered slices of one table, from ONE scan (plan-pinned: one source
+    subtree, no Union).  Adversarial edges: equal-ts left/right ties
+    (inclusive semantics), a key with no right rows, NULL type rows
+    (dropped by both forms), a tiebreak column with tied right ts."""
+    from real_time_financial_data_pipeline_spark.operators.asof import (
+        asof_join_single_scan,
+    )
+
+    rows = [
+        ("u1", "2024-01-01 09:00:00", "click", 1, 10.0),
+        ("u1", "2024-01-01 10:00:00", "purchase", 2, 99.0),
+        ("u1", "2024-01-01 10:00:00", "click", 3, 20.0),   # equal-ts tie
+        ("u1", "2024-01-01 10:00:00", "purchase", 4, 98.0),
+        ("u2", "2024-01-01 08:00:00", "purchase", 5, 97.0),  # no clicks at all
+        ("u2", "2024-01-01 09:00:00", "view", 6, 1.0),       # neither side
+        ("u3", None, "purchase", 7, 96.0),                   # null ts
+        ("u1", "2024-01-01 09:00:00", "click", 8, 11.0),     # tied right ts
+        (None, "2024-01-01 09:30:00", "purchase", 9, 95.0),  # null key
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts string, event_type string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(4)
+
+    for tb in (None, "event_id"):
+        union_form = asof_join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            ev.filter(F.col("event_type") == "click").select(
+                "user_id", "ts", *([tb] if tb else []), "value"
+            ),
+            ["user_id"],
+            "ts",
+            ["value"],
+            right_tiebreak_col=tb,
+        )
+        single = asof_join_single_scan(
+            ev,
+            ["user_id"],
+            "ts",
+            left_filter=F.col("event_type") == "purchase",
+            right_filter=F.col("event_type") == "click",
+            left_extra_cols=["event_id", "value"],
+            right_value_cols=["value"],
+            right_tiebreak_col=tb,
+        )
+        assert union_form.columns == single.columns
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, union_form.collect())) == sorted(
+            map(key, single.collect())
+        )
+
+    plan = (
+        asof_join_single_scan(
+            ev,
+            ["user_id"],
+            "ts",
+            left_filter=F.col("event_type") == "purchase",
+            right_filter=F.col("event_type") == "click",
+            left_extra_cols=["event_id", "value"],
+            right_value_cols=["value"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan

@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_financial_data_pipeline_spark.catalog import load_table
@@ -545,19 +545,27 @@ def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, distinct
-    active users per (cohort, weeks-since) offset — two hash aggregates
-    (first-activity per user, then distinct-per-cell), no window sort."""
+    active users per (cohort, weeks-since) offset.
+
+    r17 single-scan form (guide §1.2): the original two-aggregate +
+    join shape scanned events twice (once for per-user first activity,
+    once for the distinct (user, week) pairs) and joined them back.
+    The cohort week is just min(active_week) over the user — a window
+    over the already-distinct pair table — so one scan suffices.
+    ``date_trunc(week, min(ts)) = min(date_trunc(week, ts))`` (trunc is
+    monotone), and the explicit isNotNull filter reproduces the inner
+    join's null-key drop."""
     ev = load_table(spark, sf_dir, "events")
-    first_week = (
-        ev.groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    pairs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week"))
+        .distinct()
     )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
-    ).distinct()
+    cohorted = pairs.withColumn(
+        "cohort_week", F.min("active_week").over(Window.partitionBy("user_id"))
+    )
     return (
-        activity.join(first_week, "user_id")
-        .groupBy(
+        cohorted.groupBy(
             "cohort_week",
             ((F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
              / (7 * 86400)).cast("long").alias("weeks_since"),

@@ -52,54 +52,57 @@ def scd2_apply(
     if updates.filter(F.col(effective_col).isNull()).limit(1).count():
         raise ValueError(f"scd2_apply: {effective_col} must be non-null on every update")
 
-    hist = dim.filter(F.col(valid_to_col).isNotNull())
-    current = dim.filter(F.col(valid_to_col).isNull())
-
+    # r17 single-pass shape (guide §1.2/§2.4).  The original
+    # hist/current split + left join + anti join + 4-way union
+    # instantiated `dim` three times and `updates` twice (six scans of
+    # the dimension at the scd2_customer_dim call site) and paid two
+    # join exchanges.  One FULL OUTER join of the whole dimension
+    # against the update batch — the equi key plus `valid_to IS NULL`
+    # as the join condition, so history rows never match — classifies
+    # every MERGE branch, and each joined row then emits its 1-2 output
+    # rows through one explode:
+    #   dim row, no/unchanged update  -> kept as-is (history + no-ops)
+    #   dim current row + changed     -> closed row AND new version row
+    #   update with no current row    -> brand-new current row (insert)
+    # Scans: dim once, updates once; one join; no union.
     up = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols + attr_cols],
         F.col(effective_col).alias("_u_eff"),
         F.lit(True).alias("_u_matched"),  # join-presence flag; never null-ambiguous
     )
-    joined = current.join(
-        up, _all([F.col(k) == F.col(f"_u_{k}") for k in key_cols]), "left"
+    tagged_dim = dim.withColumn("_d_matched", F.lit(True))
+    joined = tagged_dim.join(
+        up,
+        _all([F.col(k) == F.col(f"_u_{k}") for k in key_cols])
+        & F.col(valid_to_col).isNull(),
+        "full",
     )
 
     # an update "changes" the row if ANY attribute differs (null-safe)
     changed = _any([~F.col(a).eqNullSafe(F.col(f"_u_{a}")) for a in attr_cols])
     has_update = F.coalesce(F.col("_u_matched"), F.lit(False))
+    has_dim = F.coalesce(F.col("_d_matched"), F.lit(False))
+    vt_type = dim.schema[valid_to_col].dataType
 
-    closed_or_kept = joined.select(
-        *key_cols,
-        *attr_cols,
-        F.col(valid_from_col),
-        F.when(has_update & changed, F.col("_u_eff")).otherwise(F.col(valid_to_col)).alias(valid_to_col),
+    kept_or_closed = F.struct(
+        *[F.col(c).alias(c) for c in key_cols + attr_cols],
+        F.col(valid_from_col).alias(valid_from_col),
+        F.when(has_update & changed, F.col("_u_eff"))
+        .otherwise(F.col(valid_to_col))
+        .alias(valid_to_col),
     )
-    new_versions = (
-        joined.filter(has_update & changed)
-        .select(
-            *[F.col(f"_u_{k}").alias(k) for k in key_cols],
-            *[F.col(f"_u_{a}").alias(a) for a in attr_cols],
-            F.col("_u_eff").alias(valid_from_col),
-            F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
+    new_current = F.struct(
+        *[F.col(f"_u_{c}").alias(c) for c in key_cols + attr_cols],
+        F.col("_u_eff").alias(valid_from_col),
+        F.lit(None).cast(vt_type).alias(valid_to_col),
+    )
+    emitted = F.array_compact(
+        F.array(
+            F.when(has_dim, kept_or_closed),
+            F.when(has_update & (changed | ~has_dim), new_current),
         )
     )
-    # MERGE "not matched": update keys with no current dimension row insert
-    # as new current versions (anti-join against the current key set)
-    inserts = (
-        updates.join(current.select(*key_cols), key_cols, "left_anti")
-        .select(
-            *key_cols,
-            *attr_cols,
-            F.col(effective_col).alias(valid_from_col),
-            F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
-        )
-    )
-    return (
-        hist.select(*key_cols, *attr_cols, valid_from_col, valid_to_col)
-        .unionByName(closed_or_kept)
-        .unionByName(new_versions)
-        .unionByName(inserts)
-    )
+    return joined.select(F.explode(emitted).alias("_r")).select("_r.*")
 
 
 def _all(cols: list[Column]) -> Column:

@@ -1073,6 +1073,21 @@ def prepare_training_set(
         url_col=url_col,
         anchor_broadcast=anchor_broadcast,
     )
+    if benchmark is not None or benchmark_embeddings is not None:
+        # r17 (guide §1.2/§5): both decontamination forms consume
+        # `curated` TWICE — once to compute the flagged ids, once as the
+        # anti-join's streaming side.  `curated` is a PLAN (the whole
+        # curation ladder), not a table, so without a materialization
+        # barrier Spark instantiates the subtree twice and the full
+        # ladder (paragraph/substring dedup shuffles, gates, exact dedup)
+        # runs twice per action.  Persist it once: the flag side (the
+        # anti-join's broadcast build) materializes the cache, the stream
+        # side then reads it.  Same rationale and lifetime convention as
+        # the persisted minhash intermediates (dedup.py) — at warehouse
+        # scale this is exactly the intermediate you'd land to storage
+        # between curation and decontamination.
+        if not curated.isStreaming:
+            curated = curated.persist()
     if benchmark is not None:
         curated = remove_contaminated(
             curated, benchmark, text_col, id_col, n=decontam_ngram

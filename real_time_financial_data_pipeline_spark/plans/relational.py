@@ -184,16 +184,27 @@ def revenue_rollup(
 
 def lapsed_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
     """Set difference: customers who ordered in year_a but not year_b
-    (EXCEPT DISTINCT).  Spark plans this as a left-anti hash join on the
-    distinct key sets — no full sort."""
-    def keys(year: int) -> DataFrame:
-        return orders.filter(F.year("o_orderdate") == year).select(
-            F.col("o_custkey").alias("custkey")
-        )
+    (EXCEPT DISTINCT).
 
-    # subtract == EXCEPT DISTINCT: any presence in year_b removes the key
-    # (exceptAll would only subtract multiplicities)
-    return keys(year_a).subtract(keys(year_b))
+    r17 single-scan form (guide §1.2): ``keys(a).subtract(keys(b))``
+    scanned orders twice and planned a left-anti join over two distinct
+    key sets.  One scan filtered to BOTH years + one partial-aggregated
+    groupBy with per-year presence flags is the same set — any presence
+    in year_b removes the key (exceptAll would only subtract
+    multiplicities; ``max(bool)`` is presence, so this stays EXCEPT
+    DISTINCT), and null keys group exactly as subtract's null-safe set
+    semantics treat them."""
+    yr = F.year("o_orderdate")
+    return (
+        orders.filter(yr.isin(year_a, year_b))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(yr == year_a).alias("_in_a"),
+            F.max(yr == year_b).alias("_in_b"),
+        )
+        .filter(F.col("_in_a") & ~F.col("_in_b"))
+        .select("custkey")
+    )
 
 
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

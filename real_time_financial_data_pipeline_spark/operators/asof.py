@@ -151,9 +151,10 @@ def asof_join_single_scan(
     where one pass with a conditional tag projection suffices.
 
     Precondition: ``left_filter`` and ``right_filter`` must be mutually
-    exclusive (one event can't be both a trade and a quote).  A row
-    matching both is tagged LEFT only, where the union form would emit
-    it on both sides.
+    exclusive (one event can't be both a trade and a quote) — enforced
+    per row: a row matching BOTH raises at execution time (the union
+    form would emit it on both sides, so silently tagging it LEFT-only
+    would diverge from the documented row-identical contract).
     """
     # three-valued logic guard: a row passing the (left OR right) filter
     # with a NULL left_filter must route as RIGHT, exactly as the union
@@ -161,10 +162,18 @@ def asof_join_single_scan(
     # it) — so the markers coalesce NULL to false before negating
     is_left = F.coalesce(left_filter, F.lit(False))
     is_right = ~is_left
+    tag = F.when(
+        is_left & F.coalesce(right_filter, F.lit(False)),
+        F.raise_error(
+            "asof_join_single_scan: left_filter and right_filter overlap on "
+            "at least one row — the filters must be mutually exclusive "
+            "(use asof_join on two explicit slices if a row can be both)"
+        ).cast("int"),
+    ).otherwise(is_left.cast("int"))
     tagged = df.filter(left_filter | right_filter).select(
         *key_cols,
         F.col(ts_col),
-        is_left.cast("int").alias("_tag"),
+        tag.alias("_tag"),
         (
             F.when(is_right, F.col(right_tiebreak_col))
             if right_tiebreak_col

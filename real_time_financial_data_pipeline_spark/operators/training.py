@@ -975,6 +975,13 @@ def prepare_training_set(
     graph doubling (test-pinned).  Exactly one of the two forms may be
     given.
 
+    Caching note (r17): with ``benchmark`` / ``benchmark_embeddings``
+    set, the curated intermediate is persisted internally (the
+    decontamination anti-join consumes it twice) and stays cached until
+    GC'd — a long-lived driver looping over batches should
+    ``spark.catalog.clearCache()`` between runs, the same contract as
+    ``dedup.minhash_pairs_between``.
+
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
     verbatim ``decontam_ngram``-token run with it are removed AFTER dedup
@@ -1085,13 +1092,22 @@ def prepare_training_set(
         # side then reads it.  Same rationale and lifetime convention as
         # the persisted minhash intermediates (dedup.py) — at warehouse
         # scale this is exactly the intermediate you'd land to storage
-        # between curation and decontamination.
+        # between curation and decontamination.  Like those, the cache
+        # lives until session GC / clearCache: a long-lived driver
+        # looping over batches should spark.catalog.clearCache()
+        # between runs (the minhash_pairs_between contract).
         if not curated.isStreaming:
             curated = curated.persist()
     if benchmark is not None:
         curated = remove_contaminated(
             curated, benchmark, text_col, id_col, n=decontam_ngram
         )
+        if benchmark_embeddings is not None and not curated.isStreaming:
+            # both decontamination forms: the semantic pass consumes the
+            # n-gram pass's OUTPUT twice (survivor semi-join + final
+            # anti-join) — same double-instantiation one level up, so
+            # barrier that plan too (review-caught, r17)
+            curated = curated.persist()
     if benchmark_embeddings is not None:
         if embeddings is None:
             raise ValueError(

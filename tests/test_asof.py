@@ -181,3 +181,28 @@ def test_asof_join_single_scan_matches_union_form(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Union" not in plan
+
+
+def test_asof_join_single_scan_rejects_overlapping_filters(spark):
+    """The mutual-exclusivity precondition is ENFORCED per row: a row
+    matching both filters raises instead of silently dropping the
+    union form's right-side copy (review-caught, r17)."""
+    import pyspark.errors
+    import pytest
+
+    from real_time_financial_data_pipeline_spark.operators.asof import (
+        asof_join_single_scan,
+    )
+
+    ev = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 7.0, 1)],
+        "user_id string, ts string, value double, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join_single_scan(
+        ev, ["user_id"], "ts",
+        left_filter=F.col("value") > 1.0,   # overlaps right_filter
+        right_filter=F.col("value") > 5.0,
+        left_extra_cols=["event_id"], right_value_cols=["value"],
+    )
+    with pytest.raises(Exception, match="overlap"):
+        out.collect()

@@ -33,6 +33,34 @@ def _frac(c: str) -> Column:
     return F.col(c).cast("decimal(6,4)")
 
 
+def _spread_fact(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-spread a narrow fact projection across the default parallelism
+    by ``key_cols`` — only when the scan has fewer partitions than cores.
+
+    Exact decimal aggregation is the expensive half of the relational
+    fact passes (r18 measured at sf0.1: the order-grain decimal pre-agg
+    is 0.99 s against 0.21 s for the bare 3-column scan), and a
+    single-file / single-row-group input pins that work to ONE task no
+    matter the core count.  Hash-repartitioning the raw rows by the
+    aggregation key moves the one aggregation exchange BELOW the decimal
+    work: the downstream groupBy on the same key reuses the partitioning
+    (ClusteredDistribution is satisfied by any hash partitioning on the
+    key), so the exchange COUNT is unchanged — the shuffle just carries
+    raw rows instead of pre-aggregated ones, and the decimal updates run
+    on every core.  Keyed repartition also avoids round-robin's
+    sort-before-repartition pass (guide §2.5).
+
+    At warehouse scale the scan already has >= cores partitions and this
+    is a no-op: map-side partial aggregation before the exchange is the
+    right shape there (shuffle fewer bytes, guide §2.3) — same
+    scale-adaptive contract as ``operators/text._spread_narrow_input``.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, *[F.col(c) for c in key_cols])
+    return df
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
     """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
 
@@ -40,8 +68,18 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFram
     """
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(6,4)") + _frac("l_tax"))
+    # spread by the high-cardinality orderkey, NOT the 4-value group key —
+    # the partial aggregate then runs on every core and still collapses to
+    # |groups| rows per task before the (tiny) final exchange.  No-op at
+    # warehouse scale (see _spread_fact).
+    filtered = lineitem.filter(
+        F.col("l_shipdate") < F.lit(cutoff).cast("timestamp")
+    ).select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
     return (
-        lineitem.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        _spread_fact(filtered, "l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             # round to scale 2 in the DECIMAL domain before the double cast:
@@ -83,7 +121,11 @@ def revenue_by_nation(
     at real SF, so the plan keeps the shuffle join.)
     """
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
-    per_order = lineitem.groupBy("l_orderkey").agg(
+    fact = _spread_fact(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    )
+    per_order = fact.groupBy("l_orderkey").agg(
         F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("_cnt")
     )
     return (
@@ -121,7 +163,11 @@ def top_customers(
     """
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
     # order-grain pre-aggregation before the join (exact; see revenue_by_nation)
-    per_order = lineitem.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
+    fact = _spread_fact(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    )
+    per_order = fact.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
     per_cust = (
         per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
@@ -171,14 +217,28 @@ def revenue_rollup(
     the drift was cold-JVM/bench-loop variance, not plan cost.  Same
     conclusion as the top_customers r6 investigation above."""
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _frac("l_discount"))
-    per_order = lineitem.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
-    return (
+    fact = _spread_fact(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    )
+    per_order = fact.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
+    # two-level rollup (r18, guide §2.2): aggregate to (region, nation)
+    # grain FIRST — 25 rows — then expand grouping sets over that.  The
+    # single-level form ran Expand over every order-grain row (3x the join
+    # output) and paid the exact-decimal partial aggregate on the tripled
+    # row count; summing per-(region, nation) decimal subtotals is exact,
+    # so the rollup of sums equals the rollup over raw rows bit-for-bit.
+    per_nation = (
         per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum("_rev").alias("_rev_rn"))
+    )
+    return (
+        per_nation.rollup("region_name", "nation_name")
+        .agg(F.round(F.sum("_rev_rn"), 2).cast("double").alias("revenue"))
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from real_time_financial_data_pipeline_spark.operators import cachescope
 from real_time_financial_data_pipeline_spark.operators.query import latest_per_key
 from real_time_financial_data_pipeline_spark.operators.text import doc_grams, strip_line
 
@@ -679,9 +680,21 @@ def minhash_dedup_pairs(
     what you'd persist to storage between stages.
     """
     rows_per_band = num_hashes // bands
+    # scoped persists (r18): a repeat same-session invocation must not
+    # silently reuse this invocation's caches via CacheManager plan
+    # matching — rotate the scope so every call recomputes from its inputs
+    cachescope.begin("minhash_dedup_pairs")
     # one shared, persisted gram table feeds BOTH signatures and verify
-    docs = doc_grams(df, text_col, id_col, shingle_n, "grams").persist()
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, grams_df=docs).persist()
+    docs = cachescope.register(
+        "minhash_dedup_pairs",
+        doc_grams(df, text_col, id_col, shingle_n, "grams").persist(),
+    )
+    sigs = cachescope.register(
+        "minhash_dedup_pairs",
+        minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_n, grams_df=docs
+        ).persist(),
+    )
     # ONE eager job materializes BOTH caches (computing the signatures
     # scans the persisted gram relation, filling it as a side effect) —
     # a separate docs.count() would be a redundant full gram pass (r17).
@@ -724,19 +737,29 @@ def minhash_pairs_between(
 
     Caching note: the new-batch grams/signatures and the candidate set are
     persisted internally (same plan-explosion rationale as
-    ``minhash_dedup_pairs``) and stay cached until GC'd — a long-lived
-    driver looping over daily batches should ``spark.catalog.clearCache()``
-    (or unpersist the returned frame's lineage) between runs.
+    ``minhash_dedup_pairs``) with a SCOPED lifetime (r18,
+    ``operators/cachescope``): the next invocation unpersists this one's
+    intermediates, so a long-lived driver looping over daily batches
+    recomputes each batch honestly without any clearCache() bookkeeping.
 
     New-batch ids and corpus ids are distinct ROLES (id_new / id_corpus);
     the same document id appearing on both sides is reported like any
     other pair — callers deduplicate by content, not by id equality.
     """
     rows_per_band = num_hashes // bands
-    new_grams = doc_grams(new_docs, text_col, id_col, shingle_n, "grams").persist()
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_n, grams_df=new_grams
-    ).persist()
+    # scoped persists (r18): see minhash_dedup_pairs — repeated invocations
+    # must recompute, not plan-match into the previous call's caches
+    cachescope.begin("minhash_pairs_between")
+    new_grams = cachescope.register(
+        "minhash_pairs_between",
+        doc_grams(new_docs, text_col, id_col, shingle_n, "grams").persist(),
+    )
+    new_sigs = cachescope.register(
+        "minhash_pairs_between",
+        minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_n, grams_df=new_grams
+        ).persist(),
+    )
     new_sigs.count()  # one job fills BOTH caches (grams via the sig scan, r17)
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
@@ -753,6 +776,7 @@ def minhash_pairs_between(
         .distinct()
         .persist()
     )
+    cachescope.register("minhash_pairs_between", cands)
     cands.count()  # materialize: the semi-join below must not re-plan the LSH tree
     corpus_subset = corpus.join(
         cands.select(F.col("id_corpus").alias(id_col)).distinct(), id_col, "left_semi"

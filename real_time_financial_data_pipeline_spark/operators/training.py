@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_time_financial_data_pipeline_spark.operators import cachescope
+
 # Hash-bucket resolution for split/sample assignment.  2^20 buckets keeps
 # the quantization error of any fraction below 1e-6 while staying far from
 # the int64 hash range (no modulo-bias concerns).
@@ -975,12 +977,13 @@ def prepare_training_set(
     graph doubling (test-pinned).  Exactly one of the two forms may be
     given.
 
-    Caching note (r17): with ``benchmark`` / ``benchmark_embeddings``
-    set, the curated intermediate is persisted internally (the
-    decontamination anti-join consumes it twice) and stays cached until
-    GC'd — a long-lived driver looping over batches should
-    ``spark.catalog.clearCache()`` between runs, the same contract as
-    ``dedup.minhash_pairs_between``.
+    Caching note (r17, scoped r18): with ``benchmark`` /
+    ``benchmark_embeddings`` set, the curated intermediate is persisted
+    internally (the decontamination anti-join consumes it twice).  The
+    persist is SCOPED (``operators/cachescope``): the next invocation
+    unpersists this one's barriers, so repeated calls in one session
+    recompute honestly — no clearCache() bookkeeping needed, the same
+    contract as ``dedup.minhash_pairs_between``.
 
     Dedup runs BEFORE split assignment — the other order leaks near-dups
     across train/test.  When ``benchmark`` is given, documents sharing a
@@ -1092,12 +1095,15 @@ def prepare_training_set(
         # side then reads it.  Same rationale and lifetime convention as
         # the persisted minhash intermediates (dedup.py) — at warehouse
         # scale this is exactly the intermediate you'd land to storage
-        # between curation and decontamination.  Like those, the cache
-        # lives until session GC / clearCache: a long-lived driver
-        # looping over batches should spark.catalog.clearCache()
-        # between runs (the minhash_pairs_between contract).
+        # between curation and decontamination.  SCOPED lifetime (r18,
+        # operators/cachescope): the next prepare_training_set call
+        # unpersists this one's barriers, so repeated invocations in one
+        # session recompute honestly.
         if not curated.isStreaming:
-            curated = curated.persist()
+            cachescope.begin("prepare_training_set")
+            curated = cachescope.register(
+                "prepare_training_set", curated.persist()
+            )
     if benchmark is not None:
         curated = remove_contaminated(
             curated, benchmark, text_col, id_col, n=decontam_ngram
@@ -1107,7 +1113,9 @@ def prepare_training_set(
             # n-gram pass's OUTPUT twice (survivor semi-join + final
             # anti-join) — same double-instantiation one level up, so
             # barrier that plan too (review-caught, r17)
-            curated = curated.persist()
+            curated = cachescope.register(
+                "prepare_training_set", curated.persist()
+            )
     if benchmark_embeddings is not None:
         if embeddings is None:
             raise ValueError(

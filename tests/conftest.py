@@ -15,7 +15,7 @@ SF0001 = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    spark = get_spark("tests", master="local[8]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 
